@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture-table load recipes (SURVEY.md §1.2).
+  *
+  * The only non-trivial load is `events`: its `ts` column is parquet
+  * TIMESTAMP(NANOS), which Spark 4.x refuses outright
+  * ([PARQUET_TYPE_ILLEGAL]). We read it as a raw long
+  * (`spark.sql.legacy.parquet.nanosAsLong=true`) and truncate ns→µs with
+  * INTEGER division — `ts div 1000` — matching DuckDB's internal µs
+  * truncation exactly. (A double-based `col/1000` would lose precision:
+  * 2024 epochs are ~1.7e18 ns, beyond double's 2^53 integer range, and
+  * round-trips off by ±1µs for a noticeable fraction of rows.)
+  */
+object Tables {
+  /** Runtime confs every session needs before the first `events` read. */
+  def configure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    configure(spark)
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  def lineitem(s: SparkSession, sf: String): DataFrame = table(s, sf, "lineitem")
+  def orders(s: SparkSession, sf: String): DataFrame   = table(s, sf, "orders")
+  def customer(s: SparkSession, sf: String): DataFrame = table(s, sf, "customer")
+  def supplier(s: SparkSession, sf: String): DataFrame = table(s, sf, "supplier")
+  def part(s: SparkSession, sf: String): DataFrame     = table(s, sf, "part")
+  def nation(s: SparkSession, sf: String): DataFrame   = table(s, sf, "nation")
+  def region(s: SparkSession, sf: String): DataFrame   = table(s, sf, "region")
+  def events(s: SparkSession, sf: String): DataFrame   = table(s, sf, "events")
+  def documents(s: SparkSession, sf: String): DataFrame  = table(s, sf, "documents")
+  def embeddings(s: SparkSession, sf: String): DataFrame = table(s, sf, "embeddings")
+}
