@@ -12,12 +12,70 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4 aggregations
     "q_agg_groupby" -> (Aggregates.qAggGroupby _),
+    // §2.1 scans / sources / sinks
+    "q_scan_parquet" -> (Relational.qScanParquet _),
+    "q_scan_pushdown" -> (Relational.qScanPushdown _),
+    "q_scan_json_col" -> (Relational.qScanJsonCol _),
+    "q_sink_parquet" -> (Relational.qSinkParquet _),
+    // §2.2 projection / filter
+    "q_project_expr" -> (Relational.qProjectExpr _),
+    "q_filter_conj" -> (Relational.qFilterConj _),
+    "q_filter_in" -> (Relational.qFilterIn _),
+    "q_filter_like" -> (Relational.qFilterLike _),
+    "q_filter_between" -> (Relational.qFilterBetween _),
+    "q_filter_null_semantics" -> (Relational.qFilterNullSemantics _),
+    // §2.3 joins
+    "q_join_broadcast" -> (Joins.qJoinBroadcast _),
+    "q_join_sortmerge" -> (Joins.qJoinSortmerge _),
+    "q_join_left_outer" -> (Joins.qJoinLeftOuter _),
+    "q_join_full_outer" -> (Joins.qJoinFullOuter _),
+    "q_join_semi" -> (Joins.qJoinSemi _),
+    "q_join_anti" -> (Joins.qJoinAnti _),
+    "q_join_theta_range" -> (Joins.qJoinThetaRange _),
+    "q_join_asof" -> (Joins.qJoinAsof _),
+    "q_join_cross" -> (Joins.qJoinCross _),
+    // §2.6 sort / top-k
+    "q_sort_multi" -> (Relational.qSortMulti _),
+    "q_topk_global" -> (Relational.qTopkGlobal _),
+    "q_topk_per_group" -> (Relational.qTopkPerGroup _),
+    // §2.7 set operations
+    "q_union_all" -> (Relational.qUnionAll _),
+    "q_union_distinct" -> (Relational.qUnionDistinct _),
+    "q_intersect" -> (Relational.qIntersect _),
+    "q_except" -> (Relational.qExcept _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_agg_groupby" -> OracleSql.qAggGroupby,
+    "q_scan_parquet" -> OracleSql.qScanParquet,
+    "q_scan_pushdown" -> OracleSql.qScanPushdown,
+    "q_scan_json_col" -> OracleSql.qScanJsonCol,
+    "q_sink_parquet" -> OracleSql.qSinkParquet,
+    "q_project_expr" -> OracleSql.qProjectExpr,
+    "q_filter_conj" -> OracleSql.qFilterConj,
+    "q_filter_in" -> OracleSql.qFilterIn,
+    "q_filter_like" -> OracleSql.qFilterLike,
+    "q_filter_between" -> OracleSql.qFilterBetween,
+    "q_filter_null_semantics" -> OracleSql.qFilterNullSemantics,
+    "q_join_broadcast" -> OracleSql.qJoinBroadcast,
+    "q_join_sortmerge" -> OracleSql.qJoinSortmerge,
+    "q_join_left_outer" -> OracleSql.qJoinLeftOuter,
+    "q_join_full_outer" -> OracleSql.qJoinFullOuter,
+    "q_join_semi" -> OracleSql.qJoinSemi,
+    "q_join_anti" -> OracleSql.qJoinAnti,
+    "q_join_theta_range" -> OracleSql.qJoinThetaRange,
+    "q_join_asof" -> OracleSql.qJoinAsof,
+    "q_join_cross" -> OracleSql.qJoinCross,
+    "q_sort_multi" -> OracleSql.qSortMulti,
+    "q_topk_global" -> OracleSql.qTopkGlobal,
+    "q_topk_per_group" -> OracleSql.qTopkPerGroup,
+    "q_union_all" -> OracleSql.qUnionAll,
+    "q_union_distinct" -> OracleSql.qUnionDistinct,
+    "q_intersect" -> OracleSql.qIntersect,
+    "q_except" -> OracleSql.qExcept,
   )
 }

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Util._
+
+/** SURVEY.md §2.3 — the nine join variants.
+  *
+  * Scale notes (100 TB): dimension tables (region/nation/customer at
+  * typical star ratios) are broadcast — zero shuffle of the fact side.
+  * Fact-fact joins shuffle on the join key (sort-merge); AQE handles
+  * skew splitting. The range join is written as a bucket-and-replicate
+  * equi-join (§7.5) rather than the nested-loop plan Spark would pick
+  * for a raw theta join — O(n·k) instead of O(n²).
+  */
+object Joins {
+
+  /** Star join: fact orders against broadcast dims. */
+  def qJoinBroadcast(s: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(s, sf)
+    val c = broadcast(Tables.customer(s, sf))
+    val n = broadcast(Tables.nation(s, sf))
+    val r = broadcast(Tables.region(s, sf))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("total_price"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Big-big equi-join, pinned to sort-merge (the 100 TB fact-fact plan). */
+  def qJoinSortmerge(s: SparkSession, sf: String): DataFrame = {
+    val l = Tables.lineitem(s, sf)
+    val o = Tables.orders(s, sf).hint("merge")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(col("o_orderkey"), col("l_linenumber"), col("o_totalprice"),
+              col("l_extendedprice"))
+      .orderBy("o_orderkey", "l_linenumber")
+  }
+
+  /** Customers with their order stats, keeping orderless customers. */
+  def qJoinLeftOuter(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(s, sf)
+    val o = Tables.orders(s, sf)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("c_custkey")
+  }
+
+  /** Per-nation customer vs supplier counts via full outer join. */
+  def qJoinFullOuter(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(s, sf).groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = Tables.supplier(s, sf).groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, c("c_nationkey") === su("s_nationkey"), "full")
+      .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+              col("n_cust"), col("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** Customers that have at least one urgent order (EXISTS). */
+  def qJoinSemi(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(s, sf)
+    val o = Tables.orders(s, sf).where(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Customers with no urgent order (NOT EXISTS). */
+  def qJoinAnti(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(s, sf)
+    val o = Tables.orders(s, sf).where(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Range (theta) join: pairs of parts within ±1.0 retail price.
+    *
+    * Written as bucket-and-replicate (§7.5): bucket width = band width,
+    * replicate one side into its 3 neighboring buckets, equi-join on the
+    * bucket, filter the exact band in-bucket. Spark plans this as a
+    * shuffle/broadcast HASH join — scales linearly, where the naive
+    * `a.price BETWEEN b.price-1 AND b.price+1` theta join would be a
+    * BroadcastNestedLoopJoin (O(n²)) at 100 TB.
+    */
+  def qJoinThetaRange(s: SparkSession, sf: String): DataFrame = {
+    val p = Tables.part(s, sf)
+    val a = p.select(col("p_partkey").as("a_key"),
+                     col("p_retailprice").as("a_price"))
+      .withColumn("bucket", floor(col("a_price")))
+    val b = p.select(col("p_partkey").as("b_key"),
+                     col("p_retailprice").as("b_price"))
+      .withColumn("bucket", explode(array(floor(col("b_price")) - 1,
+                                          floor(col("b_price")),
+                                          floor(col("b_price")) + 1)))
+    a.join(b, "bucket")
+      .where(col("a_key") < col("b_key") &&
+             abs(col("a_price") - col("b_price")) <= 1.0)
+      .select("a_key", "b_key", "a_price", "b_price")
+      .orderBy("a_key", "b_key")
+  }
+
+  /** As-of join, telemetry idiom: for each error event, the value of the
+    * latest preceding non-error event of the same user. Expressed as the
+    * portable LAST_VALUE-IGNORE-NULLS window (identical SQL on the
+    * oracle side) — one shuffle on user_id, no self-join. */
+  def qJoinAsof(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, sf)
+      .withColumn("prev_value",
+        last(when(col("event_type") =!= "error", col("value")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "error")
+      .select("event_id", "user_id", "ts", "prev_value")
+      .orderBy("event_id")
+  }
+
+  /** Small×small cartesian. */
+  def qJoinCross(s: SparkSession, sf: String): DataFrame =
+    Tables.region(s, sf).crossJoin(Tables.nation(s, sf))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+}

@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.1–2.2 (scans/filters), §2.6 (sort/top-k), §2.7 (set ops).
+  *
+  * Scale notes (100 TB): every query here is a single scan + narrow
+  * transforms — no shuffle except where an orderBy is semantically
+  * required for the deterministic output contract. Filters and column
+  * pruning push into the Parquet reader (verified via explain:
+  * PushedFilters / ReadSchema).
+  */
+object Relational {
+
+  // ---- §2.1 scans / sources / sinks ----
+
+  /** Full-scan projection; column pruning reaches the parquet reader. */
+  def qScanParquet(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Predicate + projection pushdown: at 100 TB the date filter skips
+    * whole row groups via parquet min/max stats. */
+  def qScanPushdown(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .where(col("l_shipdate") <= lit("1995-06-30").cast("timestamp") &&
+             col("l_quantity") < 10)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** JSON field extraction from the events.props string column. */
+  def qScanJsonCol(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .select(col("event_id"),
+              get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  /** Sink roundtrip: write a table to parquet, read it back. */
+  def qSinkParquet(s: SparkSession, sf: String): DataFrame = {
+    val dir = s"/tmp/graft_sink/nation"
+    Tables.nation(s, sf).write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir).orderBy("n_nationkey")
+  }
+
+  // ---- §2.2 projection / filter ----
+
+  def qProjectExpr(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+              concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("line_id"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  def qFilterConj(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .where((col("o_totalprice") > 150000 && col("o_orderstatus") === "O") ||
+             (!(col("o_orderpriority") === "1-URGENT") && col("o_totalprice") < 20000))
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  def qFilterIn(s: SparkSession, sf: String): DataFrame =
+    Tables.part(s, sf)
+      .where(col("p_size").isin(1, 5, 9, 23, 36) &&
+             col("p_brand").isin("Brand#1", "Brand#7", "Brand#13"))
+      .select("p_partkey", "p_brand", "p_size")
+      .orderBy("p_partkey")
+
+  def qFilterLike(s: SparkSession, sf: String): DataFrame =
+    Tables.part(s, sf)
+      .where(col("p_name").like("%bolt%") ||
+             col("p_type").rlike("^(ECO|PRO)"))
+      .select("p_partkey", "p_name", "p_type")
+      .orderBy("p_partkey")
+
+  def qFilterBetween(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .where(col("ts").between(lit("2024-01-10 00:00:00").cast("timestamp"),
+                               lit("2024-01-20 00:00:00").cast("timestamp")) &&
+             col("value").between(50, 150))
+      .select("event_id", "ts", "value")
+      .orderBy("event_id")
+
+  /** Three-valued logic: NULLIF-made nulls, COALESCE, null-safe equality. */
+  def qFilterNullSemantics(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag"),
+              (nullif(col("l_returnflag"), lit("A")) <=> nullif(col("l_linestatus"), lit("F"))).as("nse"))
+      .where(col("l_linenumber") <= 3)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---- §2.6 sort / top-k ----
+
+  /** Multi-key sort with an explicitly null-producing key, NULLS LAST. */
+  def qSortMulti(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .select(col("o_orderkey"),
+              nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")).as("prio"),
+              col("o_totalprice"))
+      .orderBy(asc_nulls_last("prio"), desc("o_totalprice"), asc("o_orderkey"))
+
+  /** Global top-k: TakeOrderedAndProject (per-partition heap — no full
+    * sort, no single-node shuffle of the whole table at 100 TB). */
+  def qTopkGlobal(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  /** Top-3 orders per customer via ranked window. */
+  def qTopkPerGroup(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(s, sf)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  // ---- §2.7 set operations ----
+
+  def qUnionAll(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(s, sf)
+      .select(col("c_name").as("name"), col("c_nationkey").as("nationkey"),
+              col("c_acctbal").as("acctbal"))
+    val su = Tables.supplier(s, sf)
+      .select(col("s_name").as("name"), col("s_nationkey").as("nationkey"),
+              col("s_acctbal").as("acctbal"))
+    c.unionByName(su).orderBy("name")
+  }
+
+  def qUnionDistinct(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(s, sf).select(col("c_nationkey").as("nationkey"))
+    val su = Tables.supplier(s, sf).select(col("s_nationkey").as("nationkey"))
+    c.union(su).distinct().orderBy("nationkey")
+  }
+
+  def qIntersect(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(s, sf)
+      .where(col("c_acctbal") > 9000).select(col("c_nationkey").as("nationkey"))
+    val su = Tables.supplier(s, sf)
+      .where(col("s_acctbal") > 0).select(col("s_nationkey").as("nationkey"))
+    c.intersect(su).orderBy("nationkey")
+  }
+
+  /** Orderkeys present in lineitem whose order is not open/pending —
+    * guaranteed non-empty (status 'F' exists at every sf). */
+  def qExcept(s: SparkSession, sf: String): DataFrame = {
+    val l = Tables.lineitem(s, sf).select(col("l_orderkey").as("orderkey")).distinct()
+    val o = Tables.orders(s, sf).where(col("o_orderstatus") =!= "F")
+      .select(col("o_orderkey").as("orderkey"))
+    l.except(o).orderBy("orderkey")
+  }
+}

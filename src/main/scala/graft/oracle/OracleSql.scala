@@ -3,28 +3,199 @@ package graft.oracle
 /** DuckDB oracle SQL, one val per q_* key (SURVEY.md §2 / §7.3).
   *
   * Discipline shared with the Spark side:
-  *  - money sums:   CAST(SUM(CAST(expr AS DECIMAL(18,4))) AS DOUBLE)
+  *  - money sums:   CAST(SUM(CAST(expr AS DECIMAL(28,s))) AS DOUBLE) with
+  *    cast scale s ≥ the expression's true decimal scale (see ops/Util)
   *  - averages:     decimal-sum→double / COUNT(*)
   *  - every query ends in a total ORDER BY over a provably unique key
-  *    set with explicit NULLS FIRST/LAST (Spark and DuckDB defaults
-  *    differ), and every computed column is aliased identically on both
-  *    sides (the driver sorts columns by name before hashing).
+  *    set with explicit NULLS FIRST/LAST (Spark ASC default is NULLS
+  *    FIRST, DuckDB's is NULLS LAST — always spell it out), and every
+  *    computed column is aliased identically on both sides (the driver
+  *    sorts columns by name before hashing).
   */
 object OracleSql {
 
-  val qAggGroupby: String =
-    """SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
-       COUNT(*) AS count_order
-       FROM lineitem
-       WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
-       GROUP BY l_returnflag, l_linestatus
-       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
-      .stripMargin.replaceAll("\\s+", " ").trim
+  /** Collapse authored SQL to one whitespace-normalized line. */
+  private def n(sql: String): String = sql.replaceAll("\\s+", " ").trim
+
+  val qAggGroupby: String = n("""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+
+  // ---- §2.1 scans ----
+
+  val qScanParquet: String = n("""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem ORDER BY l_orderkey, l_linenumber""")
+
+  val qScanPushdown: String = n("""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1995-06-30 00:00:00' AND l_quantity < 10
+    ORDER BY l_orderkey, l_linenumber""")
+
+  val qScanJsonCol: String = n("""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events ORDER BY event_id""")
+
+  val qSinkParquet: String = n("""
+    SELECT * FROM nation ORDER BY n_nationkey""")
+
+  // ---- §2.2 projection / filter ----
+
+  val qProjectExpr: String = n("""
+    SELECT l_orderkey, l_linenumber,
+      l_extendedprice * (1 - l_discount) AS revenue,
+      CONCAT(l_orderkey, '-', l_linenumber) AS line_id
+    FROM lineitem ORDER BY l_orderkey, l_linenumber""")
+
+  val qFilterConj: String = n("""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_totalprice > 150000 AND o_orderstatus = 'O')
+       OR (NOT (o_orderpriority = '1-URGENT') AND o_totalprice < 20000)
+    ORDER BY o_orderkey""")
+
+  val qFilterIn: String = n("""
+    SELECT p_partkey, p_brand, p_size FROM part
+    WHERE p_size IN (1, 5, 9, 23, 36)
+      AND p_brand IN ('Brand#1', 'Brand#7', 'Brand#13')
+    ORDER BY p_partkey""")
+
+  val qFilterLike: String = n("""
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE p_name LIKE '%bolt%' OR regexp_matches(p_type, '^(ECO|PRO)')
+    ORDER BY p_partkey""")
+
+  val qFilterBetween: String = n("""
+    SELECT event_id, ts, value FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+      AND value BETWEEN 50 AND 150
+    ORDER BY event_id""")
+
+  val qFilterNullSemantics: String = n("""
+    SELECT l_orderkey, l_linenumber,
+      COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag,
+      (NULLIF(l_returnflag, 'A') IS NOT DISTINCT FROM NULLIF(l_linestatus, 'F')) AS nse
+    FROM lineitem WHERE l_linenumber <= 3
+    ORDER BY l_orderkey, l_linenumber""")
+
+  // ---- §2.3 joins ----
+
+  val qJoinBroadcast: String = n("""
+    SELECT r_name, n_name,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price,
+      COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+
+  val qJoinSortmerge: String = n("""
+    SELECT o_orderkey, l_linenumber, o_totalprice, l_extendedprice
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ORDER BY o_orderkey, l_linenumber""")
+
+  val qJoinLeftOuter: String = n("""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey ORDER BY c_custkey""")
+
+  val qJoinFullOuter: String = n("""
+    SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey, n_cust, n_supp
+    FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+    FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+      ON c.c_nationkey = s.s_nationkey
+    ORDER BY nationkey""")
+
+  val qJoinSemi: String = n("""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey""")
+
+  val qJoinAnti: String = n("""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey""")
+
+  val qJoinThetaRange: String = n("""
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           a.p_retailprice AS a_price, b.p_retailprice AS b_price
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND abs(a.p_retailprice - b.p_retailprice) <= 1.0
+    ORDER BY a_key, b_key""")
+
+  val qJoinAsof: String = n("""
+    SELECT event_id, user_id, ts, prev_value FROM (
+      SELECT event_id, user_id, ts, event_type,
+        LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_value
+      FROM events) t
+    WHERE event_type = 'error' ORDER BY event_id""")
+
+  val qJoinCross: String = n("""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    ORDER BY r_name, n_name""")
+
+  // ---- §2.6 sort / top-k ----
+
+  val qSortMulti: String = n("""
+    SELECT o_orderkey, NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio, o_totalprice
+    FROM orders
+    ORDER BY prio ASC NULLS LAST, o_totalprice DESC, o_orderkey ASC""")
+
+  val qTopkGlobal: String = n("""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")
+
+  val qTopkPerGroup: String = n("""
+    SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders) t
+    WHERE rn <= 3 ORDER BY o_custkey, rn""")
+
+  // ---- §2.7 set operations ----
+
+  val qUnionAll: String = n("""
+    SELECT c_name AS name, c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+    UNION ALL
+    SELECT s_name AS name, s_nationkey AS nationkey, s_acctbal AS acctbal FROM supplier
+    ORDER BY name""")
+
+  val qUnionDistinct: String = n("""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey""")
+
+  val qIntersect: String = n("""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 0
+    ORDER BY nationkey""")
+
+  val qExcept: String = n("""
+    SELECT DISTINCT l_orderkey AS orderkey FROM lineitem
+    EXCEPT
+    SELECT o_orderkey AS orderkey FROM orders WHERE o_orderstatus <> 'F'
+    ORDER BY orderkey""")
 }
