@@ -14,6 +14,27 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 aggregations
     "q_agg_groupby" -> (Aggregates.qAggGroupby _),
+    "q_agg_global" -> (Aggregates.qAggGlobal _),
+    "q_agg_distinct" -> (Aggregates.qAggDistinct _),
+    "q_agg_multidistinct" -> (Aggregates.qAggMultidistinct _),
+    "q_agg_having" -> (Aggregates.qAggHaving _),
+    "q_agg_stats" -> (Aggregates.qAggStats _),
+    "q_agg_argmax" -> (Aggregates.qAggArgmax _),
+    "q_agg_collect_sorted" -> (Aggregates.qAggCollectSorted _),
+    "q_agg_rollup" -> (Aggregates.qAggRollup _),
+    "q_agg_cube" -> (Aggregates.qAggCube _),
+    "q_agg_grouping_sets" -> (Aggregates.qAggGroupingSets _),
+    "a_agg_approx_distinct" -> (Aggregates.aAggApproxDistinct _),
+    "a_agg_percentile_approx" -> (Aggregates.aAggPercentileApprox _),
+    "q_agg_percentile_exact" -> (Aggregates.qAggPercentileExact _),
+    // §2.5 windows
+    "q_win_rownumber" -> (Windows.qWinRownumber _),
+    "q_win_rank" -> (Windows.qWinRank _),
+    "q_win_lag_delta" -> (Windows.qWinLagDelta _),
+    "q_win_moving_avg" -> (Windows.qWinMovingAvg _),
+    "q_win_range_frame" -> (Windows.qWinRangeFrame _),
+    "q_win_ntile_cume" -> (Windows.qWinNtileCume _),
+    "q_win_first_last" -> (Windows.qWinFirstLast _),
     // §2.1 scans / sources / sinks
     "q_scan_parquet" -> (Relational.qScanParquet _),
     "q_scan_pushdown" -> (Relational.qScanPushdown _),
@@ -51,6 +72,24 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_agg_groupby" -> OracleSql.qAggGroupby,
+    "q_agg_global" -> OracleSql.qAggGlobal,
+    "q_agg_distinct" -> OracleSql.qAggDistinct,
+    "q_agg_multidistinct" -> OracleSql.qAggMultidistinct,
+    "q_agg_having" -> OracleSql.qAggHaving,
+    "q_agg_stats" -> OracleSql.qAggStats,
+    "q_agg_argmax" -> OracleSql.qAggArgmax,
+    "q_agg_collect_sorted" -> OracleSql.qAggCollectSorted,
+    "q_agg_rollup" -> OracleSql.qAggRollup,
+    "q_agg_cube" -> OracleSql.qAggCube,
+    "q_agg_grouping_sets" -> OracleSql.qAggGroupingSets,
+    "q_agg_percentile_exact" -> OracleSql.qAggPercentileExact,
+    "q_win_rownumber" -> OracleSql.qWinRownumber,
+    "q_win_rank" -> OracleSql.qWinRank,
+    "q_win_lag_delta" -> OracleSql.qWinLagDelta,
+    "q_win_moving_avg" -> OracleSql.qWinMovingAvg,
+    "q_win_range_frame" -> OracleSql.qWinRangeFrame,
+    "q_win_ntile_cume" -> OracleSql.qWinNtileCume,
+    "q_win_first_last" -> OracleSql.qWinFirstLast,
     "q_scan_parquet" -> OracleSql.qScanParquet,
     "q_scan_pushdown" -> OracleSql.qScanPushdown,
     "q_scan_json_col" -> OracleSql.qScanJsonCol,

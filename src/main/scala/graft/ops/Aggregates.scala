@@ -5,7 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import Util._
 
-/** SURVEY.md §2.4 — aggregation operators. */
+/** SURVEY.md §2.4 — aggregation operators.
+  *
+  * Scale notes (100 TB): all group-bys here are partial+final hash
+  * aggregations (map-side combine shrinks the shuffle to ~|groups| per
+  * partition). Distinct aggs expand but stay two-phase. The approximate
+  * twins (`a_*`) are the forms actually run at 100 TB: HLL and t-digest
+  * sketches merge associatively across partitions with constant memory.
+  */
 object Aggregates {
 
   /** Flagship: TPC-H Q1-shaped pricing summary. Partial+final hash
@@ -26,4 +33,117 @@ object Aggregates {
         count(lit(1)).as("count_order"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
+
+  /** No-key (global) aggregate: single-row result. */
+  def qAggGlobal(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf).agg(
+      count(lit(1)).as("n"),
+      dsum(col("l_quantity")).as("sum_qty"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      countDistinct(col("l_suppkey")).as("n_supp"))
+
+  def qAggDistinct(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** Several distinct aggregates in one query (Expand-based plan). */
+  def qAggMultidistinct(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+           countDistinct(col("l_partkey")).as("n_part"),
+           count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Post-aggregation filter (HAVING). */
+  def qAggHaving(s: SparkSession, sf: String): DataFrame =
+    Tables.orders(s, sf)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("total_price"))
+      .where(col("n_orders") >= 15)
+      .orderBy("o_custkey")
+
+  /** Statistical aggregates; doubles rounded to 4 decimals (§7.3). */
+  def qAggStats(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           min(col("value")).as("min_value"),
+           max(col("value")).as("max_value"),
+           davg(col("value")).as("avg_value"),
+           round(stddev_samp(col("value")), 4).as("std_value"),
+           round(var_samp(col("value")), 4).as("var_value"))
+      .orderBy("event_type")
+
+  /** Top event per user by value — max_by with a unique (value, id)
+    * tiebreak struct so the pick is total-order deterministic. */
+  def qAggArgmax(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(col("user_id"))
+      .agg(max_by(col("event_id"), struct(col("value"), col("event_id"))).as("best_event"),
+           max(col("value")).as("max_value"))
+      .orderBy("user_id")
+
+  /** Per-group sorted set of event types (deterministic array output). */
+  def qAggCollectSorted(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      .orderBy("user_id")
+
+  def qAggRollup(s: SparkSession, sf: String): DataFrame =
+    Tables.customer(s, sf)
+      .join(broadcast(Tables.nation(s, sf)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, sf)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  def qAggCube(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Explicit grouping sets with a grouping-id discriminator. The oracle
+    * derives gid from the null pattern (fixture keys are never null), so
+    * both engines compute the same value without DuckDB's GROUPING(). */
+  def qAggGroupingSets(s: SparkSession, sf: String): DataFrame =
+    Tables.customer(s, sf)
+      .join(broadcast(Tables.nation(s, sf)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, sf)), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+                    col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), grouping_id().as("gid"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  /** HLL sketch distinct — the 100 TB form (mergeable, constant memory).
+    * No oracle (sketch values are engine-specific); exact twin:
+    * q_agg_distinct. */
+  def aAggApproxDistinct(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("day")
+
+  /** Quantile sketch — the 100 TB form. No oracle; exact twin:
+    * q_agg_percentile_exact. */
+  def aAggPercentileApprox(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("quantiles"))
+      .orderBy("event_type")
+
+  /** Exact interpolated percentiles, rounded on both engines. */
+  def qAggPercentileExact(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+           round(expr("percentile(value, 0.95)"), 4).as("p95"))
+      .orderBy("event_type")
 }

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Util._
+
+/** SURVEY.md §2.5 — window functions.
+  *
+  * Scale notes (100 TB): each window is one shuffle on its partition key
+  * followed by an in-partition sort; no cross-partition state. Frames
+  * that sum doubles use decimal-cast sums so results are independent of
+  * internal accumulation order (DuckDB's segment-tree sliding windows vs
+  * Spark's running frames would otherwise diverge in the last ulps).
+  */
+object Windows {
+
+  private def byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+
+  /** First 3 orders per customer by date. */
+  def qWinRownumber(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, sf)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_orderdate")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** rank/dense_rank over part prices per brand — rank value depends only
+    * on the price, so ties are deterministic; output keyed by p_partkey. */
+  def qWinRank(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(desc("p_retailprice"))
+    Tables.part(s, sf)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+              rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+      .orderBy("p_partkey")
+  }
+
+  /** Telemetry core: per-user counter delta (cumulative → per-interval). */
+  def qWinLagDelta(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .select(col("event_id"), col("user_id"),
+              (col("value") - lag(col("value"), 1).over(byUser)).as("delta"))
+      .orderBy("event_id")
+
+  /** Trailing 5-row moving average per user: exact decimal sum / count. */
+  def qWinMovingAvg(s: SparkSession, sf: String): DataFrame = {
+    val w = byUser.rowsBetween(-4, 0)
+    Tables.events(s, sf)
+      .select(col("event_id"), col("user_id"),
+              (sum(col("value").cast(D)).over(w).cast("double") /
+               count(lit(1)).over(w)).as("ma5"))
+      .orderBy("event_id")
+  }
+
+  /** Trailing 1-hour RANGE frame on epoch seconds per user. */
+  def qWinRangeFrame(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("epoch_s"))
+      .rangeBetween(-3600, 0)
+    Tables.events(s, sf)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .select(col("event_id"), col("user_id"),
+              sum(col("value").cast(D)).over(w).cast("double").as("trailing_sum"))
+      .orderBy("event_id")
+  }
+
+  /** ntile(4) + cume_dist over order totals per priority class; the
+    * (price, key) ordering is unique so peer groups are singletons and
+    * both functions are deterministic. */
+  def qWinNtileCume(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+              ntile(4).over(w).as("nt"), cume_dist().over(w).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
+  /** first_value/last_value with an explicit full-partition frame. */
+  def qWinFirstLast(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+              first(col("o_totalprice")).over(w).as("first_price"),
+              last(col("o_totalprice")).over(w).as("last_price"))
+      .orderBy("o_orderkey")
+  }
+}

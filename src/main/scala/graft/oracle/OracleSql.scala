@@ -32,6 +32,135 @@ object OracleSql {
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
 
+  // ---- §2.4 aggregations ----
+
+  val qAggGlobal: String = n("""
+    SELECT COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+      MIN(l_extendedprice) AS min_price,
+      MAX(l_extendedprice) AS max_price,
+      COUNT(DISTINCT l_suppkey) AS n_supp
+    FROM lineitem""")
+
+  val qAggDistinct: String = n("""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+
+  val qAggMultidistinct: String = n("""
+    SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+      COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+
+  val qAggHaving: String = n("""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 15 ORDER BY o_custkey""")
+
+  val qAggStats: String = n("""
+    SELECT event_type, COUNT(*) AS n,
+      MIN(value) AS min_value, MAX(value) AS max_value,
+      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_value,
+      round(stddev_samp(value), 4) AS std_value,
+      round(var_samp(value), 4) AS var_value
+    FROM events GROUP BY event_type ORDER BY event_type""")
+
+  val qAggArgmax: String = n("""
+    SELECT user_id, arg_max(event_id, value) AS best_event, MAX(value) AS max_value
+    FROM events GROUP BY user_id ORDER BY user_id""")
+
+  val qAggCollectSorted: String = n("""
+    SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+    FROM events GROUP BY user_id ORDER BY user_id""")
+
+  val qAggRollup: String = n("""
+    SELECT r_name, n_name, COUNT(*) AS n_cust,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+
+  val qAggCube: String = n("""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+
+  val qAggGroupingSets: String = n("""
+    SELECT r_name, n_name, COUNT(*) AS n_cust,
+      (CASE WHEN r_name IS NULL THEN 2 ELSE 0 END
+       + CASE WHEN n_name IS NULL THEN 1 ELSE 0 END) AS gid
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+
+  val qAggPercentileExact: String = n("""
+    SELECT event_type,
+      round(quantile_cont(value, 0.5), 4) AS p50,
+      round(quantile_cont(value, 0.95), 4) AS p95
+    FROM events GROUP BY event_type ORDER BY event_type""")
+
+  // ---- §2.5 windows ----
+
+  val qWinRownumber: String = n("""
+    SELECT o_custkey, rn, o_orderkey, o_orderdate FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3 ORDER BY o_custkey, rn""")
+
+  val qWinRank: String = n("""
+    SELECT p_partkey, p_brand, p_retailprice,
+      RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+    ORDER BY p_partkey""")
+
+  val qWinLagDelta: String = n("""
+    SELECT event_id, user_id,
+      value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events ORDER BY event_id""")
+
+  val qWinMovingAvg: String = n("""
+    SELECT event_id, user_id,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        / COUNT(*) OVER w AS ma5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id""")
+
+  val qWinRangeFrame: String = n("""
+    SELECT event_id, user_id,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS trailing_sum
+    FROM (SELECT *, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s FROM events) t
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id""")
+
+  val qWinNtileCume: String = n("""
+    SELECT o_orderkey, o_orderpriority,
+      NTILE(4) OVER w AS nt, CUME_DIST() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey""")
+
+  val qWinFirstLast: String = n("""
+    SELECT o_orderkey, o_custkey,
+      FIRST_VALUE(o_totalprice) OVER w AS first_price,
+      LAST_VALUE(o_totalprice) OVER w AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey""")
+
   // ---- §2.1 scans ----
 
   val qScanParquet: String = n("""
