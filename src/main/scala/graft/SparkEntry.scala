@@ -57,6 +57,23 @@ object SparkEntry {
     "q_join_theta_range" -> (Joins.qJoinThetaRange _),
     "q_join_asof" -> (Joins.qJoinAsof _),
     "q_join_cross" -> (Joins.qJoinCross _),
+    // §2.8 scalar functions
+    "q_fn_string" -> (Scalars.qFnString _),
+    "q_fn_date" -> (Scalars.qFnDate _),
+    "q_fn_math" -> (Scalars.qFnMath _),
+    "q_fn_conditional" -> (Scalars.qFnConditional _),
+    "q_fn_cast" -> (Scalars.qFnCast _),
+    "q_fn_array" -> (Scalars.qFnArray _),
+    "q_fn_array_hof" -> (Scalars.qFnArrayHof _),
+    "q_fn_map" -> (Scalars.qFnMap _),
+    "q_fn_json" -> (Scalars.qFnJson _),
+    // §2.9 time-series composites
+    "q_ts_tumbling" -> (TimeSeries.qTsTumbling _),
+    "q_ts_downsample_ohlc" -> (TimeSeries.qTsDownsampleOhlc _),
+    "q_ts_rate" -> (TimeSeries.qTsRate _),
+    "q_ts_gapfill" -> (TimeSeries.qTsGapfill _),
+    "q_ts_sessionize" -> (TimeSeries.qTsSessionize _),
+    "q_ts_retention" -> (TimeSeries.qTsRetention _),
     // §2.6 sort / top-k
     "q_sort_multi" -> (Relational.qSortMulti _),
     "q_topk_global" -> (Relational.qTopkGlobal _),
@@ -109,6 +126,21 @@ object SparkEntry {
     "q_join_theta_range" -> OracleSql.qJoinThetaRange,
     "q_join_asof" -> OracleSql.qJoinAsof,
     "q_join_cross" -> OracleSql.qJoinCross,
+    "q_fn_string" -> OracleSql.qFnString,
+    "q_fn_date" -> OracleSql.qFnDate,
+    "q_fn_math" -> OracleSql.qFnMath,
+    "q_fn_conditional" -> OracleSql.qFnConditional,
+    "q_fn_cast" -> OracleSql.qFnCast,
+    "q_fn_array" -> OracleSql.qFnArray,
+    "q_fn_array_hof" -> OracleSql.qFnArrayHof,
+    "q_fn_map" -> OracleSql.qFnMap,
+    "q_fn_json" -> OracleSql.qFnJson,
+    "q_ts_tumbling" -> OracleSql.qTsTumbling,
+    "q_ts_downsample_ohlc" -> OracleSql.qTsDownsampleOhlc,
+    "q_ts_rate" -> OracleSql.qTsRate,
+    "q_ts_gapfill" -> OracleSql.qTsGapfill,
+    "q_ts_sessionize" -> OracleSql.qTsSessionize,
+    "q_ts_retention" -> OracleSql.qTsRetention,
     "q_sort_multi" -> OracleSql.qSortMulti,
     "q_topk_global" -> OracleSql.qTopkGlobal,
     "q_topk_per_group" -> OracleSql.qTopkPerGroup,

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Util._
+
+/** SURVEY.md §2.9 — time-series / telemetry composites.
+  *
+  * Scale notes (100 TB): every query buckets by time first (date_trunc),
+  * so with date-partitioned storage the scans prune to the queried range
+  * and the aggregations shuffle on (bucket, key) — bounded cardinality.
+  * Sessionization is a single shuffle on user_id; skewed users would be
+  * handled by AQE skew splitting (the window itself is per-user state).
+  */
+object TimeSeries {
+
+  private def byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+
+  /** 1h tumbling buckets × event_type: count / sum / min / max. */
+  def qTsTumbling(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("value")).as("sum_value"),
+           min(col("value")).as("min_value"),
+           max(col("value")).as("max_value"))
+      .orderBy("bucket", "event_type")
+
+  /** OHLC downsample: first/last by timestamp + min/max per hour bucket.
+    * Timestamps are unique in the fixture (verified), so min_by/max_by
+    * on ts is deterministic. */
+  def qTsDownsampleOhlc(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(min_by(col("value"), col("ts")).as("open"),
+           max(col("value")).as("high"),
+           min(col("value")).as("low"),
+           max_by(col("value"), col("ts")).as("close"),
+           count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** Counter→rate: per-user value delta ÷ elapsed seconds. Elapsed time
+    * is computed in exact integer microseconds then divided once, the
+    * same expression the oracle uses. */
+  def qTsRate(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .select(col("event_id"), col("user_id"),
+              ((col("value") - lag(col("value"), 1).over(byUser)) /
+               ((unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)) / lit(1000000.0)))
+                .as("rate"))
+      .orderBy("event_id")
+
+  /** Dense hourly axis via sequence+explode, zero-filled by left join —
+    * gap filling without a driver-side loop (the axis is generated
+    * distributively from the min/max bounds). */
+  def qTsGapfill(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf)
+    val hourly = e.groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = e.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+                       date_trunc("hour", max(col("ts"))).as("hi"))
+    val axis = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("bucket"))
+    axis.join(hourly, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** Gaps-and-islands sessionization: a >30min silence starts a new
+    * session; one window pass (lag → flag → running sum) then a group-by.
+    * Session duration in exact integer microseconds → seconds. */
+  def qTsSessionize(s: SparkSession, sf: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val newSess = when(us - lag(us, 1).over(byUser) > 1800L * 1000000L, 1)
+      .otherwise(0)
+    Tables.events(s, sf)
+      .withColumn("sess", sum(newSess).over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1000000.0))
+             .as("duration_s"))
+      .orderBy("user_id", "sess")
+  }
+
+  /** Day-over-day retention: users active on day d AND day d+1. */
+  def qTsRetention(s: SparkSession, sf: String): DataFrame = {
+    val days = Tables.events(s, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    val next = days.select(col("user_id"), col("day").as("next_day"))
+    days.join(next,
+        days("user_id") === next("user_id") &&
+        next("next_day") === days("day") + expr("INTERVAL 1 DAY"))
+      .groupBy(days("day"))
+      .agg(count(lit(1)).as("retained"))
+      .orderBy("day")
+  }
+}

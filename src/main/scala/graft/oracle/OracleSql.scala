@@ -106,6 +106,162 @@ object OracleSql {
       round(quantile_cont(value, 0.95), 4) AS p95
     FROM events GROUP BY event_type ORDER BY event_type""")
 
+  // ---- §2.8 scalar functions ----
+
+  val qFnString: String = n("""
+    SELECT p_partkey,
+      upper(p_name) AS uname,
+      lower(p_type) AS ltype,
+      substring(p_name, 1, 5) AS prefix,
+      length(p_name) AS name_len,
+      trim(concat('  ', p_name, '  ')) AS trimmed,
+      concat_ws('|', p_brand, p_type) AS brand_type,
+      regexp_replace(p_name, ' ', '_', 'g') AS snake,
+      regexp_extract(p_name, '^(\w+)', 1) AS first_word
+    FROM part ORDER BY p_partkey""")
+
+  val qFnDate: String = n("""
+    SELECT event_id,
+      date_trunc('hour', ts) AS hour_ts,
+      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+      date_part('year', ts) AS y,
+      date_part('month', ts) AS m,
+      date_part('day', ts) AS d,
+      date_part('dow', ts) + 1 AS dow1,
+      date_diff('day', CAST(ts AS DATE), DATE '2024-12-31') AS days_left,
+      ts + INTERVAL 36 HOUR AS ts_plus
+    FROM events ORDER BY event_id""")
+
+  val qFnMath: String = n("""
+    SELECT p_partkey,
+      abs(p_retailprice - 950) AS abs_diff,
+      ceil(p_retailprice) AS ceil_price,
+      floor(p_retailprice) AS floor_price,
+      round(sqrt(p_retailprice), 4) AS sqrt_price,
+      round(ln(p_retailprice), 4) AS ln_price,
+      round(exp(p_retailprice / 1000), 4) AS exp_scaled,
+      round(pow(p_retailprice, 1.5), 2) AS pow_price,
+      p_partkey % 7 AS key_mod,
+      sign(p_retailprice - 950) AS sign_diff
+    FROM part ORDER BY p_partkey""")
+
+  val qFnConditional: String = n("""
+    SELECT o_orderkey,
+      CASE WHEN o_totalprice > 300000 THEN 'high'
+           WHEN o_totalprice > 150000 THEN 'mid'
+           ELSE 'low' END AS tier,
+      CASE WHEN o_orderstatus = 'O' THEN 'open' ELSE 'closed' END AS state,
+      NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio,
+      greatest(o_totalprice, 100000.0) AS floor100k,
+      least(o_totalprice, 100000.0) AS cap100k
+    FROM orders ORDER BY o_orderkey""")
+
+  val qFnCast: String = n("""
+    SELECT o_orderkey,
+      CAST(o_orderkey AS VARCHAR) AS key_str,
+      CAST(o_totalprice AS DECIMAL(18,4)) AS price_dec,
+      CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+      CAST(o_orderdate AS VARCHAR) AS date_str,
+      CAST(o_orderdate AS DATE) AS date_only,
+      TIMESTAMP '2024-03-15 12:30:00' AS fixed_ts
+    FROM orders ORDER BY o_orderkey""")
+
+  val qFnArray: String = n("""
+    SELECT doc_id,
+      len(string_split(text, ' ')) AS n_tokens,
+      list_contains(string_split(text, ' '), 'key') AS has_key,
+      list_slice(string_split(text, ' '), 1, 5) AS first5,
+      list_sort(list_distinct(string_split(text, ' '))) AS vocab,
+      len(list_distinct(string_split(text, ' '))) AS n_distinct
+    FROM documents ORDER BY doc_id""")
+
+  val qFnArrayHof: String = n("""
+    SELECT vec_id,
+      round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                        (a, b) -> a + b), 4) AS vec_sum,
+      round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        (a, b) -> a + b), 4) AS norm_sq,
+      round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0),
+                        (a, b) -> a + b), 4) AS doubled_sum,
+      len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x > 0)) AS n_pos
+    FROM embeddings ORDER BY vec_id""")
+
+  val qFnMap: String = n("""
+    SELECT event_id,
+      event_type AS mtype,
+      CAST(user_id AS VARCHAR) AS muid,
+      ['type', 'uid'] AS mkeys,
+      CAST(json_extract_string(props, '$.k') AS INT) AS k_via_map
+    FROM events ORDER BY event_id""")
+
+  val qFnJson: String = n("""
+    SELECT event_id,
+      CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      concat('{"event_type":"', event_type, '","k":',
+             json_extract_string(props, '$.k'), '}') AS json_out
+    FROM events ORDER BY event_id""")
+
+  // ---- §2.9 time-series composites ----
+
+  val qTsTumbling: String = n("""
+    SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,
+      MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY bucket, event_type
+    ORDER BY bucket, event_type""")
+
+  val qTsDownsampleOhlc: String = n("""
+    SELECT date_trunc('hour', ts) AS bucket,
+      arg_min(value, ts) AS open, MAX(value) AS high,
+      MIN(value) AS low, arg_max(value, ts) AS close,
+      COUNT(*) AS n
+    FROM events GROUP BY bucket ORDER BY bucket""")
+
+  val qTsRate: String = n("""
+    SELECT event_id, user_id,
+      (value - LAG(value, 1) OVER w)
+        / ((epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w) / 1000000.0) AS rate
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id""")
+
+  val qTsGapfill: String = n("""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS cnt
+      FROM events GROUP BY 1),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events),
+    axis AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds)
+    SELECT axis.bucket AS bucket, COALESCE(cnt, 0) AS n
+    FROM axis LEFT JOIN hourly ON axis.bucket = hourly.bucket
+    ORDER BY bucket""")
+
+  val qTsSessionize: String = n("""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+             THEN 1 ELSE 0 END AS newsess
+      FROM events),
+    sessioned AS (
+      SELECT user_id, ts,
+        SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM flagged)
+    SELECT user_id, sess, COUNT(*) AS n_events, MIN(ts) AS session_start,
+      (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_s
+    FROM sessioned GROUP BY user_id, sess ORDER BY user_id, sess""")
+
+  val qTsRetention: String = n("""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events)
+    SELECT a.day AS day, COUNT(*) AS retained
+    FROM days a JOIN days b
+      ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+    GROUP BY a.day ORDER BY day""")
+
   // ---- §2.5 windows ----
 
   val qWinRownumber: String = n("""
