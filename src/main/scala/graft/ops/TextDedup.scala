@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.11 — text dedup / analysis for LLM-pipeline corpora.
+  *
+  * Scale notes (100 TB): exact dedup is a hash group-by (one shuffle of
+  * (hash, id) pairs — bytes per doc, not the doc). The exact Jaccard
+  * join is blocked on (lang, length-band) via bucket-and-replicate so it
+  * is an equi-join, not an all-pairs product; the unblocked at-scale
+  * path is the MinHash-LSH banding join (`a_dedup_minhash`), which
+  * shuffles only (band-key, id) pairs and computes exact Jaccard on the
+  * candidate set alone.
+  */
+object TextDedup {
+
+  /** Normalized text: lowercase, trimmed, whitespace collapsed. */
+  private def norm: Column =
+    lower(regexp_replace(trim(col("text")), "\\s+", " "))
+
+  private def tokens: Column = array_distinct(split(col("text"), " "))
+
+  /** Exact dedup on normalized-text hash; keep the smallest doc_id. */
+  def qDedupExact(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .groupBy(md5(norm).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("keep_id")
+
+  /** Exact near-dup pairs: token-set Jaccard ≥ 0.6 between docs of the
+    * same lang with |n_chars| within 25. The length band is implemented
+    * as bucket-and-replicate (equi-join on (lang, bucket)), identical in
+    * result to the oracle's theta predicate. */
+  def qDedupJaccard(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(s, sf).select(
+      col("doc_id"), col("lang"), col("n_chars"), tokens.as("tk"))
+    val a = d.select(col("doc_id").as("a_id"), col("lang"),
+                     col("n_chars").as("a_chars"), col("tk").as("a_tk"))
+      .withColumn("bucket", floor(col("a_chars") / 25))
+    val b = d.select(col("doc_id").as("b_id"), col("lang"),
+                     col("n_chars").as("b_chars"), col("tk").as("b_tk"))
+      .withColumn("bucket", explode(array(floor(col("b_chars") / 25) - 1,
+                                          floor(col("b_chars") / 25),
+                                          floor(col("b_chars") / 25) + 1)))
+    val jac = size(array_intersect(col("a_tk"), col("b_tk"))).cast("double") /
+              size(array_union(col("a_tk"), col("b_tk")))
+    a.join(b, Seq("lang", "bucket"))
+      .where(col("a_id") < col("b_id") &&
+             abs(col("a_chars") - col("b_chars")) <= 25)
+      .withColumn("jaccard", round(jac, 4))
+      .where(col("jaccard") >= 0.6)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** MinHash-LSH near-dup at scale (approx twin of q_dedup_jaccard; no
+    * oracle — murmur3 signatures are engine-specific).
+    *
+    * 32 minhashes banded as 16 bands × 2 rows: collision probability at
+    * j=0.6 is 1-(1-0.36)^16 ≈ 0.999, so recall vs the exact twin is
+    * high; candidates are then verified with exact Jaccard so precision
+    * is 1.0. Only (band-key, doc_id) pairs shuffle — never all pairs.
+    */
+  def aDedupMinhash(s: SparkSession, sf: String): DataFrame = {
+    val nHashes = 32
+    val rowsPerBand = 2
+    val prime = 2147483647L
+    val d = Tables.documents(s, sf).select(col("doc_id"), tokens.as("tk"))
+    // minhash_i = min over tokens of an affine transform of murmur3(token)
+    val sigs: Seq[Column] = (0 until nHashes).map { i =>
+      val a = 2L * i + 1; val b = 104729L * (i + 1)
+      array_min(transform(col("tk"),
+        t => pmod(hash(t).cast("long") * a + b, lit(prime))))
+    }
+    val bands: Column = array((0 until nHashes / rowsPerBand).map { j =>
+      concat_ws(":", sigs.slice(j * rowsPerBand, (j + 1) * rowsPerBand): _*)
+    }: _*)
+    val exploded = d.select(col("doc_id"), col("tk"),
+                            posexplode(bands).as(Seq("band", "key")))
+    val left = exploded.select(col("band"), col("key"),
+                               col("doc_id").as("a_id"), col("tk").as("a_tk"))
+    val right = exploded.select(col("band"), col("key"),
+                                col("doc_id").as("b_id"), col("tk").as("b_tk"))
+    val jac = size(array_intersect(col("a_tk"), col("b_tk"))).cast("double") /
+              size(array_union(col("a_tk"), col("b_tk")))
+    left.join(right, Seq("band", "key"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_tk", "b_tk").distinct()   // candidate pairs
+      .withColumn("jaccard", round(jac, 4))
+      .where(col("jaccard") >= 0.6)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Corpus stats per (lang, source); integer sums stay exact. */
+  def qTextStats(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           (sum(size(split(col("text"), " "))).cast("double") / count(lit(1)))
+             .as("avg_tokens"))
+      .orderBy("lang", "source")
+
+  /** Top-50 term frequencies (word-count over the corpus). */
+  def qTextTf(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(50)
+}

@@ -262,6 +262,77 @@ object OracleSql {
       ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
     GROUP BY a.day ORDER BY day""")
 
+  // ---- §2.11 LLM-pipeline text/dedup/vector ops ----
+
+  val qDedupExact: String = n("""
+    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_hash,
+      MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY norm_hash ORDER BY keep_id""")
+
+  val qDedupJaccard: String = n("""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars,
+        list_distinct(string_split(text, ' ')) AS tk
+      FROM documents)
+    SELECT a_id, b_id, jaccard FROM (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+      FROM toks a JOIN toks b
+        ON a.doc_id < b.doc_id AND a.lang = b.lang
+       AND abs(a.n_chars - b.n_chars) <= 25) t
+    WHERE jaccard >= 0.6 ORDER BY a_id, b_id""")
+
+  val qSimSearchTopk: String = n("""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(dot / (sqrt(nv) * sqrt(nq)), 4) AS sim FROM (
+      SELECT vec_id,
+        list_reduce(list_transform(generate_series(1, 64),
+          i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (a, b) -> a + b) AS dot,
+        list_reduce(list_transform(generate_series(1, 64),
+          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b) AS nv,
+        list_reduce(list_transform(generate_series(1, 64),
+          i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (a, b) -> a + b) AS nq
+      FROM embeddings, q) t
+    ORDER BY sim DESC, vec_id LIMIT 10""")
+
+  val qSimKnnJoin: String = n("""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+      FROM embeddings),
+    nv AS (
+      SELECT vec_id, dv,
+        sqrt(list_reduce(list_transform(dv, x -> x * x), (a, b) -> a + b)) AS nrm
+      FROM v)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      round(list_reduce(list_transform(generate_series(1, 64),
+              i -> a.dv[i] * b.dv[i]), (x, y) -> x + y)
+            / (a.nrm * b.nrm), 4) AS sim
+    FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+    ORDER BY sim DESC, a_id, b_id LIMIT 20""")
+
+  val qTextStats: String = n("""
+    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+      CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY lang, source ORDER BY lang, source""")
+
+  val qTextTf: String = n("""
+    SELECT token, COUNT(*) AS n FROM (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+    WHERE token <> ''
+    GROUP BY token ORDER BY n DESC, token LIMIT 50""")
+
+  val qMultimodalJoin: String = n("""
+    WITH j AS (
+      SELECT lang, n_chars,
+        round(list_reduce(list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b), 4) AS norm_sq
+      FROM documents JOIN embeddings ON doc_id = vec_id
+      WHERE label < 5)
+    SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars,
+      CAST(SUM(CAST(norm_sq AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_norm
+    FROM j GROUP BY lang ORDER BY lang""")
+
   // ---- §2.5 windows ----
 
   val qWinRownumber: String = n("""
