@@ -64,8 +64,9 @@ object Relational {
 
   def qFilterIn(s: SparkSession, sf: String): DataFrame =
     Tables.part(s, sf)
-      .where(col("p_size").isin(1, 5, 9, 23, 36) &&
-             col("p_brand").isin("Brand#1", "Brand#7", "Brand#13"))
+      .where(col("p_size").isin(1, 5, 9, 23, 36, 42, 49) &&
+             col("p_brand").isin("Brand#1", "Brand#7", "Brand#13",
+                                 "Brand#20", "Brand#22", "Brand#5"))
       .select("p_partkey", "p_brand", "p_size")
       .orderBy("p_partkey")
 

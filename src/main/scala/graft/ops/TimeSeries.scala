@@ -91,11 +91,11 @@ object TimeSeries {
   def qTsRetention(s: SparkSession, sf: String): DataFrame = {
     val days = Tables.events(s, sf)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
-    val next = days.select(col("user_id"), col("day").as("next_day"))
+    val next = days.select(col("user_id").as("uid2"), col("day").as("next_day"))
     days.join(next,
-        days("user_id") === next("user_id") &&
-        next("next_day") === days("day") + expr("INTERVAL 1 DAY"))
-      .groupBy(days("day"))
+        col("user_id") === col("uid2") &&
+        col("next_day") === col("day") + expr("INTERVAL 1 DAY"))
+      .groupBy(col("day"))
       .agg(count(lit(1)).as("retained"))
       .orderBy("day")
   }

@@ -424,8 +424,8 @@ object OracleSql {
 
   val qFilterIn: String = n("""
     SELECT p_partkey, p_brand, p_size FROM part
-    WHERE p_size IN (1, 5, 9, 23, 36)
-      AND p_brand IN ('Brand#1', 'Brand#7', 'Brand#13')
+    WHERE p_size IN (1, 5, 9, 23, 36, 42, 49)
+      AND p_brand IN ('Brand#1', 'Brand#7', 'Brand#13', 'Brand#20', 'Brand#22', 'Brand#5')
     ORDER BY p_partkey""")
 
   val qFilterLike: String = n("""

@@ -1,0 +1,114 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.10 — Structured Streaming operators.
+  *
+  * Each op is a pure transform over a streaming DataFrame/Dataset so it
+  * composes with any source (file source in production, MemoryStream in
+  * tests) and any sink. Verified by the ScalaTest suites in
+  * src/test/scala/graft/StreamingSpec.scala (streaming queries can't be
+  * oracle-graded batch entries — SURVEY.md §2 note).
+  *
+  * Scale notes (100 TB/day ingest): all stateful ops are
+  * watermark-bounded so state can't grow without bound; at cluster scale
+  * the state store would be RocksDB-backed
+  * (spark.sql.streaming.stateStore.providerClass) and sink writes
+  * idempotent by (window, key) via foreachBatch upsert.
+  */
+object StreamOps {
+
+  /** The typed event record (mirrors the events table, §1.3). */
+  case class Event(eventId: Long, ts: java.sql.Timestamp, userId: Long,
+                   eventType: String, value: Double)
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** s_stream_file_source: micro-batch ingest of event parquet files (the
+    * collector poll-loop analogue). */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** s_stream_tumbling_wm: 1h tumbling counts, 10min watermark; rows
+    * later than the watermark are dropped, windows finalize in append
+    * mode. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** s_stream_sliding: 1h windows sliding every 15min. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("n"))
+
+  /** s_stream_session: session windows with a 30min gap. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n"))
+
+  /** s_stream_dedup: exactly-once event ids within the watermark. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Output row of the stateful running counter. */
+  case class UserCounter(userId: Long, nEvents: Long, totalValue: Double)
+
+  /** s_stream_stateful: per-user running counter via
+    * flatMapGroupsWithState — the collector cumulative-delta analogue.
+    * Emits the updated counter for each group in each micro-batch;
+    * state expires after 30min of event-time inactivity. */
+  def runningCounter(events: Dataset[Event]): Dataset[UserCounter] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[UserCounter, UserCounter](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserCounter]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator(last)
+          } else {
+            val prev = state.getOption.getOrElse(UserCounter(userId, 0L, 0.0))
+            var n = prev.nEvents
+            var tot = prev.totalValue
+            var maxTs = 0L
+            rows.foreach { e =>
+              n += 1; tot += e.value
+              maxTs = math.max(maxTs, e.ts.getTime)
+            }
+            val next = UserCounter(userId, n, tot)
+            state.update(next)
+            // expire 30min of event time after this user's latest event
+            state.setTimeoutTimestamp(maxTs + 30L * 60 * 1000)
+            Iterator(next)
+          }
+      }
+  }
+
+  /** s_stream_foreachbatch_sink: micro-batch append into a batch parquet
+    * table — the "write to ClickHouse" seam; swapping the lambda for a
+    * JDBC upsert is the production binding. */
+  def foreachBatchParquetSink(df: DataFrame, outDir: String, checkpoint: String) =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+}

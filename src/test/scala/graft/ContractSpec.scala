@@ -1,0 +1,38 @@
+package graft
+
+/** §5.2(2) oracle-parity dry-run: catches contract drift before the
+  * driver does — every oracleSql key must exist in queries, every query
+  * must run on sf0.001, and the flagship entry() must return rows. */
+class ContractSpec extends SparkSpec {
+
+  test("every oracleSql key has a queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql keys without queries entry: $orphans")
+  }
+
+  test("q_* keys have oracle SQL; a_* keys are exempt") {
+    val unmatched = SparkEntry.queries.keySet
+      .filter(_.startsWith("q_")) -- SparkEntry.oracleSql.keySet
+    assert(unmatched.isEmpty, s"q_* keys missing oracle SQL: $unmatched")
+    val wrongly = SparkEntry.oracleSql.keySet.filter(_.startsWith("a_"))
+    assert(wrongly.isEmpty, s"a_* keys must not have oracle SQL: $wrongly")
+  }
+
+  test("entry() smoke: flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs and returns rows on sf0.001") {
+    val empty = SparkEntry.queries.flatMap { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"queries with zero rows at sf0.001: $empty")
+  }
+
+  test("oracle SQL strings are single-line JSON-safe") {
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(!sql.exists(_ < ' '), s"$k contains control chars")
+    }
+  }
+}

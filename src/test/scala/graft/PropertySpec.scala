@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** §5.2(3) invariants over the operators (fixture-data properties —
+  * stronger than value snapshots because they must hold at any scale). */
+class PropertySpec extends SparkSpec {
+
+  test("lag deltas telescope: sum of deltas per user == last - first") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(spark, sf)
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+    val perUser = e.groupBy("user_id").agg(
+      round(sum(col("delta")), 6).as("delta_sum"),
+      round(max_by(col("value"), struct(col("ts"), col("event_id"))) -
+            min_by(col("value"), struct(col("ts"), col("event_id"))), 6).as("span"))
+    val bad = perUser.where(abs(col("delta_sum") - col("span")) > 1e-6).count()
+    assert(bad == 0)
+  }
+
+  test("sessionize never splits a gap <= 30min or merges one > 30min") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sess = TimeSeries.qTsSessionize(spark, sf)
+    // every session duration is consistent: n_events==1 => duration 0
+    assert(sess.where(col("n_events") === 1 && col("duration_s") =!= 0.0).count() == 0)
+    // session count per user == 1 + number of >30min gaps
+    val gaps = Tables.events(spark, sf)
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .groupBy("user_id")
+      .agg(sum(when(col("gap_us") > 1800L * 1000000L, 1).otherwise(0)).as("n_gaps"))
+    val counted = sess.groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+    val joined = counted.join(gaps, "user_id")
+      .where(col("n_sessions") =!= col("n_gaps") + 1)
+    assert(joined.count() == 0)
+  }
+
+  test("dedup is idempotent and keeps one representative per hash") {
+    val once = TextDedup.qDedupExact(spark, sf)
+    assert(once.select("norm_hash").distinct().count() == once.count())
+    assert(once.agg(sum("n_dups")).head.getLong(0) ==
+           Tables.documents(spark, sf).count())
+  }
+
+  test("jaccard is symmetric-by-construction and self-sim is 1") {
+    // pairs are emitted once with a_id < b_id — no (b, a) duplicates
+    val pairs = TextDedup.qDedupJaccard(spark, sf)
+    assert(pairs.where(col("a_id") >= col("b_id")).count() == 0)
+    // cosine(v, v) == 1 for every vector (HOF math sanity)
+    val e = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"),
+        round(Vectors.cosine(
+          transform(col("embedding"), x => x.cast("double")),
+          transform(col("embedding"), x => x.cast("double"))), 6).as("self"))
+    assert(e.where(abs(col("self") - 1.0) > 1e-6).count() == 0)
+  }
+
+  test("minhash-LSH recall >= 0.9 against the exact twin (SURVEY §7.2 M4)") {
+    // Exact twin restricted to same blocking as LSH can find: all pairs
+    // jaccard >= 0.6 regardless of blocking (LSH is unblocked, so compare
+    // against the unblocked exact answer on the fixture corpus).
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tk"))
+    val a = docs.select(col("doc_id").as("a_id"), col("tk").as("a_tk"))
+    val b = docs.select(col("doc_id").as("b_id"), col("tk").as("b_tk"))
+    val jac = size(array_intersect(col("a_tk"), col("b_tk"))).cast("double") /
+              size(array_union(col("a_tk"), col("b_tk")))
+    val exact = a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .where(round(jac, 4) >= 0.6)
+      .select("a_id", "b_id")
+    val lsh = TextDedup.aDedupMinhash(spark, sf).select("a_id", "b_id")
+    val nExact = exact.count()
+    val nFound = exact.intersect(lsh).count()
+    assert(nExact > 0, "fixture has no near-dup pairs at tau=0.6")
+    val recall = nFound.toDouble / nExact
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 ($nFound/$nExact)")
+  }
+
+  test("set-op algebra: |A ∪all B| = |A| + |B|; except ⊆ left") {
+    val n = Relational.qUnionAll(spark, sf).count()
+    assert(n == Tables.customer(spark, sf).count() + Tables.supplier(spark, sf).count())
+    val ex = Relational.qExcept(spark, sf)
+    val lhs = Tables.lineitem(spark, sf).select(col("l_orderkey").as("orderkey")).distinct()
+    assert(ex.join(lhs, Seq("orderkey"), "left_anti").count() == 0)
+  }
+}

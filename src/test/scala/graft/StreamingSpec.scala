@@ -1,0 +1,133 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.stream.StreamOps
+import graft.stream.StreamOps.Event
+
+/** §2.10 streaming capabilities, MemoryStream-driven (§5.2(4)). Each
+  * test runs micro-batches with processAllAvailable so results are
+  * deterministic. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 00:00 UTC
+
+  /** Rename the Encoder's camelCase columns to the production snake_case schema. */
+  private def snake(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  private def ev(id: Long, min: Long, user: Long = 1, typ: String = "click",
+                 value: Double = 1.0): Event =
+    Event(id, ts(min), user, typ, value)
+
+  test("s_stream_tumbling_wm: watermark drops late rows, windows finalize") {
+    import spark.implicits._
+    val in = MemoryStream[Event](spark)
+    val q = StreamOps.tumblingCounts(snake(in.toDF()))
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 5), ev(2, 20), ev(3, 65))     // wm -> 55min
+      q.processAllAvailable()
+      in.addData(ev(4, 130))                          // wm -> 120min: hour-0 finalizes
+      q.processAllAvailable()
+      in.addData(ev(5, 10))                           // LATE: behind watermark, dropped
+      in.addData(ev(6, 200))                          // wm advances: hour-1,2 finalize
+      q.processAllAvailable()
+      in.addData(ev(7, 300))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000 - 1704067200000L / 60000, r.getLong(2)))
+        .toMap
+      assert(rows(0L) == 2, s"hour-0 must count 2 (late row dropped): $rows")
+      assert(rows(60L) == 1 && rows(120L) == 1)
+    } finally q.stop()
+  }
+
+  test("s_stream_sliding: 1h window sliding 15min assigns a row to 4 windows") {
+    import spark.implicits._
+    val in = MemoryStream[Event](spark)
+    val q = StreamOps.slidingCounts(snake(in.toDF()))
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(ev(1, 60))
+      q.processAllAvailable()
+      val n = spark.table("sliding").count()
+      assert(n == 4, s"one event must fall in 4 sliding windows, got $n")
+    } finally q.stop()
+  }
+
+  test("s_stream_session: 30min gap merges close events, splits far ones") {
+    import spark.implicits._
+    val in = MemoryStream[Event](spark)
+    val q = StreamOps.sessionCounts(snake(in.toDF()))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(ev(1, 0), ev(2, 10), ev(3, 20),      // one session (gaps 10min)
+                 ev(4, 120), ev(5, 125))              // second session (gap 100min)
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").collect()
+      assert(sessions.length == 2, s"expected 2 sessions: ${sessions.mkString}")
+      assert(sessions.map(_.getLong(3)).sorted.sameElements(Array(2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("s_stream_dedup: duplicate event ids within watermark collapse") {
+    import spark.implicits._
+    val in = MemoryStream[Event](spark)
+    val q = StreamOps.dedupWithinWatermark(snake(in.toDF()))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 0), ev(1, 1), ev(2, 2))        // id 1 duplicated
+      q.processAllAvailable()
+      in.addData(ev(1, 3), ev(3, 4))                  // id 1 again within wm
+      q.processAllAvailable()
+      assert(spark.table("dedup").select("event_id").collect()
+        .map(_.getLong(0)).sorted.sameElements(Array(1L, 2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("s_stream_stateful: per-user running counter accumulates across batches") {
+    import spark.implicits._
+    val in = MemoryStream[Event](spark)
+    val q = StreamOps.runningCounter(in.toDS())
+      .writeStream.format("memory").queryName("counter")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 0, user = 7, value = 2.0), ev(2, 1, user = 7, value = 3.0))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, user = 7, value = 5.0), ev(4, 2, user = 8, value = 1.0))
+      q.processAllAvailable()
+      val byBatch = spark.table("counter").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // user 7: first batch (2 events, 5.0), second batch (3 events, 10.0)
+      assert(byBatch.contains((7L, 2L, 5.0)), s"got ${byBatch.mkString}")
+      assert(byBatch.contains((7L, 3L, 10.0)))
+      assert(byBatch.contains((8L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("s_stream_file_source + s_stream_foreachbatch_sink: file ingest to parquet sink") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val srcDir = s"$tmp/src"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    // seed two "poll files" the file source will pick up as micro-batches
+    snake(Seq(ev(1, 0), ev(2, 1)).toDF()).write.parquet(s"$srcDir/batch1.parquet")
+    val stream = StreamOps.fileSource(spark, s"$srcDir/*/")
+    val q = StreamOps.foreachBatchParquetSink(stream, outDir, ckpt).start()
+    try {
+      q.processAllAvailable()
+      snake(Seq(ev(3, 2)).toDF()).write.parquet(s"$srcDir/batch2.parquet")
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+      assert(out.count() == 3)
+      assert(out.select("event_id").collect().map(_.getLong(0)).sorted
+        .sameElements(Array(1L, 2L, 3L)))
+    } finally q.stop()
+  }
+}
