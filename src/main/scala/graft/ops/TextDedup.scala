@@ -77,17 +77,21 @@ object TextDedup {
     val bands: Column = array((0 until nHashes / rowsPerBand).map { j =>
       concat_ws(":", sigs.slice(j * rowsPerBand, (j + 1) * rowsPerBand): _*)
     }: _*)
-    val exploded = d.select(col("doc_id"), col("tk"),
-                            posexplode(bands).as(Seq("band", "key")))
-    val left = exploded.select(col("band"), col("key"),
-                               col("doc_id").as("a_id"), col("tk").as("a_tk"))
-    val right = exploded.select(col("band"), col("key"),
-                                col("doc_id").as("b_id"), col("tk").as("b_tk"))
+    // Candidate generation on (band, key, id) ONLY — the token arrays must
+    // not ride through the join/distinct (at scale the candidate set is
+    // orders of magnitude larger than the doc set; shuffling arrays with
+    // it is the classic LSH blow-up). Tokens re-join after dedup.
+    val exploded = d.select(col("doc_id"), posexplode(bands).as(Seq("band", "key")))
+    val left = exploded.select(col("band"), col("key"), col("doc_id").as("a_id"))
+    val right = exploded.select(col("band"), col("key"), col("doc_id").as("b_id"))
+    val pairs = left.join(right, Seq("band", "key"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
     val jac = size(array_intersect(col("a_tk"), col("b_tk"))).cast("double") /
               size(array_union(col("a_tk"), col("b_tk")))
-    left.join(right, Seq("band", "key"))
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_tk", "b_tk").distinct()   // candidate pairs
+    pairs
+      .join(d.select(col("doc_id").as("a_id"), col("tk").as("a_tk")), "a_id")
+      .join(d.select(col("doc_id").as("b_id"), col("tk").as("b_tk")), "b_id")
       .withColumn("jaccard", round(jac, 4))
       .where(col("jaccard") >= 0.6)
       .select("a_id", "b_id", "jaccard")
