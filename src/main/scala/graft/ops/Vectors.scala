@@ -3,14 +3,17 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VectorExpressions.dotProduct
 import Util._
 
 /** SURVEY.md §2.11 — vector similarity over the embeddings table.
   *
-  * All vector math is higher-order functions over ArrayType(Float) cast
-  * to double — no UDFs, fully Catalyst-visible. Folds are left-to-right
-  * so the oracle (list_reduce over an index transform) produces the
-  * bit-identical IEEE sum.
+  * Vector math runs through graft's native codegen kernels
+  * (`graft.functions.DotProduct` — a fused multiply-add loop inside
+  * WholeStageCodegen); the HOF formulation it replaces allocated a
+  * zipped array per pair and fell out of codegen. Sums are
+  * left-to-right so the oracle (list_reduce over an index transform)
+  * produces the bit-identical IEEE sum.
   *
   * Scale notes (100 TB): brute-force top-k against ONE query vector is a
   * single scan + TakeOrderedAndProject — linear and fine at any scale.
@@ -24,11 +27,7 @@ object Vectors {
   /** Elementwise double view of a float-vector column. */
   private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def fold(c: Column): Column =
-    aggregate(c, lit(0.0), (acc, x) => acc + x)
-
-  private def dot(a: Column, b: Column): Column =
-    fold(zip_with(a, b, (x, y) => x * y))
+  private def dot(a: Column, b: Column): Column = dotProduct(a, b)
 
   /** cosine(a, b) — caller rounds for cross-engine output. */
   def cosine(a: Column, b: Column): Column =
@@ -51,7 +50,7 @@ object Vectors {
   def qSimKnnJoin(s: SparkSession, sf: String): DataFrame = {
     val v = Tables.embeddings(s, sf)
       .select(col("vec_id"), dvec(col("embedding")).as("dv"))
-      .withColumn("nrm", sqrt(fold(transform(col("dv"), x => x * x))))
+      .withColumn("nrm", sqrt(dot(col("dv"), col("dv"))))
     val a = v.select(col("vec_id").as("a_id"), col("dv").as("a_dv"), col("nrm").as("a_nrm"))
     val b = v.select(col("vec_id").as("b_id"), col("dv").as("b_dv"), col("nrm").as("b_nrm"))
     a.crossJoin(b)
@@ -70,7 +69,7 @@ object Vectors {
     val e = Tables.embeddings(s, sf)
     d.join(e, d("doc_id") === e("vec_id"))
       .where(col("label") < 5)
-      .withColumn("norm_sq", round(fold(transform(dvec(col("embedding")), x => x * x)), 4))
+      .withColumn("norm_sq", round(dot(dvec(col("embedding")), dvec(col("embedding"))), 4))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"),
            sum(col("n_chars")).as("sum_chars"),
