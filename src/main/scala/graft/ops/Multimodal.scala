@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2.11 extensions).
+  *
+  * Media assets ride through the pipeline as opaque `binary` payloads
+  * next to typed metadata; decode / feature-extraction runs as a typed
+  * `mapPartitions` so one task amortizes (real-world) codec/model init
+  * across its whole partition — the same batch shape as an
+  * `mapInPandas`/Arrow UDF, but staying JVM-native.
+  *
+  * The decode kernel itself is a STUB (this container has no image /
+  * audio codecs): it derives deterministic fake dimensions from the
+  * payload bytes. Everything around it — binary column, case-class
+  * schema, per-partition batching, the SQL-visible output schema — is
+  * the real plumbing a production decode would use.
+  */
+object Multimodal {
+
+  /** An asset row entering decode: opaque bytes + routing metadata. */
+  final case class MediaAsset(doc_id: Long, lang: String, payload: Array[Byte])
+
+  /** Decoded media metadata (what a real codec would emit). */
+  final case class DecodedMedia(doc_id: Long, lang: String,
+                                width: Long, height: Long, n_frames: Long)
+
+  /** STUB decode — replace with a real codec call. Deterministic pure
+    * function of the payload bytes so the fixture pipeline is
+    * oracle-checkable; a real implementation would decode image headers
+    * (or sample video frames) here, one codec instance per partition. */
+  private def decodeStub(a: MediaAsset): DecodedMedia = {
+    val len = a.payload.length.toLong
+    val first = if (a.payload.nonEmpty) (a.payload(0) & 0xffL) else 0L
+    DecodedMedia(a.doc_id, a.lang,
+      width = 64L + len % 512L,
+      height = 64L + (len * 31L + first) % 256L,
+      n_frames = 1L + len % 24L)
+  }
+
+  /** Binary-payload decode pipeline: documents → (metadata, binary
+    * payload) → per-partition decode → SQL-visible decoded schema. */
+  def qMultimodalDecode(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val assets: Dataset[MediaAsset] = Tables.documents(s, sf)
+      .select(col("doc_id"), col("lang"),
+              encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaAsset]
+    assets
+      .mapPartitions { it =>
+        // One "codec init" per partition would go here.
+        it.map(decodeStub)
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+}

@@ -112,6 +112,51 @@ object TextDedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** SimHash near-dup at scale (no oracle — xxhash64 is engine-specific).
+    *
+    * 32-bit SimHash per doc: bit j is the sign of Σ over distinct tokens
+    * of ±1 by token-hash bit j. Candidate generation bands the signature
+    * into 4 × 8-bit chunks — two docs within Hamming distance 3 of each
+    * other must agree on ≥ 1 full chunk (pigeonhole), so the banding
+    * equi-join (blocked by lang like the Jaccard twin) has guaranteed
+    * recall 1.0 for d ≤ 3; candidates verify with exact
+    * `bit_count(xor)`. Same shuffle discipline as MinHash-LSH: only
+    * (lang, band, chunk, id, sig) rides the join, never token arrays.
+    */
+  def aDedupSimhash(s: SparkSession, sf: String): DataFrame = {
+    val nBits = 32
+    val nBands = 4
+    val bitsPerBand = nBits / nBands
+    val d0 = Tables.documents(s, sf).select(
+      col("doc_id"), col("lang"), col("n_chars"), tokens.as("tk"))
+    // bit j of the signature: sign of the ±1 vote sum over tokens
+    val sig: Column = (0 until nBits).map { j =>
+      val vote = aggregate(col("tk"), lit(0L),
+        (acc, t) => acc + (shiftright(xxhash64(t), j).bitwiseAND(1) * 2 - 1))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val d = d0.withColumn("sig", sig)
+    val chunks: Column = array((0 until nBands).map { k =>
+      shiftright(col("sig"), k * bitsPerBand).bitwiseAND((1 << bitsPerBand) - 1)
+    }: _*)
+    val exploded = d.select(col("doc_id"), col("lang"), col("n_chars"), col("sig"),
+                            posexplode(chunks).as(Seq("band", "chunk")))
+    val left = exploded.select(col("lang"), col("band"), col("chunk"),
+                               col("doc_id").as("a_id"), col("n_chars").as("a_chars"),
+                               col("sig").as("a_sig"))
+    val right = exploded.select(col("lang"), col("band"), col("chunk"),
+                                col("doc_id").as("b_id"), col("n_chars").as("b_chars"),
+                                col("sig").as("b_sig"))
+    left.join(right, Seq("lang", "band", "chunk"))
+      .where(col("a_id") < col("b_id") &&
+             abs(col("a_chars") - col("b_chars")) <= 25)
+      .select(col("a_id"), col("b_id"),
+              bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Corpus stats per (lang, source); integer sums stay exact. */
   def qTextStats(s: SparkSession, sf: String): DataFrame =
     Tables.documents(s, sf)

@@ -24,9 +24,6 @@ import Util._
   */
 object Vectors {
 
-  /** Elementwise double view of a float-vector column. */
-  private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
-
   private def dot(a: Column, b: Column): Column = dotProduct(a, b)
 
   /** cosine(a, b) — caller rounds for cross-engine output. */
@@ -40,7 +37,7 @@ object Vectors {
       .select(col("embedding").as("query_vec")))
     e.crossJoin(q)
       .select(col("vec_id"),
-              round(cosine(dvec(col("embedding")), dvec(col("query_vec"))), 4).as("sim"))
+              round(cosine(col("embedding"), col("query_vec")), 4).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(10)
   }
@@ -49,7 +46,7 @@ object Vectors {
     * per vector (once, not per pair) on both engines. */
   def qSimKnnJoin(s: SparkSession, sf: String): DataFrame = {
     val v = Tables.embeddings(s, sf)
-      .select(col("vec_id"), dvec(col("embedding")).as("dv"))
+      .select(col("vec_id"), col("embedding").as("dv"))
       .withColumn("nrm", sqrt(dot(col("dv"), col("dv"))))
     val a = v.select(col("vec_id").as("a_id"), col("dv").as("a_dv"), col("nrm").as("a_nrm"))
     val b = v.select(col("vec_id").as("b_id"), col("dv").as("b_dv"), col("nrm").as("b_nrm"))
@@ -61,6 +58,71 @@ object Vectors {
       .limit(20)
   }
 
+  /** Embedding-cosine near-dup: exact all-pairs at fixture scale (the
+    * quadratic twin; `a_sim_ann_lsh` is the at-scale path). Threshold
+    * 0.4 is calibrated to the fixture's near-random vectors (max
+    * pairwise cosine ≈ 0.46). */
+  def qDedupEmbed(s: SparkSession, sf: String): DataFrame = {
+    val v = Tables.embeddings(s, sf)
+      .select(col("vec_id"), col("embedding").as("dv"))
+      .withColumn("nrm", sqrt(dot(col("dv"), col("dv"))))
+    val a = v.select(col("vec_id").as("a_id"), col("dv").as("a_dv"), col("nrm").as("a_nrm"))
+    val b = v.select(col("vec_id").as("b_id"), col("dv").as("b_dv"), col("nrm").as("b_nrm"))
+    a.crossJoin(b)
+      .where(col("a_id") < col("b_id"))
+      .withColumn("sim",
+        round(dot(col("a_dv"), col("b_dv")) / (col("a_nrm") * col("b_nrm")), 4))
+      .where(col("sim") >= 0.4)
+      .select("a_id", "b_id", "sim")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** ANN near-dup via signed-random-projection LSH — the at-scale twin
+    * of `q_dedup_embed` (no oracle: the hyperplane set is
+    * implementation-specific).
+    *
+    * 48 fixed Gaussian hyperplanes (seeded, embedded as literals) give a
+    * 48-bit SRP signature; banded 16 × 3 bits. For a pair at cosine
+    * 0.4 (angle 66°, per-bit agreement 0.63) band collision is
+    * 1-(1-0.63³)^16 ≈ 0.99, so recall vs the exact twin is high while
+    * candidates shrink ~8× — the honest SRP trade-off on near-random
+    * vectors; clustered real embeddings bucket far better. Signatures
+    * (16 small ints) ride the join; vectors re-join only for candidate
+    * verification. */
+  def aSimAnnLsh(s: SparkSession, sf: String): DataFrame = {
+    val nPlanes = 48
+    val bitsPerBand = 3
+    val dim = 64
+    val rnd = new scala.util.Random(42)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val v = Tables.embeddings(s, sf)
+      .select(col("vec_id"), col("embedding").as("dv"))
+      .withColumn("nrm", sqrt(dot(col("dv"), col("dv"))))
+    // band value: 3 sign bits packed into an int per band
+    val bands: Column = array((0 until nPlanes / bitsPerBand).map { k =>
+      (0 until bitsPerBand).map { j =>
+        val plane = typedLit(planes(k * bitsPerBand + j))
+        when(dot(col("dv"), plane) > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+    val sigs = v.withColumn("bands", bands)
+    val exploded = sigs.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bv")))
+    val cand = exploded.select(col("band"), col("bv"), col("vec_id").as("a_id"))
+      .join(exploded.select(col("band"), col("bv"), col("vec_id").as("b_id")),
+            Seq("band", "bv"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(v.select(col("vec_id").as("a_id"), col("dv").as("a_dv"), col("nrm").as("a_nrm")), "a_id")
+      .join(v.select(col("vec_id").as("b_id"), col("dv").as("b_dv"), col("nrm").as("b_nrm")), "b_id")
+      .withColumn("sim",
+        round(dot(col("a_dv"), col("b_dv")) / (col("a_nrm") * col("b_nrm")), 4))
+      .where(col("sim") >= 0.4)
+      .select("a_id", "b_id", "sim")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Multimodal row: text metadata joined with its embedding; per-lang
     * aggregate of (rounded) vector norms — the rounded doubles sum
     * exactly through the decimal path. */
@@ -69,7 +131,7 @@ object Vectors {
     val e = Tables.embeddings(s, sf)
     d.join(e, d("doc_id") === e("vec_id"))
       .where(col("label") < 5)
-      .withColumn("norm_sq", round(dot(dvec(col("embedding")), dvec(col("embedding"))), 4))
+      .withColumn("norm_sq", round(dot(col("embedding"), col("embedding")), 4))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"),
            sum(col("n_chars")).as("sum_chars"),

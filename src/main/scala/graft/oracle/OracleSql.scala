@@ -554,4 +554,97 @@ object OracleSql {
     EXCEPT
     SELECT o_orderkey AS orderkey FROM orders WHERE o_orderstatus <> 'F'
     ORDER BY orderkey""")
+
+  // ---- §2.11 extensions: text analysis / embedding dedup / multimodal ----
+
+  val qTextLangid: String = n("""
+    WITH s AS (
+      SELECT lang,
+        len(list_filter(string_split(lower(text), ' '),
+            t -> t IN ('stream','merge','hash','row')))     AS s_de,
+        len(list_filter(string_split(lower(text), ' '),
+            t -> t IN ('the','a','table','order')))          AS s_en,
+        len(list_filter(string_split(lower(text), ' '),
+            t -> t IN ('agg','scan','group','slow')))        AS s_es,
+        len(list_filter(string_split(lower(text), ' '),
+            t -> t IN ('query','batch','data','key')))       AS s_fr,
+        len(list_filter(string_split(lower(text), ' '),
+            t -> t IN ('join','small','customer','value')))  AS s_zh
+      FROM documents),
+    p AS (
+      SELECT lang,
+        CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh' END AS pred_lang
+      FROM s)
+    SELECT lang, pred_lang, COUNT(*) AS n_docs
+    FROM p GROUP BY lang, pred_lang
+    ORDER BY lang ASC NULLS FIRST, pred_lang ASC NULLS FIRST""")
+
+  val qTextQuality: String = n("""
+    WITH d AS (
+      SELECT source,
+        round(
+          0.4::DOUBLE * (len(list_distinct(tk)) / n_words) +
+          0.3::DOUBLE * least(((n_chars - n_words + 1.0::DOUBLE) / n_words) / 8.0::DOUBLE, 1.0::DOUBLE) +
+          0.3::DOUBLE * (1.0::DOUBLE - (len(list_filter(tk, t -> t = 'the' OR t = 'a')) / n_words)),
+        4) AS quality
+      FROM (
+        SELECT source, n_chars, string_split(lower(text), ' ') AS tk,
+          CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_words
+        FROM documents) t)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CAST(quality AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_quality,
+      SUM(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS n_low
+    FROM d GROUP BY source ORDER BY source ASC NULLS FIRST""")
+
+  val qTextTokens: String = n("""
+    SELECT doc_id,
+      CAST(len(rtk) AS BIGINT) AS n_tokens,
+      CAST(list_reduce(list_prepend(0,
+        list_transform(rtk, t -> CAST(ceil(length(t) / 4.0::DOUBLE) AS BIGINT))),
+        (a, b) -> a + b) AS BIGINT) AS n_pieces
+    FROM (
+      SELECT doc_id,
+        regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS rtk
+      FROM documents) t
+    ORDER BY doc_id""")
+
+  val qTextFingerprint: String = n("""
+    WITH f AS (
+      SELECT doc_id,
+        CASE WHEN len(tk) >= 3 THEN
+          list_aggregate(list_transform(range(len(tk) - 2),
+            i -> md5(array_to_string(list_slice(tk, i + 1, i + 3), ' '))), 'min')
+        ELSE md5(text) END AS fp
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents) t)
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+    FROM f GROUP BY fp HAVING COUNT(*) >= 2
+    ORDER BY fp ASC NULLS FIRST""")
+
+  val qDedupEmbed: String = n("""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+      FROM embeddings),
+    nv AS (
+      SELECT vec_id, dv,
+        sqrt(list_reduce(list_transform(dv, x -> x * x), (a, b) -> a + b)) AS nrm
+      FROM v)
+    SELECT a_id, b_id, sim FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        round(list_reduce(list_transform(generate_series(1, 64),
+                i -> a.dv[i] * b.dv[i]), (x, y) -> x + y)
+              / (a.nrm * b.nrm), 4) AS sim
+      FROM nv a JOIN nv b ON a.vec_id < b.vec_id) t
+    WHERE sim >= 0.4
+    ORDER BY a_id, b_id""")
+
+  val qMultimodalDecode: String = n("""
+    SELECT doc_id, lang,
+      64 + n_chars % 512 AS width,
+      64 + (n_chars * 31 + ascii(substr(text, 1, 1))) % 256 AS height,
+      1 + n_chars % 24 AS n_frames
+    FROM documents ORDER BY doc_id""")
 }

@@ -51,4 +51,32 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(Aggregates.qAggGroupby(spark, sf))
     assert(p.contains("HashAggregate"))
   }
+
+  test("a_dedup_simhash candidates come from a banding equi-join") {
+    val p = plan(TextDedup.aDedupSimhash(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"simhash join planned as nested loop:\n$p")
+  }
+
+  test("a_sim_ann_lsh candidates come from a banding equi-join") {
+    val p = plan(Vectors.aSimAnnLsh(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"ANN join planned as nested loop:\n$p")
+  }
+
+  test("vector ops use the native DotProduct expression (codegen), not HOFs") {
+    // The knn join runs through graft_dot, not an interpreted HOF chain
+    assert(plan(Vectors.qSimKnnJoin(spark, sf)).contains("graft_dot"))
+    // ...and the expression itself participates in whole-stage codegen
+    // where its operator does (a plain scan+project span):
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorExpressions.dotProduct
+    val e = col("embedding") // raw array<float> — no HOF cast in the plan
+    val df = Tables.embeddings(spark, sf).select(dotProduct(e, e).as("n2"))
+    df.collect() // executes THIS QueryExecution, finalizing its AQE plan
+    val p = plan(df)
+    // codegen'd operators print with a `*(n)` stage prefix
+    assert(p.contains("*(1) Project [graft_dot"),
+           s"no codegen span over graft_dot in:\n$p")
+  }
 }

@@ -73,6 +73,24 @@ class PropertySpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 ($nFound/$nExact)")
   }
 
+  test("SRP-ANN recall >= 0.8 against the exact embed-dedup twin") {
+    val exact = Vectors.qDedupEmbed(spark, sf).select("a_id", "b_id")
+    val ann = Vectors.aSimAnnLsh(spark, sf).select("a_id", "b_id")
+    val nExact = exact.count()
+    assert(nExact > 0, "fixture has no embedding near-dup pairs at tau=0.4")
+    val recall = exact.intersect(ann).count().toDouble / nExact
+    assert(recall >= 0.8, s"SRP-LSH recall $recall < 0.8")
+    // precision is 1.0 by construction (exact cosine verification) —
+    // every ANN pair must be in the exact set
+    assert(ann.except(exact).count() == 0)
+  }
+
+  test("simhash pairs all verify hamming <= 3 and the op finds pairs") {
+    val sh = TextDedup.aDedupSimhash(spark, sf)
+    assert(sh.where(col("hamming") > 3).count() == 0)
+    assert(sh.count() > 0, "dup-heavy fixture should contain simhash pairs")
+  }
+
   test("set-op algebra: |A ∪all B| = |A| + |B|; except ⊆ left") {
     val n = Relational.qUnionAll(spark, sf).count()
     assert(n == Tables.customer(spark, sf).count() + Tables.supplier(spark, sf).count())
