@@ -129,4 +129,29 @@ object Joins {
     Tables.region(s, sf).crossJoin(Tables.nation(s, sf))
       .select("r_name", "n_name")
       .orderBy("r_name", "n_name")
+
+  /** Skew-salted equi-join — the manual mitigation for a hot key at
+    * 100 TB (complementing AQE's runtime skew split, which only fires
+    * past its size thresholds).
+    *
+    * The probe (fact) side derives a deterministic salt from data it
+    * already has (`l_linenumber mod 8`); the build side replicates each
+    * row across all 8 salt values, so the join key becomes
+    * (orderkey, salt) and a hot orderkey's rows spread over 8 shuffle
+    * partitions instead of one straggler. Each probe row still matches
+    * exactly one replica → result is bit-identical to the plain join
+    * (the oracle runs the unsalted SQL). */
+  def qJoinSkewSalted(s: SparkSession, sf: String): DataFrame = {
+    val nSalt = 8
+    val l = Tables.lineitem(s, sf)
+      .withColumn("salt", pmod(col("l_linenumber"), lit(nSalt)))
+    val o = Tables.orders(s, sf)
+      .withColumn("salt", explode(array((0 until nSalt).map(lit): _*)))
+    l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+           dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+             .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import Util.dsum
 
 /** SURVEY.md §2.1–2.2 (scans/filters), §2.6 (sort/top-k), §2.7 (set ops).
   *
@@ -44,6 +45,23 @@ object Relational {
     val dir = s"/tmp/graft_sink/nation"
     Tables.nation(s, sf).write.mode("overwrite").parquet(dir)
     s.read.parquet(dir).orderBy("n_nationkey")
+  }
+
+  /** Hive-style partitioned sink + partition-pruned read-back: the
+    * 100 TB layout move (one directory per o_orderstatus; a status
+    * filter afterwards prunes whole directories — `PartitionFilters`
+    * in the scan, zero data files touched for excluded statuses). */
+  def qSinkPartitioned(s: SparkSession, sf: String): DataFrame = {
+    val dir = s"/tmp/graft_sink/orders_by_status"
+    Tables.orders(s, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    s.read.parquet(dir)
+      .where(col("o_orderstatus") =!= "P") // prunes the P directory
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
   }
 
   // ---- §2.2 projection / filter ----

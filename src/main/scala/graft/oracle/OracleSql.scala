@@ -555,6 +555,22 @@ object OracleSql {
     SELECT o_orderkey AS orderkey FROM orders WHERE o_orderstatus <> 'F'
     ORDER BY orderkey""")
 
+  // salted-join result == plain-join result (the salt is an execution
+  // detail; the oracle runs the unsalted SQL)
+  val qJoinSkewSalted: String = n("""
+    SELECT o_orderpriority, COUNT(*) AS n_lines,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS FIRST""")
+
+  // the partitioned layout is an execution detail; values must match a
+  // straight filtered aggregate
+  val qSinkPartitioned: String = n("""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS FIRST""")
+
   // ---- §2.11 extensions: text analysis / embedding dedup / multimodal ----
 
   val qTextLangid: String = n("""

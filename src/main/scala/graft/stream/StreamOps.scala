@@ -102,6 +102,26 @@ object StreamOps {
       }
   }
 
+  /** s_stream_join: stream-stream interval join — attribute each click
+    * to an impression by the same user within the preceding 30 min.
+    * Both sides are watermarked and the join condition bounds event
+    * time on both ends, so Spark can expire join state (unbounded state
+    * is the classic stream-join failure at ingest scale). */
+  def intervalJoin(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+    val imp = impressions.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
+              col("ts").as("imp_ts"))
+    val clk = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("clk_id"), col("user_id").as("clk_user"),
+              col("ts").as("clk_ts"))
+    imp.join(clk,
+      col("imp_user") === col("clk_user") &&
+      col("clk_ts") >= col("imp_ts") &&
+      col("clk_ts") <= col("imp_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("imp_id"), col("clk_id"), col("imp_user").as("user_id"),
+              col("imp_ts"), col("clk_ts"))
+  }
+
   /** s_stream_foreachbatch_sink: micro-batch append into a batch parquet
     * table — the "write to ClickHouse" seam; swapping the lambda for a
     * JDBC upsert is the production binding. */

@@ -112,6 +112,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_stream_join: click attributes to impression within 30min, not beyond") {
+    import spark.implicits._
+    val imps = MemoryStream[Event](spark)
+    val clks = MemoryStream[Event](spark)
+    val q = StreamOps.intervalJoin(snake(imps.toDF()), snake(clks.toDF()))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      imps.addData(ev(100, 0, user = 1), ev(101, 0, user = 2))
+      clks.addData(ev(200, 10, user = 1), // within 30min of imp 100 → joins
+                   ev(201, 50, user = 2), // 50min after imp 101 → no join
+                   ev(202, 5, user = 3))  // no impression → no join
+      q.processAllAvailable()
+      val pairs = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((100L, 200L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("s_stream_file_source + s_stream_foreachbatch_sink: file ingest to parquet sink") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
