@@ -83,21 +83,27 @@ object TextDedup {
       array_min(transform(col("tk"),
         t => pmod(hash(t).cast("long") * a + b, lit(prime))))
     }
+    // Band key: xxhash64(band-index, sig_0, sig_1) — a LONG, not a
+    // concat string (8-byte shuffle keys and integer compares in the
+    // sort-merge; the band index baked into the hash makes one flat key
+    // space). A 64-bit hash collision can only ADD a candidate pair,
+    // and every candidate is exact-Jaccard-verified, so correctness is
+    // unaffected.
     val bands: Column = array((0 until nHashes / rowsPerBand).map { j =>
-      concat_ws(":", sigs.slice(j * rowsPerBand, (j + 1) * rowsPerBand): _*)
+      xxhash64((lit(j) +: sigs.slice(j * rowsPerBand, (j + 1) * rowsPerBand)): _*)
     }: _*)
-    // Candidate generation on (lang, band, key, id, chars) ONLY — the
-    // token arrays must not ride through the join/distinct (at scale the
+    // Candidate generation on (lang, key, id, chars) ONLY — the token
+    // arrays must not ride through the join/distinct (at scale the
     // candidate set is orders of magnitude larger than the doc set;
     // shuffling arrays with it is the classic LSH blow-up). Tokens
     // re-join after dedup.
     val exploded = d.select(col("doc_id"), col("lang"), col("n_chars"),
-                            posexplode(bands).as(Seq("band", "key")))
-    val left = exploded.select(col("lang"), col("band"), col("key"),
+                            explode(bands).as("key"))
+    val left = exploded.select(col("lang"), col("key"),
                                col("doc_id").as("a_id"), col("n_chars").as("a_chars"))
-    val right = exploded.select(col("lang"), col("band"), col("key"),
+    val right = exploded.select(col("lang"), col("key"),
                                 col("doc_id").as("b_id"), col("n_chars").as("b_chars"))
-    val pairs = left.join(right, Seq("lang", "band", "key"))
+    val pairs = left.join(right, Seq("lang", "key"))
       .where(col("a_id") < col("b_id") &&
              abs(col("a_chars") - col("b_chars")) <= 25)
       .select("a_id", "b_id").distinct()
