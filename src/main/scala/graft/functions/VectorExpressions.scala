@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native codegen vector kernels (SURVEY.md §2.11 similarity ops).
   *
@@ -104,6 +104,77 @@ case class SquaredL2(left: Expression, right: Expression) extends VectorFold {
     copy(left = l, right = r)
 }
 
+/** Signed-random-projection signature: packs the sign bits of
+  * `planes · v` into `planes.length / bitsPerBand` per-band ints.
+  *
+  * One expression node instead of nPlanes × dim literal arrays — the
+  * plane matrix rides along as a codegen reference object. (The literal
+  * formulation made the analyzed plan tens of thousands of nodes; with
+  * the self-join and verify joins multiplying it, Catalyst optimization
+  * time dwarfed execution.)
+  */
+case class SrpSignature(child: Expression, planes: Array[Array[Double]],
+                        bitsPerBand: Int) extends UnaryExpression {
+  override def prettyName: String = "graft_srp_sig"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<double>/array<float> input, got ${t.sql}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Int](planes.length / bitsPerBand)
+    var p = 0
+    while (p < planes.length) {
+      val w = planes(p)
+      val n = math.min(w.length, v.numElements())
+      var s = 0.0; var d = 0
+      while (d < n) {
+        s += w(d) * (if (isFloat) v.getFloat(d).toDouble else v.getDouble(d))
+        d += 1
+      }
+      if (s > 0) out(p / bitsPerBand) |= 1 << (p % bitsPerBand)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("planes", planes, "double[][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val p = ctx.freshName("p"); val d = ctx.freshName("d")
+      val s = ctx.freshName("s"); val w = ctx.freshName("w")
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      s"""
+        |final double[][] ${w}s = $mat;
+        |final int[] $out = new int[${planes.length / bitsPerBand}];
+        |for (int $p = 0; $p < ${w}s.length; $p++) {
+        |  final double[] $w = ${w}s[$p];
+        |  final int $n = java.lang.Math.min($w.length, $v.numElements());
+        |  double $s = 0.0;
+        |  for (int $d = 0; $d < $n; $d++) {
+        |    $s += $w[$d] * (double) $v.$get($d);
+        |  }
+        |  if ($s > 0) $out[$p / $bitsPerBand] |= 1 << ($p % $bitsPerBand);
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object VectorExpressions {
   /** Codegen dot product of two array<float|double> columns. */
   def dotProduct(a: Column, b: Column): Column =
@@ -112,4 +183,9 @@ object VectorExpressions {
   /** Codegen squared L2 distance of two array<float|double> columns. */
   def squaredL2(a: Column, b: Column): Column =
     Bridge.column(SquaredL2(Bridge.expression(a), Bridge.expression(b)))
+
+  /** SRP-LSH band signature of an array<float|double> column. */
+  def srpSignature(v: Column, planes: Array[Array[Double]],
+                   bitsPerBand: Int): Column =
+    Bridge.column(SrpSignature(Bridge.expression(v), planes, bitsPerBand))
 }

@@ -94,19 +94,17 @@ object Vectors {
     val bitsPerBand = 3
     val dim = 64
     val rnd = new scala.util.Random(42)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val planes: Array[Array[Double]] =
+      Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
     val v = Tables.embeddings(s, sf)
       .select(col("vec_id"), col("embedding").as("dv"))
       .withColumn("nrm", sqrt(dot(col("dv"), col("dv"))))
-    // band value: 3 sign bits packed into an int per band
-    val bands: Column = array((0 until nPlanes / bitsPerBand).map { k =>
-      (0 until bitsPerBand).map { j =>
-        val plane = typedLit(planes(k * bitsPerBand + j))
-        when(dot(col("dv"), plane) > 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }: _*)
-    val sigs = v.withColumn("bands", bands)
+    // 3 sign bits packed into an int per band — ONE native expression
+    // carrying the plane matrix as a codegen reference object (a
+    // literal-array formulation made the plan tens of thousands of
+    // nodes and Catalyst time dwarfed execution)
+    val sigs = v.withColumn("bands",
+      graft.functions.VectorExpressions.srpSignature(col("dv"), planes, bitsPerBand))
     val exploded = sigs.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bv")))
     val cand = exploded.select(col("band"), col("bv"), col("vec_id").as("a_id"))
       .join(exploded.select(col("band"), col("bv"), col("vec_id").as("b_id")),

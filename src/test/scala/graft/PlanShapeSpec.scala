@@ -52,6 +52,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("q_sink_partitioned read-back prunes partitions in the scan") {
+    val p = plan(Relational.qSinkPartitioned(spark, sf))
+    assert(p.contains("PartitionFilters: [") && p.contains("o_orderstatus"),
+           s"status filter not applied as a partition filter:\n$p")
+  }
+
   test("a_dedup_simhash candidates come from a banding equi-join") {
     val p = plan(TextDedup.aDedupSimhash(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
