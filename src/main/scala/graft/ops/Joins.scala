@@ -130,6 +130,51 @@ object Joins {
       .select("r_name", "n_name")
       .orderBy("r_name", "n_name")
 
+  /** Bucketed co-located join — the 100 TB layout move that removes the
+    * shuffle entirely: both fact tables are written bucketed+sorted on
+    * the join key, so the sort-merge join reads pre-partitioned,
+    * pre-sorted buckets and the plan has NO hash-partitioning exchange
+    * on either side (PlanShapeSpec pins this). The groupBy key equals
+    * the bucket key, so the aggregate also rides the bucketing. */
+  def qJoinBucketed(s: SparkSession, sf: String): DataFrame = {
+    val nBuckets = 8
+    // the catalog is per-JVM but the warehouse dir persists — drop both
+    // the entry and any orphaned location before (re)writing
+    Seq("graft_lineitem_b", "graft_orders_b").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Tables.lineitem(s, sf)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_lineitem_b")
+    Tables.orders(s, sf)
+      .select("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_orders_b")
+    val l = s.table("graft_lineitem_b")
+    // pin sort-merge: with bucketed+sorted tables SMJ needs neither an
+    // exchange nor a sort; without the hint a small build side would
+    // auto-broadcast and hide the bucket co-location being demonstrated
+    val o = s.table("graft_orders_b").hint("merge")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+           dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+             .as("revenue"))
+      .orderBy("o_orderkey")
+  }
+
   /** Skew-salted equi-join — the manual mitigation for a hot key at
     * 100 TB (complementing AQE's runtime skew split, which only fires
     * past its size thresholds).

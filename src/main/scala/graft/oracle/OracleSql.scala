@@ -555,6 +555,13 @@ object OracleSql {
     SELECT o_orderkey AS orderkey FROM orders WHERE o_orderstatus <> 'F'
     ORDER BY orderkey""")
 
+  // bucketed layout is an execution detail; values match the plain join
+  val qJoinBucketed: String = n("""
+    SELECT o_orderkey, COUNT(*) AS n_lines,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey ORDER BY o_orderkey""")
+
   // salted-join result == plain-join result (the salt is an execution
   // detail; the oracle runs the unsalted SQL)
   val qJoinSkewSalted: String = n("""

@@ -52,6 +52,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("q_join_bucketed joins with NO shuffle on either side") {
+    val p = plan(Joins.qJoinBucketed(spark, sf))
+    assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$p")
+    // the only allowed exchange is the final orderBy's range partition —
+    // a hash-partitioning exchange would mean bucketing was ignored
+    assert(!p.contains("Exchange hashpartitioning"),
+           s"bucketed join still shuffles:\n$p")
+  }
+
   test("q_sink_partitioned read-back prunes partitions in the scan") {
     val p = plan(Relational.qSinkPartitioned(spark, sf))
     assert(p.contains("PartitionFilters: [") && p.contains("o_orderstatus"),
