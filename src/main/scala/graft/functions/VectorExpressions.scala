@@ -53,8 +53,11 @@ abstract class VectorFold extends BinaryExpression {
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch ${x.numElements()} vs ${y.numElements()}")
     val lf = isFloat(left); val rf = isFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var s = 0.0; var i = 0
     while (i < n) {
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
@@ -73,7 +76,11 @@ abstract class VectorFold extends BinaryExpression {
       val xe = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val ye = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-        |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |if ($a.numElements() != $b.numElements()) {
+        |  throw new IllegalArgumentException("$prettyName: dimension mismatch "
+        |    + $a.numElements() + " vs " + $b.numElements());
+        |}
+        |final int $n = $a.numElements();
         |double $s = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
         |  ${kernel(xe, ye).replace("ACC", s)}

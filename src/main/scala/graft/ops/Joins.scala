@@ -188,8 +188,10 @@ object Joins {
     * (the oracle runs the unsalted SQL). */
   def qJoinSkewSalted(s: SparkSession, sf: String): DataFrame = {
     val nSalt = 8
+    // l_linenumber is 1-based (1..7 in TPC-H) — subtract 1 so all nSalt
+    // salt values are actually hit and no build replica is dead weight
     val l = Tables.lineitem(s, sf)
-      .withColumn("salt", pmod(col("l_linenumber"), lit(nSalt)))
+      .withColumn("salt", pmod(col("l_linenumber") - 1, lit(nSalt)))
     val o = Tables.orders(s, sf)
       .withColumn("salt", explode(array((0 until nSalt).map(lit): _*)))
     l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))

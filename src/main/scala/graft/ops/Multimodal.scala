@@ -28,12 +28,17 @@ object Multimodal {
                                 width: Long, height: Long, n_frames: Long)
 
   /** STUB decode — replace with a real codec call. Deterministic pure
-    * function of the payload bytes so the fixture pipeline is
+    * function of the payload so the fixture pipeline is
     * oracle-checkable; a real implementation would decode image headers
-    * (or sample video frames) here, one codec instance per partition. */
+    * (or sample video frames) here, one codec instance per partition.
+    * The stub's "dimensions" derive from codepoint count and first
+    * codepoint — the same unicode semantics as the oracle's
+    * n_chars/ascii(), not UTF-8 byte semantics, so parity holds even on
+    * non-ASCII payloads. */
   private def decodeStub(a: MediaAsset): DecodedMedia = {
-    val len = a.payload.length.toLong
-    val first = if (a.payload.nonEmpty) (a.payload(0) & 0xffL) else 0L
+    val text = new String(a.payload, java.nio.charset.StandardCharsets.UTF_8)
+    val len = text.codePointCount(0, text.length).toLong
+    val first = if (text.nonEmpty) text.codePointAt(0).toLong else 0L
     DecodedMedia(a.doc_id, a.lang,
       width = 64L + len % 512L,
       height = 64L + (len * 31L + first) % 256L,

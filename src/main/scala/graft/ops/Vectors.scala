@@ -26,6 +26,22 @@ object Vectors {
 
   private def dot(a: Column, b: Column): Column = dotProduct(a, b)
 
+  /** (vec_id, dv, nrm) with the norm computed once per vector. */
+  private def normed(s: SparkSession, sf: String): DataFrame =
+    Tables.embeddings(s, sf)
+      .select(col("vec_id"), col("embedding").as("dv"))
+      .withColumn("nrm", sqrt(dot(col("dv"), col("dv"))))
+
+  private def aSide(v: DataFrame): DataFrame =
+    v.select(col("vec_id").as("a_id"), col("dv").as("a_dv"), col("nrm").as("a_nrm"))
+
+  private def bSide(v: DataFrame): DataFrame =
+    v.select(col("vec_id").as("b_id"), col("dv").as("b_dv"), col("nrm").as("b_nrm"))
+
+  /** Rounded pairwise cosine from the a/b-side columns. */
+  private def pairSim: Column =
+    round(dot(col("a_dv"), col("b_dv")) / (col("a_nrm") * col("b_nrm")), 4)
+
   /** cosine(a, b) — caller rounds for cross-engine output. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -45,15 +61,10 @@ object Vectors {
   /** Top-20 most-similar pairs (vec_id < vec_id). Norms are precomputed
     * per vector (once, not per pair) on both engines. */
   def qSimKnnJoin(s: SparkSession, sf: String): DataFrame = {
-    val v = Tables.embeddings(s, sf)
-      .select(col("vec_id"), col("embedding").as("dv"))
-      .withColumn("nrm", sqrt(dot(col("dv"), col("dv"))))
-    val a = v.select(col("vec_id").as("a_id"), col("dv").as("a_dv"), col("nrm").as("a_nrm"))
-    val b = v.select(col("vec_id").as("b_id"), col("dv").as("b_dv"), col("nrm").as("b_nrm"))
-    a.crossJoin(b)
+    val v = normed(s, sf)
+    aSide(v).crossJoin(bSide(v))
       .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-              round(dot(col("a_dv"), col("b_dv")) / (col("a_nrm") * col("b_nrm")), 4).as("sim"))
+      .select(col("a_id"), col("b_id"), pairSim.as("sim"))
       .orderBy(desc("sim"), asc("a_id"), asc("b_id"))
       .limit(20)
   }
@@ -63,15 +74,9 @@ object Vectors {
     * 0.4 is calibrated to the fixture's near-random vectors (max
     * pairwise cosine ≈ 0.46). */
   def qDedupEmbed(s: SparkSession, sf: String): DataFrame = {
-    val v = Tables.embeddings(s, sf)
-      .select(col("vec_id"), col("embedding").as("dv"))
-      .withColumn("nrm", sqrt(dot(col("dv"), col("dv"))))
-    val a = v.select(col("vec_id").as("a_id"), col("dv").as("a_dv"), col("nrm").as("a_nrm"))
-    val b = v.select(col("vec_id").as("b_id"), col("dv").as("b_dv"), col("nrm").as("b_nrm"))
-    a.crossJoin(b)
+    aSide(normed(s, sf)).crossJoin(bSide(normed(s, sf)))
       .where(col("a_id") < col("b_id"))
-      .withColumn("sim",
-        round(dot(col("a_dv"), col("b_dv")) / (col("a_nrm") * col("b_nrm")), 4))
+      .withColumn("sim", pairSim)
       .where(col("sim") >= 0.4)
       .select("a_id", "b_id", "sim")
       .orderBy("a_id", "b_id")
@@ -96,9 +101,7 @@ object Vectors {
     val rnd = new scala.util.Random(42)
     val planes: Array[Array[Double]] =
       Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-    val v = Tables.embeddings(s, sf)
-      .select(col("vec_id"), col("embedding").as("dv"))
-      .withColumn("nrm", sqrt(dot(col("dv"), col("dv"))))
+    val v = normed(s, sf)
     // 3 sign bits packed into an int per band — ONE native expression
     // carrying the plane matrix as a codegen reference object (a
     // literal-array formulation made the plan tens of thousands of
@@ -112,10 +115,9 @@ object Vectors {
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     cand
-      .join(v.select(col("vec_id").as("a_id"), col("dv").as("a_dv"), col("nrm").as("a_nrm")), "a_id")
-      .join(v.select(col("vec_id").as("b_id"), col("dv").as("b_dv"), col("nrm").as("b_nrm")), "b_id")
-      .withColumn("sim",
-        round(dot(col("a_dv"), col("b_dv")) / (col("a_nrm") * col("b_nrm")), 4))
+      .join(aSide(v), "a_id")
+      .join(bSide(v), "b_id")
+      .withColumn("sim", pairSim)
       .where(col("sim") >= 0.4)
       .select("a_id", "b_id", "sim")
       .orderBy("a_id", "b_id")

@@ -69,6 +69,11 @@ object StreamOps {
   /** Output row of the stateful running counter. */
   case class UserCounter(userId: Long, nEvents: Long, totalValue: Double)
 
+  /** Internal state of the running counter: the counter plus the
+    * latest event time ever seen for the user (monotone — a late batch
+    * must never move the expiry deadline backwards). */
+  case class CounterState(counter: UserCounter, lastTs: Long)
+
   /** s_stream_stateful: per-user running counter via
     * flatMapGroupsWithState — the collector cumulative-delta analogue.
     * Emits the updated counter for each group in each micro-batch;
@@ -77,26 +82,33 @@ object StreamOps {
     import events.sparkSession.implicits._
     events.withWatermark("ts", "10 minutes")
       .groupByKey(_.userId)
-      .flatMapGroupsWithState[UserCounter, UserCounter](
+      .flatMapGroupsWithState[CounterState, UserCounter](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[UserCounter]) =>
+        (userId: Long, rows: Iterator[Event], state: GroupState[CounterState]) =>
           if (state.hasTimedOut) {
-            val last = state.get
+            // every update was already emitted in its own batch — expiry
+            // only drops the state (re-emitting would double-count
+            // downstream)
             state.remove()
-            Iterator(last)
+            Iterator.empty
           } else {
-            val prev = state.getOption.getOrElse(UserCounter(userId, 0L, 0.0))
-            var n = prev.nEvents
-            var tot = prev.totalValue
-            var maxTs = 0L
+            val prev = state.getOption.getOrElse(
+              CounterState(UserCounter(userId, 0L, 0.0), Long.MinValue))
+            var n = prev.counter.nEvents
+            var tot = prev.counter.totalValue
+            var maxTs = prev.lastTs
             rows.foreach { e =>
               n += 1; tot += e.value
               maxTs = math.max(maxTs, e.ts.getTime)
             }
             val next = UserCounter(userId, n, tot)
-            state.update(next)
-            // expire 30min of event time after this user's latest event
-            state.setTimeoutTimestamp(maxTs + 30L * 60 * 1000)
+            state.update(CounterState(next, maxTs))
+            // expire 30min of event time after the user's latest-ever
+            // event; the max with the current watermark keeps the
+            // deadline legal even if this batch carried only late rows
+            val deadline = math.max(maxTs,
+              state.getCurrentWatermarkMs()) + 30L * 60 * 1000
+            state.setTimeoutTimestamp(deadline)
             Iterator(next)
           }
       }
