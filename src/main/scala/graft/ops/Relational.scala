@@ -40,6 +40,41 @@ object Relational {
               get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy("event_id")
 
+  /** CSV source: header + explicit schema (never inferSchema at scale —
+    * inference is a full extra pass over the data). Roundtrip through
+    * /tmp so the op exercises both the writer and the reader; the
+    * oracle aggregates the original table (the format is an execution
+    * detail). */
+  def qSourceCsv(s: SparkSession, sf: String): DataFrame = {
+    val dir = s"/tmp/graft_sink/supplier_csv"
+    Tables.supplier(s, sf)
+      .select("s_suppkey", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    s.read
+      .schema("s_suppkey LONG, s_nationkey LONG, s_acctbal DOUBLE")
+      .option("header", "true")
+      .csv(dir)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"), dsum(col("s_acctbal")).as("total_bal"))
+      .orderBy("s_nationkey")
+  }
+
+  /** JSON-lines source with an explicit schema (same no-inference rule
+    * as CSV; a malformed line lands in the PERMISSIVE null row rather
+    * than failing the scan). */
+  def qSourceJsonl(s: SparkSession, sf: String): DataFrame = {
+    val dir = s"/tmp/graft_sink/customer_jsonl"
+    Tables.customer(s, sf)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .write.mode("overwrite").json(dir)
+    s.read
+      .schema("c_custkey LONG, c_nationkey LONG, c_acctbal DOUBLE")
+      .json(dir)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_nationkey")
+  }
+
   /** Sink roundtrip: write a table to parquet, read it back. */
   def qSinkParquet(s: SparkSession, sf: String): DataFrame = {
     val dir = s"/tmp/graft_sink/nation"

@@ -555,6 +555,18 @@ object OracleSql {
     SELECT o_orderkey AS orderkey FROM orders WHERE o_orderstatus <> 'F'
     ORDER BY orderkey""")
 
+  // source format (CSV/JSONL roundtrip) is an execution detail; doubles
+  // roundtrip exactly through Spark's shortest-representation text form
+  val qSourceCsv: String = n("""
+    SELECT s_nationkey, COUNT(*) AS n_supp,
+      CAST(SUM(CAST(s_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")
+
+  val qSourceJsonl: String = n("""
+    SELECT c_nationkey, COUNT(*) AS n_cust,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")
+
   // bucketed layout is an execution detail; values match the plain join
   val qJoinBucketed: String = n("""
     SELECT o_orderkey, COUNT(*) AS n_lines,
