@@ -99,4 +99,41 @@ object TimeSeries {
       .agg(count(lit(1)).as("retained"))
       .orderBy("day")
   }
+
+  /** Counter-reset-aware increase — the telemetry-collector classic: a
+    * cumulative counter that drops (process restart) contributes its
+    * post-reset absolute value, not a negative delta (Prometheus
+    * `increase()` semantics). Same one-window shuffle as q_ts_rate. */
+  def qTsCounterReset(s: SparkSession, sf: String): DataFrame = {
+    val delta = col("value") - lag(col("value"), 1).over(byUser)
+    Tables.events(s, sf)
+      .select(col("event_id"), col("user_id"),
+              round(when(delta < 0, col("value")).otherwise(delta), 6)
+                .as("increase"))
+      .orderBy("event_id")
+  }
+
+  /** Rolling z-score anomaly flags: |value − μ₂₀| > 3σ₂₀ over the
+    * trailing 20 events per user (σ from the *preceding* frame so the
+    * candidate point can't mask itself). Emits only the anomalies —
+    * at scale the filter collapses the output to the interesting rows
+    * while the window stays one (user_id) shuffle. */
+  def qTsAnomaly(s: SparkSession, sf: String): DataFrame = {
+    val frame = byUser.rowsBetween(-20, -1)
+    // explicit sum/sumsq stddev — engines' native stddev_samp use
+    // different incremental algorithms; these exact expressions produce
+    // the same doubles on both sides
+    val n = count(col("value")).over(frame)
+    val sm = sum(col("value")).over(frame)
+    val ssq = sum(col("value") * col("value")).over(frame)
+    val mu = sm / n
+    val sd = sqrt((ssq - sm * sm / n) / (n - 1))
+    Tables.events(s, sf)
+      .withColumn("n20", n).withColumn("sd", sd)
+      .withColumn("z", (col("value") - mu) / col("sd"))
+      .where(col("n20") >= 5 && col("sd") > 0 && abs(col("z")) > 3)
+      .select(col("event_id"), col("user_id"), col("value"),
+              round(col("z"), 4).as("z"))
+      .orderBy("event_id")
+  }
 }

@@ -225,6 +225,31 @@ object OracleSql {
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY event_id""")
 
+  val qTsCounterReset: String = n("""
+    SELECT event_id, user_id,
+      round(CASE WHEN value - LAG(value, 1) OVER w < 0 THEN value
+                 ELSE value - LAG(value, 1) OVER w END, 6) AS increase
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id""")
+
+  val qTsAnomaly: String = n("""
+    SELECT event_id, user_id, value, round(zraw, 4) AS z FROM (
+      SELECT event_id, user_id, value, n20, sd,
+        (value - mu) / sd AS zraw
+      FROM (
+        SELECT event_id, user_id, value,
+          COUNT(value) OVER f AS n20,
+          SUM(value) OVER f / COUNT(value) OVER f AS mu,
+          sqrt((SUM(value * value) OVER f
+                - SUM(value) OVER f * SUM(value) OVER f / COUNT(value) OVER f)
+               / (COUNT(value) OVER f - 1)) AS sd
+        FROM events
+        WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) inner_t) t
+    WHERE n20 >= 5 AND sd > 0 AND abs(zraw) > 3
+    ORDER BY event_id""")
+
   val qTsGapfill: String = n("""
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS cnt
