@@ -114,6 +114,46 @@ object StreamOps {
       }
   }
 
+  /** Output row of the high-water-mark tracker. */
+  case class HighWater(userId: Long, value: Double)
+
+  /** s_stream_tws: per-user all-time high-water mark via the Spark 4
+    * `transformWithState` API (typed `ValueState`, RocksDB-backed —
+    * the successor to flatMapGroupsWithState for arbitrary state).
+    * Emits a row each time a user's value exceeds their running max. */
+  private class HighWaterProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, HighWater] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var max: org.apache.spark.sql.streaming.ValueState[Double] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      max = getHandle.getValueState[Double](
+        "max", E.scalaDouble, org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[HighWater] = {
+      var cur = if (max.exists()) max.get() else Double.NegativeInfinity
+      val out = Seq.newBuilder[HighWater]
+      rows.foreach { e =>
+        if (e.value > cur) { cur = e.value; out += HighWater(key, e.value) }
+      }
+      max.update(cur)
+      out.result().iterator
+    }
+  }
+
+  /** Requires spark.sql.streaming.stateStore.providerClass =
+    * RocksDBStateStoreProvider (transformWithState's only supported
+    * store). */
+  def highWaterMarks(events: Dataset[Event]): Dataset[HighWater] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new HighWaterProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** s_stream_join: stream-stream interval join — attribute each click
     * to an impression by the same user within the preceding 30 min.
     * Both sides are watermarked and the join condition bounds event

@@ -131,6 +131,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_stream_tws: transformWithState tracks per-user high-water marks") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Event](spark)
+    val q = StreamOps.highWaterMarks(in.toDS())
+      .writeStream.format("memory").queryName("hwm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 0, user = 1, value = 5.0),
+                 ev(2, 1, user = 1, value = 3.0),  // below max — no emit
+                 ev(3, 2, user = 2, value = 1.0))
+      q.processAllAvailable()
+      in.addData(ev(4, 3, user = 1, value = 7.0),  // new max — emit
+                 ev(5, 4, user = 2, value = 0.5))  // below — no emit
+      q.processAllAvailable()
+      val rows = spark.table("hwm").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows == Set((1L, 5.0), (2L, 1.0), (1L, 7.0)), s"got $rows")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("s_stream_file_source + s_stream_foreachbatch_sink: file ingest to parquet sink") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
