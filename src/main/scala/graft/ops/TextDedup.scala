@@ -118,6 +118,40 @@ object TextDedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** n-gram (word-bigram shingle) Jaccard near-dup — order-sensitive,
+    * unlike the token-SET variant: on this corpus the bag-of-words
+    * lookalikes score ≤ 0.1 while true duplicates score 1.0, so shingle
+    * Jaccard separates them cleanly. Same (lang, length-band) blocking
+    * and bucket-and-replicate join as q_dedup_jaccard. */
+  def qDedupNgram(s: SparkSession, sf: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    // guard the 1-token doc: sequence(0, -1) would count DOWN in Spark
+    // while the oracle's range(0) is empty
+    val grams = when(size(tk) >= 2,
+      array_distinct(transform(sequence(lit(0), size(tk) - 2),
+        i => concat_ws(" ", slice(tk, i + 1, lit(2))))))
+      .otherwise(array().cast("array<string>"))
+    val d = Tables.documents(s, sf).select(
+      col("doc_id"), col("lang"), col("n_chars"), grams.as("gr"))
+    val a = d.select(col("doc_id").as("a_id"), col("lang"),
+                     col("n_chars").as("a_chars"), col("gr").as("a_gr"))
+      .withColumn("bucket", floor(col("a_chars") / 25))
+    val b = d.select(col("doc_id").as("b_id"), col("lang"),
+                     col("n_chars").as("b_chars"), col("gr").as("b_gr"))
+      .withColumn("bucket", explode(array(floor(col("b_chars") / 25) - 1,
+                                          floor(col("b_chars") / 25),
+                                          floor(col("b_chars") / 25) + 1)))
+    val jac = size(array_intersect(col("a_gr"), col("b_gr"))).cast("double") /
+              size(array_union(col("a_gr"), col("b_gr")))
+    a.join(b, Seq("lang", "bucket"))
+      .where(col("a_id") < col("b_id") &&
+             abs(col("a_chars") - col("b_chars")) <= 25)
+      .withColumn("jaccard", round(jac, 4))
+      .where(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
   /** SimHash near-dup at scale (no oracle — xxhash64 is engine-specific).
     *
     * 32-bit SimHash per doc: bit j is the sign of Σ over distinct tokens

@@ -580,6 +580,21 @@ object OracleSql {
     SELECT o_orderkey AS orderkey FROM orders WHERE o_orderstatus <> 'F'
     ORDER BY orderkey""")
 
+  val qDedupNgram: String = n("""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+        list_distinct(list_transform(range(len(string_split(text, ' ')) - 1),
+          i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 2), ' '))) AS gr
+      FROM documents)
+    SELECT a_id, b_id, jaccard FROM (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        round(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.gr, b.gr))), 4) AS jaccard
+      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        AND abs(a.n_chars - b.n_chars) <= 25) t
+    WHERE jaccard >= 0.5
+    ORDER BY a_id, b_id""")
+
   // source format (CSV/JSONL roundtrip) is an execution detail; doubles
   // roundtrip exactly through Spark's shortest-representation text form
   val qSourceCsv: String = n("""
