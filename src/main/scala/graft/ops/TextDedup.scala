@@ -36,16 +36,21 @@ object TextDedup {
   def qDedupJaccard(s: SparkSession, sf: String): DataFrame = {
     val d = Tables.documents(s, sf).select(
       col("doc_id"), col("lang"), col("n_chars"), tokens.as("tk"))
+      .withColumn("n_tk", size(col("tk")))
     val a = d.select(col("doc_id").as("a_id"), col("lang"),
-                     col("n_chars").as("a_chars"), col("tk").as("a_tk"))
+                     col("n_chars").as("a_chars"), col("tk").as("a_tk"),
+                     col("n_tk").as("a_n"))
       .withColumn("bucket", floor(col("a_chars") / 25))
     val b = d.select(col("doc_id").as("b_id"), col("lang"),
-                     col("n_chars").as("b_chars"), col("tk").as("b_tk"))
+                     col("n_chars").as("b_chars"), col("tk").as("b_tk"),
+                     col("n_tk").as("b_n"))
       .withColumn("bucket", explode(array(floor(col("b_chars") / 25) - 1,
                                           floor(col("b_chars") / 25),
                                           floor(col("b_chars") / 25) + 1)))
-    val jac = size(array_intersect(col("a_tk"), col("b_tk"))).cast("double") /
-              size(array_union(col("a_tk"), col("b_tk")))
+    // |A∪B| = |A|+|B|-|A∩B| for distinct sets — one intersect per pair,
+    // no union array materialized (the union alloc dominated pair cost)
+    val inter = size(array_intersect(col("a_tk"), col("b_tk")))
+    val jac = inter.cast("double") / (col("a_n") + col("b_n") - inter)
     a.join(b, Seq("lang", "bucket"))
       .where(col("a_id") < col("b_id") &&
              abs(col("a_chars") - col("b_chars")) <= 25)
@@ -107,8 +112,9 @@ object TextDedup {
       .where(col("a_id") < col("b_id") &&
              abs(col("a_chars") - col("b_chars")) <= 25)
       .select("a_id", "b_id").distinct()
-    val jac = size(array_intersect(col("a_tk"), col("b_tk"))).cast("double") /
-              size(array_union(col("a_tk"), col("b_tk")))
+    val inter = size(array_intersect(col("a_tk"), col("b_tk")))
+    val jac = inter.cast("double") /
+              (size(col("a_tk")) + size(col("b_tk")) - inter)
     pairs
       .join(d.select(col("doc_id").as("a_id"), col("tk").as("a_tk")), "a_id")
       .join(d.select(col("doc_id").as("b_id"), col("tk").as("b_tk")), "b_id")
@@ -133,16 +139,19 @@ object TextDedup {
       .otherwise(array().cast("array<string>"))
     val d = Tables.documents(s, sf).select(
       col("doc_id"), col("lang"), col("n_chars"), grams.as("gr"))
+      .withColumn("n_gr", size(col("gr")))
     val a = d.select(col("doc_id").as("a_id"), col("lang"),
-                     col("n_chars").as("a_chars"), col("gr").as("a_gr"))
+                     col("n_chars").as("a_chars"), col("gr").as("a_gr"),
+                     col("n_gr").as("a_n"))
       .withColumn("bucket", floor(col("a_chars") / 25))
     val b = d.select(col("doc_id").as("b_id"), col("lang"),
-                     col("n_chars").as("b_chars"), col("gr").as("b_gr"))
+                     col("n_chars").as("b_chars"), col("gr").as("b_gr"),
+                     col("n_gr").as("b_n"))
       .withColumn("bucket", explode(array(floor(col("b_chars") / 25) - 1,
                                           floor(col("b_chars") / 25),
                                           floor(col("b_chars") / 25) + 1)))
-    val jac = size(array_intersect(col("a_gr"), col("b_gr"))).cast("double") /
-              size(array_union(col("a_gr"), col("b_gr")))
+    val inter = size(array_intersect(col("a_gr"), col("b_gr")))
+    val jac = inter.cast("double") / (col("a_n") + col("b_n") - inter)
     a.join(b, Seq("lang", "bucket"))
       .where(col("a_id") < col("b_id") &&
              abs(col("a_chars") - col("b_chars")) <= 25)
