@@ -33,29 +33,40 @@ object TextDedup {
     * same lang with |n_chars| within 25. The length band is implemented
     * as bucket-and-replicate (equi-join on (lang, bucket)), identical in
     * result to the oracle's theta predicate. */
-  def qDedupJaccard(s: SparkSession, sf: String): DataFrame = {
-    val d = Tables.documents(s, sf).select(
-      col("doc_id"), col("lang"), col("n_chars"), tokens.as("tk"))
-      .withColumn("n_tk", size(col("tk")))
+  def qDedupJaccard(s: SparkSession, sf: String): DataFrame =
+    bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6)
+
+  /** Shared (lang, length-band) bucket-and-replicate exact-Jaccard join
+    * used by the token-set and n-gram variants.
+    *
+    * |A∪B| = |A|+|B|-|A∩B| for distinct sets — one intersect per pair,
+    * no union array materialized (the union alloc dominated pair cost).
+    * An empty-features pair (0/0) scores 0.0 on both engines, never
+    * NaN (Spark NaN-is-largest would smuggle it past the threshold;
+    * DuckDB 0/0 is NULL). */
+  private def bandedJaccardPairs(docs: DataFrame, features: Column,
+                                 tau: Double): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+                        features.as("ft"))
+      .withColumn("n_ft", size(col("ft")))
     val a = d.select(col("doc_id").as("a_id"), col("lang"),
-                     col("n_chars").as("a_chars"), col("tk").as("a_tk"),
-                     col("n_tk").as("a_n"))
+                     col("n_chars").as("a_chars"), col("ft").as("a_ft"),
+                     col("n_ft").as("a_n"))
       .withColumn("bucket", floor(col("a_chars") / 25))
     val b = d.select(col("doc_id").as("b_id"), col("lang"),
-                     col("n_chars").as("b_chars"), col("tk").as("b_tk"),
-                     col("n_tk").as("b_n"))
+                     col("n_chars").as("b_chars"), col("ft").as("b_ft"),
+                     col("n_ft").as("b_n"))
       .withColumn("bucket", explode(array(floor(col("b_chars") / 25) - 1,
                                           floor(col("b_chars") / 25),
                                           floor(col("b_chars") / 25) + 1)))
-    // |A∪B| = |A|+|B|-|A∩B| for distinct sets — one intersect per pair,
-    // no union array materialized (the union alloc dominated pair cost)
-    val inter = size(array_intersect(col("a_tk"), col("b_tk")))
-    val jac = inter.cast("double") / (col("a_n") + col("b_n") - inter)
+    val inter = size(array_intersect(col("a_ft"), col("b_ft")))
+    val denom = col("a_n") + col("b_n") - inter
+    val jac = when(denom > 0, inter.cast("double") / denom).otherwise(lit(0.0))
     a.join(b, Seq("lang", "bucket"))
       .where(col("a_id") < col("b_id") &&
              abs(col("a_chars") - col("b_chars")) <= 25)
       .withColumn("jaccard", round(jac, 4))
-      .where(col("jaccard") >= 0.6)
+      .where(col("jaccard") >= tau)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
   }
@@ -137,28 +148,7 @@ object TextDedup {
       array_distinct(transform(sequence(lit(0), size(tk) - 2),
         i => concat_ws(" ", slice(tk, i + 1, lit(2))))))
       .otherwise(array().cast("array<string>"))
-    val d = Tables.documents(s, sf).select(
-      col("doc_id"), col("lang"), col("n_chars"), grams.as("gr"))
-      .withColumn("n_gr", size(col("gr")))
-    val a = d.select(col("doc_id").as("a_id"), col("lang"),
-                     col("n_chars").as("a_chars"), col("gr").as("a_gr"),
-                     col("n_gr").as("a_n"))
-      .withColumn("bucket", floor(col("a_chars") / 25))
-    val b = d.select(col("doc_id").as("b_id"), col("lang"),
-                     col("n_chars").as("b_chars"), col("gr").as("b_gr"),
-                     col("n_gr").as("b_n"))
-      .withColumn("bucket", explode(array(floor(col("b_chars") / 25) - 1,
-                                          floor(col("b_chars") / 25),
-                                          floor(col("b_chars") / 25) + 1)))
-    val inter = size(array_intersect(col("a_gr"), col("b_gr")))
-    val jac = inter.cast("double") / (col("a_n") + col("b_n") - inter)
-    a.join(b, Seq("lang", "bucket"))
-      .where(col("a_id") < col("b_id") &&
-             abs(col("a_chars") - col("b_chars")) <= 25)
-      .withColumn("jaccard", round(jac, 4))
-      .where(col("jaccard") >= 0.5)
-      .select("a_id", "b_id", "jaccard")
-      .orderBy("a_id", "b_id")
+    bandedJaccardPairs(Tables.documents(s, sf), grams, 0.5)
   }
 
   /** SimHash near-dup at scale (no oracle — xxhash64 is engine-specific).

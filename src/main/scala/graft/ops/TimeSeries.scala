@@ -127,7 +127,10 @@ object TimeSeries {
     val sm = sum(col("value")).over(frame)
     val ssq = sum(col("value") * col("value")).over(frame)
     val mu = sm / n
-    val sd = sqrt((ssq - sm * sm / n) / (n - 1))
+    // clamp: cancellation can push the variance a hair negative for
+    // near-constant frames — Spark sqrt would give NaN (which passes
+    // NaN-is-largest filters!) and DuckDB sqrt would hard-error
+    val sd = sqrt(greatest((ssq - sm * sm / n) / (n - 1), lit(0.0)))
     Tables.events(s, sf)
       .withColumn("n20", n).withColumn("sd", sd)
       .withColumn("z", (col("value") - mu) / col("sd"))

@@ -241,9 +241,9 @@ object OracleSql {
         SELECT event_id, user_id, value,
           COUNT(value) OVER f AS n20,
           SUM(value) OVER f / COUNT(value) OVER f AS mu,
-          sqrt((SUM(value * value) OVER f
+          sqrt(greatest((SUM(value * value) OVER f
                 - SUM(value) OVER f * SUM(value) OVER f / COUNT(value) OVER f)
-               / (COUNT(value) OVER f - 1)) AS sd
+               / (COUNT(value) OVER f - 1), 0.0)) AS sd
         FROM events
         WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) inner_t) t
@@ -588,8 +588,10 @@ object OracleSql {
       FROM documents)
     SELECT a_id, b_id, jaccard FROM (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        round(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.gr, b.gr))), 4) AS jaccard
+        round(CASE WHEN len(list_distinct(list_concat(a.gr, b.gr))) > 0
+              THEN CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.gr, b.gr)))
+              ELSE 0.0 END, 4) AS jaccard
       FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
         AND abs(a.n_chars - b.n_chars) <= 25) t
     WHERE jaccard >= 0.5

@@ -120,7 +120,13 @@ object StreamOps {
   /** s_stream_tws: per-user all-time high-water mark via the Spark 4
     * `transformWithState` API (typed `ValueState`, RocksDB-backed —
     * the successor to flatMapGroupsWithState for arbitrary state).
-    * Emits a row each time a user's value exceeds their running max. */
+    * Emits a row each time a user's value exceeds their running max.
+    *
+    * State here is deliberately O(distinct users) — an ALL-TIME max is
+    * unbounded-history semantics by definition (the exception to this
+    * file's watermark-bounded rule). A production deployment over an
+    * open-ended key space would add `TTLConfig` with
+    * `TimeMode.ProcessingTime` to cap it at O(recently-active users). */
   private class HighWaterProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, HighWater] {
     import org.apache.spark.sql.{Encoders => E}
@@ -135,7 +141,9 @@ object StreamOps {
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[HighWater] = {
       var cur = if (max.exists()) max.get() else Double.NegativeInfinity
       val out = Seq.newBuilder[HighWater]
-      rows.foreach { e =>
+      // transformWithState guarantees grouping, not intra-key order —
+      // sort by event time so the emitted high-water set is deterministic
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
         if (e.value > cur) { cur = e.value; out += HighWater(key, e.value) }
       }
       max.update(cur)
