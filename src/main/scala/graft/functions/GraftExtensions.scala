@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for graft's native expressions.
+  *
+  * DataFrame callers go through `VectorExpressions` (no session setup
+  * needed); this class additionally exposes the kernels to `spark.sql`
+  * users. Activate per session with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * or `.withExtensions(new GraftExtensions)` — the standard
+  * `SparkSessionExtensions` injection point, so a cluster admin can
+  * enable the library fleet-wide via config alone.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String)(builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+     new ExpressionInfo(classOf[DotProduct].getName, name),
+     builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("graft_dot") { args => DotProduct(args(0), args(1)) })
+    ext.injectFunction(fn("graft_l2sq") { args => SquaredL2(args(0), args(1)) })
+  }
+}

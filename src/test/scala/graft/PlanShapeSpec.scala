@@ -61,6 +61,12 @@ class PlanShapeSpec extends SparkSpec {
            s"bucketed join still shuffles:\n$p")
   }
 
+  test("graft_dot is SQL-callable via SparkSessionExtensions") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect()
+    assert(r.head.getDouble(0) == 11.0)
+  }
+
   test("q_sink_partitioned read-back prunes partitions in the scan") {
     val p = plan(Relational.qSinkPartitioned(spark, sf))
     assert(p.contains("PartitionFilters: [") && p.contains("o_orderstatus"),
