@@ -49,16 +49,37 @@ object Multimodal {
     * payload) → per-partition decode → SQL-visible decoded schema. */
   def qMultimodalDecode(s: SparkSession, sf: String): DataFrame = {
     import s.implicits._
+    decoded(s, sf).toDF().orderBy("doc_id")
+  }
+
+  private def decoded(s: SparkSession, sf: String): Dataset[DecodedMedia] = {
+    import s.implicits._
     val assets: Dataset[MediaAsset] = Tables.documents(s, sf)
       .select(col("doc_id"), col("lang"),
               encode(col("text"), "UTF-8").as("payload"))
       .as[MediaAsset]
-    assets
-      .mapPartitions { it =>
-        // One "codec init" per partition would go here.
-        it.map(decodeStub)
+    assets.mapPartitions { it =>
+      // One "codec init" per partition would go here.
+      it.map(decodeStub)
+    }
+  }
+
+  /** One sampled frame of a decoded "video" asset. */
+  final case class SampledFrame(doc_id: Long, frame_idx: Long, width: Long)
+
+  /** Frame sampling: every 4th frame of each decoded asset, as a typed
+    * flatMap — the row-explosion stage of a video-training pipeline
+    * (each output row would carry the frame tensor; here just its
+    * metadata, the decode being stubbed). Fan-out happens AFTER the
+    * per-partition decode so the codec runs once per asset, not per
+    * frame. */
+  def qMultimodalFrames(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    decoded(s, sf)
+      .flatMap { d =>
+        (0L until d.n_frames by 4L).map(i => SampledFrame(d.doc_id, i, d.width))
       }
       .toDF()
-      .orderBy("doc_id")
+      .orderBy("doc_id", "frame_idx")
   }
 }

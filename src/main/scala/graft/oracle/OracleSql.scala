@@ -718,6 +718,12 @@ object OracleSql {
     WHERE sim >= 0.4
     ORDER BY a_id, b_id""")
 
+  val qMultimodalFrames: String = n("""
+    SELECT doc_id,
+      CAST(unnest(range(0, 1 + n_chars % 24, 4)) AS BIGINT) AS frame_idx,
+      64 + n_chars % 512 AS width
+    FROM documents ORDER BY doc_id, frame_idx""")
+
   val qMultimodalDecode: String = n("""
     SELECT doc_id, lang,
       64 + n_chars % 512 AS width,
