@@ -57,8 +57,8 @@ object TextAnalysis {
 
   /** Heuristic quality score per doc — repetition (distinct-token
     * ratio), mean word length, stopword ratio — aggregated per source.
-    * Per-doc score is rounded to 4 decimals before the decimal-sum
-    * average so the cross-engine aggregate is exact. */
+    * Per-doc score is rounded (at a tie-free scale, see below) before
+    * the decimal-sum average so the cross-engine aggregate is exact. */
   def qTextQuality(s: SparkSession, sf: String): DataFrame = {
     val d = Tables.documents(s, sf)
       .withColumn("tk", toks)
@@ -69,13 +69,19 @@ object TextAnalysis {
         (col("n_chars") - col("n_words") + lit(1.0)) / col("n_words"))
       .withColumn("stop_ratio",
         size(filter(col("tk"), t => t === "the" || t === "a")) / col("n_words"))
+      // round at scale 6, NOT 4: quality values are exact multiples of
+      // 2.5e-5 on this formula, which sit ON the 1e-4 rounding grid's
+      // midpoints — Spark (shortest-decimal HALF_UP) and DuckDB
+      // (binary-value) break those ties differently (bit us at sf0.1).
+      // At 1e-6 every value is an even multiple of the half-step, so no
+      // tie exists on either engine.
       .withColumn("quality", round(
         lit(0.4) * col("distinct_ratio") +
         lit(0.3) * least(col("mean_wlen") / lit(8.0), lit(1.0)) +
-        lit(0.3) * (lit(1.0) - col("stop_ratio")), 4))
+        lit(0.3) * (lit(1.0) - col("stop_ratio")), 6))
     d.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-           (dsum(col("quality")) / count(lit(1))).as("avg_quality"),
+           (dsum(col("quality"), 6) / count(lit(1))).as("avg_quality"),
            sum(when(col("quality") < 0.5, 1L).otherwise(0L)).as("n_low"))
       .orderBy("source")
   }

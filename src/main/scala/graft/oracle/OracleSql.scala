@@ -667,13 +667,13 @@ object OracleSql {
           0.4::DOUBLE * (len(list_distinct(tk)) / n_words) +
           0.3::DOUBLE * least(((n_chars - n_words + 1.0::DOUBLE) / n_words) / 8.0::DOUBLE, 1.0::DOUBLE) +
           0.3::DOUBLE * (1.0::DOUBLE - (len(list_filter(tk, t -> t = 'the' OR t = 'a')) / n_words)),
-        4) AS quality
+        6) AS quality
       FROM (
         SELECT source, n_chars, string_split(lower(text), ' ') AS tk,
           CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_words
         FROM documents) t)
     SELECT source, COUNT(*) AS n_docs,
-      CAST(SUM(CAST(quality AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_quality,
+      CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_quality,
       SUM(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS n_low
     FROM d GROUP BY source ORDER BY source ASC NULLS FIRST""")
 
