@@ -1,0 +1,113 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SpaceSaving heavy-hitters sketch as a native Catalyst aggregate
+  * (Metwally et al. 2005; merge rule per Agarwal et al., "Mergeable
+  * Summaries").
+  *
+  * The exact top-k (groupBy.count + orderBy.limit) shuffles one row per
+  * DISTINCT key; at 100 TB with a high-cardinality key that shuffle is
+  * the bottleneck. This sketch keeps `capacity` counters per partition
+  * and merges them pairwise — shuffle volume is O(capacity × partitions)
+  * regardless of key cardinality, with the classic guarantees:
+  * estimate ≥ true count, and estimate − true ≤ N / capacity.
+  *
+  * Implemented as a `TypedImperativeAggregate` (the Catalyst class for
+  * arbitrary-state aggregates): per-partition update, binary serialize
+  * for the partial-aggregate shuffle, buffer merge, final eval to
+  * `array<struct<item, est>>` sorted by (est desc, item).
+  */
+case class SpaceSavingTopK(
+    child: Expression,
+    k: Int,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  override def prettyName: String = "graft_topk_sketch"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType), StructField("est", LongType))))
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  private def add(b: mutable.HashMap[String, Long], item: String, n: Long): Unit =
+    b.get(item) match {
+      case Some(c) => b.update(item, c + n)
+      case None if b.size < capacity => b.update(item, n)
+      case None =>
+        // evict the minimum counter; the newcomer inherits its count
+        // (the SpaceSaving overestimate that keeps est >= true)
+        val (minItem, minCnt) = b.minBy { case (i, c) => (c, i) }
+        b.remove(minItem)
+        b.update(item, minCnt + n)
+    }
+
+  override def update(b: mutable.HashMap[String, Long],
+                      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) add(b, v.toString, 1L)
+    b
+  }
+
+  override def merge(b: mutable.HashMap[String, Long],
+                     other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    other.foreach { case (item, cnt) => add(b, item, cnt) }
+    b
+  }
+
+  override def eval(b: mutable.HashMap[String, Long]): Any = {
+    val top = b.toSeq.sortBy { case (i, c) => (-c, i) }.take(k)
+    new GenericArrayData(top.map { case (i, c) =>
+      InternalRow(UTF8String.fromString(i), c)
+    }.toArray[Any])
+  }
+
+  override def serialize(b: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.size)
+    b.foreach { case (i, c) => out.writeUTF(i); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val b = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) { val item = in.readUTF(); b.update(item, in.readLong()); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SpaceSavingTopK =
+    copy(child = newChildren.head)
+}
+
+object SpaceSavingTopK {
+  /** Aggregate Column: approximate top-k heavy hitters of a string column. */
+  def topkSketch(c: Column, k: Int, capacity: Int): Column =
+    Bridge.column(
+      SpaceSavingTopK(Bridge.expression(c), k, capacity).toAggregateExpression())
+}

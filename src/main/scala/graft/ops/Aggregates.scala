@@ -146,4 +146,18 @@ object Aggregates {
       .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
            round(expr("percentile(value, 0.95)"), 4).as("p95"))
       .orderBy("event_type")
+
+  /** Heavy hitters via graft's native SpaceSaving sketch aggregate
+    * (`functions/SpaceSavingTopK.scala`) — shuffle is O(capacity ×
+    * partitions) regardless of key cardinality, vs one row per DISTINCT
+    * key for the exact groupBy.count. No oracle (estimates depend on
+    * partitioning); exact twin: q_topk_global/q_agg_distinct family;
+    * bounds property-tested (est ≥ true, est − true ≤ N/capacity). */
+  def aAggTopkSketch(s: SparkSession, sf: String): DataFrame = {
+    import graft.functions.SpaceSavingTopK.topkSketch
+    Tables.events(s, sf)
+      .agg(topkSketch(col("user_id").cast("string"), 10, 64).as("top"))
+      .select(explode(col("top")).as("hh"))
+      .select(col("hh.item").as("user_id"), col("hh.est").as("est"))
+  }
 }

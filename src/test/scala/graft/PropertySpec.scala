@@ -91,6 +91,24 @@ class PropertySpec extends SparkSpec {
     assert(sh.count() > 0, "dup-heavy fixture should contain simhash pairs")
   }
 
+  test("SpaceSaving sketch honors its bounds: est >= true, error <= N/capacity") {
+    val truth = Tables.events(spark, sf)
+      .groupBy(col("user_id").cast("string").as("user_id"))
+      .count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    val capacity = 64L
+    val sketch = Aggregates.aAggTopkSketch(spark, sf).collect()
+    assert(sketch.nonEmpty && sketch.length <= 10)
+    sketch.foreach { r =>
+      val (item, est) = (r.getString(0), r.getLong(1))
+      val exact = truth.getOrElse(item, 0L)
+      assert(est >= exact, s"sketch underestimated $item: $est < $exact")
+      assert(est - exact <= n / capacity,
+             s"sketch error for $item exceeds N/capacity: $est vs $exact (N=$n)")
+    }
+  }
+
   test("set-op algebra: |A ∪all B| = |A| + |B|; except ⊆ left") {
     val n = Relational.qUnionAll(spark, sf).count()
     assert(n == Tables.customer(spark, sf).count() + Tables.supplier(spark, sf).count())
