@@ -16,13 +16,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def fn(name: String)(builder: Seq[Expression] => Expression) =
+  private def fn(name: String, impl: Class[_])(
+      builder: (Expression, Expression) => Expression) =
     (new FunctionIdentifier(name),
-     new ExpressionInfo(classOf[DotProduct].getName, name),
-     builder)
+     new ExpressionInfo(impl.getName, name),
+     (args: Seq[Expression]) => {
+       require(args.length == 2,
+         s"$name requires exactly 2 arguments, got ${args.length}")
+       builder(args(0), args(1))
+     })
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(fn("graft_dot") { args => DotProduct(args(0), args(1)) })
-    ext.injectFunction(fn("graft_l2sq") { args => SquaredL2(args(0), args(1)) })
+    ext.injectFunction(fn("graft_dot", classOf[DotProduct])(DotProduct.apply))
+    ext.injectFunction(fn("graft_l2sq", classOf[SquaredL2])(SquaredL2.apply))
   }
 }

@@ -40,6 +40,12 @@ case class SpaceSavingTopK(
   override def prettyName: String = "graft_topk_sketch"
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column (cast first), got ${child.dataType.sql}")
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType), StructField("est", LongType))))
 
@@ -52,8 +58,17 @@ case class SpaceSavingTopK(
       case None if b.size < capacity => b.update(item, n)
       case None =>
         // evict the minimum counter; the newcomer inherits its count
-        // (the SpaceSaving overestimate that keeps est >= true)
-        val (minItem, minCnt) = b.minBy { case (i, c) => (c, i) }
+        // (the SpaceSaving overestimate that keeps est >= true).
+        // Plain linear scan without tuple allocation — fine at the
+        // capacities used here; a production structure would keep the
+        // stream-summary bucket list for O(1) amortized eviction.
+        var minItem: String = null
+        var minCnt = Long.MaxValue
+        b.foreach { case (i, c) =>
+          if (c < minCnt || (c == minCnt && (minItem == null || i < minItem))) {
+            minItem = i; minCnt = c
+          }
+        }
         b.remove(minItem)
         b.update(item, minCnt + n)
     }
@@ -82,7 +97,12 @@ case class SpaceSavingTopK(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(b.size)
-    b.foreach { case (i, c) => out.writeUTF(i); out.writeLong(c) }
+    b.foreach { case (i, c) =>
+      // length-prefixed raw UTF-8, not writeUTF (whose modified-UTF-8
+      // form caps items at 64KB — too small for a general text key)
+      val bytes = i.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length); out.write(bytes); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -92,7 +112,14 @@ case class SpaceSavingTopK(
     val n = in.readInt()
     val b = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { val item = in.readUTF(); b.update(item, in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      val item = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      b.update(item, in.readLong())
+      i += 1
+    }
     b
   }
 
