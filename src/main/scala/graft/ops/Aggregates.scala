@@ -89,11 +89,12 @@ object Aggregates {
            max(col("value")).as("max_value"))
       .orderBy("user_id")
 
-  /** Per-group sorted set of event types (deterministic array output). */
+  /** Per-group sorted set of event types, '|'-joined to a scalar string
+    * (array-typed output columns break the grading harness, §7.3(6)). */
   def qAggCollectSorted(s: SparkSession, sf: String): DataFrame =
     Tables.events(s, sf)
       .groupBy(col("user_id"))
-      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      .agg(concat_ws("|", sort_array(collect_set(col("event_type")))).as("types"))
       .orderBy("user_id")
 
   def qAggRollup(s: SparkSession, sf: String): DataFrame =
@@ -132,11 +133,16 @@ object Aggregates {
       .orderBy("day")
 
   /** Quantile sketch — the 100 TB form. No oracle; exact twin:
-    * q_agg_percentile_exact. */
+    * q_agg_percentile_exact. The quantile array is projected to scalar
+    * p50/p95/p99 columns (array output breaks the harness, §7.3(6)). */
   def aAggPercentileApprox(s: SparkSession, sf: String): DataFrame =
     Tables.events(s, sf)
       .groupBy(col("event_type"))
-      .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("quantiles"))
+      .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("q"))
+      .select(col("event_type"),
+              col("q").getItem(0).as("p50"),
+              col("q").getItem(1).as("p95"),
+              col("q").getItem(2).as("p99"))
       .orderBy("event_type")
 
   /** Exact interpolated percentiles, rounded on both engines. */

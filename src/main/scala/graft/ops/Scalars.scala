@@ -46,8 +46,10 @@ object Scalars {
     Tables.part(s, sf)
       .select(col("p_partkey"),
               abs(col("p_retailprice") - 950).as("abs_diff"),
-              ceil(col("p_retailprice")).as("ceil_price"),
-              floor(col("p_retailprice")).as("floor_price"),
+              // double, not Spark's native LONG: DuckDB ceil/floor return
+              // DOUBLE and the driver hash is dtype-class-sensitive (§7.3)
+              ceil(col("p_retailprice")).cast("double").as("ceil_price"),
+              floor(col("p_retailprice")).cast("double").as("floor_price"),
               round(sqrt(col("p_retailprice")), 4).as("sqrt_price"),
               round(log(col("p_retailprice")), 4).as("ln_price"),
               round(exp(col("p_retailprice") / 1000), 4).as("exp_scaled"),
@@ -72,22 +74,29 @@ object Scalars {
     Tables.orders(s, sf)
       .select(col("o_orderkey"),
               col("o_orderkey").cast("string").as("key_str"),
-              col("o_totalprice").cast("decimal(18,4)").as("price_dec"),
+              // decimal math stays internal; a decimal-typed OUTPUT column
+              // is hash-hostile (pyarrow object vs DuckDB float64, §7.3)
+              col("o_totalprice").cast("decimal(18,4)").cast("double").as("price_dec"),
               col("o_totalprice").cast("bigint").as("price_int"),
               col("o_orderdate").cast("string").as("date_str"),
-              col("o_orderdate").cast("date").as("date_only"),
+              // DATE-typed output reads as pandas object (datetime.date)
+              // while DuckDB DATE converts to datetime64 — emit the
+              // truncated value as TIMESTAMP on both sides (§7.3)
+              col("o_orderdate").cast("date").cast("timestamp").as("date_only"),
               lit("2024-03-15 12:30:00").cast("timestamp").as("fixed_ts"))
       .orderBy("o_orderkey")
 
-  /** Token-array kit over documents.text (whitespace-tokenized corpus). */
+  /** Token-array kit over documents.text (whitespace-tokenized corpus).
+    * Array intermediates are flattened to '|'-joined strings on output —
+    * array-typed output columns break the grading harness (§7.3(6)). */
   def qFnArray(s: SparkSession, sf: String): DataFrame = {
     val toks = split(col("text"), " ")
     Tables.documents(s, sf)
       .select(col("doc_id"),
               size(toks).as("n_tokens"),
               array_contains(toks, "key").as("has_key"),
-              slice(toks, 1, 5).as("first5"),
-              sort_array(array_distinct(toks)).as("vocab"),
+              concat_ws("|", slice(toks, 1, 5)).as("first5"),
+              concat_ws("|", sort_array(array_distinct(toks))).as("vocab"),
               size(array_distinct(toks)).as("n_distinct"))
       .orderBy("doc_id")
   }
@@ -115,7 +124,7 @@ object Scalars {
       .select(col("event_id"),
               element_at(m, "type").as("mtype"),
               element_at(m, "uid").as("muid"),
-              sort_array(map_keys(m)).as("mkeys"),
+              concat_ws("|", sort_array(map_keys(m))).as("mkeys"),
               element_at(str_to_map(concat(lit("k="), get_json_object(col("props"), "$.k")),
                                     lit(","), lit("=")), "k").cast("int").as("k_via_map"))
       .orderBy("event_id")

@@ -39,6 +39,27 @@ object TextDedup {
   /** Shared (lang, length-band) bucket-and-replicate exact-Jaccard join
     * used by the token-set and n-gram variants.
     *
+    * Shuffle discipline (same as the LSH twins): ONLY (lang, bucket, id,
+    * chars, |ft|) rides the banded candidate join — feature arrays
+    * re-join after candidate generation, so the join shuffle is a few
+    * dozen bytes per candidate instead of two full feature arrays per
+    * pair (at round-2 bench the array-carrying join dominated cost).
+    * Each pair survives in exactly one bucket (b's three replica values
+    * are distinct), so no distinct() is needed.
+    *
+    * Features are hashed to 64-bit longs before the set math: 8-byte
+    * elements instead of strings halve the verify-join payload and make
+    * the per-pair intersect integer-compare cheap. A 64-bit collision
+    * could in principle perturb one Jaccard value; at corpus vocabulary
+    * sizes the probability is ~|vocab|²/2⁶⁴ ≈ 1e-8 — negligible.
+    *
+    * Exact size-ratio prune: J(A,B) ≥ τ implies |A∩B| ≥ τ(|A|+|B|)/(1+τ)
+    * and |A∩B| ≤ min, hence min ≥ τ·max. The filter runs in integer
+    * arithmetic at τ−1e-4 (the output rounds Jaccard to 4 decimals, so a
+    * pair can legitimately round UP across the threshold; the 1e-4 slack
+    * strictly covers that window) — no float boundary can drop a pair
+    * the oracle keeps.
+    *
     * |A∪B| = |A|+|B|-|A∩B| for distinct sets — one intersect per pair,
     * no union array materialized (the union alloc dominated pair cost).
     * An empty-features pair (0/0) scores 0.0 on both engines, never
@@ -47,24 +68,29 @@ object TextDedup {
   private def bandedJaccardPairs(docs: DataFrame, features: Column,
                                  tau: Double): DataFrame = {
     val d = docs.select(col("doc_id"), col("lang"), col("n_chars"),
-                        features.as("ft"))
+                        array_distinct(transform(features, t => xxhash64(t))).as("ft"))
       .withColumn("n_ft", size(col("ft")))
     val a = d.select(col("doc_id").as("a_id"), col("lang"),
-                     col("n_chars").as("a_chars"), col("ft").as("a_ft"),
-                     col("n_ft").as("a_n"))
+                     col("n_chars").as("a_chars"), col("n_ft").as("a_n"))
       .withColumn("bucket", floor(col("a_chars") / 25))
     val b = d.select(col("doc_id").as("b_id"), col("lang"),
-                     col("n_chars").as("b_chars"), col("ft").as("b_ft"),
-                     col("n_ft").as("b_n"))
+                     col("n_chars").as("b_chars"), col("n_ft").as("b_n"))
       .withColumn("bucket", explode(array(floor(col("b_chars") / 25) - 1,
                                           floor(col("b_chars") / 25),
                                           floor(col("b_chars") / 25) + 1)))
+    val tauNum = math.round(tau * 10000) - 1  // τ−1e-4 in integer space
+    val cand = a.join(b, Seq("lang", "bucket"))
+      .where(col("a_id") < col("b_id") &&
+             abs(col("a_chars") - col("b_chars")) <= 25 &&
+             least(col("a_n"), col("b_n")) * 10000 >=
+               lit(tauNum) * greatest(col("a_n"), col("b_n")))
+      .select("a_id", "b_id", "a_n", "b_n")
     val inter = size(array_intersect(col("a_ft"), col("b_ft")))
     val denom = col("a_n") + col("b_n") - inter
     val jac = when(denom > 0, inter.cast("double") / denom).otherwise(lit(0.0))
-    a.join(b, Seq("lang", "bucket"))
-      .where(col("a_id") < col("b_id") &&
-             abs(col("a_chars") - col("b_chars")) <= 25)
+    cand
+      .join(d.select(col("doc_id").as("a_id"), col("ft").as("a_ft")), "a_id")
+      .join(d.select(col("doc_id").as("b_id"), col("ft").as("b_ft")), "b_id")
       .withColumn("jaccard", round(jac, 4))
       .where(col("jaccard") >= tau)
       .select("a_id", "b_id", "jaccard")

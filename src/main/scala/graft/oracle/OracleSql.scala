@@ -65,12 +65,20 @@ object OracleSql {
       round(var_samp(value), 4) AS var_value
     FROM events GROUP BY event_type ORDER BY event_type""")
 
+  // ROW_NUMBER over (value DESC, event_id DESC) rather than arg_max:
+  // DuckDB's arg_max(event_id, value) has unspecified tie-breaking, the
+  // window picks the same (max value, max event_id) Spark's max_by-with-
+  // struct-tiebreak does even if a user's max value is duplicated.
   val qAggArgmax: String = n("""
-    SELECT user_id, arg_max(event_id, value) AS best_event, MAX(value) AS max_value
-    FROM events GROUP BY user_id ORDER BY user_id""")
+    SELECT user_id, best_event, max_value FROM (
+      SELECT user_id, event_id AS best_event, value AS max_value,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY value DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1 ORDER BY user_id""")
 
   val qAggCollectSorted: String = n("""
-    SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+    SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types
     FROM events GROUP BY user_id ORDER BY user_id""")
 
   val qAggRollup: String = n("""
@@ -142,7 +150,7 @@ object OracleSql {
       round(exp(p_retailprice / 1000), 4) AS exp_scaled,
       round(pow(p_retailprice, 1.5), 2) AS pow_price,
       p_partkey % 7 AS key_mod,
-      sign(p_retailprice - 950) AS sign_diff
+      CAST(sign(p_retailprice - 950) AS DOUBLE) AS sign_diff
     FROM part ORDER BY p_partkey""")
 
   val qFnConditional: String = n("""
@@ -159,10 +167,10 @@ object OracleSql {
   val qFnCast: String = n("""
     SELECT o_orderkey,
       CAST(o_orderkey AS VARCHAR) AS key_str,
-      CAST(o_totalprice AS DECIMAL(18,4)) AS price_dec,
+      CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price_dec,
       CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
       CAST(o_orderdate AS VARCHAR) AS date_str,
-      CAST(o_orderdate AS DATE) AS date_only,
+      CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS date_only,
       TIMESTAMP '2024-03-15 12:30:00' AS fixed_ts
     FROM orders ORDER BY o_orderkey""")
 
@@ -170,8 +178,8 @@ object OracleSql {
     SELECT doc_id,
       len(string_split(text, ' ')) AS n_tokens,
       list_contains(string_split(text, ' '), 'key') AS has_key,
-      list_slice(string_split(text, ' '), 1, 5) AS first5,
-      list_sort(list_distinct(string_split(text, ' '))) AS vocab,
+      array_to_string(list_slice(string_split(text, ' '), 1, 5), '|') AS first5,
+      array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|') AS vocab,
       len(list_distinct(string_split(text, ' '))) AS n_distinct
     FROM documents ORDER BY doc_id""")
 
@@ -190,7 +198,7 @@ object OracleSql {
     SELECT event_id,
       event_type AS mtype,
       CAST(user_id AS VARCHAR) AS muid,
-      ['type', 'uid'] AS mkeys,
+      'type|uid' AS mkeys,
       CAST(json_extract_string(props, '$.k') AS INT) AS k_via_map
     FROM events ORDER BY event_id""")
 
@@ -272,8 +280,9 @@ object OracleSql {
       FROM events),
     sessioned AS (
       SELECT user_id, ts,
-        SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        CAST(SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS sess
       FROM flagged)
     SELECT user_id, sess, COUNT(*) AS n_events, MIN(ts) AS session_start,
       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_s
@@ -337,7 +346,8 @@ object OracleSql {
     ORDER BY sim DESC, a_id, b_id LIMIT 20""")
 
   val qTextStats: String = n("""
-    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+    SELECT lang, source, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
     FROM documents GROUP BY lang, source ORDER BY lang, source""")
 
@@ -354,7 +364,7 @@ object OracleSql {
           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b), 4) AS norm_sq
       FROM documents JOIN embeddings ON doc_id = vec_id
       WHERE label < 5)
-    SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars,
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       CAST(SUM(CAST(norm_sq AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_norm
     FROM j GROUP BY lang ORDER BY lang""")
 
@@ -674,7 +684,7 @@ object OracleSql {
         FROM documents) t)
     SELECT source, COUNT(*) AS n_docs,
       CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_quality,
-      SUM(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS n_low
+      CAST(SUM(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
     FROM d GROUP BY source ORDER BY source ASC NULLS FIRST""")
 
   val qTextTokens: String = n("""
