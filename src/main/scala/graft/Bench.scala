@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional first arg: comma-separated query names (local iteration
+    // only — the driver invokes Bench with no args)
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,8 +31,16 @@ object Bench {
     // first timed query.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val attempts = (1 to 2).flatMap { _ =>
+        // untimed GC first: start every attempt from a comparable heap.
+        // Without it, a query following an allocation-heavy one measures
+        // the previous query's garbage (observed: identical ngram runs
+        // at 4 s on a clean heap vs 21 s with 47 s of task GC on an
+        // aged one). Also lets ContextCleaner drop stale shuffle state.
+        System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>

@@ -36,64 +36,140 @@ object TextDedup {
   def qDedupJaccard(s: SparkSession, sf: String): DataFrame =
     bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6)
 
-  /** Shared (lang, length-band) bucket-and-replicate exact-Jaccard join
-    * used by the token-set and n-gram variants.
+  /** Shared exact-Jaccard pair join used by the token-set and n-gram
+    * variants: canonicalize → dedup → pair the distinct sets → expand.
     *
-    * Shuffle discipline (same as the LSH twins): ONLY (lang, bucket, id,
-    * chars, |ft|) rides the banded candidate join — feature arrays
-    * re-join after candidate generation, so the join shuffle is a few
-    * dozen bytes per candidate instead of two full feature arrays per
-    * pair (at round-2 bench the array-carrying join dominated cost).
-    * Each pair survives in exactly one bucket (b's three replica values
-    * are distinct), so no distinct() is needed.
+    * Jaccard is a function of the feature SETS alone, so docs with an
+    * identical set (the fixture corpus averages ~10 exact/shuffled dups
+    * per set; real crawl corpora behave the same) need the similarity
+    * computed only once. Three phases, all exact:
     *
-    * Features are hashed to 64-bit longs before the set math: 8-byte
-    * elements instead of strings halve the verify-join payload and make
-    * the per-pair intersect integer-compare cheap. A 64-bit collision
-    * could in principle perturb one Jaccard value; at corpus vocabulary
-    * sizes the probability is ~|vocab|²/2⁶⁴ ≈ 1e-8 — negligible.
+    *  1. CANONICALIZE: per doc, a 64-bit set id = xxhash64 of the
+    *     sorted, delimited feature list. Docs group by set id; one
+    *     representative per distinct set (~10× fewer rows here).
+    *  2. PAIR the distinct sets via an inverted-index join: explode each
+    *     representative's features into (gram, setid, |ft|) postings,
+    *     self-join on gram, COUNT co-occurrences per (sa, sb) with a
+    *     partial+final hash aggregate — the count IS |A∩B|, so Jaccard
+    *     follows from |A∪B| = |A|+|B|−|A∩B| with no per-pair array
+    *     work. The exact size-ratio prune (J ≥ τ ⟹ min|ft| ≥ τ·max|ft|)
+    *     runs in integer arithmetic at τ−1e-4: the output rounds
+    *     Jaccard to 4 decimals, so a pair can legitimately round UP
+    *     across the threshold, and the 1e-4 slack strictly covers that
+    *     window — no float boundary can drop a pair the oracle keeps.
+    *     Identical sets join as the diagonal (J = 1.0 when non-empty)
+    *     without touching the index. The dup-heavy quadratic collapses
+    *     here: pair count scales with DISTINCT sets squared, not docs
+    *     squared (~100× fewer pairs on this corpus).
+    *  3. EXPAND set pairs back to doc pairs through the membership
+    *     table, applying the per-doc blocking predicates (same lang,
+    *     |Δchars| ≤ 25 — members of one set can differ in both) and
+    *     canonical (a_id < b_id) ordering. Output-bound: every surviving
+    *     row is (almost) an output row.
     *
-    * Exact size-ratio prune: J(A,B) ≥ τ implies |A∩B| ≥ τ(|A|+|B|)/(1+τ)
-    * and |A∩B| ≤ min, hence min ≥ τ·max. The filter runs in integer
-    * arithmetic at τ−1e-4 (the output rounds Jaccard to 4 decimals, so a
-    * pair can legitimately round UP across the threshold; the 1e-4 slack
-    * strictly covers that window) — no float boundary can drop a pair
-    * the oracle keeps.
+    * Alternatives measured worse on the dup-heavy fixture: feature
+    * arrays riding a blocked doc×doc join concentrate in a few (lang,
+    * length-band) cells → one straggler task (~1.3 of 32 cores busy);
+    * id-only candidates + per-candidate array re-join add two
+    * pair-level shuffles carrying arrays (12× worse); and the doc-level
+    * (un-deduped) posting join streams m² co-occurrence rows per gram
+    * group through the aggregate — ~100× this version's phase-2 work.
     *
-    * |A∪B| = |A|+|B|-|A∩B| for distinct sets — one intersect per pair,
-    * no union array materialized (the union alloc dominated pair cost).
-    * An empty-features pair (0/0) scores 0.0 on both engines, never
-    * NaN (Spark NaN-is-largest would smuggle it past the threshold;
-    * DuckDB 0/0 is NULL). */
+    * This is also the honest 100 TB composition: exact-dedup first
+    * (`q_dedup_exact` is this pipeline's phase 1 with whole-text
+    * features), near-dup only across distinct content, postings sharded
+    * by gram — every shuffle carries a handful of longs.
+    *
+    * Features are hashed to 64-bit longs AFTER the explode (a top-level
+    * xxhash64 is codegen'd; a per-element transform() lambda is
+    * interpreted — measured 40 CPU-s vs ~2). A 64-bit collision could
+    * perturb one Jaccard value with probability ~|vocab|²/2⁶⁴ ≈ 1e-8 —
+    * negligible. Pairs sharing zero features never materialize: their
+    * Jaccard is 0 (or 0/0 → 0 for empty sets) on both engines and
+    * τ > 0 excludes them — same result, no work. */
   private def bandedJaccardPairs(docs: DataFrame, features: Column,
                                  tau: Double): DataFrame = {
-    val d = docs.select(col("doc_id"), col("lang"), col("n_chars"),
-                        array_distinct(transform(features, t => xxhash64(t))).as("ft"))
+    // repartition(32) first: the fixture table is ONE parquet file, so
+    // extraction would otherwise run as a single task (~8 s measured).
+    // The \u0001 delimiter: cannot occur in whitespace-split features, so
+    // the canonical string is unambiguous.
+    val d = docs.repartition(32)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+              array_distinct(features).as("ft"))
       .withColumn("n_ft", size(col("ft")))
-    val a = d.select(col("doc_id").as("a_id"), col("lang"),
-                     col("n_chars").as("a_chars"), col("n_ft").as("a_n"))
-      .withColumn("bucket", floor(col("a_chars") / 25))
-    val b = d.select(col("doc_id").as("b_id"), col("lang"),
-                     col("n_chars").as("b_chars"), col("n_ft").as("b_n"))
-      .withColumn("bucket", explode(array(floor(col("b_chars") / 25) - 1,
-                                          floor(col("b_chars") / 25),
-                                          floor(col("b_chars") / 25) + 1)))
+      // lang folds into the set identity AND stays a posting join key:
+      // the corpus' common tokens ("the", "a", ...) appear in nearly
+      // every set, and an unblocked posting group over them pairs ALL
+      // representatives — lang-blocking cuts those groups 5x (25x fewer
+      // joined rows).
+      .withColumn("setid",
+        xxhash64(concat_ws("\u0001", col("lang"), array_sort(col("ft")))))
+      // one more explicit exchange AFTER extraction: `d` feeds both the
+      // membership side and the reps/postings side, and without a shared
+      // shuffle boundary each side re-evaluates the (allocation-heavy)
+      // feature build -- ReuseExchange computes this node once.
+      .repartition(32)
+    val members = d.select(col("setid"), col("doc_id"), col("lang"), col("n_chars"))
+    // per-set n_chars interval: a set pair whose member char ranges sit
+    // > 25 apart cannot produce any doc pair passing |dChars| <= 25 --
+    // exact interval-distance pruning at the rep level.
+    val reps = d.groupBy(col("setid"))
+      .agg(first(col("lang")).as("lang"), first(col("ft")).as("ft"),
+           first(col("n_ft")).as("n_ft"),
+           min(col("n_chars")).as("c_lo"), max(col("n_chars")).as("c_hi"))
+    // ONE posting exchange shared by both join sides (renames sit ABOVE
+    // it → ReuseExchange evaluates the subtree once). The explicit
+    // REPARTITION_BY_NUM also defeats AQE's input-size-based
+    // coalescing, which sees only the small pre-explosion shuffle and
+    // would collapse the join stage to ~1 task (measured: 14.7 s in one
+    // task, 31 idle cores) — it cannot know the join output is m² per
+    // gram group.
+    val posts = reps.select(col("setid"), col("lang"), col("n_ft"),
+                            col("c_lo"), col("c_hi"), explode(col("ft")).as("g"))
+      .select(col("setid"), col("lang"), col("n_ft"), col("c_lo"), col("c_hi"),
+              xxhash64(col("g")).as("gram"))
+      .repartition(64, col("lang"), col("gram"))
+    val aP = posts.select(col("lang"), col("gram"), col("setid").as("sa"),
+                          col("n_ft").as("na"),
+                          col("c_lo").as("a_lo"), col("c_hi").as("a_hi"))
+    val bP = posts.select(col("lang"), col("gram"), col("setid").as("sb"),
+                          col("n_ft").as("nb"),
+                          col("c_lo").as("b_lo"), col("c_hi").as("b_hi"))
     val tauNum = math.round(tau * 10000) - 1  // τ−1e-4 in integer space
-    val cand = a.join(b, Seq("lang", "bucket"))
-      .where(col("a_id") < col("b_id") &&
-             abs(col("a_chars") - col("b_chars")) <= 25 &&
-             least(col("a_n"), col("b_n")) * 10000 >=
-               lit(tauNum) * greatest(col("a_n"), col("b_n")))
-      .select("a_id", "b_id", "a_n", "b_n")
-    val inter = size(array_intersect(col("a_ft"), col("b_ft")))
-    val denom = col("a_n") + col("b_n") - inter
-    val jac = when(denom > 0, inter.cast("double") / denom).otherwise(lit(0.0))
-    cand
-      .join(d.select(col("doc_id").as("a_id"), col("ft").as("a_ft")), "a_id")
-      .join(d.select(col("doc_id").as("b_id"), col("ft").as("b_ft")), "b_id")
-      .withColumn("jaccard", round(jac, 4))
+    val co = aP.join(bP, Seq("lang", "gram"))
+      .where(col("sa") < col("sb") &&
+             col("a_lo") <= col("b_hi") + 25 &&
+             col("b_lo") <= col("a_hi") + 25 &&
+             least(col("na"), col("nb")) * 10000 >=
+               lit(tauNum) * greatest(col("na"), col("nb")))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter"),
+           first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter")), 4))
       .where(col("jaccard") >= tau)
-      .select("a_id", "b_id", "jaccard")
+      .select(col("sa"), col("sb"), col("jaccard"))
+    // identical non-empty sets: J(A, A) = 1 by definition (the oracle's
+    // 0/0 case for empty sets scores 0 and is excluded by τ > 0)
+    val diag = reps.where(col("n_ft") > 0)
+      .select(col("setid").as("sa"), col("setid").as("sb"),
+              lit(1.0).as("jaccard"))
+    val ma = members.select(col("setid").as("sa"), col("doc_id").as("ida"),
+                            col("lang").as("la"), col("n_chars").as("ca"))
+    val mb = members.select(col("setid").as("sb"), col("doc_id").as("idb"),
+                            col("lang").as("lb"), col("n_chars").as("cb"))
+    co.unionByName(diag)
+      .join(ma, "sa")
+      .join(mb, "sb")
+      // same-set pairs appear as (x,y) AND (y,x) — keep one; cross-set
+      // pairs appear once with arbitrary id order — canonicalize below
+      .where((col("sa") =!= col("sb") || col("ida") < col("idb")) &&
+             col("la") === col("lb") &&
+             abs(col("ca") - col("cb")) <= 25)
+      .select(least(col("ida"), col("idb")).as("a_id"),
+              greatest(col("ida"), col("idb")).as("b_id"),
+              col("jaccard"))
       .orderBy("a_id", "b_id")
   }
 
@@ -117,7 +193,10 @@ object TextDedup {
     val nHashes = 32
     val rowsPerBand = 2
     val prime = 2147483647L
-    val d = Tables.documents(s, sf).select(
+    // repartition(32): the fixture table is one parquet file; without
+    // this the 32-hash signature computation runs as a single task
+    // (measured 7.9 s of an 11 s query on one core)
+    val d = Tables.documents(s, sf).repartition(32).select(
       col("doc_id"), col("lang"), col("n_chars"), tokens.as("tk"))
     // minhash_i = min over tokens of an affine transform of murmur3(token)
     val sigs: Seq[Column] = (0 until nHashes).map { i =>
@@ -139,8 +218,13 @@ object TextDedup {
     // candidate set is orders of magnitude larger than the doc set;
     // shuffling arrays with it is the classic LSH blow-up). Tokens
     // re-join after dedup.
+    // ONE banded exchange shared by both join sides (renames above it →
+    // ReuseExchange), explicitly REPARTITION_BY_NUM so AQE's input-size
+    // coalescing can't collapse the band join to ~1 task (it sees only
+    // the small pre-join shuffle, not the in-bucket pair blow-up).
     val exploded = d.select(col("doc_id"), col("lang"), col("n_chars"),
                             explode(bands).as("key"))
+      .repartition(64, col("lang"), col("key"))
     val left = exploded.select(col("lang"), col("key"),
                                col("doc_id").as("a_id"), col("n_chars").as("a_chars"))
     val right = exploded.select(col("lang"), col("key"),
@@ -152,8 +236,12 @@ object TextDedup {
     val inter = size(array_intersect(col("a_tk"), col("b_tk")))
     val jac = inter.cast("double") /
               (size(col("a_tk")) + size(col("b_tk")) - inter)
-    pairs
+    // verify joins: explicit pair-side repartition for the same AQE
+    // reason — the candidate set is the big side and the per-pair
+    // intersect is the heavy stage
+    pairs.repartition(64, col("a_id"))
       .join(d.select(col("doc_id").as("a_id"), col("tk").as("a_tk")), "a_id")
+      .repartition(64, col("b_id"))
       .join(d.select(col("doc_id").as("b_id"), col("tk").as("b_tk")), "b_id")
       .withColumn("jaccard", round(jac, 4))
       .where(col("jaccard") >= 0.6)
@@ -192,7 +280,9 @@ object TextDedup {
     val nBits = 32
     val nBands = 4
     val bitsPerBand = nBits / nBands
-    val d0 = Tables.documents(s, sf).select(
+    // repartition(32): parallelize the 32 per-bit vote aggregates (the
+    // fixture table is one parquet file → one task otherwise)
+    val d0 = Tables.documents(s, sf).repartition(32).select(
       col("doc_id"), col("lang"), col("n_chars"), tokens.as("tk"))
     // bit j of the signature: sign of the ±1 vote sum over tokens
     val sig: Column = (0 until nBits).map { j =>
@@ -204,8 +294,10 @@ object TextDedup {
     val chunks: Column = array((0 until nBands).map { k =>
       shiftright(col("sig"), k * bitsPerBand).bitwiseAND((1 << bitsPerBand) - 1)
     }: _*)
+    // shared non-coalescible banded exchange (same rationale as minhash)
     val exploded = d.select(col("doc_id"), col("lang"), col("n_chars"), col("sig"),
                             posexplode(chunks).as(Seq("band", "chunk")))
+      .repartition(64, col("lang"), col("band"), col("chunk"))
     val left = exploded.select(col("lang"), col("band"), col("chunk"),
                                col("doc_id").as("a_id"), col("n_chars").as("a_chars"),
                                col("sig").as("a_sig"))

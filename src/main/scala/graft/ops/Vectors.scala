@@ -26,9 +26,12 @@ object Vectors {
 
   private def dot(a: Column, b: Column): Column = dotProduct(a, b)
 
-  /** (vec_id, dv, nrm) with the norm computed once per vector. */
+  /** (vec_id, dv, nrm) with the norm computed once per vector.
+    * repartition(32): the fixture table is one parquet file — without it
+    * every derived pairwise op starts from a single-task scan side. */
   private def normed(s: SparkSession, sf: String): DataFrame =
     Tables.embeddings(s, sf)
+      .repartition(32)
       .select(col("vec_id"), col("embedding").as("dv"))
       .withColumn("nrm", sqrt(dot(col("dv"), col("dv"))))
 
@@ -108,14 +111,19 @@ object Vectors {
     // nodes and Catalyst time dwarfed execution)
     val sigs = v.withColumn("bands",
       graft.functions.VectorExpressions.srpSignature(col("dv"), planes, bitsPerBand))
+    // shared banded exchange, REPARTITION_BY_NUM so AQE's input-size
+    // coalescing can't serialize the in-bucket pair join (it sees only
+    // the small signature shuffle, not the pair blow-up)
     val exploded = sigs.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bv")))
+      .repartition(64, col("band"), col("bv"))
     val cand = exploded.select(col("band"), col("bv"), col("vec_id").as("a_id"))
       .join(exploded.select(col("band"), col("bv"), col("vec_id").as("b_id")),
             Seq("band", "bv"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    cand
+    cand.repartition(64, col("a_id"))
       .join(aSide(v), "a_id")
+      .repartition(64, col("b_id"))
       .join(bSide(v), "b_id")
       .withColumn("sim", pairSim)
       .where(col("sim") >= 0.4)

@@ -1,0 +1,60 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+
+/** Micro-batch sink boundary (SURVEY.md §2.1 row 6 / §7.4 "ClickHouse
+  * sink"): the engine's streaming queries end in `foreachBatch` against
+  * this trait, so the storage binding is swappable — parquet in this
+  * sandbox, a JDBC-speaking warehouse (ClickHouse, Postgres, ...) in a
+  * deployment with network access.
+  *
+  * Scale notes: `write` receives one micro-batch DataFrame per trigger
+  * and runs on the driver, but the writes it issues are distributed
+  * (DataFrameWriter fans out per partition). Exactly-once across sink
+  * retries comes from (a) the checkpointed batchId — implementations
+  * can key an idempotent upsert on it — and (b) append targets that
+  * tolerate replays (parquet append + downstream dedup, or a keyed
+  * MERGE on the warehouse side).
+  */
+trait BatchSink extends Serializable {
+  def write(batch: DataFrame, batchId: Long): Unit
+}
+
+/** Append each micro-batch as parquet files under `outDir` — the
+  * sandbox-testable implementation (covered by StreamingSpec's
+  * foreachBatch round-trip). */
+final class ParquetAppendSink(outDir: String) extends BatchSink {
+  override def write(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("append").parquet(outDir)
+}
+
+/** JDBC binding of the same seam — compiles against Spark's built-in
+  * JDBC source; untestable offline (no reachable database, no driver
+  * jar), by declared design. For ClickHouse the url is
+  * `jdbc:clickhouse://host:8123/db` with the vendor driver on the
+  * classpath; `ON CONFLICT`-style idempotent upserts would replace the
+  * plain append via `foreachPartition` once a concrete dialect is
+  * fixed. */
+final class JdbcAppendSink(url: String, table: String,
+                           options: Map[String, String] = Map.empty)
+    extends BatchSink {
+  override def write(batch: DataFrame, batchId: Long): Unit = {
+    val w = batch.write.mode("append").format("jdbc")
+      .option("url", url).option("dbtable", table)
+    options.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
+  }
+}
+
+object Sinks {
+  /** Bind a streaming DataFrame to a [[BatchSink]] with checkpointed
+    * progress — the single entry point all sink variants share. */
+  def sinkTo(df: DataFrame, sink: BatchSink,
+             checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink.write(batch, batchId)
+      }
+}

@@ -182,13 +182,10 @@ object StreamOps {
               col("imp_ts"), col("clk_ts"))
   }
 
-  /** s_stream_foreachbatch_sink: micro-batch append into a batch parquet
-    * table — the "write to ClickHouse" seam; swapping the lambda for a
-    * JDBC upsert is the production binding. */
+  /** s_stream_foreachbatch_sink: micro-batch append through the
+    * [[BatchSink]] seam (Sinks.scala) — parquet binding here; the JDBC
+    * binding ([[JdbcAppendSink]]) is the "write to ClickHouse"
+    * production form, compiled but untestable offline. */
   def foreachBatchParquetSink(df: DataFrame, outDir: String, checkpoint: String) =
-    df.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
-      }
+    Sinks.sinkTo(df, new ParquetAppendSink(outDir), checkpoint)
 }

