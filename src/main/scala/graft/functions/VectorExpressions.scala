@@ -182,6 +182,103 @@ case class SrpSignature(child: Expression, planes: Array[Array[Double]],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** IVF coarse-quantizer cell assignment: the indices of the `nprobe`
+  * centroids with the highest dot product against the input vector
+  * (centroids pre-normalized by the caller, so dot order = cosine
+  * order), lowest index first on exact dot ties.
+  *
+  * Same packaging rationale as [[SrpSignature]]: the centroid matrix is
+  * a codegen reference object, not literal arrays, so the K×dim
+  * constants don't balloon the Catalyst tree; the K dots + nprobe-pass
+  * selection run as one fused loop inside WholeStageCodegen.
+  */
+case class IvfCells(child: Expression, cents: Array[Array[Double]],
+                    nprobe: Int) extends UnaryExpression {
+  override def prettyName: String = "graft_ivf_cells"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<double>/array<float> input, got ${t.sql}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dots = new Array[Double](cents.length)
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(c.length, v.numElements())
+      var s = 0.0; var d = 0
+      while (d < n) {
+        s += c(d) * (if (isFloat) v.getFloat(d).toDouble else v.getDouble(d))
+        d += 1
+      }
+      dots(j) = s
+      j += 1
+    }
+    val out = new Array[Int](nprobe)
+    var p = 0
+    while (p < nprobe) {
+      var best = -1; var bestDot = Double.NegativeInfinity
+      var k = 0
+      while (k < dots.length) {
+        if (dots(k) > bestDot) { best = k; bestDot = dots(k) }
+        k += 1
+      }
+      out(p) = best
+      dots(best) = Double.NegativeInfinity
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("cents", cents, "double[][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val j = ctx.freshName("j"); val d = ctx.freshName("d")
+      val s = ctx.freshName("s"); val c = ctx.freshName("c")
+      val n = ctx.freshName("n"); val dots = ctx.freshName("dots")
+      val out = ctx.freshName("out"); val p = ctx.freshName("p")
+      val k = ctx.freshName("k"); val best = ctx.freshName("best")
+      val bestDot = ctx.freshName("bestDot")
+      s"""
+        |final double[][] ${c}s = $mat;
+        |final double[] $dots = new double[${c}s.length];
+        |for (int $j = 0; $j < ${c}s.length; $j++) {
+        |  final double[] $c = ${c}s[$j];
+        |  final int $n = java.lang.Math.min($c.length, $v.numElements());
+        |  double $s = 0.0;
+        |  for (int $d = 0; $d < $n; $d++) {
+        |    $s += $c[$d] * (double) $v.$get($d);
+        |  }
+        |  $dots[$j] = $s;
+        |}
+        |final int[] $out = new int[$nprobe];
+        |for (int $p = 0; $p < $nprobe; $p++) {
+        |  int $best = -1; double $bestDot = Double.NEGATIVE_INFINITY;
+        |  for (int $k = 0; $k < $dots.length; $k++) {
+        |    if ($dots[$k] > $bestDot) { $best = $k; $bestDot = $dots[$k]; }
+        |  }
+        |  $out[$p] = $best;
+        |  $dots[$best] = Double.NEGATIVE_INFINITY;
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object VectorExpressions {
   /** Codegen dot product of two array<float|double> columns. */
   def dotProduct(a: Column, b: Column): Column =
@@ -195,4 +292,8 @@ object VectorExpressions {
   def srpSignature(v: Column, planes: Array[Array[Double]],
                    bitsPerBand: Int): Column =
     Bridge.column(SrpSignature(Bridge.expression(v), planes, bitsPerBand))
+
+  /** Top-`nprobe` IVF cell ids of an array<float|double> column. */
+  def ivfCells(v: Column, cents: Array[Array[Double]], nprobe: Int): Column =
+    Bridge.column(IvfCells(Bridge.expression(v), cents, nprobe))
 }

@@ -89,6 +89,28 @@ object Aggregates {
            max(col("value")).as("max_value"))
       .orderBy("user_id")
 
+  /** Per-group MODE (most frequent value) with a deterministic
+    * count-desc/value-asc tie-break: per-nation modal order priority.
+    * Two-phase — count per (group, value) is a partial+final hash agg;
+    * the argmax over counts is a min_by on a (−count, value) struct,
+    * NOT a window: the second phase shuffles one row per (group, value)
+    * and keeps one per group, with no sort and no skew-prone per-group
+    * row_number at scale. */
+  def qAggMode(s: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(s, sf)
+    val c = Tables.customer(s, sf)
+    val counts = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .groupBy(col("c_nationkey"))
+      .agg(min_by(struct(col("o_orderpriority"), col("n")),
+                  struct(negate(col("n")), col("o_orderpriority"))).as("m"))
+      .select(col("c_nationkey"), col("m.o_orderpriority").as("mode_priority"),
+              col("m.n").as("n"))
+      .orderBy("c_nationkey")
+  }
+
   /** Per-group sorted set of event types, '|'-joined to a scalar string
     * (array-typed output columns break the grading harness, §7.3(6)). */
   def qAggCollectSorted(s: SparkSession, sf: String): DataFrame =

@@ -101,6 +101,64 @@ object TextAnalysis {
                   lit(0L), (a, x) => a + x).as("n_pieces"))
       .orderBy("doc_id")
 
+  /** Deterministic 1/8 corpus sample: keep docs whose md5(doc_id) starts
+    * with '0' or '1' (2 of 16 hex buckets). Hash-based sampling is the
+    * at-scale form — stable across runs and engines, no RNG state,
+    * trivially parallel (each task filters its own split, nothing
+    * shuffles until the ordered output). At 100 TB the bucket would be
+    * materialized as a partition column so the filter prunes whole
+    * files; md5 of the id string is identical in Spark and DuckDB. */
+  def qSampleHash(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .where(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Deterministic train/val/test split (12/2/2 of 16 md5 buckets) with
+    * per-(split, lang) accounting. The assignment is a pure function of
+    * doc_id, so it is reproducible shard-by-shard at any scale and any
+    * partitioning — the property a training pipeline needs from a split. */
+  def qSampleSplit(s: SparkSession, sf: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val split_ = when(bucket <= "b", "train")
+      .when(bucket <= "d", "val")
+      .otherwise("test")
+    Tables.documents(s, sf)
+      .withColumn("split", split_)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           min(col("doc_id")).as("min_doc"),
+           max(col("doc_id")).as("max_doc"))
+      .orderBy("split", "lang")
+  }
+
+  /** Gopher-style rule-based quality filter: word-count bounds, mean
+    * word length band, distinct-token (repetition) ratio — each rule in
+    * INTEGER arithmetic (mean word length as `10·Σlen vs bounds·wc`), so
+    * the pass/fail sets are exact on both engines with no float rounding
+    * anywhere. Σ word lengths falls out of n_chars for single-spaced
+    * text: Σlen = n_chars − (wc − 1). Single-pass map-side scan + one
+    * aggregate — the at-scale shape for corpus filtering. */
+  def qTextGopher(s: SparkSession, sf: String): DataFrame = {
+    val wc = size(col("tk"))
+    val sumLen = col("n_chars") - wc + 1
+    val dk = size(array_distinct(col("tk")))
+    val rWc = wc.between(20, 90)
+    val rMwl = sumLen * 10 >= wc * 38 && sumLen * 10 <= wc * 46
+    val rRep = dk * 10 >= wc * 5
+    def fails(r: Column): Column = sum(when(r, 0L).otherwise(1L))
+    Tables.documents(s, sf)
+      .withColumn("tk", toks)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(rWc && rMwl && rRep, 1L).otherwise(0L)).as("n_pass"),
+           fails(rWc).as("n_fail_wordcount"),
+           fails(rMwl).as("n_fail_wordlen"),
+           fails(rRep).as("n_fail_repetition"))
+      .orderBy("source")
+  }
+
   /** Document fingerprint: minimum md5 over word 3-shingles (a 1-grid
     * winnowing fingerprint). Groups sharing a fingerprint are near-dup
     * cluster candidates; emitted clusters of ≥ 2. */

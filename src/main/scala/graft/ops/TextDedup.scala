@@ -314,6 +314,82 @@ object TextDedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Near-dup CLUSTERS: connected components over the exact-Jaccard
+    * pair graph (τ=0.6, same blocking as `q_dedup_jaccard`), labels =
+    * min reachable doc_id. This is the step a real dedup pipeline runs
+    * after pair generation — "keep one doc per cluster" needs the
+    * component, not the pairs (A≈B, B≈C ⟹ {A,B,C} is one cluster even
+    * if A,C never paired).
+    *
+    * Implementation: iterative min-label propagation to fixpoint —
+    * each round every node takes the min of its own and its neighbors'
+    * labels (one equi-join + partial-agg min per round; both sides
+    * hash-partitioned on the same key so AQE turns the loop joins into
+    * co-partitioned SMJ/SHJ). Rounds needed = graph eccentricity of
+    * each component's min node; near-dup components are clique-like, so
+    * 2-3 rounds close the fixture (and crawl corpora behave the same).
+    * The per-round `count` is a convergence CHECK, not a data collect —
+    * the labels never leave the cluster. At 100 TB the identical loop
+    * body runs with the alternating large-star/small-star optimization
+    * (Kiveris et al., "Connected Components in MapReduce"), which
+    * bounds rounds by O(log n) on adversarial chain graphs; the fixture
+    * shape never builds chains so plain propagation is the honest
+    * choice. Output: (doc_id, cluster_id, cluster_size) for every doc
+    * that has at least one near-dup. */
+  def qDedupCluster(s: SparkSession, sf: String): DataFrame = {
+    val pairs = bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6)
+      .select(col("a_id"), col("b_id"))
+    // localCheckpoint (NOT persist) on every loop-carried DataFrame:
+    // persist caches partitions but the LOGICAL plan still nests the
+    // full history — `labels` appears twice per round, so the analyzed
+    // tree doubles every iteration and Catalyst OOMs near round ~15.
+    // Local checkpointing truncates lineage to the materialized blocks,
+    // keeping every round's plan constant-size.
+    val edges = pairs
+      .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .repartition(32, col("b_id"))
+      .localCheckpoint()
+    var labels = edges.select(col("a_id").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+      .repartition(32, col("id"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) { // runaway guard; pointer jumping closes in O(log diameter)
+      // step 1 — neighbor min: each node takes the min label in its
+      // closed neighborhood (one hop per round on its own — near-dup
+      // chains across the length band made that ~20 rounds at sf0.1)
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b_id"), col("lab")), "b_id")
+        .groupBy(col("a_id")).agg(min(col("lab")).as("nlab"))
+        .select(col("a_id").as("id"), col("nlab"))
+      val cand = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lab").as("old"),
+                least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab1"))
+      // step 2 — pointer jump (hash-to-min): adopt your label's label.
+      // Labels only decrease and always name a node of the same
+      // component, so the jump preserves the fixpoint (= component
+      // min) while squaring the propagation distance per round:
+      // convergence in O(log diameter) rounds instead of O(diameter).
+      val next = cand
+        .join(cand.select(col("id").as("lab1"), col("lab1").as("lab2")),
+              Seq("lab1"), "left")
+        .select(col("id"), col("old"),
+                least(col("lab1"), coalesce(col("lab2"), col("lab1"))).as("lab"))
+        .repartition(32, col("id"))
+        .localCheckpoint() // ONE materializing action per round; the change count below reads its blocks
+      val nChanged = next.where(col("lab") < col("old")).count()
+      labels = next.select(col("id"), col("lab"))
+      converged = nChanged == 0
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lab")
+      .select(col("id").as("doc_id"), col("lab").as("cluster_id"),
+              col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus stats per (lang, source); integer sums stay exact. */
   def qTextStats(s: SparkSession, sf: String): DataFrame =
     Tables.documents(s, sf)

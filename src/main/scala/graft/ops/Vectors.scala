@@ -131,6 +131,92 @@ object Vectors {
       .orderBy("a_id", "b_id")
   }
 
+  /** ANN near-dup via an IVF (inverted-file) coarse quantizer — the
+    * memory-bounded alternative to `a_sim_ann_lsh`, same exact twin
+    * (`q_dedup_embed`, τ=0.4). No oracle: the centroid set is
+    * implementation-specific; bound by a recall property test.
+    *
+    * K deterministic coarse centroids (the K lowest vec_ids' unit
+    * vectors — K tiny rows collected once, like the broadcast query
+    * vector in `q_sim_search_topk`); each vector is assigned to its
+    * `nprobe` nearest cells by ONE native codegen expression
+    * (`graft_ivf_cells` — K fused dot products + selection, the
+    * centroid matrix riding as a codegen reference object). Candidates
+    * are pairs sharing a cell — (cell, id) ints ride the join, vectors
+    * re-join only for exact-cosine verification, so precision is 1.0 by
+    * construction. Multi-probe (nprobe > 1) is what buys recall: two
+    * vectors at cosine τ need only ONE overlapping cell among their
+    * nprobe assignments.
+    *
+    * At 100 TB: candidate volume per cell is (n·nprobe/K)², tuned by K
+    * growing with n (K ≈ √n is the IVF rule of thumb); the centroid
+    * pass is one broadcast, the cell join shuffles ints only. On
+    * clustered real embeddings the cells align with the data manifold
+    * and recall rises; the fixture's near-random vectors are the
+    * worst case, which the property bound reflects. */
+  def aSimAnnIvf(s: SparkSession, sf: String): DataFrame = {
+    // k and nprobe tuned on the fixture's near-random vectors (IVF's
+    // worst case — no manifold for the cells to follow): k=128/np=10
+    // gives recall 1.0 vs the exact twin while visiting ~half the pair
+    // space; the LSH twin prunes harder on this data, which is WHY both
+    // architectures are here. On clustered real embeddings the IVF
+    // trade flips (cells align with the clusters, np/k shrinks).
+    val k = 128
+    val nprobe = 10
+    val v = normed(s, sf)
+    val cents: Array[Array[Double]] = Tables.embeddings(s, sf)
+      .where(col("vec_id") < k).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map { a =>
+        val n = math.sqrt(a.map(x => x * x).sum)
+        a.map(_ / n)
+      }
+    val assigned = v.withColumn("cells",
+      graft.functions.VectorExpressions.ivfCells(col("dv"), cents,
+        math.min(nprobe, cents.length)))
+    // shared cell exchange, REPARTITION_BY_NUM so AQE's input-size
+    // coalescing can't serialize the in-cell pair join (same rationale
+    // as the LSH banding join)
+    val exploded = assigned.select(col("vec_id"), explode(col("cells")).as("cell"))
+      .repartition(64, col("cell"))
+    val cand = exploded.select(col("cell"), col("vec_id").as("a_id"))
+      .join(exploded.select(col("cell"), col("vec_id").as("b_id")), Seq("cell"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand.repartition(64, col("a_id"))
+      .join(aSide(v), "a_id")
+      .repartition(64, col("b_id"))
+      .join(bSide(v), "b_id")
+      .withColumn("sim", pairSim)
+      .where(col("sim") >= 0.4)
+      .select("a_id", "b_id", "sim")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Per-label embedding centroid in FIXED-POINT: each float component
+    * is floored to a 2⁻³⁰ grid (`floor(x·2³⁰)` — float→double is exact,
+    * the scaled floor is a pure binary op, identical on every engine)
+    * and summed as integers. Integer accumulation is associative, so
+    * the distributed sum is EXACT and order-independent — the same
+    * trick large training pipelines use for deterministic gradient /
+    * stat accumulation — where a double sum would depend on partition
+    * order and a float→decimal cast on engine rounding rules.
+    * Consumer recovers the mean as c_fp / (n · 2³⁰).
+    *
+    * Shape: posexplode is the columnar unpivot (64 rows per vector, all
+    * map-side); the groupBy lands on 640 (label, pos) cells via
+    * partial+final agg, so the shuffle is ~cells × partitions however
+    * many vectors feed it. */
+  def qEmbedCentroid(s: SparkSession, sf: String): DataFrame =
+    Tables.embeddings(s, sf)
+      .repartition(32)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+           sum(floor(col("x").cast("double") * (1L << 30))).as("c_fp"))
+      .orderBy("label", "pos")
+
   /** Multimodal row: text metadata joined with its embedding; per-lang
     * aggregate of (rounded) vector norms — the rounded doubles sum
     * exactly through the decimal path. */

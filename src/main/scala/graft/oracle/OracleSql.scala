@@ -740,4 +740,85 @@ object OracleSql {
       64 + (n_chars * 31 + ascii(substr(text, 1, 1))) % 256 AS height,
       1 + n_chars % 24 AS n_frames
     FROM documents ORDER BY doc_id""")
+
+  // ---- §2.11 extensions (round 3): pipeline composites ----
+
+  val qAggMode: String = n("""
+    WITH counts AS (
+      SELECT c.c_nationkey, o.o_orderpriority, COUNT(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2)
+    SELECT c_nationkey, o_orderpriority AS mode_priority, n
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+            ORDER BY n DESC, o_orderpriority) AS rn FROM counts) t
+    WHERE rn = 1 ORDER BY c_nationkey""")
+
+  val qSampleHash: String = n("""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    ORDER BY doc_id""")
+
+  val qSampleSplit: String = n("""
+    WITH t AS (
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                  ELSE 'test' END AS split, lang, n_chars, doc_id
+      FROM documents)
+    SELECT split, lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM t GROUP BY split, lang ORDER BY split, lang""")
+
+  val qTextGopher: String = n("""
+    WITH t AS (
+      SELECT source,
+        len(string_split(text, ' ')) AS wc,
+        n_chars - len(string_split(text, ' ')) + 1 AS sumlen,
+        len(list_distinct(string_split(text, ' '))) AS dk
+      FROM documents),
+    r AS (
+      SELECT source,
+        CASE WHEN wc BETWEEN 20 AND 90 THEN 1 ELSE 0 END AS p_wc,
+        CASE WHEN sumlen * 10 >= wc * 38 AND sumlen * 10 <= wc * 46 THEN 1 ELSE 0 END AS p_mwl,
+        CASE WHEN dk * 10 >= wc * 5 THEN 1 ELSE 0 END AS p_rep
+      FROM t)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(p_wc * p_mwl * p_rep) AS BIGINT) AS n_pass,
+      CAST(SUM(1 - p_wc) AS BIGINT) AS n_fail_wordcount,
+      CAST(SUM(1 - p_mwl) AS BIGINT) AS n_fail_wordlen,
+      CAST(SUM(1 - p_rep) AS BIGINT) AS n_fail_repetition
+    FROM r GROUP BY source ORDER BY source""")
+
+  val qEmbedCentroid: String = n("""
+    SELECT label, i - 1 AS pos, COUNT(*) AS n,
+      CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824.0) AS BIGINT)) AS BIGINT) AS c_fp
+    FROM embeddings, generate_series(1, 64) t(i)
+    GROUP BY label, i ORDER BY label, pos""")
+
+  val qDedupCluster: String = n("""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang, n_chars,
+        list_distinct(string_split(text, ' ')) AS tk
+      FROM documents),
+    pairs AS (
+      SELECT a_id, b_id FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+        FROM toks a JOIN toks b
+          ON a.doc_id < b.doc_id AND a.lang = b.lang
+         AND abs(a.n_chars - b.n_chars) <= 25) t
+      WHERE jaccard >= 0.6),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs),
+    walk(id, lab) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.id),
+    labels AS (SELECT id, MIN(lab) AS cluster_id FROM walk GROUP BY id),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id)
+    SELECT l.id AS doc_id, l.cluster_id, s.cluster_size
+    FROM labels l JOIN sizes s USING (cluster_id)
+    ORDER BY doc_id""")
 }

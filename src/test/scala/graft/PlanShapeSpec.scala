@@ -85,6 +85,21 @@ class PlanShapeSpec extends SparkSpec {
            s"ANN join planned as nested loop:\n$p")
   }
 
+  test("a_sim_ann_ivf candidates come from a cell equi-join and graft_ivf_cells codegens") {
+    val p = plan(Vectors.aSimAnnIvf(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"IVF join planned as nested loop:\n$p")
+    // the assignment expression runs inside a codegen span
+    import org.apache.spark.sql.functions._
+    val cents = Array.fill(4)(Array.fill(8)(0.5))
+    val df = Tables.embeddings(spark, sf)
+      .select(graft.functions.VectorExpressions
+        .ivfCells(col("embedding"), cents, 2).as("cells"))
+    df.collect()
+    assert(plan(df).contains("*(1) Project [graft_ivf_cells"),
+           s"no codegen span over graft_ivf_cells in:\n${plan(df)}")
+  }
+
   test("vector ops use the native DotProduct expression (codegen), not HOFs") {
     // The knn join runs through graft_dot, not an interpreted HOF chain
     assert(plan(Vectors.qSimKnnJoin(spark, sf)).contains("graft_dot"))

@@ -85,6 +85,36 @@ class PropertySpec extends SparkSpec {
     assert(ann.except(exact).count() == 0)
   }
 
+  test("IVF-ANN recall >= 0.8 against the exact embed-dedup twin") {
+    val exact = Vectors.qDedupEmbed(spark, sf).select("a_id", "b_id")
+    val ivf = Vectors.aSimAnnIvf(spark, sf).select("a_id", "b_id")
+    val nExact = exact.count()
+    assert(nExact > 0, "fixture has no embedding near-dup pairs at tau=0.4")
+    val recall = exact.intersect(ivf).count().toDouble / nExact
+    assert(recall >= 0.8, s"IVF recall $recall < 0.8")
+    // precision 1.0 by construction (exact cosine verification)
+    assert(ivf.except(exact).count() == 0)
+  }
+
+  test("dedup clusters are consistent with the pair graph") {
+    // every paired doc is clustered with its partner; cluster_id is the
+    // component min; sizes agree with the membership rows
+    val pairs = TextDedup.qDedupJaccard(spark, sf).select("a_id", "b_id")
+    val clusters = TextDedup.qDedupCluster(spark, sf)
+    val lab = clusters.select(col("doc_id"), col("cluster_id"))
+    val viaA = pairs.join(lab.withColumnRenamed("doc_id", "a_id"), "a_id")
+      .withColumnRenamed("cluster_id", "ca")
+      .join(lab.withColumnRenamed("doc_id", "b_id"), "b_id")
+      .withColumnRenamed("cluster_id", "cb")
+    assert(viaA.where(col("ca") =!= col("cb")).count() == 0,
+           "paired docs landed in different clusters")
+    assert(clusters.where(col("cluster_id") > col("doc_id")).count() == 0,
+           "cluster_id must be the component minimum")
+    val sizeCheck = clusters.groupBy(col("cluster_id"), col("cluster_size"))
+      .count().where(col("count") =!= col("cluster_size"))
+    assert(sizeCheck.count() == 0, "cluster_size disagrees with membership")
+  }
+
   test("simhash pairs all verify hamming <= 3 and the op finds pairs") {
     val sh = TextDedup.aDedupSimhash(spark, sf)
     assert(sh.where(col("hamming") > 3).count() == 0)
