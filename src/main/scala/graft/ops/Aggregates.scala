@@ -175,6 +175,35 @@ object Aggregates {
            round(expr("percentile(value, 0.95)"), 4).as("p95"))
       .orderBy("event_type")
 
+  /** Point-frequency estimates from a Count-Min sketch (completes the
+    * sketch family: HLL distinct, quantile, SpaceSaving top-k, CMS
+    * frequency). The sketch is Spark's built-in `count_min_sketch`
+    * aggregate — mergeable across partitions with constant memory, the
+    * 100 TB form for frequency queries over unbounded key spaces. The
+    * constant-size binary sketch is collected once (it IS the aggregate
+    * result) and re-broadcast for the probe pass; the probe runs
+    * `mapPartitions` with one deserialize per partition — per-partition
+    * init is exactly what mapPartitions is for. No oracle (estimates
+    * depend on hash geometry); bounds property-tested: est ≥ true and
+    * est − true ≤ ε·N at the sketch's ε=0.001.
+    * Exact twin: the q_agg_groupby/count family. */
+  def aAggCms(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val ev = Tables.events(s, sf).select(col("user_id").cast("string").as("user_id"))
+    val skBytes = ev
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val bc = s.sparkContext.broadcast(skBytes)
+    import s.implicits._
+    ev.distinct().as[String]
+      .mapPartitions { it =>
+        val sk = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bc.value))
+        it.map(k => (k, sk.estimateCount(k)))
+      }
+      .toDF("user_id", "est")
+      .orderBy("user_id")
+  }
+
   /** Heavy hitters via graft's native SpaceSaving sketch aggregate
     * (`functions/SpaceSavingTopK.scala`) — shuffle is O(capacity ×
     * partitions) regardless of key cardinality, vs one row per DISTINCT

@@ -409,4 +409,27 @@ object TextDedup {
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("token"))
       .limit(50)
+
+  /** Top-30 (doc, term) TF-IDF scores — the classic distinctive-term
+    * ranking (it surfaces the corpus' planted "dup" markers). Three
+    * aggregates: per-(doc, term) tf, per-term df (both partial+final
+    * hash aggs over exploded tokens), corpus N as a broadcast 1-row
+    * side. df (≤ |vocab| rows) broadcasts into the tf join, so the only
+    * real shuffle is the tf groupBy; the top-30 runs as
+    * TakeOrderedAndProject on the ROUNDED score with full (doc, term)
+    * tie-breaks — rounding before ordering keeps the cut deterministic
+    * across engines' last-ulp `ln` differences. */
+  def qTextTfidf(s: SparkSession, sf: String): DataFrame = {
+    val tokens = Tables.documents(s, sf)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+    val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nd = broadcast(Tables.documents(s, sf).agg(count(lit(1)).as("nd")))
+    tf.join(broadcast(df_), "token").crossJoin(nd)
+      .select(col("doc_id"), col("token"),
+              round(col("tf") * log(col("nd").cast("double") / col("df")), 4).as("tfidf"))
+      .orderBy(desc("tfidf"), asc("doc_id"), asc("token"))
+      .limit(30)
+  }
 }

@@ -795,6 +795,19 @@ object OracleSql {
     FROM embeddings, generate_series(1, 64) t(i)
     GROUP BY label, i ORDER BY label, pos""")
 
+  val qTextTfidf: String = n("""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token <> '' GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS nd FROM documents)
+    SELECT doc_id, token, round(tf * ln(nd * 1.0 / df), 4) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    ORDER BY tfidf DESC, doc_id, token LIMIT 30""")
+
   val qDedupCluster: String = n("""
     WITH RECURSIVE toks AS (
       SELECT doc_id, lang, n_chars,

@@ -121,6 +121,24 @@ class PropertySpec extends SparkSpec {
     assert(sh.count() > 0, "dup-heavy fixture should contain simhash pairs")
   }
 
+  test("count-min sketch never undercounts and stays within eps*N overhead") {
+    val truth = Tables.events(spark, sf)
+      .groupBy(col("user_id").cast("string").as("user_id"))
+      .count()
+    val n = Tables.events(spark, sf).count()
+    val slack = math.max(2L, (0.001 * n * 5).toLong) // 5x the per-query eps*N bound (prob. guarantee)
+    val joined = Aggregates.aAggCms(spark, sf)
+      .join(truth, "user_id")
+      .select(col("user_id"), col("est"), col("count")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS undercounted ${r.getString(0)}: $est < $exact")
+      assert(est - exact <= slack,
+             s"CMS overcount for ${r.getString(0)} beyond bound: $est vs $exact")
+    }
+  }
+
   test("SpaceSaving sketch honors its bounds: est >= true, error <= N/capacity") {
     val truth = Tables.events(spark, sf)
       .groupBy(col("user_id").cast("string").as("user_id"))
