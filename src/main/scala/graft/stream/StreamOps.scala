@@ -162,6 +162,68 @@ object StreamOps {
         OutputMode.Append())
   }
 
+  /** Output row of the streaming anomaly detector. */
+  case class Anomaly(userId: Long, eventId: Long, value: Double, z: Double)
+
+  /** s_stream_anomaly: per-user streaming z-score outliers — the
+    * streaming twin of batch `q_ts_anomaly`. State is the Welford
+    * running-moment triple (n, mean, M2) per user: O(1) per key, exact
+    * single-pass variance with no catastrophic cancellation (the naive
+    * Σx² − (Σx)²/n form loses all significance once mean ≫ σ). Each
+    * point is scored against the moments of the points BEFORE it
+    * (expanding window — the streaming analogue of the batch op's
+    * trailing frame) and flagged at |z| > 3 after a 5-event warmup.
+    *
+    * State is O(distinct users) like [[HighWaterProcessor]]; a
+    * production deployment over an open key space would add `TTLConfig`
+    * with `TimeMode.ProcessingTime` to cap it at recently-active users. */
+  private class AnomalyProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Anomaly] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var moments:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double, Double)] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      moments = getHandle.getValueState[(Long, Double, Double)](
+        "welford", E.tuple(E.scalaLong, E.scalaDouble, E.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Anomaly] = {
+      var (n, mean, m2) =
+        if (moments.exists()) moments.get() else (0L, 0.0, 0.0)
+      val out = Seq.newBuilder[Anomaly]
+      // grouping is guaranteed, intra-key order is not — sort by event
+      // time so scoring against "prior" points is deterministic
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
+        if (n >= 5) {
+          val sd = math.sqrt(m2 / (n - 1))
+          if (sd > 0) {
+            val z = (e.value - mean) / sd
+            if (math.abs(z) > 3) out += Anomaly(key, e.eventId, e.value, z)
+          }
+        }
+        n += 1
+        val d = e.value - mean
+        mean += d / n
+        m2 += d * (e.value - mean)
+      }
+      moments.update((n, mean, m2))
+      out.result().iterator
+    }
+  }
+
+  /** Requires the RocksDB state store (transformWithState's only
+    * supported provider), like [[highWaterMarks]]. */
+  def streamingAnomalies(events: Dataset[Event]): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new AnomalyProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** s_stream_join: stream-stream interval join — attribute each click
     * to an impression by the same user within the preceding 30 min.
     * Both sides are watermarked and the join condition bounds event

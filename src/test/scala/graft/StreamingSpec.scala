@@ -131,6 +131,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_stream_anomaly: Welford z-score flags the spike, not the warmup") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Event](spark)
+    val q = StreamOps.streamingAnomalies(in.toDS())
+      .writeStream.format("memory").queryName("anomaly")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // warmup: 6 values with small spread (sd > 0), all unflagged —
+      // scoring needs n >= 5 priors
+      in.addData(ev(1, 0, value = 10.0), ev(2, 1, value = 10.2),
+                 ev(3, 2, value = 9.8), ev(4, 3, value = 10.1),
+                 ev(5, 4, value = 9.9), ev(6, 5, value = 10.0))
+      q.processAllAvailable()
+      // spike far beyond 3 sigma of the warmup, then a normal point;
+      // a second user still in warmup stays silent
+      in.addData(ev(7, 6, value = 50.0), ev(8, 7, value = 10.0),
+                 ev(9, 8, user = 2, value = 999.0))
+      q.processAllAvailable()
+      val rows = spark.table("anomaly").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 7L)), s"expected only the user-1 spike, got $rows")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("s_stream_tws: transformWithState tracks per-user high-water marks") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
