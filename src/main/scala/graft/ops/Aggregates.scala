@@ -175,6 +175,65 @@ object Aggregates {
            round(expr("percentile(value, 0.95)"), 4).as("p95"))
       .orderBy("event_type")
 
+  /** PIVOT: order-priority counts spread to columns per status — the
+    * wide-matrix reporting shape. Spark's `pivot` with an EXPLICIT value
+    * list compiles to one two-phase hash aggregate (no extra pass to
+    * discover values, no second shuffle) — at scale always pass the
+    * list; value discovery is a whole extra job. */
+  def qAggPivot(s: SparkSession, sf: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val renames = Seq("n_urgent", "n_high", "n_medium", "n_notspec", "n_low")
+    val p = Tables.orders(s, sf)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+    prios.zip(renames).foldLeft(p) { case (df, (v, r)) =>
+      df.withColumnRenamed(v, r)
+    }.select(col("o_orderstatus") +: renames.map(r => coalesce(col(r), lit(0L)).as(r)): _*)
+      .orderBy("o_orderstatus")
+  }
+
+  /** UNPIVOT (melt): wide per-flag sums back to (flag, metric, val)
+    * long form — the inverse reshape, one map-side explode after the
+    * aggregate, no extra shuffle. */
+  def qAggUnpivot(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+           dsum(col("l_extendedprice")).as("sum_price"))
+      .unpivot(Array(col("l_returnflag")),
+               Array(col("sum_qty"), col("sum_price")),
+               "metric", "val")
+      .orderBy("l_returnflag", "metric")
+
+  /** Correlation + covariance per group from EXPLICIT decimal moments
+    * (Σx, Σy, Σxy, Σx², Σy² — exact, order-independent), with the
+    * closed-form corr/covar computed in double from those exact sums:
+    * both engines then execute the identical IEEE expression on
+    * identical inputs. The built-in `corr`/`covar_samp` are incremental
+    * streaming estimators whose accumulation order differs across
+    * engines/partitionings — unusable for cross-engine hashing, and the
+    * explicit-moment form is also what a map-side-combinable multi-stat
+    * pass computes at scale anyway (one shuffle, five decimal sums). */
+  def qAggCorr(s: SparkSession, sf: String): DataFrame = {
+    val x = col("l_extendedprice")
+    val y = col("l_quantity")
+    val d = Tables.lineitem(s, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+           dsum(x).as("sx"), dsum(y).as("sy"),
+           dsum(x * y, 6).as("sxy"),
+           dsum(x * x, 6).as("sxx"), dsum(y * y, 6).as("syy"))
+    d.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+             round((col("n") * col("sxy") - col("sx") * col("sy")) /
+                   sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                        (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+               .as("corr_price_qty"),
+             round((col("sxy") - col("sx") * col("sy") / col("n")) /
+                   (col("n") - 1), 4).as("covar_samp"))
+      .orderBy("l_returnflag")
+  }
+
   /** Point-frequency estimates from a Count-Min sketch (completes the
     * sketch family: HLL distinct, quantile, SpaceSaving top-k, CMS
     * frequency). The sketch is Spark's built-in `count_min_sketch`

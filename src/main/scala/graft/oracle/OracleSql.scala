@@ -795,6 +795,41 @@ object OracleSql {
     FROM embeddings, generate_series(1, 64) t(i)
     GROUP BY label, i ORDER BY label, pos""")
 
+  val qAggPivot: String = n("""
+    SELECT o_orderstatus,
+      COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+      COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n_high,
+      COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS n_medium,
+      COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS n_notspec,
+      COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+
+  val qAggUnpivot: String = n("""
+    WITH w AS (
+      SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM w
+    ORDER BY l_returnflag, metric""")
+
+  val qAggCorr: String = n("""
+    WITH m AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      round((n * sxy - sx * sy)
+            / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_price_qty,
+      round((sxy - sx * sy / n) / (n - 1), 4) AS covar_samp
+    FROM m ORDER BY l_returnflag""")
+
   val qTextTfidf: String = n("""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
