@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** SQL-surface operators (SURVEY.md §2.11 round-3 extensions): the same
+  * engine consumed through `spark.sql` — subquery decorrelation and
+  * recursive CTEs are Catalyst capabilities a DataFrame chain never
+  * exercises, and a user of the reference engine writes exactly these
+  * shapes.
+  *
+  * Scale notes: Catalyst rewrites the uncorrelated scalar subquery to a
+  * broadcast single-row side and DECORRELATES the correlated one into an
+  * aggregate + join (no per-row re-execution — the naive nested-loop
+  * interpretation would be O(n·groups)). The recursive CTE runs as
+  * UnionLoop, one distributed batch per iteration, same loop shape as
+  * `q_dedup_cluster`'s propagation.
+  */
+object SqlSurface {
+
+  /** Uncorrelated scalar subquery: rows above the global mean, counted
+    * per flag. The threshold is the exact decimal-sum average (§7.3(2))
+    * so both engines compare against bit-identical doubles. */
+  def qSqlScalarSubquery(s: SparkSession, sf: String): DataFrame = {
+    Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT l_returnflag, COUNT(*) AS n_above
+      FROM lineitem
+      WHERE l_quantity > (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+                                 / COUNT(*) FROM lineitem)
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
+  /** Correlated scalar subquery: customers above their own nation's
+    * average balance — Catalyst decorrelates to one aggregate + join. */
+  def qSqlCorrelated(s: SparkSession, sf: String): DataFrame = {
+    Tables.customer(s, sf).createOrReplaceTempView("customer")
+    s.sql("""
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer c
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+                                / COUNT(*)
+                         FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+      ORDER BY c_custkey""")
+  }
+
+  /** Recursive CTE (Spark 4 UnionLoop): a recursive key spine from the
+    * nation table's key range, joined back to the dimension — the
+    * hierarchy/series recursion shape. Iterations are distributed
+    * batches; depth is bounded by the anchor's MAX, far below
+    * `spark.sql.cteRecursionLevelLimit`. */
+  def qSqlRecursive(s: SparkSession, sf: String): DataFrame = {
+    Tables.nation(s, sf).createOrReplaceTempView("nation")
+    s.sql("""
+      WITH RECURSIVE nk(k) AS (
+        SELECT CAST(MIN(n_nationkey) AS INT) FROM nation
+        UNION ALL
+        SELECT k + 1 FROM nk WHERE k < (SELECT MAX(n_nationkey) FROM nation)
+      )
+      SELECT nk.k, n.n_name
+      FROM nk JOIN nation n ON n.n_nationkey = nk.k
+      ORDER BY nk.k""")
+  }
+}

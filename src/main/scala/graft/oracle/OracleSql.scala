@@ -830,6 +830,32 @@ object OracleSql {
       round((sxy - sx * sy / n) / (n - 1), 4) AS covar_samp
     FROM m ORDER BY l_returnflag""")
 
+  val qSqlScalarSubquery: String = n("""
+    SELECT l_returnflag, COUNT(*) AS n_above
+    FROM lineitem
+    WHERE l_quantity > (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+                               / COUNT(*) FROM lineitem)
+    GROUP BY l_returnflag ORDER BY l_returnflag""")
+
+  val qSqlCorrelated: String = n("""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+                              / COUNT(*)
+                       FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    ORDER BY c_custkey""")
+
+  val qSqlRecursive: String = n("""
+    WITH RECURSIVE nk(k) AS (
+      SELECT CAST(MIN(n_nationkey) AS INT) FROM nation
+      UNION ALL
+      SELECT k + 1 FROM nk WHERE k < (SELECT MAX(n_nationkey) FROM nation)
+    )
+    SELECT nk.k, n.n_name
+    FROM nk JOIN nation n ON n.n_nationkey = nk.k
+    ORDER BY nk.k""")
+
   val qTextTfidf: String = n("""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
