@@ -210,4 +210,29 @@ object Relational {
       .select(col("o_orderkey").as("orderkey"))
     l.except(o).orderBy("orderkey")
   }
+
+  /** CDC MERGE / upsert as a plain-parquet pattern: apply an update
+    * batch (derived deterministically here: every 97th order escalates
+    * to status 'X' with a 10% price bump) to the base snapshot via one
+    * FULL OUTER join + field coalesce — matched rows take the update,
+    * unmatched keep the base, insert-only rows (none in this batch)
+    * would pass through the update side. This is the merge shape
+    * `foreachBatch` sinks run at scale when no table format provides
+    * MERGE INTO; the join shuffles on the key both sides and AQE
+    * broadcast-converts when the update batch is small (it usually is).
+    * Output: post-merge per-status accounting. */
+  def qUpsertSnapshot(s: SparkSession, sf: String): DataFrame = {
+    val base = Tables.orders(s, sf)
+    val updates = base.where(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("u_key"),
+              lit("X").as("u_status"),
+              (col("o_totalprice") * lit(1.1)).as("u_price"))
+    base.join(updates, col("o_orderkey") === col("u_key"), "full_outer")
+      .select(coalesce(col("o_orderkey"), col("u_key")).as("okey"),
+              coalesce(col("u_status"), col("o_orderstatus")).as("status"),
+              coalesce(col("u_price"), col("o_totalprice")).as("price"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("price")).as("total_price"))
+      .orderBy("status")
+  }
 }

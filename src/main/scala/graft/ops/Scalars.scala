@@ -131,6 +131,20 @@ object Scalars {
   }
 
   /** from_json → field access → to_json roundtrip projected to scalars. */
+  /** Regex scalar family: anchored capture extract, global replace,
+    * and a match predicate — all per-row map-side expressions, patterns
+    * held to the Java-regex ∩ RE2 shared subset (char classes,
+    * alternation, anchors; no lookaround/backrefs) so both engines
+    * compute identical matches. */
+  def qFnRegex(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).as("n_after_devowel"),
+        when(col("text").rlike("join( [a-z]+)? join"), 1L).otherwise(0L).as("near_dup_joins"))
+      .orderBy("doc_id")
+
   def qFnJson(s: SparkSession, sf: String): DataFrame = {
     val parsed = from_json(col("props"), org.apache.spark.sql.types.StructType(
       Seq(org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))

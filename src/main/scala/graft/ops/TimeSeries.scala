@@ -113,6 +113,55 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** Linear interpolation of per-user hourly gaps (the TSDB
+    * `interpolate()` / PromQL-style gap repair): average value per
+    * (user, hour) where samples exist (exact decimal avg), then fill
+    * each empty hour from the straight line between its nearest
+    * non-null neighbors; boundary gaps extend the nearest value. The
+    * fixture series are ~91% sparse at the user level, so most output
+    * rows are interpolated.
+    *
+    * Shape: one hash agg, a broadcast bounds×users spine, and TWO
+    * passes of one (user)-partitioned window (prev/next non-null via
+    * IGNORE NULLS last/first) — no self-join, no per-gap search. The
+    * per-user partition is exactly how this distributes at scale;
+    * interp math runs on identical IEEE inputs on both engines. */
+  def qTsInterpolate(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf)
+    val hourly = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(davg(col("value")).as("v"))
+    val bounds = e.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+                       date_trunc("hour", max(col("ts"))).as("hi"))
+    val axis = e.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+              explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("bucket"))
+    val w = Window.partitionBy("user_id").orderBy(col("bucket"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+    axis.join(hourly, Seq("user_id", "bucket"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pb", last(when(col("v").isNotNull, col("bucket")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nb", first(when(col("v").isNotNull, col("bucket")), ignoreNulls = true).over(wNext))
+      .withColumn("interp",
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            expr("timestampdiff(HOUR, pb, bucket)").cast("double") /
+            expr("timestampdiff(HOUR, pb, nb)").cast("double")))
+      // floor-quantize to 1e-4 instead of round(): the interpolation
+      // fraction k/m has SMALL denominators, so the value lattice lands
+      // exactly on round()'s grid midpoints (~0.2% of cells here), where
+      // Spark (shortest-decimal HALF_UP) and DuckDB (binary-value) break
+      // ties differently — §7.3(8). floor of the identical IEEE product
+      // involves no tie-breaking at all.
+      .select(col("user_id"), col("bucket"),
+              (floor(col("interp") * 10000) / 10000.0).as("v"))
+      .orderBy("user_id", "bucket")
+  }
+
   /** Rolling z-score anomaly flags: |value − μ₂₀| > 3σ₂₀ over the
     * trailing 20 events per user (σ from the *preceding* frame so the
     * candidate point can't mask itself). Emits only the anomalies —

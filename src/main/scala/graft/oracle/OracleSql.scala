@@ -830,6 +830,64 @@ object OracleSql {
       round((sxy - sx * sy / n) / (n - 1), 4) AS covar_samp
     FROM m ORDER BY l_returnflag""")
 
+  val qUpsertSnapshot: String = n("""
+    WITH updates AS (
+      SELECT o_orderkey AS u_key, 'X' AS u_status,
+        o_totalprice * 1.1 AS u_price
+      FROM orders WHERE o_orderkey % 97 = 0),
+    merged AS (
+      SELECT COALESCE(o.o_orderkey, u.u_key) AS okey,
+        COALESCE(u.u_status, o.o_orderstatus) AS status,
+        COALESCE(u.u_price, o.o_totalprice) AS price
+      FROM orders o FULL OUTER JOIN updates u ON o.o_orderkey = u.u_key)
+    SELECT status, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(price AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+    FROM merged GROUP BY status ORDER BY status""")
+
+  val qFnRegex: String = n("""
+    SELECT doc_id,
+      regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+      length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_after_devowel,
+      CASE WHEN regexp_matches(text, 'join( [a-z]+)? join') THEN 1 ELSE 0 END AS near_dup_joins
+    FROM documents ORDER BY doc_id""")
+
+  val qTsInterpolate: String = n("""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+        CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS v
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events),
+    users AS (SELECT DISTINCT user_id FROM events),
+    axis AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM users, bounds),
+    j AS (
+      SELECT a.user_id, a.bucket, h.v
+      FROM axis a LEFT JOIN hourly h ON a.user_id = h.user_id AND a.bucket = h.bucket),
+    w AS (
+      SELECT user_id, bucket, v,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM j)
+    SELECT user_id, bucket,
+      floor((CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * CAST(date_diff('hour', pb, bucket) AS DOUBLE)
+                                       / CAST(date_diff('hour', pb, nb) AS DOUBLE)
+             END) * 10000) / 10000.0 AS v
+    FROM w ORDER BY user_id, bucket""")
+
   val qSqlScalarSubquery: String = n("""
     SELECT l_returnflag, COUNT(*) AS n_above
     FROM lineitem
