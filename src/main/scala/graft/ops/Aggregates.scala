@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import Util._
@@ -261,6 +262,29 @@ object Aggregates {
       }
       .toDF("user_id", "est")
       .orderBy("user_id")
+  }
+
+  /** Fixed-width latency-style histogram per event_type — the TSDB
+    * `histogram()` primitive: 10 buckets of width 50 over [0, 500),
+    * plus the Prometheus-style cumulative (`le`) count per bucket.
+    * Bucketing runs on `floor(value)` (exact on any IEEE double, both
+    * engines) followed by pure INTEGER division/clamping, so bucket
+    * edges can never straddle engines. One hash agg does all the work;
+    * the window sum runs over the constant-size (≤ 50-row) histogram,
+    * not the events — at 100 TB the agg is the only data-sized stage. */
+  def qAggHistogram(s: SparkSession, sf: String): DataFrame = {
+    val bucket = least(expr("CAST(floor(value) AS BIGINT) div 50"), lit(9L))
+    val cum = Window.partitionBy(col("event_type"))
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, sf)
+      .groupBy(col("event_type"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+           dsum(col("value")).as("sum_value"))
+      .withColumn("lo", col("bucket") * 50)
+      .withColumn("cum_events", sum(col("n_events")).over(cum))
+      .select("event_type", "bucket", "lo", "n_events", "sum_value", "cum_events")
+      .orderBy("event_type", "bucket")
   }
 
   /** Heavy hitters via graft's native SpaceSaving sketch aggregate

@@ -145,6 +145,23 @@ object Scalars {
         when(col("text").rlike("join( [a-z]+)? join"), 1L).otherwise(0L).as("near_dup_joins"))
       .orderBy("doc_id")
 
+  /** Bitwise scalar family — mask/flag extraction over 64-bit ids (the
+    * shard-routing / flag-word idiom): AND/OR/XOR, shifts, popcount.
+    * All integer-exact on both engines; popcount width-normalized to
+    * INT. Pure map-side projection, stays in whole-stage codegen. */
+  def qFnBitwise(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .where(col("event_id") < 2000)
+      .select(
+        col("event_id"),
+        col("event_id").bitwiseAND(lit(255L)).as("band"),
+        col("event_id").bitwiseOR(lit(4096L)).as("bor"),
+        col("event_id").bitwiseXOR(col("user_id")).as("bxor"),
+        shiftleft(col("event_id"), 3).as("shl"),
+        shiftright(col("event_id"), 2).as("shr"),
+        bit_count(col("event_id")).cast("int").as("nbits"))
+      .orderBy("event_id")
+
   def qFnJson(s: SparkSession, sf: String): DataFrame = {
     val parsed = from_json(col("props"), org.apache.spark.sql.types.StructType(
       Seq(org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))

@@ -188,4 +188,44 @@ object TimeSeries {
               round(col("z"), 4).as("z"))
       .orderBy("event_id")
   }
+
+  /** Ordered 4-stage event funnel (signup → view → click → purchase):
+    * per user, the first signup, then the first view AT/after it, then
+    * the first click at/after that, then the first purchase — the
+    * product-analytics conversion query. Emits per-stage user counts
+    * and mean hours-from-signup for the users who reached the stage.
+    *
+    * Shape: each stage is a (user_id)-keyed aggregate joined to the
+    * previous stage on the same key — every join and every groupBy
+    * shuffles on user_id, so the whole chain runs in ONE partitioning
+    * (co-partitioned SMJ / reused exchange), and each stage's row count
+    * only shrinks. Time math is integer µs differences; the mean goes
+    * through the exact decimal-sum path. */
+  def qTsFunnel(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf).select(col("user_id"), col("event_type"), col("ts"))
+    def stage(t: String) = e.where(col("event_type") === t)
+    val s1 = stage("signup").groupBy(col("user_id"))
+      .agg(min(col("ts")).as("tk")).withColumn("t1", col("tk"))
+    def next(prev: DataFrame, t: String): DataFrame =
+      stage(t).join(prev.select(col("user_id"), col("tk").as("tprev"), col("t1")), "user_id")
+        .where(col("ts") >= col("tprev"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("tk"), min(col("t1")).as("t1"))
+    val s2 = next(s1, "view")
+    val s3 = next(s2, "click")
+    val s4 = next(s3, "purchase")
+    val hrs = (unix_micros(col("tk")) - unix_micros(col("t1"))) / lit(1000000.0)
+    def level(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users"),
+             (dsum(hrs, 6) / count(lit(1)) / lit(3600.0)).as("avg_hours"))
+        // no round(): both engines build avg_hours from bit-identical
+        // doubles with the same op sequence, so the raw value hash-matches;
+        // a round() could only ADD a midpoint-tie divergence (§7.3(8))
+        .select(lit(name).as("stage"), col("n_users"), col("avg_hours"))
+    level("1_signup", s1)
+      .unionAll(level("2_view", s2))
+      .unionAll(level("3_click", s3))
+      .unionAll(level("4_purchase", s4))
+      .orderBy("stage")
+  }
 }

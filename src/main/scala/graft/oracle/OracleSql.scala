@@ -953,4 +953,61 @@ object OracleSql {
     SELECT l.id AS doc_id, l.cluster_id, s.cluster_size
     FROM labels l JOIN sizes s USING (cluster_id)
     ORDER BY doc_id""")
+
+  val qAggHistogram: String = n("""
+    WITH h AS (
+      SELECT event_type,
+        least(CAST(floor(value) AS BIGINT) // 50, 9) AS bucket,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, bucket, bucket * 50 AS lo, n_events, sum_value,
+      CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events
+    FROM h
+    ORDER BY event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""")
+
+  val qFnBitwise: String = n("""
+    SELECT event_id,
+      event_id & 255 AS band,
+      event_id | 4096 AS bor,
+      xor(event_id, user_id) AS bxor,
+      event_id << 3 AS shl,
+      event_id >> 2 AS shr,
+      CAST(bit_count(event_id) AS INT) AS nbits
+    FROM events WHERE event_id < 2000
+    ORDER BY event_id ASC NULLS FIRST""")
+
+  val qTsFunnel: String = n("""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS tk, MIN(ts) AS t1
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS tk, MIN(p.t1) AS t1
+      FROM events e JOIN s1 p ON e.user_id = p.user_id
+      WHERE e.event_type = 'view' AND e.ts >= p.tk GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS tk, MIN(p.t1) AS t1
+      FROM events e JOIN s2 p ON e.user_id = p.user_id
+      WHERE e.event_type = 'click' AND e.ts >= p.tk GROUP BY e.user_id),
+    s4 AS (
+      SELECT e.user_id, MIN(e.ts) AS tk, MIN(p.t1) AS t1
+      FROM events e JOIN s3 p ON e.user_id = p.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= p.tk GROUP BY e.user_id)
+    SELECT '1_signup' AS stage, COUNT(*) AS n_users,
+      CAST(SUM(CAST((epoch_us(tk) - epoch_us(t1)) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
+        / COUNT(*) / 3600.0 AS avg_hours FROM s1
+    UNION ALL
+    SELECT '2_view', COUNT(*),
+      CAST(SUM(CAST((epoch_us(tk) - epoch_us(t1)) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
+        / COUNT(*) / 3600.0 FROM s2
+    UNION ALL
+    SELECT '3_click', COUNT(*),
+      CAST(SUM(CAST((epoch_us(tk) - epoch_us(t1)) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
+        / COUNT(*) / 3600.0 FROM s3
+    UNION ALL
+    SELECT '4_purchase', COUNT(*),
+      CAST(SUM(CAST((epoch_us(tk) - epoch_us(t1)) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
+        / COUNT(*) / 3600.0 FROM s4
+    ORDER BY stage ASC NULLS FIRST""")
 }
