@@ -133,6 +133,28 @@ object TextAnalysis {
       .orderBy("split", "lang")
   }
 
+  /** Exact-size stratified sample: per language, EXACTLY ceil(10%) of
+    * docs, chosen by md5-hash rank — reproducible like q_sample_hash
+    * but with a guaranteed per-stratum quota (hash-threshold sampling
+    * only hits the rate in expectation; small or skewed strata can
+    * land far off). One (lang)-partitioned window computes both the
+    * rank and the stratum size — a single shuffle; at 100 TB lang is
+    * low-cardinality so per-stratum sort distributes by range within
+    * the window's partitioning. */
+  def qSampleStratified(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+    val rk = org.apache.spark.sql.functions.row_number()
+      .over(byLang.orderBy(col("h"), col("doc_id")))
+    Tables.documents(s, sf)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("rk", rk.cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(byLang))
+      .where(col("rk") <= ceil(col("n_lang") / lit(10.0)))
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
   /** Gopher-style rule-based quality filter: word-count bounds, mean
     * word length band, distinct-token (repetition) ratio — each rule in
     * INTEGER arithmetic (mean word length as `10·Σlen vs bounds·wc`), so

@@ -220,6 +220,37 @@ object Vectors {
   /** Multimodal row: text metadata joined with its embedding; per-lang
     * aggregate of (rounded) vector norms — the rounded doubles sum
     * exactly through the decimal path. */
+  /** Symmetric int8 embedding quantization + reconstruction-error audit
+    * — the storage/serving compression step for a 100 TB vector corpus
+    * (4× smaller than float32, 8× than float64). Per vector: scale =
+    * max|x|/127, q_i = clamp(floor(x_i/scale + 0.5), ±127), error =
+    * Σ|q_i·scale − x_i|. Everything is per-row map-side math on
+    * bit-identical doubles in both engines — floor(y+0.5) instead of
+    * round(y) because floor is exact on EVERY double while round's
+    * decimal-midpoint handling can diverge cross-engine (§7.3(8));
+    * per-vector fold order is fixed (left fold in both engines), and
+    * the per-label aggregate goes through the decimal-sum path. */
+  def qEmbedQuantize(s: SparkSession, sf: String): DataFrame = {
+    val x = Tables.embeddings(s, sf)
+      .withColumn("xd", transform(col("embedding"), e => e.cast("double")))
+      .withColumn("amax", array_max(transform(col("xd"), e => abs(e))))
+      .withColumn("scale", greatest(col("amax"), lit(1e-12)) / lit(127.0))
+    def quant(e: Column): Column =
+      greatest(least(floor(e / col("scale") + lit(0.5)), lit(127.0)), lit(-127.0))
+    val q = x
+      .withColumn("qerr",
+        aggregate(transform(col("xd"), e => abs(quant(e) * col("scale") - e)),
+                  lit(0.0), (a, e) => a + e))
+      .withColumn("n_sat",
+        size(filter(col("xd"), e => abs(quant(e)) === 127.0)))
+    q.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           (dsum(col("qerr"), 9) / count(lit(1))).as("avg_err"),
+           (dsum(col("scale"), 9) / count(lit(1))).as("avg_scale"),
+           sum(col("n_sat").cast("long")).as("n_saturated"))
+      .orderBy("label")
+  }
+
   def qMultimodalJoin(s: SparkSession, sf: String): DataFrame = {
     val d = Tables.documents(s, sf)
     val e = Tables.embeddings(s, sf)

@@ -954,6 +954,40 @@ object OracleSql {
     FROM labels l JOIN sizes s USING (cluster_id)
     ORDER BY doc_id""")
 
+  val qEmbedQuantize: String = n("""
+    WITH x AS (
+      SELECT label, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xd
+      FROM embeddings),
+    sc AS (
+      SELECT label, xd,
+        greatest(list_max(list_transform(xd, e -> abs(e))), 1e-12) / 127.0 AS scale
+      FROM x),
+    e AS (
+      SELECT label, scale,
+        list_reduce(list_transform(xd, v ->
+          abs(greatest(least(floor(v / scale + 0.5), 127.0), -127.0) * scale - v)),
+          (a, b) -> a + b) AS qerr,
+        len(list_filter(xd, v ->
+          abs(greatest(least(floor(v / scale + 0.5), 127.0), -127.0)) = 127.0)) AS n_sat
+      FROM sc)
+    SELECT label, COUNT(*) AS n_vecs,
+      CAST(SUM(CAST(qerr AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS avg_err,
+      CAST(SUM(CAST(scale AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS avg_scale,
+      CAST(SUM(n_sat) AS BIGINT) AS n_saturated
+    FROM e GROUP BY label
+    ORDER BY label ASC NULLS FIRST""")
+
+  val qSampleStratified: String = n("""
+    WITH t AS (
+      SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+    r AS (
+      SELECT doc_id, lang,
+        CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rk,
+        COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM t)
+    SELECT doc_id, lang, rk FROM r WHERE rk <= ceil(n_lang / 10.0)
+    ORDER BY lang ASC NULLS FIRST, rk ASC NULLS FIRST""")
+
   val qTextContamination: String = n("""
     WITH t AS (
       SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS b,
