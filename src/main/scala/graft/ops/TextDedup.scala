@@ -433,6 +433,59 @@ object TextDedup {
       .limit(30)
   }
 
+  /** Per-doc lexical diversity via the Gini–Simpson index
+    * 1 − Σc²/n² — the repetition metric data-curation pipelines use
+    * alongside distinct-token ratio. Chosen over Shannon entropy
+    * DELIBERATELY: Simpson is rational in the integer token counts
+    * (Σc² and n² are exact BIGINTs; one final IEEE division), so the
+    * result is bit-identical cross-engine, while entropy's Σc·ln(c)
+    * inherits the engines' 1-ulp `ln` differences into an
+    * order-dependent float sum. Two hash aggs over exploded tokens —
+    * the standard postings shape. */
+  def qTextDiversity(s: SparkSession, sf: String): DataFrame = {
+    val cnt = Tables.documents(s, sf)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"),
+           count(lit(1)).as("n_distinct"),
+           sum(col("c") * col("c")).as("sum_c2"))
+      .withColumn("simpson",
+        lit(1.0) - col("sum_c2") / (col("n_tok") * col("n_tok")).cast("double"))
+      .select("doc_id", "n_tok", "n_distinct", "simpson")
+      .orderBy("doc_id")
+  }
+
+  /** Rare-token rarity filter — the cheap stand-in for a perplexity
+    * filter in training pipelines: docs dominated by rare tokens
+    * (df ≤ 5% of docs) are flagged as likely junk. Score is pure
+    * INTEGER arithmetic (1000·n_rare div n_distinct_tokens; flag at
+    * ≥ 300), so the pass/fail sets are exact on both engines.
+    *
+    * Shape: distinct-token explode → per-token df agg (≤ |vocab| rows,
+    * broadcasts back into the postings join) → per-doc agg → per-source
+    * agg. The only data-sized shuffles are the postings groupBys; df
+    * and the corpus size ride broadcasts. */
+  def qTextRarity(s: SparkSession, sf: String): DataFrame = {
+    val toks = Tables.documents(s, sf)
+      .select(col("doc_id"), col("source"),
+              explode(array_distinct(split(lower(col("text")), " "))).as("token"))
+      .where(col("token") =!= "")
+    val df_ = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nd = broadcast(Tables.documents(s, sf).agg(count(lit(1)).as("nd")))
+    val perDoc = toks.join(broadcast(df_), "token").crossJoin(nd)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tok"),
+           sum(when(col("df") * 20 <= col("nd"), 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("score", expr("(1000 * n_rare) div n_tok"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("score") >= 300, 1L).otherwise(0L)).as("n_flagged"),
+           sum(col("score")).as("sum_score"))
+      .orderBy("source")
+  }
+
   /** Benchmark-contamination check — the train/eval hygiene step every
     * LLM training pipeline needs: for each held-out doc (md5 buckets
     * e/f, the q_sample_split test+val family), find train-split docs

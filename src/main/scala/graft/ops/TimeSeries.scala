@@ -189,6 +189,55 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** SLO error-budget burn rate — the alerting composite a telemetry
+    * collector feeds: per hour, the error-event ratio against a 99%
+    * availability SLO (1% budget). The `burning` flag is the INTEGER
+    * comparison `100·n_err > n_events` (exact on both engines); the
+    * burn multiple itself is one mirrored multiply+divide on counts.
+    * Single hash agg by hour — nothing else shuffles. */
+  def qTsSloBurn(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+      .withColumn("burn_rate", col("n_err") * lit(100.0) / col("n_events"))
+      .withColumn("burning",
+        when(col("n_err") * 100 > col("n_events"), 1L).otherwise(0L))
+      .orderBy("hour")
+
+  /** Prometheus-style `histogram_quantile`: p50/p95/p99 per event_type
+    * estimated by linear interpolation inside the first histogram
+    * bucket whose cumulative count crosses q·N — the way a TSDB
+    * answers latency-quantile queries from pre-aggregated bucket
+    * counters without touching raw samples. One data-sized hash agg
+    * builds the histogram; everything after (cumsum window, quantile
+    * pick, interpolation) runs on the ≤ 50-row histogram. All inputs to
+    * the float interpolation are integers, and the expression tree is
+    * mirrored in the oracle, so the doubles are bit-identical. */
+  def qTsHistogramQuantile(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.events(s, sf)
+      .groupBy(col("event_type"),
+               least(expr("CAST(floor(value) AS BIGINT) div 50"), lit(9L)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type"))
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(byType.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n")).over(byType))
+    val first = Window.partitionBy(col("event_type"), col("q")).orderBy(col("bucket"))
+    cum
+      .withColumn("q", explode(array(lit(0.5), lit(0.95), lit(0.99))))
+      .withColumn("tq", col("q") * col("total"))
+      .where(col("cum") >= col("tq"))
+      .withColumn("rn", row_number().over(first))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("q"),
+              (col("bucket") * 50 +
+               lit(50.0) * (col("tq") - (col("cum") - col("n"))) / col("n")).as("p_est"))
+      .orderBy("event_type", "q")
+  }
+
   /** Ordered 4-stage event funnel (signup → view → click → purchase):
     * per user, the first signup, then the first view AT/after it, then
     * the first click at/after that, then the first purchase — the

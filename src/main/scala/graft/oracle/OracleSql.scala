@@ -954,6 +954,73 @@ object OracleSql {
     FROM labels l JOIN sizes s USING (cluster_id)
     ORDER BY doc_id""")
 
+  val qTsHistogramQuantile: String = n("""
+    WITH h AS (
+      SELECT event_type, least(CAST(floor(value) AS BIGINT) // 50, 9) AS bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, bucket, n,
+        CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      FROM h),
+    x AS (
+      SELECT c.*, q, q * total AS tq
+      FROM c CROSS JOIN
+        (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q) qs),
+    f AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY bucket) AS rn
+      FROM x WHERE cum >= tq)
+    SELECT event_type, q,
+      bucket * 50 + CAST(50.0 AS DOUBLE) * (tq - (cum - n)) / n AS p_est
+    FROM f WHERE rn = 1
+    ORDER BY event_type ASC NULLS FIRST, q ASC NULLS FIRST""")
+
+  val qTextDiversity: String = n("""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+    cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok, COUNT(*) AS n_distinct,
+             CAST(SUM(c * c) AS BIGINT) AS sum_c2
+      FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n_tok, n_distinct,
+      1.0 - sum_c2 / CAST(n_tok * n_tok AS DOUBLE) AS simpson
+    FROM agg ORDER BY doc_id ASC NULLS FIRST""")
+
+  val qTextRarity: String = n("""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(list_distinct(string_split(lower(text), ' '))) AS token
+      FROM documents),
+    t AS (SELECT doc_id, source, token FROM toks WHERE token <> ''),
+    df AS (SELECT token, COUNT(*) AS df FROM t GROUP BY token),
+    nd AS (SELECT COUNT(*) AS nd FROM documents),
+    per_doc AS (
+      SELECT t.doc_id, t.source,
+        COUNT(*) AS n_tok,
+        CAST(SUM(CASE WHEN df.df * 20 <= nd.nd THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      FROM t JOIN df USING (token) CROSS JOIN nd
+      GROUP BY t.doc_id, t.source),
+    scored AS (
+      SELECT source, (1000 * n_rare) // n_tok AS score FROM per_doc)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN score >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      CAST(SUM(score) AS BIGINT) AS sum_score
+    FROM scored GROUP BY source
+    ORDER BY source ASC NULLS FIRST""")
+
+  val qTsSloBurn: String = n("""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour,
+        COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+      FROM events GROUP BY 1)
+    SELECT hour, n_events, n_err,
+      n_err * 100.0 / n_events AS burn_rate,
+      CAST(CASE WHEN n_err * 100 > n_events THEN 1 ELSE 0 END AS BIGINT) AS burning
+    FROM h ORDER BY hour ASC NULLS FIRST""")
+
   val qEmbedQuantize: String = n("""
     WITH x AS (
       SELECT label, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xd

@@ -115,4 +115,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("*(1) Project [graft_dot"),
            s"no codegen span over graft_dot in:\n$p")
   }
+
+  test("q_text_contamination overlap is an inverted-index equi-join") {
+    val p = plan(TextDedup.qTextContamination(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"contamination join planned as nested loop:\n$p")
+  }
 }
