@@ -264,6 +264,23 @@ object Aggregates {
       .orderBy("user_id")
   }
 
+  /** Mergeable-sketch rollup — THE at-scale pre-aggregation pattern:
+    * per-(event_type, day) HLL partials (what a 1000-executor job
+    * materializes once), then per-type sketch UNION + estimate —
+    * re-aggregation never touches raw rows again, and the merge is
+    * associative/commutative so any partitioning works. Built on
+    * Spark's Apache DataSketches HllSketch aggs. No oracle (estimates
+    * depend on sketch geometry); property-tested within rsd of the
+    * exact per-type distincts; exact twin: q_agg_distinct. */
+  def aAggHllPartial(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+      .orderBy("event_type")
+  }
+
   /** Fixed-width latency-style histogram per event_type — the TSDB
     * `histogram()` primitive: 10 buckets of width 50 over [0, 500),
     * plus the Prometheus-style cumulative (`le`) count per bucket.

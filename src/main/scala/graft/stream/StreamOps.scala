@@ -61,6 +61,20 @@ object StreamOps {
               col("session_window.end").as("session_end"),
               col("user_id"), col("n"))
 
+  /** s_stream_slo_burn: the q_ts_slo_burn alerting composite as a
+    * continuous query — hourly error-budget burn against a 99% SLO,
+    * emitted as windows finalize. Same integer-exact `burning` flag as
+    * the batch twin; the windowed agg is the standard
+    * watermark-bounded state shape (state per open window only). */
+  def sloBurn(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+      .select(col("window.start").as("hour"), col("n_events"), col("n_err"),
+              (col("n_err") * lit(100.0) / col("n_events")).as("burn_rate"),
+              when(col("n_err") * 100 > col("n_events"), 1L).otherwise(0L).as("burning"))
+
   /** s_stream_dedup: exactly-once event ids within the watermark. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

@@ -173,6 +173,22 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0, "HLL estimate deviated > 5x rsd from exact distinct count")
   }
 
+  test("HLL partial-sketch rollup matches exact per-type distincts within rsd") {
+    // lgConfigK=12 -> rsd ~1.6%; allow 5% (or 2 absolute) like the
+    // per-day HLL test. The point under test is MERGEABILITY: the
+    // per-day partials unioned per type must estimate the same set as
+    // a direct distinct over the raw rows.
+    import org.apache.spark.sql.functions._
+    val est = graft.ops.Aggregates.aAggHllPartial(spark, sf)
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val bad = est.join(exact, "event_type")
+      .where(abs(col("est_users") - col("exact_users")) >
+        greatest(col("exact_users") * 0.05, lit(2.0))).count()
+    assert(bad == 0, "merged HLL estimate deviated >5% from exact distinct")
+  }
+
   test("approx percentiles bracket the exact percentiles (accuracy bound)") {
     // percentile_approx at accuracy 10000 over ~thousands of rows per
     // group is near-exact: its rank error is bounded by n/accuracy.

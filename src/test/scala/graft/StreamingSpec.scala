@@ -46,6 +46,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_stream_slo_burn: hourly burn rate finalizes with exact integer flag") {
+    import spark.implicits._
+    val in = MemoryStream[Event](spark)
+    val q = StreamOps.sloBurn(snake(in.toDF()))
+      .writeStream.format("memory").queryName("sloburn")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour 0: 3 events, 1 error -> 33.3% error rate, burning
+      in.addData(ev(1, 5), ev(2, 20, typ = "error"), ev(3, 40))
+      q.processAllAvailable()
+      in.addData(ev(4, 130))   // watermark past hour 0: it finalizes
+      q.processAllAvailable()
+      val rows = spark.table("sloburn").collect()
+        .map(r => (r.getTimestamp(0).getTime, (r.getLong(1), r.getLong(2), r.getLong(4))))
+        .toMap
+      val hour0 = rows(1704067200000L)
+      assert(hour0 == ((3L, 1L, 1L)), s"hour-0 must be 3 events / 1 err / burning: $rows")
+    } finally q.stop()
+  }
+
   test("s_stream_sliding: 1h window sliding 15min assigns a row to 4 windows") {
     import spark.implicits._
     val in = MemoryStream[Event](spark)
