@@ -290,7 +290,7 @@ object Aggregates {
     * the window sum runs over the constant-size (≤ 50-row) histogram,
     * not the events — at 100 TB the agg is the only data-sized stage. */
   def qAggHistogram(s: SparkSession, sf: String): DataFrame = {
-    val bucket = least(expr("CAST(floor(value) AS BIGINT) div 50"), lit(9L))
+    val bucket = bucket50("value")
     val cum = Window.partitionBy(col("event_type"))
       .orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -496,8 +496,11 @@ object TextDedup {
     * (doc_id, pos) — posexplode + an 8-row frame — so token arrays are
     * never duplicated per shingle (the array-carry blow-up); then the
     * overlap is an INVERTED-INDEX equi-join on the gram hash: postings
-    * shuffle as (gram, id) longs only. Join cardinality is bounded by
-    * true shared-gram pairs (measured: 2213 posting matches / 47 pairs
+    * shuffle as fixed-width (md5-hex, id) keys — md5 because the DuckDB
+    * oracle has no xxhash64; an engine-only deployment would map grams
+    * to 8-byte xxhash64 longs (the aDedupMinhash band-key shape) for a
+    * ~4× narrower shuffle. Join cardinality is bounded by true
+    * shared-gram pairs (measured: 2213 posting matches / 47 pairs
     * at sf0.1), never |test|×|train|. This is exactly the shape that
     * survives 100 TB — both sides partition by gram hash, skew is
     * bounded by the dedup'd postings, and no payload rides the join. */
@@ -518,7 +521,9 @@ object TextDedup {
       .select(col("doc_id").as("train_id"), col("gram")).distinct()
     val test = grams.where(col("b") > "d")
       .select(col("doc_id").as("test_id"), col("gram")).distinct()
-    val hits = test.join(train, "gram")
+    // consumed twice (pair agg + per-test distinct agg): persist the
+    // small matched-postings frame so the shingling + join run once
+    val hits = test.join(train, "gram").persist()
     val pairs = hits.groupBy(col("test_id"), col("train_id"))
       .agg(count(lit(1)).as("shared"))
     val worstW = Window.partitionBy(col("test_id"))

@@ -217,8 +217,7 @@ object TimeSeries {
   def qTsHistogramQuantile(s: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = Tables.events(s, sf)
-      .groupBy(col("event_type"),
-               least(expr("CAST(floor(value) AS BIGINT) div 50"), lit(9L)).as("bucket"))
+      .groupBy(col("event_type"), bucket50("value").as("bucket"))
       .agg(count(lit(1)).as("n"))
     val byType = Window.partitionBy(col("event_type"))
     val cum = hist
@@ -253,20 +252,25 @@ object TimeSeries {
   def qTsFunnel(s: SparkSession, sf: String): DataFrame = {
     val e = Tables.events(s, sf).select(col("user_id"), col("event_type"), col("ts"))
     def stage(t: String) = e.where(col("event_type") === t)
+    // persist each (small, per-user) stage frame: it is consumed twice —
+    // by the next stage AND by its own level() count — and Spark, unlike
+    // a CTE-materializing engine, would otherwise re-execute the whole
+    // upstream chain per consumer (~10 events passes for 4 levels).
     val s1 = stage("signup").groupBy(col("user_id"))
-      .agg(min(col("ts")).as("tk")).withColumn("t1", col("tk"))
+      .agg(min(col("ts")).as("tk")).withColumn("t1", col("tk")).persist()
     def next(prev: DataFrame, t: String): DataFrame =
       stage(t).join(prev.select(col("user_id"), col("tk").as("tprev"), col("t1")), "user_id")
         .where(col("ts") >= col("tprev"))
         .groupBy(col("user_id"))
         .agg(min(col("ts")).as("tk"), min(col("t1")).as("t1"))
+        .persist()
     val s2 = next(s1, "view")
     val s3 = next(s2, "click")
     val s4 = next(s3, "purchase")
     val hrs = (unix_micros(col("tk")) - unix_micros(col("t1"))) / lit(1000000.0)
     def level(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_users"),
-             (dsum(hrs, 6) / count(lit(1)) / lit(3600.0)).as("avg_hours"))
+             (davg(hrs, 6) / lit(3600.0)).as("avg_hours"))
         // no round(): both engines build avg_hours from bit-identical
         // doubles with the same op sequence, so the raw value hash-matches;
         // a round() could only ADD a midpoint-tie divergence (§7.3(8))

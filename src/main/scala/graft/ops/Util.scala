@@ -38,4 +38,14 @@ object Util {
   /** Deterministic average: exact decimal sum → double, / count. */
   def davg(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(28, scale))).cast("double") / count(lit(1))
+
+  /** Shared histogram bucketing for q_agg_histogram and
+    * q_ts_histogram_quantile (the quantile reader interpolates INSIDE
+    * these buckets, so the two ops must never drift apart): floor the
+    * double (exact on both engines), then pure integer div/clamp —
+    * bucket edges can never straddle engines. Oracle mirror:
+    * `least(CAST(floor(value) AS BIGINT) // 50, 9)`. */
+  def bucket50(colName: String): Column =
+    least(org.apache.spark.sql.functions.expr(
+      s"CAST(floor($colName) AS BIGINT) div 50"), lit(9L))
 }

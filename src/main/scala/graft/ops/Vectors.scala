@@ -217,9 +217,6 @@ object Vectors {
            sum(floor(col("x").cast("double") * (1L << 30))).as("c_fp"))
       .orderBy("label", "pos")
 
-  /** Multimodal row: text metadata joined with its embedding; per-lang
-    * aggregate of (rounded) vector norms — the rounded doubles sum
-    * exactly through the decimal path. */
   /** Symmetric int8 embedding quantization + reconstruction-error audit
     * — the storage/serving compression step for a 100 TB vector corpus
     * (4× smaller than float32, 8× than float64). Per vector: scale =
@@ -228,8 +225,14 @@ object Vectors {
     * bit-identical doubles in both engines — floor(y+0.5) instead of
     * round(y) because floor is exact on EVERY double while round's
     * decimal-midpoint handling can diverge cross-engine (§7.3(8));
-    * per-vector fold order is fixed (left fold in both engines), and
-    * the per-label aggregate goes through the decimal-sum path. */
+    * per-vector fold order is fixed (left fold in both engines).
+    *
+    * The per-label averages use the qEmbedCentroid FIXED-POINT trick
+    * (floor(x·10⁹) → exact integer sums), not a raw-double dsum:
+    * qerr/scale are full-precision doubles with no finite decimal
+    * scale, so a double→DECIMAL cast would sit on Util.dsum's
+    * documented rounding-tie hazard; floor-quantizing first makes the
+    * true decimal scale 9 and the sum exact on both engines. */
   def qEmbedQuantize(s: SparkSession, sf: String): DataFrame = {
     val x = Tables.embeddings(s, sf)
       .withColumn("xd", transform(col("embedding"), e => e.cast("double")))
@@ -245,12 +248,17 @@ object Vectors {
         size(filter(col("xd"), e => abs(quant(e)) === 127.0)))
     q.groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
-           (dsum(col("qerr"), 9) / count(lit(1))).as("avg_err"),
-           (dsum(col("scale"), 9) / count(lit(1))).as("avg_scale"),
+           (sum(floor(col("qerr") * 1e9).cast("long")).cast("double")
+              / count(lit(1)) / lit(1e9)).as("avg_err"),
+           (sum(floor(col("scale") * 1e9).cast("long")).cast("double")
+              / count(lit(1)) / lit(1e9)).as("avg_scale"),
            sum(col("n_sat").cast("long")).as("n_saturated"))
       .orderBy("label")
   }
 
+  /** Multimodal row: text metadata joined with its embedding; per-lang
+    * aggregate of (rounded) vector norms — the rounded doubles sum
+    * exactly through the decimal path. */
   def qMultimodalJoin(s: SparkSession, sf: String): DataFrame = {
     val d = Tables.documents(s, sf)
     val e = Tables.embeddings(s, sf)

@@ -1038,8 +1038,8 @@ object OracleSql {
           abs(greatest(least(floor(v / scale + 0.5), 127.0), -127.0)) = 127.0)) AS n_sat
       FROM sc)
     SELECT label, COUNT(*) AS n_vecs,
-      CAST(SUM(CAST(qerr AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS avg_err,
-      CAST(SUM(CAST(scale AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS avg_scale,
+      CAST(SUM(CAST(floor(qerr * 1e9) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e9 AS avg_err,
+      CAST(SUM(CAST(floor(scale * 1e9) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e9 AS avg_scale,
       CAST(SUM(n_sat) AS BIGINT) AS n_saturated
     FROM e GROUP BY label
     ORDER BY label ASC NULLS FIRST""")
