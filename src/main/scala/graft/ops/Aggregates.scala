@@ -264,6 +264,19 @@ object Aggregates {
       .orderBy("user_id")
   }
 
+  /** Boolean aggregate family — count_if / bool_and / bool_or, the
+    * predicate-rollup primitives monitoring queries lean on ("did any
+    * probe fail", "did all shards report"). Pure two-phase hash agg;
+    * boolean outputs hash cross-engine as the bool dtype class. */
+  def qAggBoolean(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(col("event_type"))
+      .agg(expr("count_if(value > 250)").as("n_over"),
+           expr("bool_and(value > 0)").as("all_positive"),
+           expr("bool_or(value > 450)").as("any_extreme"),
+           count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** Mergeable-sketch rollup — THE at-scale pre-aggregation pattern:
     * per-(event_type, day) HLL partials (what a 1000-executor job
     * materializes once), then per-type sketch UNION + estimate —

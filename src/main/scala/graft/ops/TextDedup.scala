@@ -433,6 +433,41 @@ object TextDedup {
       .limit(30)
   }
 
+  /** Edit-distance near-dup pairs: Levenshtein ≤ 25 on the 80-char
+    * prefix, between same-lang docs with |Δchars| ≤ 5 — the
+    * character-level verifier that catches small in-place edits
+    * token-set Jaccard is blind to. INTEGER output (the distance), so
+    * the result is hash-exact cross-engine with no float anywhere.
+    *
+    * Blocking is NEIGHBOR-BUCKET bucket-and-replicate: left side
+    * replicates to char-buckets {k−1, k, k+1} (width 10 > 2·5 covers
+    * the band), right side stays at k — every qualifying pair joins
+    * EXACTLY once (at the right doc's bucket), as an equi-join on
+    * (lang, bucket). Only (id, prefix, chars) ride the join; the
+    * O(80²) DP runs per candidate, not per doc pair. The oracle states
+    * the same result as a theta join — fixture-scale equivalence, like
+    * q_dedup_jaccard's declared band. */
+  def qDedupEditdist(s: SparkSession, sf: String): DataFrame = {
+    val base = Tables.documents(s, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+              substring(col("text"), 1, 80).as("pfx"),
+              expr("n_chars div 10").as("bk"))
+    val left = base
+      .withColumn("bkr", explode(array(col("bk") - 1, col("bk"), col("bk") + 1)))
+      .select(col("lang"), col("bkr").as("bk"), col("doc_id").as("a_id"),
+              col("n_chars").as("a_chars"), col("pfx").as("a_pfx"))
+    val right = base
+      .select(col("lang"), col("bk"), col("doc_id").as("b_id"),
+              col("n_chars").as("b_chars"), col("pfx").as("b_pfx"))
+    left.join(right, Seq("lang", "bk"))
+      .where(col("a_id") < col("b_id") &&
+             abs(col("a_chars") - col("b_chars")) <= 5)
+      .withColumn("lev", levenshtein(col("a_pfx"), col("b_pfx")))
+      .where(col("lev") <= 25)
+      .select(col("a_id"), col("b_id"), col("lev").cast("long").as("lev"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Per-doc lexical diversity via the Gini–Simpson index
     * 1 − Σc²/n² — the repetition metric data-curation pipelines use
     * alongside distinct-token ratio. Chosen over Shannon entropy

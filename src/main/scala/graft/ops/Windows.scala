@@ -38,6 +38,18 @@ object Windows {
       .orderBy("p_partkey")
   }
 
+  /** percent_rank: (rank−1)/(n−1) from pure integers — deterministic
+    * doubles on both engines; ties resolve by value so row order never
+    * matters. Completes the ranking-function family (row_number / rank
+    * / dense_rank / ntile / cume_dist elsewhere). */
+  def qWinPercentRank(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(desc("p_retailprice"))
+    Tables.part(s, sf)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+              percent_rank().over(w).as("pr"))
+      .orderBy("p_partkey")
+  }
+
   /** Telemetry core: per-user counter delta (cumulative → per-interval). */
   def qWinLagDelta(s: SparkSession, sf: String): DataFrame =
     Tables.events(s, sf)

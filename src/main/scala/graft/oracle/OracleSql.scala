@@ -954,6 +954,30 @@ object OracleSql {
     FROM labels l JOIN sizes s USING (cluster_id)
     ORDER BY doc_id""")
 
+  val qDedupEditdist: String = n("""
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS BIGINT) AS lev
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 5
+    WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 25
+    ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST""")
+
+  val qAggBoolean: String = n("""
+    SELECT event_type,
+      CAST(count_if(value > 250) AS BIGINT) AS n_over,
+      bool_and(value > 0) AS all_positive,
+      bool_or(value > 450) AS any_extreme,
+      COUNT(*) AS n
+    FROM events GROUP BY event_type
+    ORDER BY event_type ASC NULLS FIRST""")
+
+  val qWinPercentRank: String = n("""
+    SELECT p_partkey, p_brand, p_retailprice,
+      percent_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS pr
+    FROM part
+    ORDER BY p_partkey ASC NULLS FIRST""")
+
   val qTsHistogramQuantile: String = n("""
     WITH h AS (
       SELECT event_type, least(CAST(floor(value) AS BIGINT) // 50, 9) AS bucket,
