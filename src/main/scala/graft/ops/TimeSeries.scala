@@ -189,6 +189,25 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** Day-over-day / week-over-week comparison — the dashboard staple:
+    * daily event counts per type, each day's delta vs yesterday and vs
+    * 7 days back (lag on the AGGREGATED series, so the window runs
+    * over ~days×types rows, not raw events), plus the DoD percent
+    * change as one mirrored integer-input division. */
+  def qTsDodWow(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("dod", col("n") - lag(col("n"), 1).over(w))
+      .withColumn("wow", col("n") - lag(col("n"), 7).over(w))
+      .withColumn("dod_pct",
+        col("dod") * lit(100.0) / lag(col("n"), 1).over(w))
+      .orderBy("event_type", "day")
+  }
+
   /** SLO error-budget burn rate — the alerting composite a telemetry
     * collector feeds: per hour, the error-event ratio against a 99%
     * availability SLO (1% budget). The `burning` flag is the INTEGER

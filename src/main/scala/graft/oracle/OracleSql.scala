@@ -1034,6 +1034,18 @@ object OracleSql {
     FROM scored GROUP BY source
     ORDER BY source ASC NULLS FIRST""")
 
+  val qTsDodWow: String = n("""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day, n,
+      n - LAG(n, 1) OVER w AS dod,
+      n - LAG(n, 7) OVER w AS wow,
+      (n - LAG(n, 1) OVER w) * 100.0 / LAG(n, 1) OVER w AS dod_pct
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""")
+
   val qTsSloBurn: String = n("""
     WITH h AS (
       SELECT date_trunc('hour', ts) AS hour,

@@ -75,6 +75,18 @@ object StreamOps {
               (col("n_err") * lit(100.0) / col("n_events")).as("burn_rate"),
               when(col("n_err") * 100 > col("n_events"), 1L).otherwise(0L).as("burning"))
 
+  /** s_stream_histogram: the q_agg_histogram bucketing as a continuous
+    * per-hour query — value-distribution counters emitted as windows
+    * finalize (what a collector ships to a TSDB instead of raw
+    * samples). Shares graft.ops.Util.bucket50 with the batch twin so
+    * the bucket edges can never drift between the two. */
+  def streamingHistogram(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"),
+               graft.ops.Util.bucket50("value").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("bucket"), col("n"))
+
   /** s_stream_dedup: exactly-once event ids within the watermark. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

@@ -121,4 +121,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
            s"contamination join planned as nested loop:\n$p")
   }
+
+  test("q_dedup_editdist candidates come from a bucket equi-join") {
+    val p = plan(TextDedup.qDedupEditdist(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"editdist join planned as nested loop:\n$p")
+  }
 }

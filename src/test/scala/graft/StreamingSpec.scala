@@ -46,6 +46,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_stream_histogram: per-hour bucket counters match the batch bucketing") {
+    import spark.implicits._
+    val in = MemoryStream[Event](spark)
+    val q = StreamOps.streamingHistogram(snake(in.toDF()))
+      .writeStream.format("memory").queryName("shist")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour 0: values 10 (bucket 0), 60 (bucket 1), 499 (bucket 9 via clamp)
+      in.addData(ev(1, 5, value = 10.0), ev(2, 20, value = 60.0),
+                 ev(3, 40, value = 499.0))
+      q.processAllAvailable()
+      in.addData(ev(4, 130))   // watermark past hour 0: it finalizes
+      q.processAllAvailable()
+      val rows = spark.table("shist").collect()
+        .filter(_.getTimestamp(0).getTime == 1704067200000L)
+        .map(r => (r.getLong(1), r.getLong(2))).toMap
+      assert(rows == Map(0L -> 1L, 1L -> 1L, 9L -> 1L),
+             s"hour-0 buckets must be {0,1,9}: $rows")
+    } finally q.stop()
+  }
+
   test("s_stream_slo_burn: hourly burn rate finalizes with exact integer flag") {
     import spark.implicits._
     val in = MemoryStream[Event](spark)
