@@ -462,8 +462,12 @@ object TextDedup {
     left.join(right, Seq("lang", "bk"))
       .where(col("a_id") < col("b_id") &&
              abs(col("a_chars") - col("b_chars")) <= 5)
-      .withColumn("lev", levenshtein(col("a_pfx"), col("b_pfx")))
-      .where(col("lev") <= 25)
+      // banded DP: the threshold overload is O(k·n) not O(n²) and
+      // returns -1 above the bound — for surviving pairs (d ≤ 25) the
+      // banded distance equals the exact one, so the oracle's plain
+      // levenshtein(...) <= 25 states the identical result set
+      .withColumn("lev", levenshtein(col("a_pfx"), col("b_pfx"), 25))
+      .where(col("lev") >= 0)
       .select(col("a_id"), col("b_id"), col("lev").cast("long").as("lev"))
       .orderBy("a_id", "b_id")
   }
