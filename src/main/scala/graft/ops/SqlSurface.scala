@@ -62,4 +62,22 @@ object SqlSurface {
       FROM nk JOIN nation n ON n.n_nationkey = nk.k
       ORDER BY nk.k""")
   }
+
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    * "top-2 orders per customer" idiom. Catalyst decorrelates the
+    * lateral limit into a window (rank ≤ 2) over one partitioned pass,
+    * NOT a per-customer re-execution — the same plan `q_topk_per_group`
+    * builds explicitly, reached from the SQL surface. Tie-broken on
+    * (o_totalprice DESC, o_orderkey) so the cut is deterministic. */
+  def qSqlLateral(s: SparkSession, sf: String): DataFrame = {
+    Tables.customer(s, sf).createOrReplaceTempView("customer")
+    Tables.orders(s, sf).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+      ORDER BY c.c_custkey, o.o_orderkey""")
+  }
 }

@@ -189,6 +189,16 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** Hour-of-day seasonality profile per event_type — the diurnal
+    * baseline an anomaly detector normalizes against. One hash agg on
+    * (type, hour-of-day); the average runs through the exact decimal
+    * path. */
+  def qTsSeasonality(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+      .orderBy("event_type", "hod")
+
   /** Day-over-day / week-over-week comparison — the dashboard staple:
     * daily event counts per type, each day's delta vs yesterday and vs
     * 7 days back (lag on the AGGREGATED series, so the window runs

@@ -1034,6 +1034,20 @@ object OracleSql {
     FROM scored GROUP BY source
     ORDER BY source ASC NULLS FIRST""")
 
+  val qSqlLateral: String = n("""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+    ORDER BY c.c_custkey ASC NULLS FIRST, o.o_orderkey ASC NULLS FIRST""")
+
+  val qTsSeasonality: String = n("""
+    SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events GROUP BY 1, 2
+    ORDER BY event_type ASC NULLS FIRST, hod ASC NULLS FIRST""")
+
   val qTsDodWow: String = n("""
     WITH d AS (
       SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
