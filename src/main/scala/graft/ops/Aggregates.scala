@@ -264,6 +264,32 @@ object Aggregates {
       .orderBy("user_id")
   }
 
+  /** Exact-aggregate re-aggregation — the pre-aggregated-table pattern
+    * (the exact-agg sibling of a_agg_hll_partial's sketch rollup):
+    * daily partials (count/sum/min/max per (type, day)) roll up to the
+    * per-type totals by MERGING partials — sum of sums, sum of counts,
+    * min of mins, max of maxes — without touching raw rows again.
+    * At 100 TB the daily table is what jobs materialize once; every
+    * downstream rollup is this second (tiny) aggregate. The decimal
+    * path makes sum-of-sums exactly equal the direct sum, so the
+    * oracle can state the DIRECT aggregate — the query itself proves
+    * the algebraic merge is lossless. */
+  def qAggReagg(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(D)).as("sv"),
+           min(col("value")).as("mn"),
+           max(col("value")).as("mx"))
+    daily.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+           sum(col("sv")).cast("double").as("sum_value"),
+           min(col("mn")).as("min_value"),
+           max(col("mx")).as("max_value"),
+           count(lit(1)).as("n_days"))
+      .orderBy("event_type")
+  }
+
   /** Boolean aggregate family — count_if / bool_and / bool_or, the
     * predicate-rollup primitives monitoring queries lean on ("did any
     * probe fail", "did all shards report"). Pure two-phase hash agg;

@@ -963,6 +963,16 @@ object OracleSql {
     WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 25
     ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST""")
 
+  val qAggReagg: String = n("""
+    SELECT event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,
+      MIN(value) AS min_value,
+      MAX(value) AS max_value,
+      COUNT(DISTINCT date_trunc('day', ts)) AS n_days
+    FROM events GROUP BY event_type
+    ORDER BY event_type ASC NULLS FIRST""")
+
   val qAggBoolean: String = n("""
     SELECT event_type,
       CAST(count_if(value > 250) AS BIGINT) AS n_over,

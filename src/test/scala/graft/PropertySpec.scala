@@ -173,6 +173,34 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0, "HLL estimate deviated > 5x rsd from exact distinct count")
   }
 
+  test("funnel stage counts are monotonically non-increasing") {
+    val rows = graft.ops.TimeSeries.qTsFunnel(spark, sf)
+      .orderBy("stage").collect().map(_.getLong(1))
+    assert(rows.length == 4 && rows.sliding(2).forall(p => p(0) >= p(1)),
+           s"funnel must narrow stage over stage: ${rows.toSeq}")
+  }
+
+  test("histogram buckets conserve total mass and cum ends at the total") {
+    import org.apache.spark.sql.functions._
+    val h = graft.ops.Aggregates.qAggHistogram(spark, sf)
+    val total = Tables.events(spark, sf).count()
+    assert(h.agg(sum("n_events")).head.getLong(0) == total)
+    val lastCum = h.groupBy("event_type")
+      .agg(max(col("cum_events")).as("c"), sum(col("n_events")).as("s"))
+      .where(col("c") =!= col("s")).count()
+    assert(lastCum == 0, "per-type cumulative must end at the per-type total")
+  }
+
+  test("stratified sample hits EXACTLY ceil(10%) per language") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.TextAnalysis.qSampleStratified(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("k"))
+    val want = Tables.documents(spark, sf)
+      .groupBy("lang").agg(ceil(count(lit(1)) / 10.0).as("q"))
+    val bad = got.join(want, "lang").where(col("k") =!= col("q")).count()
+    assert(bad == 0, "per-stratum quota must be exact, not in-expectation")
+  }
+
   test("HLL partial-sketch rollup matches exact per-type distincts within rsd") {
     // lgConfigK=12 -> rsd ~1.6%; allow 5% (or 2 absolute) like the
     // per-day HLL test. The point under test is MERGEABILITY: the
