@@ -275,7 +275,12 @@ object Aggregates {
     * oracle can state the DIRECT aggregate — the query itself proves
     * the algebraic merge is lossless. */
   def qAggReagg(s: SparkSession, sf: String): DataFrame = {
+    // ts NULL-guard: a NULL day would form its own partial row here and
+    // be counted in n_days, while the oracle's COUNT(DISTINCT day)
+    // excludes NULL — align the semantics explicitly (no-op on the
+    // non-null fixture, but this op has no mirrored oracle to catch it)
     val daily = Tables.events(s, sf)
+      .where(col("ts").isNotNull)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n"),
            sum(col("value").cast(D)).as("sv"),

@@ -560,9 +560,12 @@ object TextDedup {
       .select(col("doc_id").as("train_id"), col("gram")).distinct()
     val test = grams.where(col("b") > "d")
       .select(col("doc_id").as("test_id"), col("gram")).distinct()
-    // consumed twice (pair agg + per-test distinct agg): persist the
-    // small matched-postings frame so the shingling + join run once
-    val hits = test.join(train, "gram").persist()
+    // consumed twice (pair agg + per-test distinct agg): localCheckpoint
+    // the small matched-postings frame so the shingling + join run once
+    // per invocation — per-invocation materialization, unlike persist,
+    // can't leak this run's cache into a later identical plan (bench
+    // min-of-2 would otherwise measure a cache read on run 2)
+    val hits = test.join(train, "gram").localCheckpoint()
     val pairs = hits.groupBy(col("test_id"), col("train_id"))
       .agg(count(lit(1)).as("shared"))
     val worstW = Window.partitionBy(col("test_id"))

@@ -206,15 +206,31 @@ object TimeSeries {
     * change as one mirrored integer-input division. */
   def qTsDodWow(s: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(s, sf)
+    val e = Tables.events(s, sf)
+    val daily = e
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
+    // densify onto the calendar spine FIRST (the q_ts_gapfill lesson):
+    // lag(n, 7) over present-rows-only silently compares against 8+
+    // calendar days back whenever a day has zero events — the spine
+    // makes "yesterday" and "7 days back" mean calendar days always.
+    val bounds = e.agg(date_trunc("day", min(col("ts"))).as("lo"),
+                       date_trunc("day", max(col("ts"))).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"),
+                               expr("INTERVAL 1 DAY"))).as("day"))
+      .crossJoin(e.select(col("event_type")).distinct())
+    val dense = spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    daily
+    dense
       .withColumn("dod", col("n") - lag(col("n"), 1).over(w))
       .withColumn("wow", col("n") - lag(col("n"), 7).over(w))
+      // nullif guard: a zero-event spine day would otherwise divide by
+      // zero, where Spark yields ±Infinity but DuckDB's behavior is its
+      // own — NULL is the one value both engines agree on
       .withColumn("dod_pct",
-        col("dod") * lit(100.0) / lag(col("n"), 1).over(w))
+        col("dod") * lit(100.0) / nullif(lag(col("n"), 1).over(w), lit(0L)))
       .orderBy("event_type", "day")
   }
 
@@ -281,18 +297,22 @@ object TimeSeries {
   def qTsFunnel(s: SparkSession, sf: String): DataFrame = {
     val e = Tables.events(s, sf).select(col("user_id"), col("event_type"), col("ts"))
     def stage(t: String) = e.where(col("event_type") === t)
-    // persist each (small, per-user) stage frame: it is consumed twice —
-    // by the next stage AND by its own level() count — and Spark, unlike
-    // a CTE-materializing engine, would otherwise re-execute the whole
-    // upstream chain per consumer (~10 events passes for 4 levels).
+    // localCheckpoint (NOT persist) on each small per-user stage frame:
+    // each is consumed twice — by the next stage AND its level() count —
+    // and Spark would otherwise re-execute the whole upstream chain per
+    // consumer (~10 events passes for 4 levels). localCheckpoint
+    // materializes per INVOCATION, so unlike persist the CacheManager
+    // can't serve a later invocation's identical plan from this run's
+    // cache (which would turn benchmark re-runs into cache reads), and
+    // the blocks are GC-reclaimed with the DataFrame reference.
     val s1 = stage("signup").groupBy(col("user_id"))
-      .agg(min(col("ts")).as("tk")).withColumn("t1", col("tk")).persist()
+      .agg(min(col("ts")).as("tk")).withColumn("t1", col("tk")).localCheckpoint()
     def next(prev: DataFrame, t: String): DataFrame =
       stage(t).join(prev.select(col("user_id"), col("tk").as("tprev"), col("t1")), "user_id")
         .where(col("ts") >= col("tprev"))
         .groupBy(col("user_id"))
         .agg(min(col("ts")).as("tk"), min(col("t1")).as("t1"))
-        .persist()
+        .localCheckpoint()
     val s2 = next(s1, "view")
     val s3 = next(s2, "click")
     val s4 = next(s3, "purchase")

@@ -1061,12 +1061,23 @@ object OracleSql {
   val qTsDodWow: String = n("""
     WITH d AS (
       SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
-      FROM events GROUP BY 1, 2)
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+      FROM events),
+    spine AS (
+      SELECT t.event_type, gs.day
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+                  FROM bounds) gs),
+    dense AS (
+      SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n
+      FROM spine s LEFT JOIN d ON d.event_type = s.event_type AND d.day = s.day)
     SELECT event_type, day, n,
       n - LAG(n, 1) OVER w AS dod,
       n - LAG(n, 7) OVER w AS wow,
-      (n - LAG(n, 1) OVER w) * 100.0 / LAG(n, 1) OVER w AS dod_pct
-    FROM d
+      (n - LAG(n, 1) OVER w) * 100.0 / nullif(LAG(n, 1) OVER w, 0) AS dod_pct
+    FROM dense
     WINDOW w AS (PARTITION BY event_type ORDER BY day)
     ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""")
 

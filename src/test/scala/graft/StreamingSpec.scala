@@ -53,9 +53,10 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("shist")
       .outputMode(OutputMode.Append).start()
     try {
-      // hour 0: values 10 (bucket 0), 60 (bucket 1), 499 (bucket 9 via clamp)
+      // hour 0: values 10 (bucket 0), 60 (bucket 1), 750 (bucket 15
+      // CLAMPED to 9 — overflow value actually exercises the clamp)
       in.addData(ev(1, 5, value = 10.0), ev(2, 20, value = 60.0),
-                 ev(3, 40, value = 499.0))
+                 ev(3, 40, value = 750.0))
       q.processAllAvailable()
       in.addData(ev(4, 130))   // watermark past hour 0: it finalizes
       q.processAllAvailable()
@@ -63,7 +64,7 @@ class StreamingSpec extends SparkSpec {
         .filter(_.getTimestamp(0).getTime == 1704067200000L)
         .map(r => (r.getLong(1), r.getLong(2))).toMap
       assert(rows == Map(0L -> 1L, 1L -> 1L, 9L -> 1L),
-             s"hour-0 buckets must be {0,1,9}: $rows")
+             s"hour-0 buckets must be {0,1,9} with 750 clamped to 9: $rows")
     } finally q.stop()
   }
 
