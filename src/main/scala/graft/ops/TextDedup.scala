@@ -472,6 +472,66 @@ object TextDedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** End-to-end corpus curation — the full training-data pipeline as
+    * ONE composed operator, with drop accounting at each gate:
+    *
+    *   1. EXACT dedup: keep the min doc_id per normalized-text hash
+    *      (`q_dedup_exact`'s rule).
+    *   2. NEAR-DUP prune: drop any survivor that Jaccard-pairs (τ=0.6,
+    *      same banding as `q_dedup_jaccard`) with a SMALLER surviving
+    *      doc_id — the deterministic one-hop pruning rule (a doc is
+    *      dropped iff a smaller near-dup survived step 1; transitive
+    *      clustering is `q_dedup_cluster`'s job).
+    *   3. QUALITY gate: `q_text_gopher`'s integer rules.
+    *   4. SPLIT: `q_sample_split`'s md5 train/val/test assignment.
+    *
+    * Output: per (split, lang) — docs kept + how many each gate
+    * dropped. All-integer accounting, so the composite is hash-exact.
+    * Each stage reuses the scale shape already proven for its
+    * standalone op; the whole pipeline is 3 data-sized shuffles
+    * (dedup groupBy, pair join, final rollup). */
+  def qPipelineCurate(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(norm)).orderBy(col("doc_id"))
+    val kept1 = docs.withColumn("rn", row_number().over(byHash))
+      .withColumn("exact_dup", col("rn") > 1)
+    val survivors = kept1.where(!col("exact_dup"))
+    // one-hop near-dup prune among survivors: b_id drops when a smaller
+    // a_id pairs with it
+    val dropB = bandedJaccardPairs(survivors, tokens, 0.6)
+      .select(col("b_id").as("doc_id")).distinct()
+    val kept2 = survivors.join(dropB.withColumn("near_dup", lit(true)),
+                               Seq("doc_id"), "left")
+      .withColumn("near_dup", coalesce(col("near_dup"), lit(false)))
+    // gopher-style integer quality rules (same constants as qTextGopher)
+    val tk = split(col("text"), " ")
+    val wc = size(tk)
+    val sumLen = col("n_chars") - wc + 1
+    val dk = size(array_distinct(tk))
+    val qPass = wc.between(20, 90) &&
+      sumLen * 10 >= wc * 38 && sumLen * 10 <= wc * 46 &&
+      dk * 10 >= wc * 5
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val split_ = when(bucket <= "b", "train")
+      .when(bucket <= "d", "val").otherwise("test")
+    kept1.select(col("doc_id"), col("lang"), col("exact_dup"))
+      .join(kept2.select(col("doc_id"), col("near_dup")), Seq("doc_id"), "left")
+      .join(docs.select(col("doc_id"), col("text"), col("n_chars"))
+              .withColumn("q_pass", qPass).select("doc_id", "q_pass"),
+            "doc_id")
+      .withColumn("split", split_)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("exact_dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+           sum(when(coalesce(col("near_dup"), lit(false)), 1L).otherwise(0L)).as("n_near_dup"),
+           sum(when(!col("exact_dup") && !coalesce(col("near_dup"), lit(false)) && !col("q_pass"), 1L)
+                 .otherwise(0L)).as("n_quality_fail"),
+           sum(when(!col("exact_dup") && !coalesce(col("near_dup"), lit(false)) && col("q_pass"), 1L)
+                 .otherwise(0L)).as("n_kept"))
+      .orderBy("split", "lang")
+  }
+
   /** Per-doc lexical diversity via the Gini–Simpson index
     * 1 − Σc²/n² — the repetition metric data-curation pipelines use
     * alongside distinct-token ratio. Chosen over Shannon entropy

@@ -1126,6 +1126,56 @@ object OracleSql {
     SELECT doc_id, lang, rk FROM r WHERE rk <= ceil(n_lang / 10.0)
     ORDER BY lang ASC NULLS FIRST, rk ASC NULLS FIRST""")
 
+  val qPipelineCurate: String = n("""
+    WITH k1 AS (
+      SELECT doc_id, lang, text, n_chars,
+        ROW_NUMBER() OVER (
+          PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+          ORDER BY doc_id) > 1 AS exact_dup
+      FROM documents),
+    surv AS (SELECT * FROM k1 WHERE NOT exact_dup),
+    toks AS (
+      SELECT doc_id, lang, n_chars, list_distinct(string_split(text, ' ')) AS tk
+      FROM surv),
+    nd AS (
+      SELECT DISTINCT b_id AS doc_id FROM (
+        SELECT b.doc_id AS b_id,
+          round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+        FROM toks a JOIN toks b
+          ON a.doc_id < b.doc_id AND a.lang = b.lang
+         AND abs(a.n_chars - b.n_chars) <= 25) t
+      WHERE jaccard >= 0.6),
+    q AS (
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS wc,
+        n_chars - len(string_split(text, ' ')) + 1 AS sumlen,
+        len(list_distinct(string_split(text, ' '))) AS dk
+      FROM documents),
+    qp AS (
+      SELECT doc_id,
+        (wc BETWEEN 20 AND 90) AND sumlen * 10 >= wc * 38
+          AND sumlen * 10 <= wc * 46 AND dk * 10 >= wc * 5 AS q_pass
+      FROM q),
+    lab AS (
+      SELECT k1.doc_id, k1.lang, k1.exact_dup,
+        COALESCE(nd.doc_id IS NOT NULL, FALSE) AS near_dup,
+        qp.q_pass,
+        CASE WHEN substr(md5(CAST(k1.doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+             WHEN substr(md5(CAST(k1.doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+             ELSE 'test' END AS split
+      FROM k1 LEFT JOIN nd ON nd.doc_id = k1.doc_id
+      JOIN qp ON qp.doc_id = k1.doc_id)
+    SELECT split, lang, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN exact_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+      CAST(SUM(CASE WHEN near_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+      CAST(SUM(CASE WHEN NOT exact_dup AND NOT near_dup AND NOT q_pass
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+      CAST(SUM(CASE WHEN NOT exact_dup AND NOT near_dup AND q_pass
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM lab GROUP BY split, lang
+    ORDER BY split ASC NULLS FIRST, lang ASC NULLS FIRST""")
+
   val qTextContamination: String = n("""
     WITH t AS (
       SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS b,
