@@ -201,6 +201,18 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0, "per-stratum quota must be exact, not in-expectation")
   }
 
+  test("curate pipeline gate counts telescope to the doc count") {
+    import org.apache.spark.sql.functions._
+    val p = graft.ops.TextDedup.qPipelineCurate(spark, sf)
+    val bad = p.where(col("n_docs") =!=
+      col("n_exact_dup") + col("n_near_dup") + col("n_quality_fail") + col("n_kept"))
+      .count()
+    assert(bad == 0, "every doc must land in exactly one gate bucket")
+    val total = p.agg(sum("n_docs")).head.getLong(0)
+    assert(total == Tables.documents(spark, sf).count(),
+           "pipeline must account for every document")
+  }
+
   test("HLL partial-sketch rollup matches exact per-type distincts within rsd") {
     // lgConfigK=12 -> rsd ~1.6%; allow 5% (or 2 absolute) like the
     // per-day HLL test. The point under test is MERGEABILITY: the
