@@ -188,6 +188,61 @@ object StreamOps {
         OutputMode.Append())
   }
 
+  /** Output row of the streaming funnel: a user advancing to a stage. */
+  case class StageAdvance(userId: Long, stage: Int, ts: java.sql.Timestamp)
+
+  /** s_stream_funnel: the q_ts_funnel conversion chain as a per-user
+    * streaming STATE MACHINE — the signup→view→click→purchase ladder
+    * tracked incrementally, emitting one row each time a user advances
+    * a stage (an event only counts when the user already sits at the
+    * immediately preceding stage and the event is not earlier than that
+    * stage's timestamp). State per user is (current stage, its ts):
+    * O(1) per key, the streaming analogue of the batch op's
+    * min-ts-after-previous-stage chain.
+    *
+    * State is O(distinct users) like [[HighWaterProcessor]]; production
+    * over an open key space would add TTL. */
+  private class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, StageAdvance] {
+    import org.apache.spark.sql.{Encoders => E}
+    private val stageOf = Map("signup" -> 1, "view" -> 2, "click" -> 3, "purchase" -> 4)
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Int, Long)] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Int, Long)](
+        "stage", E.tuple(E.scalaInt, E.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[StageAdvance] = {
+      var (stage, stageTs) = if (st.exists()) st.get() else (0, 0L)
+      val out = Seq.newBuilder[StageAdvance]
+      // grouping guaranteed, intra-key order not — sort by event time so
+      // the advance sequence is deterministic
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
+        stageOf.get(e.eventType).foreach { s =>
+          if (s == stage + 1 && (stage == 0 || e.ts.getTime >= stageTs)) {
+            stage = s; stageTs = e.ts.getTime
+            out += StageAdvance(key, s, e.ts)
+          }
+        }
+      }
+      st.update((stage, stageTs))
+      out.result().iterator
+    }
+  }
+
+  /** Requires the RocksDB state store, like [[highWaterMarks]]. */
+  def streamingFunnel(events: Dataset[Event]): Dataset[StageAdvance] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Output row of the streaming anomaly detector. */
   case class Anomaly(userId: Long, eventId: Long, value: Double, z: Double)
 

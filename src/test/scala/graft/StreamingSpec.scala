@@ -206,6 +206,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_stream_funnel: per-user stage machine advances in order, skips none") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Event](spark)
+    val q = StreamOps.streamingFunnel(in.toDS())
+      .writeStream.format("memory").queryName("sfunnel")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: purchase BEFORE reaching click must not advance; then
+      // the proper ladder advances one stage per qualifying event,
+      // across micro-batches (state carries between batches)
+      in.addData(ev(1, 0, user = 1, typ = "signup"),
+                 ev(2, 1, user = 1, typ = "purchase"), // stage 4 ≠ 1+1 — ignored
+                 ev(3, 2, user = 1, typ = "view"))
+      q.processAllAvailable()
+      in.addData(ev(4, 3, user = 1, typ = "click"),
+                 ev(5, 4, user = 1, typ = "purchase"),
+                 ev(6, 5, user = 2, typ = "view"))     // no signup yet — ignored
+      q.processAllAvailable()
+      val rows = spark.table("sfunnel").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(rows == Set((1L, 1), (1L, 2), (1L, 3), (1L, 4)),
+             s"user 1 must advance 1→4 in order, user 2 never: $rows")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("s_stream_tws: transformWithState tracks per-user high-water marks") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
