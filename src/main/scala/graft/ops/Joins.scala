@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -121,6 +121,42 @@ object Joins {
         last(when(col("event_type") =!= "error", col("value")), ignoreNulls = true).over(w))
       .where(col("event_type") === "error")
       .select("event_id", "user_id", "ts", "prev_value")
+      .orderBy("event_id")
+  }
+
+  /** NEAREST-in-time as-of variant: for each click, the error event of
+    * the same user closest in time in EITHER direction (backward wins
+    * ties) — the TSDB "nearest sample" semantic, vs `q_join_asof`'s
+    * strictly-backward LOCF. Same shape: ONE (user_id) window shuffle,
+    * two frame passes (last-preceding / first-following error, both
+    * IGNORE NULLS), no self-join; the |Δt| comparison runs in exact
+    * integer microseconds. prev/next id+ts come from separate window
+    * columns but always the same row — they are non-null exactly on
+    * error rows. */
+  def qJoinAsofNearest(s: SparkSession, sf: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val back = order.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = order.rowsBetween(1, Window.unboundedFollowing)
+    def errCol(c: Column) = when(col("event_type") === "error", c)
+    val withNbrs = Tables.events(s, sf)
+      .withColumn("p_ts", last(errCol(col("ts")), ignoreNulls = true).over(back))
+      .withColumn("p_id", last(errCol(col("event_id")), ignoreNulls = true).over(back))
+      .withColumn("n_ts", first(errCol(col("ts")), ignoreNulls = true).over(fwd))
+      .withColumn("n_id", first(errCol(col("event_id")), ignoreNulls = true).over(fwd))
+      .where(col("event_type") === "click")
+    val dPrev = unix_micros(col("ts")) - unix_micros(col("p_ts"))
+    val dNext = unix_micros(col("n_ts")) - unix_micros(col("ts"))
+    withNbrs
+      .withColumn("err_id",
+        when(col("p_ts").isNotNull &&
+             (col("n_ts").isNull || dPrev <= dNext), col("p_id"))
+          .otherwise(col("n_id")))
+      .withColumn("delta_us",
+        when(col("p_ts").isNotNull &&
+             (col("n_ts").isNull || dPrev <= dNext), dPrev)
+          .otherwise(dNext))
+      .where(col("err_id").isNotNull)
+      .select("event_id", "user_id", "err_id", "delta_us")
       .orderBy("event_id")
   }
 

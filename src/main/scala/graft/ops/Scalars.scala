@@ -145,6 +145,21 @@ object Scalars {
         when(col("text").rlike("join( [a-z]+)? join"), 1L).otherwise(0L).as("near_dup_joins"))
       .orderBy("doc_id")
 
+  /** Safe-cast / try scalar family — the malformed-input hygiene ops an
+    * ingest pipeline needs: `try_cast` turns unparseable strings into
+    * NULL instead of failing the job, `try_divide` turns /0 into NULL.
+    * The substr slice deliberately lands on clean digits for some rows
+    * and on junk (`9}`) for others, so both outcomes are exercised.
+    * DuckDB mirrors with TRY_CAST and `x / nullif(y, 0)`. */
+  def qFnTry(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .where(col("event_id") < 2000)
+      .select(
+        col("event_id"),
+        expr("try_cast(substr(props, 7, 2) AS INT)").as("k2"),
+        expr("try_divide(value, CAST(floor(value) AS BIGINT) % 7)").as("safe_rate"))
+      .orderBy("event_id")
+
   /** Bitwise scalar family — mask/flag extraction over 64-bit ids (the
     * shard-routing / flag-word idiom): AND/OR/XOR, shifts, popcount.
     * All integer-exact on both engines; popcount width-normalized to

@@ -963,6 +963,43 @@ object OracleSql {
     WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 25
     ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST""")
 
+  val qFnTry: String = n("""
+    SELECT event_id,
+      TRY_CAST(substr(props, 7, 2) AS INT) AS k2,
+      value / nullif(CAST(floor(value) AS BIGINT) % 7, 0) AS safe_rate
+    FROM events WHERE event_id < 2000
+    ORDER BY event_id ASC NULLS FIRST""")
+
+  val qJoinAsofNearest: String = n("""
+    WITH w AS (
+      SELECT event_id, user_id, ts, event_type,
+        last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p_ts,
+        last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p_id,
+        first_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n_ts,
+        first_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n_id
+      FROM events),
+    c AS (
+      SELECT *, epoch_us(ts) - epoch_us(p_ts) AS d_prev,
+             epoch_us(n_ts) - epoch_us(ts) AS d_next
+      FROM w WHERE event_type = 'click')
+    SELECT event_id, user_id,
+      CASE WHEN p_ts IS NOT NULL AND (n_ts IS NULL OR d_prev <= d_next)
+           THEN p_id ELSE n_id END AS err_id,
+      CASE WHEN p_ts IS NOT NULL AND (n_ts IS NULL OR d_prev <= d_next)
+           THEN d_prev ELSE d_next END AS delta_us
+    FROM c
+    WHERE (CASE WHEN p_ts IS NOT NULL AND (n_ts IS NULL OR d_prev <= d_next)
+                THEN p_id ELSE n_id END) IS NOT NULL
+    ORDER BY event_id ASC NULLS FIRST""")
+
   val qAggReagg: String = n("""
     SELECT event_type,
       COUNT(*) AS n_events,
