@@ -99,6 +99,30 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Schema evolution read — the 100 TB lake reality that a table's
+    * files span writer generations: generation 1 wrote (doc_id, lang),
+    * generation 2 added n_chars. `mergeSchema` unions the footers and
+    * fills the missing column with NULL for old files; the aggregate
+    * then audits coverage per lang (rows, rows carrying the new
+    * column, coalesced sum). Generation membership is the md5 bucket
+    * (≤ '7' → old writer), so the oracle can state the same result
+    * directly from the fixture. */
+  def qScanMergeSchema(s: SparkSession, sf: String): DataFrame = {
+    val dir = "/tmp/graft_sink/docs_evolving"
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val d = Tables.documents(s, sf)
+    d.where(bucket <= "7").select("doc_id", "lang")
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    d.where(bucket > "7").select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(when(col("n_chars").isNotNull, 1L).otherwise(0L)).as("n_new_schema"),
+           sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   // ---- §2.2 projection / filter ----
 
   def qProjectExpr(s: SparkSession, sf: String): DataFrame =

@@ -963,6 +963,15 @@ object OracleSql {
     WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 25
     ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST""")
 
+  val qScanMergeSchema: String = n("""
+    SELECT lang, COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) > '7'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_new_schema,
+      CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) > '7'
+                    THEN n_chars ELSE 0 END) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    ORDER BY lang ASC NULLS FIRST""")
+
   val qFnTry: String = n("""
     SELECT event_id,
       TRY_CAST(substr(props, 7, 2) AS INT) AS k2,
