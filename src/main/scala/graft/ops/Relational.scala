@@ -109,7 +109,7 @@ object Relational {
     * directly from the fixture. */
   def qScanMergeSchema(s: SparkSession, sf: String): DataFrame = {
     val dir = "/tmp/graft_sink/docs_evolving"
-    val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val bucket = Util.md5Bucket(col("doc_id"))
     val d = Tables.documents(s, sf)
     d.where(bucket <= "7").select("doc_id", "lang")
       .write.mode("overwrite").parquet(s"$dir/gen=1")
@@ -118,7 +118,11 @@ object Relational {
     s.read.option("mergeSchema", "true").parquet(dir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_rows"),
-           sum(when(col("n_chars").isNotNull, 1L).otherwise(0L)).as("n_new_schema"),
+           // generation membership re-derived from the SAME bucket
+           // expression that routed the write — not from n_chars
+           // nullness, which would silently couple parity to the
+           // fixture never having NULL n_chars
+           sum(when(bucket > "7", 1L).otherwise(0L)).as("n_new_schema"),
            sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
       .orderBy("lang")
   }

@@ -110,7 +110,7 @@ object TextAnalysis {
     * files; md5 of the id string is identical in Spark and DuckDB. */
   def qSampleHash(s: SparkSession, sf: String): DataFrame =
     Tables.documents(s, sf)
-      .where(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+      .where(md5Bucket(col("doc_id")).isin("0", "1"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy("doc_id")
 
@@ -119,12 +119,8 @@ object TextAnalysis {
     * doc_id, so it is reproducible shard-by-shard at any scale and any
     * partitioning — the property a training pipeline needs from a split. */
   def qSampleSplit(s: SparkSession, sf: String): DataFrame = {
-    val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
-    val split_ = when(bucket <= "b", "train")
-      .when(bucket <= "d", "val")
-      .otherwise("test")
     Tables.documents(s, sf)
-      .withColumn("split", split_)
+      .withColumn("split", trainValTest(col("doc_id")))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_chars")).as("sum_chars"),
@@ -163,15 +159,9 @@ object TextAnalysis {
     * text: Σlen = n_chars − (wc − 1). Single-pass map-side scan + one
     * aggregate — the at-scale shape for corpus filtering. */
   def qTextGopher(s: SparkSession, sf: String): DataFrame = {
-    val wc = size(col("tk"))
-    val sumLen = col("n_chars") - wc + 1
-    val dk = size(array_distinct(col("tk")))
-    val rWc = wc.between(20, 90)
-    val rMwl = sumLen * 10 >= wc * 38 && sumLen * 10 <= wc * 46
-    val rRep = dk * 10 >= wc * 5
+    val (rWc, rMwl, rRep) = gopherRules(col("text"), col("n_chars"))
     def fails(r: Column): Column = sum(when(r, 0L).otherwise(1L))
     Tables.documents(s, sf)
-      .withColumn("tk", toks)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            sum(when(rWc && rMwl && rRep, 1L).otherwise(0L)).as("n_pass"),

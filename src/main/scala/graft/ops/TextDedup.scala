@@ -504,17 +504,13 @@ object TextDedup {
     val kept2 = survivors.join(dropB.withColumn("near_dup", lit(true)),
                                Seq("doc_id"), "left")
       .withColumn("near_dup", coalesce(col("near_dup"), lit(false)))
-    // gopher-style integer quality rules (same constants as qTextGopher)
-    val tk = split(col("text"), " ")
-    val wc = size(tk)
-    val sumLen = col("n_chars") - wc + 1
-    val dk = size(array_distinct(tk))
-    val qPass = wc.between(20, 90) &&
-      sumLen * 10 >= wc * 38 && sumLen * 10 <= wc * 46 &&
-      dk * 10 >= wc * 5
-    val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
-    val split_ = when(bucket <= "b", "train")
-      .when(bucket <= "d", "val").otherwise("test")
+    // the SHARED gopher rules and split assignment (Util.gopherRules /
+    // Util.trainValTest) — the composite must stay bit-equal to the
+    // standalone q_text_gopher / q_sample_split gates it claims to
+    // compose (a hand-copied variant here once dropped the lower())
+    val (rWc, rMwl, rRep) = Util.gopherRules(col("text"), col("n_chars"))
+    val qPass = rWc && rMwl && rRep
+    val split_ = Util.trainValTest(col("doc_id"))
     kept1.select(col("doc_id"), col("lang"), col("exact_dup"))
       .join(kept2.select(col("doc_id"), col("near_dup")), Seq("doc_id"), "left")
       .join(docs.select(col("doc_id"), col("text"), col("n_chars"))
@@ -606,7 +602,7 @@ object TextDedup {
   def qTextContamination(s: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(s, sf)
-      .withColumn("b", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn("b", Util.md5Bucket(col("doc_id")))
       .withColumn("tk", split(col("text"), " "))
       .where(size(col("tk")) >= 8)
     val shingleFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

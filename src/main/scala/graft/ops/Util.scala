@@ -48,4 +48,35 @@ object Util {
   def bucket50(colName: String): Column =
     least(org.apache.spark.sql.functions.expr(
       s"CAST(floor($colName) AS BIGINT) div 50"), lit(9L))
+
+  /** Deterministic hex bucket of an id — the shared basis for every
+    * hash-sampling / split / generation-membership op (q_sample_hash,
+    * q_sample_split, q_pipeline_curate, q_scan_merge_schema,
+    * q_text_contamination). One definition so a threshold tune can
+    * never silently diverge between a standalone op and a composite
+    * that claims to reuse it. */
+  def md5Bucket(id: Column): Column =
+    substring(md5(id.cast("string")), 1, 1)
+
+  /** The 12/2/2 train/val/test assignment (buckets ≤ b / ≤ d / rest). */
+  def trainValTest(id: Column): Column =
+    when(md5Bucket(id) <= "b", "train")
+      .when(md5Bucket(id) <= "d", "val")
+      .otherwise("test")
+
+  /** Gopher-style integer quality rules (word-count band, mean word
+    * length via `10·Σlen vs bounds·wc`, distinct-token ratio) — ONE
+    * definition shared by q_text_gopher and q_pipeline_curate, on
+    * LOWERCASED tokens (q_text_gopher's contract; Σlen = n_chars −
+    * (wc − 1) is case-invariant but the distinct count is not).
+    * Returns (wordcount rule, word-length rule, repetition rule). */
+  def gopherRules(text: Column, nChars: Column): (Column, Column, Column) = {
+    val tk = split(lower(text), " ")
+    val wc = size(tk)
+    val sumLen = nChars - wc + 1
+    val dk = size(array_distinct(tk))
+    (wc.between(20, 90),
+     sumLen * 10 >= wc * 38 && sumLen * 10 <= wc * 46,
+     dk * 10 >= wc * 5)
+  }
 }

@@ -772,9 +772,9 @@ object OracleSql {
   val qTextGopher: String = n("""
     WITH t AS (
       SELECT source,
-        len(string_split(text, ' ')) AS wc,
-        n_chars - len(string_split(text, ' ')) + 1 AS sumlen,
-        len(list_distinct(string_split(text, ' '))) AS dk
+        len(string_split(lower(text), ' ')) AS wc,
+        n_chars - len(string_split(lower(text), ' ')) + 1 AS sumlen,
+        len(list_distinct(string_split(lower(text), ' '))) AS dk
       FROM documents),
     r AS (
       SELECT source,
@@ -1194,9 +1194,9 @@ object OracleSql {
       WHERE jaccard >= 0.6),
     q AS (
       SELECT doc_id,
-        len(string_split(text, ' ')) AS wc,
-        n_chars - len(string_split(text, ' ')) + 1 AS sumlen,
-        len(list_distinct(string_split(text, ' '))) AS dk
+        len(string_split(lower(text), ' ')) AS wc,
+        n_chars - len(string_split(lower(text), ' ')) + 1 AS sumlen,
+        len(list_distinct(string_split(lower(text), ' '))) AS dk
       FROM documents),
     qp AS (
       SELECT doc_id,

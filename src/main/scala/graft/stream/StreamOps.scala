@@ -217,7 +217,8 @@ object StreamOps {
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[StageAdvance] = {
-      var (stage, stageTs) = if (st.exists()) st.get() else (0, 0L)
+      val init = if (st.exists()) st.get() else (0, 0L)
+      var (stage, stageTs) = init
       val out = Seq.newBuilder[StageAdvance]
       // grouping guaranteed, intra-key order not — sort by event time so
       // the advance sequence is deterministic
@@ -229,7 +230,10 @@ object StreamOps {
           }
         }
       }
-      st.update((stage, stageTs))
+      // only write state when something advanced: spares a RocksDB
+      // write per batch for parked users and never materializes state
+      // for users outside the funnel (e.g. view-only, never signed up)
+      if ((stage, stageTs) != init) st.update((stage, stageTs))
       out.result().iterator
     }
   }

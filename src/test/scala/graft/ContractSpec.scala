@@ -38,14 +38,23 @@ class ContractSpec extends SparkSpec {
 
   test("SURVEY.md §2 declares every registered key and registers every declared key") {
     // the judge checks SURVEY §2's inventory line by line — this pins
-    // the doc and the registry to each other so neither can drift
-    val survey = scala.io.Source.fromFile("SURVEY.md", "UTF-8").mkString
-    val declared = "`([qas]_[a-z0-9_]+)`".r
+    // the doc and the registry to each other so neither can drift.
+    // Anchored scrapes: declared = backticked keys anywhere in SURVEY
+    // (prefixed q_/a_/s_stream_ — `s_suppkey`-style schema columns
+    // don't count); registered streaming = test TITLES only, so a
+    // substring of an unrelated identifier or a commented-out mention
+    // can never masquerade as an implementation.
+    def slurp(path: String): String = {
+      val src = scala.io.Source.fromFile(path, "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val survey = slurp("SURVEY.md")
+    val declared = "`(q_[a-z0-9_]+|a_(?:agg|dedup|sim)_[a-z0-9_]+|s_stream_[a-z0-9_]+)`".r
       .findAllMatchIn(survey).map(_.group(1)).toSet
-    val streaming = scala.io.Source
-      .fromFile("src/test/scala/graft/StreamingSpec.scala", "UTF-8").mkString
+    val streaming = slurp("src/test/scala/graft/StreamingSpec.scala")
     val registered = SparkEntry.queries.keySet ++
-      "s_[a-z0-9_]+".r.findAllIn(streaming).toSet
+      streaming.linesIterator.filter(_.contains("test(\""))
+        .flatMap(l => "s_stream_[a-z0-9_]+".r.findAllIn(l)).toSet
     val undeclared = registered -- declared
     val unregistered = declared -- registered
     assert(undeclared.isEmpty, s"keys missing from SURVEY §2: $undeclared")

@@ -22,6 +22,19 @@ class StreamingSpec extends SparkSpec {
                  value: Double = 1.0): Event =
     Event(id, ts(min), user, typ, value)
 
+  /** Run `body` with the RocksDB state store (transformWithState's only
+    * supported provider), restoring the previous provider afterwards. */
+  private def withRocksDB(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("s_stream_tumbling_wm: watermark drops late rows, windows finalize") {
     import spark.implicits._
     val in = MemoryStream[Event](spark)
@@ -175,97 +188,76 @@ class StreamingSpec extends SparkSpec {
 
   test("s_stream_anomaly: Welford z-score flags the spike, not the warmup") {
     import spark.implicits._
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val in = MemoryStream[Event](spark)
-    val q = StreamOps.streamingAnomalies(in.toDS())
-      .writeStream.format("memory").queryName("anomaly")
-      .outputMode(OutputMode.Append).start()
-    try {
-      // warmup: 6 values with small spread (sd > 0), all unflagged —
-      // scoring needs n >= 5 priors
-      in.addData(ev(1, 0, value = 10.0), ev(2, 1, value = 10.2),
-                 ev(3, 2, value = 9.8), ev(4, 3, value = 10.1),
-                 ev(5, 4, value = 9.9), ev(6, 5, value = 10.0))
-      q.processAllAvailable()
-      // spike far beyond 3 sigma of the warmup, then a normal point;
-      // a second user still in warmup stays silent
-      in.addData(ev(7, 6, value = 50.0), ev(8, 7, value = 10.0),
-                 ev(9, 8, user = 2, value = 999.0))
-      q.processAllAvailable()
-      val rows = spark.table("anomaly").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(rows == Set((1L, 7L)), s"expected only the user-1 spike, got $rows")
-    } finally {
-      q.stop()
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    withRocksDB {
+      val in = MemoryStream[Event](spark)
+      val q = StreamOps.streamingAnomalies(in.toDS())
+        .writeStream.format("memory").queryName("anomaly")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // warmup: 6 values with small spread (sd > 0), all unflagged —
+        // scoring needs n >= 5 priors
+        in.addData(ev(1, 0, value = 10.0), ev(2, 1, value = 10.2),
+                   ev(3, 2, value = 9.8), ev(4, 3, value = 10.1),
+                   ev(5, 4, value = 9.9), ev(6, 5, value = 10.0))
+        q.processAllAvailable()
+        // spike far beyond 3 sigma of the warmup, then a normal point;
+        // a second user still in warmup stays silent
+        in.addData(ev(7, 6, value = 50.0), ev(8, 7, value = 10.0),
+                   ev(9, 8, user = 2, value = 999.0))
+        q.processAllAvailable()
+        val rows = spark.table("anomaly").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(rows == Set((1L, 7L)), s"expected only the user-1 spike, got $rows")
+      } finally q.stop()
     }
   }
 
   test("s_stream_funnel: per-user stage machine advances in order, skips none") {
     import spark.implicits._
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val in = MemoryStream[Event](spark)
-    val q = StreamOps.streamingFunnel(in.toDS())
-      .writeStream.format("memory").queryName("sfunnel")
-      .outputMode(OutputMode.Append).start()
-    try {
-      // user 1: purchase BEFORE reaching click must not advance; then
-      // the proper ladder advances one stage per qualifying event,
-      // across micro-batches (state carries between batches)
-      in.addData(ev(1, 0, user = 1, typ = "signup"),
-                 ev(2, 1, user = 1, typ = "purchase"), // stage 4 ≠ 1+1 — ignored
-                 ev(3, 2, user = 1, typ = "view"))
-      q.processAllAvailable()
-      in.addData(ev(4, 3, user = 1, typ = "click"),
-                 ev(5, 4, user = 1, typ = "purchase"),
-                 ev(6, 5, user = 2, typ = "view"))     // no signup yet — ignored
-      q.processAllAvailable()
-      val rows = spark.table("sfunnel").collect()
-        .map(r => (r.getLong(0), r.getInt(1))).toSet
-      assert(rows == Set((1L, 1), (1L, 2), (1L, 3), (1L, 4)),
-             s"user 1 must advance 1→4 in order, user 2 never: $rows")
-    } finally {
-      q.stop()
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    withRocksDB {
+      val in = MemoryStream[Event](spark)
+      val q = StreamOps.streamingFunnel(in.toDS())
+        .writeStream.format("memory").queryName("sfunnel")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // user 1: purchase BEFORE reaching click must not advance; then
+        // the proper ladder advances one stage per qualifying event,
+        // across micro-batches (state carries between batches)
+        in.addData(ev(1, 0, user = 1, typ = "signup"),
+                   ev(2, 1, user = 1, typ = "purchase"), // stage 4 ≠ 1+1 — ignored
+                   ev(3, 2, user = 1, typ = "view"))
+        q.processAllAvailable()
+        in.addData(ev(4, 3, user = 1, typ = "click"),
+                   ev(5, 4, user = 1, typ = "purchase"),
+                   ev(6, 5, user = 2, typ = "view"))     // no signup yet — ignored
+        q.processAllAvailable()
+        val rows = spark.table("sfunnel").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+        assert(rows == Set((1L, 1), (1L, 2), (1L, 3), (1L, 4)),
+               s"user 1 must advance 1→4 in order, user 2 never: $rows")
+      } finally q.stop()
     }
   }
 
   test("s_stream_tws: transformWithState tracks per-user high-water marks") {
     import spark.implicits._
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val in = MemoryStream[Event](spark)
-    val q = StreamOps.highWaterMarks(in.toDS())
-      .writeStream.format("memory").queryName("hwm")
-      .outputMode(OutputMode.Append).start()
-    try {
-      in.addData(ev(1, 0, user = 1, value = 5.0),
-                 ev(2, 1, user = 1, value = 3.0),  // below max — no emit
-                 ev(3, 2, user = 2, value = 1.0))
-      q.processAllAvailable()
-      in.addData(ev(4, 3, user = 1, value = 7.0),  // new max — emit
-                 ev(5, 4, user = 2, value = 0.5))  // below — no emit
-      q.processAllAvailable()
-      val rows = spark.table("hwm").collect()
-        .map(r => (r.getLong(0), r.getDouble(1))).toSet
-      assert(rows == Set((1L, 5.0), (2L, 1.0), (1L, 7.0)), s"got $rows")
-    } finally {
-      q.stop()
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    withRocksDB {
+      val in = MemoryStream[Event](spark)
+      val q = StreamOps.highWaterMarks(in.toDS())
+        .writeStream.format("memory").queryName("hwm")
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(ev(1, 0, user = 1, value = 5.0),
+                   ev(2, 1, user = 1, value = 3.0),  // below max — no emit
+                   ev(3, 2, user = 2, value = 1.0))
+        q.processAllAvailable()
+        in.addData(ev(4, 3, user = 1, value = 7.0),  // new max — emit
+                   ev(5, 4, user = 2, value = 0.5))  // below — no emit
+        q.processAllAvailable()
+        val rows = spark.table("hwm").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSet
+        assert(rows == Set((1L, 5.0), (2L, 1.0), (1L, 7.0)), s"got $rows")
+      } finally q.stop()
     }
   }
 
