@@ -1,9 +1,13 @@
 #!/bin/bash
 # Local verify loop: run graft.Verify against compiled classes (skips sbt
 # startup), then tools/check.py compares each output with the DuckDB oracle.
+# Usage: verify.sh [SF_DIR] [OUT_DIR] [q_key1,q_key2,...]
+#   3rd arg restricts BOTH the Spark run and the oracle compare to the
+#   listed keys — the fast loop when iterating on one operator.
 set -e
 SF="${1:-/root/testdata/sf0.01}"
 OUT="${2:-/tmp/verify_out}"
+ONLY="${3:-}"
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
@@ -16,5 +20,5 @@ done
 rm -rf "$OUT"
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" java $OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "$CP" graft.Verify "$SF" "$OUT"
-python3 /root/repo/tools/check.py "$SF" "$OUT"
+  -cp "$CP" graft.Verify "$SF" "$OUT" ${ONLY:+"$ONLY"}
+python3 /root/repo/tools/check.py "$SF" "$OUT" ${ONLY:+"$ONLY"}
