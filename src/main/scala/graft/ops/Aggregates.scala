@@ -264,6 +264,17 @@ object Aggregates {
       .orderBy("user_id")
   }
 
+  /** Exact weighted average — Σ(w·x)/Σw per group with BOTH sums on
+    * the decimal path (a raw-double weighted avg is order-dependent
+    * twice over). The discount-weighted price per return flag. */
+  def qAggWeightedAvg(s: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(s, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           (dsum(col("l_quantity") * col("l_extendedprice"), 4) /
+            dsum(col("l_quantity"), 4)).as("wavg_price"))
+      .orderBy("l_returnflag")
+
   /** Exact-aggregate re-aggregation — the pre-aggregated-table pattern
     * (the exact-agg sibling of a_agg_hll_partial's sketch rollup):
     * daily partials (count/sum/min/max per (type, day)) roll up to the

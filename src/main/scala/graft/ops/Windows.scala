@@ -38,6 +38,18 @@ object Windows {
       .orderBy("p_partkey")
   }
 
+  /** Cumulative per-user running total — the inverse of q_win_lag_delta
+    * (counter reconstruction from samples): unbounded-preceding window
+    * sum on the decimal path, so the running value is exact at every
+    * row on both engines. */
+  def qWinCumsum(s: SparkSession, sf: String): DataFrame = {
+    val w = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, sf)
+      .select(col("event_id"), col("user_id"),
+              sum(col("value").cast(D)).over(w).cast("double").as("running_total"))
+      .orderBy("event_id")
+  }
+
   /** percent_rank: (rank−1)/(n−1) from pure integers — deterministic
     * doubles on both engines; ties resolve by value so row order never
     * matters. Completes the ranking-function family (row_number / rank

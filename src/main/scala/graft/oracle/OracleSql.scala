@@ -1009,6 +1009,22 @@ object OracleSql {
                 THEN p_id ELSE n_id END) IS NOT NULL
     ORDER BY event_id ASC NULLS FIRST""")
 
+  val qAggWeightedAvg: String = n("""
+    SELECT l_returnflag, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+        / CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    ORDER BY l_returnflag ASC NULLS FIRST""")
+
+  val qWinCumsum: String = n("""
+    SELECT event_id, user_id,
+      CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_total
+    FROM events
+    ORDER BY event_id ASC NULLS FIRST""")
+
   val qAggReagg: String = n("""
     SELECT event_type,
       COUNT(*) AS n_events,
