@@ -189,6 +189,35 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** Per-user uptime SLI: fraction of hours in the user's observed
+    * span with at least one event — the heartbeat-coverage metric a
+    * collector reports. All integer arithmetic (hour counts, exact
+    * µs-division of hour-truncated bounds) up to one final mirrored
+    * double division. */
+  def qTsUptime(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(col("user_id"))
+      .agg(countDistinct(date_trunc("hour", col("ts"))).as("n_active_hours"),
+           min(date_trunc("hour", col("ts"))).as("lo"),
+           max(date_trunc("hour", col("ts"))).as("hi"))
+      .withColumn("span_hours",
+        expr("(unix_micros(hi) - unix_micros(lo)) div 3600000000") + 1)
+      .withColumn("uptime_pct",
+        col("n_active_hours") * lit(100.0) / col("span_hours"))
+      .select("user_id", "n_active_hours", "span_hours", "uptime_pct")
+      .orderBy("user_id")
+
+  /** Day-of-week × hour-of-day activity heatmap — the dashboard matrix
+    * behind "when is this system busy". One hash agg on the 7×24 grid;
+    * Spark's dayofweek is 1-based Sunday-first, DuckDB's 0-based — the
+    * oracle adds 1 so both emit the same coordinates. */
+  def qTsHeatmap(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+               hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+      .orderBy("dow", "hod")
+
   /** Hour-of-day seasonality profile per event_type — the diurnal
     * baseline an anomaly detector normalizes against. One hash agg on
     * (type, hour-of-day); the average runs through the exact decimal

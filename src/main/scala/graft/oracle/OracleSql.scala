@@ -1114,6 +1114,27 @@ object OracleSql {
       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
     ORDER BY c.c_custkey ASC NULLS FIRST, o.o_orderkey ASC NULLS FIRST""")
 
+  val qTsUptime: String = n("""
+    WITH u AS (
+      SELECT user_id,
+        COUNT(DISTINCT date_trunc('hour', ts)) AS n_active_hours,
+        MIN(date_trunc('hour', ts)) AS lo,
+        MAX(date_trunc('hour', ts)) AS hi
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_active_hours,
+      (epoch_us(hi) - epoch_us(lo)) // 3600000000 + 1 AS span_hours,
+      n_active_hours * 100.0 /
+        ((epoch_us(hi) - epoch_us(lo)) // 3600000000 + 1) AS uptime_pct
+    FROM u ORDER BY user_id ASC NULLS FIRST""")
+
+  val qTsHeatmap: String = n("""
+    SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+      CAST(hour(ts) AS BIGINT) AS hod,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events GROUP BY 1, 2
+    ORDER BY dow ASC NULLS FIRST, hod ASC NULLS FIRST""")
+
   val qTsSeasonality: String = n("""
     SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, COUNT(*) AS n,
       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_value
