@@ -127,6 +127,43 @@ object Relational {
       .orderBy("lang")
   }
 
+  /** Dynamic partition pruning — the at-scale scan feature static
+    * pruning can't reach: the fact side is partitioned by status, the
+    * probe-side filter lives on a DIMENSION (here a filtered status
+    * spine), and Catalyst injects a runtime `dynamicpruning` subquery
+    * into the fact scan's PartitionFilters so non-qualifying
+    * directories are never read (pinned in PlanShapeSpec). At 100 TB
+    * this is the difference between scanning one partition and all of
+    * them whenever the partition predicate arrives via a join. */
+  def qScanDpp(s: SparkSession, sf: String): DataFrame = {
+    // per-sf layout dir: an exists-check shared across scale factors
+    // would serve stale data when verify sweeps sf0.001→sf0.01→sf0.1
+    val dir = "/tmp/graft_sink/orders_by_status_dpp_" +
+      sf.replaceAll("[^a-zA-Z0-9.]", "_")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      Tables.orders(s, sf)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    }
+    // two constraints shape this dim (both observed empirically):
+    //  - a literal filter ON the join key ('st = F') gets transitively
+    //    constant-folded into a STATIC partition filter — DPP never
+    //    fires because Catalyst already pruned at plan time;
+    //  - a literal-free predicate (cnt*4 > tot) fails Catalyst's
+    //    isLikelySelective heuristic — no DPP either.
+    // A literal filter on a NON-join column (high-value orders) is the
+    // shape DPP exists for: which partitions qualify is only known at
+    // runtime, and the scan gets a `dynamicpruning` subquery filter.
+    val dim = Tables.orders(s, sf)
+      .where(col("o_totalprice") > 400000.0)
+      .select(col("o_orderstatus").as("st")).distinct()
+    s.read.parquet(dir)
+      .join(dim, col("o_orderstatus") === col("st"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
   // ---- §2.2 projection / filter ----
 
   def qProjectExpr(s: SparkSession, sf: String): DataFrame =

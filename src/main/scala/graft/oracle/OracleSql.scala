@@ -972,6 +972,15 @@ object OracleSql {
     FROM documents GROUP BY lang
     ORDER BY lang ASC NULLS FIRST""")
 
+  val qScanDpp: String = n("""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderstatus IN (
+      SELECT DISTINCT o_orderstatus FROM orders WHERE o_totalprice > 400000.0)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus ASC NULLS FIRST""")
+
   val qFnTry: String = n("""
     SELECT event_id,
       TRY_CAST(substr(props, 7, 2) AS INT) AS k2,

@@ -122,6 +122,14 @@ class PlanShapeSpec extends SparkSpec {
            s"contamination join planned as nested loop:\n$p")
   }
 
+  test("q_scan_dpp injects a runtime dynamicpruning partition filter") {
+    val df = Relational.qScanDpp(spark, sf)
+    df.collect() // finalize AQE so the executed plan is the real one
+    val p = plan(df)
+    assert(p.contains("dynamicpruning"),
+           s"no dynamic partition pruning in the fact scan:\n$p")
+  }
+
   test("q_dedup_editdist candidates come from a bucket equi-join") {
     val p = plan(TextDedup.qDedupEditdist(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
