@@ -55,6 +55,15 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f'{out}/oracle_sql.json'))
     n_pass = n_fail = 0
+    if only:
+        # a typo'd / unknown key must FAIL loudly, not vacuously pass:
+        # with 0 comparisons the fast loop would read green as verified
+        known = set(oracle) | {d for d in os.listdir(out)
+                               if os.path.isdir(f'{out}/{d}')}
+        unknown = only - known
+        if unknown:
+            print(f'FAIL: unknown key(s) in subset filter: {sorted(unknown)}')
+            n_fail += len(unknown)
     for name in sorted(oracle):
         if only and name not in only:
             continue
@@ -130,6 +139,8 @@ def main():
     # driver-hashable (no array columns)
     for dname in sorted(os.listdir(out)):
         p = f'{out}/{dname}'
+        if only and dname not in only:
+            continue
         if os.path.isdir(p) and dname not in oracle:
             try:
                 parts = sorted(glob.glob(f'{p}/*.parquet'))

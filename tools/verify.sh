@@ -17,7 +17,14 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens=java.base/$p=ALL-UNNAMED"
 done
-rm -rf "$OUT"
+if [ -n "$ONLY" ]; then
+  # subset mode: clear only the requested keys' outputs — wiping the
+  # whole OUT dir would destroy a prior full run's other 120+ outputs
+  IFS=',' read -ra KEYS <<< "$ONLY"
+  for k in "${KEYS[@]}"; do rm -rf "$OUT/$k"; done
+else
+  rm -rf "$OUT"
+fi
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" java $OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" graft.Verify "$SF" "$OUT" ${ONLY:+"$ONLY"}
