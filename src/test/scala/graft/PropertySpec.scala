@@ -201,6 +201,36 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0, "per-stratum quota must be exact, not in-expectation")
   }
 
+  test("uptime is bounded (0, 100] and active hours never exceed the span") {
+    import org.apache.spark.sql.functions._
+    val u = graft.ops.TimeSeries.qTsUptime(spark, sf)
+    val bad = u.where(col("uptime_pct") <= 0 || col("uptime_pct") > 100.0 ||
+                      col("n_active_hours") > col("span_hours")).count()
+    assert(bad == 0, "uptime must be a valid coverage fraction")
+  }
+
+  test("heatmap conserves total event mass over the 7x24 grid") {
+    import org.apache.spark.sql.functions._
+    val total = graft.ops.TimeSeries.qTsHeatmap(spark, sf)
+      .agg(sum("n")).head.getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("cumsum's last row per user equals the user's exact total") {
+    import org.apache.spark.sql.functions._
+    val cs = graft.ops.Windows.qWinCumsum(spark, sf)
+    // values are strictly positive, so the running total is strictly
+    // increasing and its max IS the final row (event_id order need not
+    // match time order, so max_by(event_id) would be wrong in general)
+    val lastPerUser = cs.groupBy("user_id")
+      .agg(max(col("running_total")).as("final"))
+    val truth = Tables.events(spark, sf).groupBy("user_id")
+      .agg(graft.ops.Util.dsum(col("value")).as("tot"))
+    val bad = lastPerUser.join(truth, "user_id")
+      .where(col("final") =!= col("tot")).count()
+    assert(bad == 0, "running total must telescope to the exact user total")
+  }
+
   test("curate pipeline gate counts telescope to the doc count") {
     import org.apache.spark.sql.functions._
     val p = graft.ops.TextDedup.qPipelineCurate(spark, sf)
