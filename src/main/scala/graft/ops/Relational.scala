@@ -127,6 +127,35 @@ object Relational {
       .orderBy("lang")
   }
 
+  /** Small-file compaction — the lake-maintenance op every long-running
+    * ingest needs: a fragmented table (64 tiny files here, the
+    * micro-batch-per-file pathology) is rewritten as a few right-sized
+    * files via a coalesced write, then AUDITED: same per-type counts
+    * and exact value sums, file count actually reduced (asserted
+    * in-query — the output row carries both file counts). coalesce(4)
+    * not repartition(4): compaction must not shuffle, only concatenate
+    * partitions on read. */
+  def qSinkCompact(s: SparkSession, sf: String): DataFrame = {
+    val frag = "/tmp/graft_sink/events_fragmented"
+    val compact = "/tmp/graft_sink/events_compacted"
+    val e = Tables.events(s, sf).select("event_id", "event_type", "value")
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+    s.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)
+    def nFiles(dir: String): Long =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .count(f => f.getName.endsWith(".parquet")).toLong
+    s.read.parquet(compact)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .withColumn("n_files_before", lit(nFiles(frag)))
+      // ≤ 4, not == 4: the compaction read may pack 64 tiny files into
+      // fewer than 4 partitions already, and coalesce never raises the
+      // count — the invariant is the CEILING, which the oracle can state
+      .withColumn("compaction_ok",
+        lit(if (nFiles(compact) >= 1 && nFiles(compact) <= 4) 1L else 0L))
+      .orderBy("event_type")
+  }
+
   /** Dynamic partition pruning — the at-scale scan feature static
     * pruning can't reach: the fact side is partitioned by status, the
     * probe-side filter lives on a DIMENSION (here a filtered status

@@ -972,6 +972,14 @@ object OracleSql {
     FROM documents GROUP BY lang
     ORDER BY lang ASC NULLS FIRST""")
 
+  val qSinkCompact: String = n("""
+    SELECT event_type, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,
+      CAST(64 AS BIGINT) AS n_files_before,
+      CAST(1 AS BIGINT) AS compaction_ok
+    FROM events GROUP BY event_type
+    ORDER BY event_type ASC NULLS FIRST""")
+
   val qScanDpp: String = n("""
     SELECT o_orderstatus, COUNT(*) AS n_orders,
       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
