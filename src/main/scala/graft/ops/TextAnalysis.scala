@@ -187,4 +187,73 @@ object TextAnalysis {
       .where(col("n_docs") >= 2)
       .orderBy("fp")
   }
+
+  /** PII scan + redaction accounting — the scrubbing gate every
+    * training-data pipeline runs before text leaves curation. The
+    * fixture corpus is synthetic word-salad with zero PII, so the op
+    * DECLARES a deterministic injection step (mirrored verbatim in the
+    * oracle): docs with doc_id % 4 == 0 gain an email, % 4 == 1 a
+    * phone, % 4 == 2 both, % 4 == 3 none — every detect/redact branch
+    * is exercised. Patterns are held to the Java-regex ∩ RE2 shared
+    * subset (the q_fn_regex discipline). Map-side scan + one hash agg:
+    * no join, no extra shuffle — the 100 TB shape. */
+  def qTextPii(s: SparkSession, sf: String): DataFrame = {
+    val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phonePat = "555-[0-9]{4}"
+    val email = concat(lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com"))
+    val phone = concat(lit(" call 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val injected = col("text")
+    val txt = when(col("doc_id") % 4 === 0, concat(injected, email))
+      .when(col("doc_id") % 4 === 1, concat(injected, phone))
+      .when(col("doc_id") % 4 === 2, concat(injected, email, phone))
+      .otherwise(injected)
+    Tables.documents(s, sf)
+      .select(col("lang"), txt.as("text_pii"))
+      .select(col("lang"),
+        size(regexp_extract_all(col("text_pii"), lit(emailPat), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(col("text_pii"), lit(phonePat), lit(0))).cast("long").as("n_phone"),
+        (length(col("text_pii")) - length(regexp_replace(
+          regexp_replace(col("text_pii"), phonePat, "<PHONE>"), emailPat, "<EMAIL>")))
+          .cast("long").as("chars_removed"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") + col("n_phone") > 0, 1L).otherwise(0L)).as("n_docs_pii"),
+        sum(col("n_email")).as("n_emails"),
+        sum(col("n_phone")).as("n_phones"),
+        sum(col("chars_removed")).as("chars_removed"))
+      .orderBy("lang")
+  }
+
+  /** Gopher-style repetition signals per doc: the share of bigram
+    * occurrences claimed by the single most frequent word bigram
+    * ("top-2-gram fraction", flag at ≥18% per Rae et al.'s published
+    * thresholds) and the share of bigram occurrences whose bigram
+    * repeats at all. ALL-INTEGER outputs: fractions are `1000·x div n`
+    * fixed-point and the flag is the cross-multiplied comparison
+    * `1000·top ≥ 180·n` — zero float rounding to diverge cross-engine.
+    * Shape: map-side bigram fan-out, then (doc, bigram) + (doc) hash
+    * aggs — shuffles only (id, bigram-string, count), scale-safe. */
+  def qTextRepetition(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 2)
+    val bi = docs.select(col("doc_id"), col("source"),
+      explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+        .as("bigram"))
+    val counts = bi.groupBy(col("doc_id"), col("source"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val perDoc = counts.groupBy(col("doc_id"), col("source"))
+      .agg(max(col("n")).as("top_n"), sum(col("n")).as("n_bi"),
+        sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("n_dup"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("top_n") * 1000 >= col("n_bi") * 180, 1L).otherwise(0L))
+          .as("n_repetitive"),
+        sum(expr("1000 * top_n div n_bi")).as("sum_top_scaled"),
+        sum(expr("1000 * n_dup div n_bi")).as("sum_dup_scaled"))
+      .orderBy("source")
+  }
 }

@@ -1363,4 +1363,47 @@ object OracleSql {
       CAST(SUM(CAST((epoch_us(tk) - epoch_us(t1)) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
         / COUNT(*) / 3600.0 FROM s4
     ORDER BY stage ASC NULLS FIRST""")
+
+  val qTextPii: String = n("""
+    WITH inj AS (
+      SELECT lang,
+        CASE
+          WHEN doc_id % 4 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+          WHEN doc_id % 4 = 1 THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          WHEN doc_id % 4 = 2 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                                       || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE text END AS text_pii
+      FROM documents),
+    p AS (
+      SELECT lang,
+        len(regexp_extract_all(text_pii, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_email,
+        len(regexp_extract_all(text_pii, '555-[0-9]{4}')) AS n_phone,
+        length(text_pii) - length(regexp_replace(
+          regexp_replace(text_pii, '555-[0-9]{4}', '<PHONE>', 'g'),
+          '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g')) AS chars_removed
+      FROM inj)
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pii,
+      CAST(SUM(n_email) AS BIGINT) AS n_emails,
+      CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+      CAST(SUM(chars_removed) AS BIGINT) AS chars_removed
+    FROM p GROUP BY lang ORDER BY lang ASC NULLS FIRST""")
+
+  val qTextRepetition: String = n("""
+    WITH tk AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    bi AS (
+      SELECT doc_id, source,
+        unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM tk),
+    c AS (SELECT doc_id, source, bigram, COUNT(*) AS n FROM bi GROUP BY 1, 2, 3),
+    d AS (SELECT doc_id, source, MAX(n) AS top_n, SUM(n) AS n_bi,
+            SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS n_dup
+          FROM c GROUP BY 1, 2)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN top_n * 1000 >= n_bi * 180 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+      CAST(SUM(1000 * top_n // n_bi) AS BIGINT) AS sum_top_scaled,
+      CAST(SUM(1000 * n_dup // n_bi) AS BIGINT) AS sum_dup_scaled
+    FROM d GROUP BY source ORDER BY source ASC NULLS FIRST""")
 }
