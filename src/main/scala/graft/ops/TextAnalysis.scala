@@ -151,6 +151,30 @@ object TextAnalysis {
       .orderBy("lang", "rk")
   }
 
+  /** Deterministic per-lang weighted sampling — the domain-mixture
+    * reweighting step (DoReMi-style mixture tuning, rates fixed up
+    * front): keep a doc iff its [[Util.md5Bucket]] hex digit is ≤ the
+    * language's threshold, giving exact /16 rates (en 16/16, de 8/16,
+    * es 4/16, fr 2/16, zh 1/16) that are reproducible across shards and
+    * engines — no RNG state, no sort. Realized rate reported as the
+    * integer fixed-point `1000·kept div total`. Map-side predicate +
+    * one hash agg; at 100 TB the filter is free (rides the scan) and
+    * the agg touches |langs| rows. */
+  def qSampleWeighted(s: SparkSession, sf: String): DataFrame = {
+    val thr = when(col("lang") === "de", "7").when(col("lang") === "en", "f")
+      .when(col("lang") === "es", "3").when(col("lang") === "fr", "1")
+      .otherwise("0")
+    Tables.documents(s, sf)
+      .select(col("lang"), col("n_chars"),
+        (md5Bucket(col("doc_id")) <= thr).as("kept"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .withColumn("rate_scaled", expr("1000 * n_kept div n_total"))
+      .orderBy("lang")
+  }
+
   /** Gopher-style rule-based quality filter: word-count bounds, mean
     * word length band, distinct-token (repetition) ratio — each rule in
     * INTEGER arithmetic (mean word length as `10·Σlen vs bounds·wc`), so

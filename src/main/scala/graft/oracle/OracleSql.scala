@@ -1406,4 +1406,63 @@ object OracleSql {
       CAST(SUM(1000 * top_n // n_bi) AS BIGINT) AS sum_top_scaled,
       CAST(SUM(1000 * n_dup // n_bi) AS BIGINT) AS sum_dup_scaled
     FROM d GROUP BY source ORDER BY source ASC NULLS FIRST""")
+
+  val qSampleWeighted: String = n("""
+    WITH k AS (
+      SELECT lang, n_chars,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <=
+          CASE lang WHEN 'de' THEN '7' WHEN 'en' THEN 'f'
+                    WHEN 'es' THEN '3' WHEN 'fr' THEN '1' ELSE '0' END
+        THEN 1 ELSE 0 END AS kept
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_total,
+      CAST(SUM(kept) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+      1000 * CAST(SUM(kept) AS BIGINT) // COUNT(*) AS rate_scaled
+    FROM k GROUP BY lang ORDER BY lang ASC NULLS FIRST""")
+
+  val qProfileColumns: String = n("""
+    WITH src AS (SELECT *, nullif(o_orderstatus, 'F') AS status_nf FROM orders)
+    SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      COUNT(DISTINCT o_orderkey) AS n_distinct,
+      CAST(MIN(o_orderkey) AS DOUBLE) AS min_d, CAST(MAX(o_orderkey) AS DOUBLE) AS max_d,
+      CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s FROM src
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*),
+      CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      COUNT(DISTINCT o_custkey),
+      CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+      CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM src
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+      CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      COUNT(DISTINCT o_totalprice),
+      CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+      CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM src
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*),
+      CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      COUNT(DISTINCT o_orderdate),
+      CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE), CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE),
+      CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM src
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+      CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      COUNT(DISTINCT o_orderstatus),
+      CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      MIN(o_orderstatus), MAX(o_orderstatus) FROM src
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*),
+      CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      COUNT(DISTINCT o_orderpriority),
+      CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      MIN(o_orderpriority), MAX(o_orderpriority) FROM src
+    UNION ALL
+    SELECT 'status_nf', COUNT(*),
+      CAST(SUM(CASE WHEN status_nf IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      COUNT(DISTINCT status_nf),
+      CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      MIN(status_nf), MAX(status_nf) FROM src
+    ORDER BY col_name ASC NULLS FIRST""")
 }
