@@ -29,5 +29,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(fn("graft_dot", classOf[DotProduct])(DotProduct.apply))
     ext.injectFunction(fn("graft_l2sq", classOf[SquaredL2])(SquaredL2.apply))
+    ext.injectFunction(fn("graft_bloom_contains", classOf[BloomMightContain])(
+      BloomMightContain.apply))
+    ext.injectFunction((new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomBuildAgg].getName, "graft_bloom_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_bloom_agg requires (key, numBits, numHashes), got ${args.length} args")
+        require(args(1).foldable && args(2).foldable,
+          "graft_bloom_agg numBits/numHashes must be literals")
+        BloomBuildAgg(args(0),
+          args(1).eval().asInstanceOf[Number].intValue(),
+          args(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+      }))
   }
 }

@@ -247,4 +247,33 @@ object Joins {
              .as("revenue"))
       .orderBy("o_orderpriority")
   }
+
+  /** Bloom-filter runtime join pruning — the manual "runtime filter"
+    * every warehouse engine injects into selective star joins: build a
+    * 16 KB bitset over the filtered dim keys (native mergeable
+    * [[graft.functions.BloomBuildAgg]]), broadcast it, drop fact rows
+    * that cannot join while still ON the scan (codegen'd
+    * `graft_bloom_contains` probe), then exact-verify survivors with
+    * the real semi join. The final result is EXACT — the bloom only
+    * prunes, the semi join removes fpp false positives — so this is
+    * oracle-graded despite the approximate structure inside. At 100 TB:
+    * fact shuffle shrinks from |orders| to ~|matching|·(1+fpp) rows for
+    * m/8 bytes of broadcast state; fpp ≈ (1−e^(−kn/m))^k ≈ 2% at
+    * n=15 000, m=2¹⁷, k=4. */
+  def qJoinBloom(s: SparkSession, sf: String): DataFrame = {
+    import graft.functions.BloomFilter
+    val dim = Tables.customer(s, sf)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bloom = dim.agg(BloomFilter.bloomAgg(col("c_custkey"), 1 << 17, 4).as("bf"))
+    val pruned = Tables.orders(s, sf)
+      .crossJoin(broadcast(bloom))
+      .where(BloomFilter.bloomContains(col("bf"), col("o_custkey")))
+      .drop("bf")
+    pruned.join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+  }
 }

@@ -1465,4 +1465,11 @@ object OracleSql {
       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
       MIN(status_nf), MAX(status_nf) FROM src
     ORDER BY col_name ASC NULLS FIRST""")
+
+  val qJoinBloom: String = n("""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS FIRST""")
 }

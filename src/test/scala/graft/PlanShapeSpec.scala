@@ -135,4 +135,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
            s"editdist join planned as nested loop:\n$p")
   }
+
+  test("q_join_bloom probes inside WholeStageCodegen and semi-joins broadcast") {
+    val df = Joins.qJoinBloom(spark, sf)
+    df.collect() // finalize executedPlan (AQE) before reading it
+    val p = plan(df)
+    assert(p.contains("graft_bloom_contains"), s"bloom probe missing:\n$p")
+    // the probe filter must sit inside a WholeStageCodegen span — a
+    // non-codegen BloomMightContain would evict the scan projection
+    assert(p.split("\n").exists(l =>
+      l.contains("graft_bloom_contains") && l.trim.matches("^[:+\\- ]*\\*\\(\\d+\\).*")),
+      s"bloom probe not codegen'd:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+           s"verify join not broadcast semi:\n$p")
+  }
+
+  test("graft_bloom_agg + graft_bloom_contains are SQL-callable") {
+    val r = spark.sql(
+      """SELECT graft_bloom_contains(bf, 7L) AS hit7,
+                graft_bloom_contains(bf, 1234567L) AS hit_absent
+         FROM (SELECT graft_bloom_agg(id, 8192, 4) AS bf
+               FROM range(0, 100) t(id))""").collect()
+    assert(r.head.getBoolean(0), "inserted key must probe true")
+    assert(!r.head.getBoolean(1), "far-absent key expected false at this fpp")
+  }
 }

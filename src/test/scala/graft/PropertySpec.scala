@@ -284,4 +284,34 @@ class PropertySpec extends SparkSpec {
     val lhs = Tables.lineitem(spark, sf).select(col("l_orderkey").as("orderkey")).distinct()
     assert(ex.join(lhs, Seq("orderkey"), "left_anti").count() == 0)
   }
+
+  test("bloom filter: zero false negatives; fpp within 4x design bound") {
+    import graft.functions.BloomFilter
+    val dim = Tables.customer(spark, sf)
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val nKeys = dim.count()
+    val bloom = dim.agg(BloomFilter.bloomAgg(col("c_custkey"), 1 << 17, 4).as("bf"))
+    val probed = Tables.customer(spark, sf)
+      .select(col("c_custkey"), (col("c_mktsegment") === "BUILDING").as("member"))
+      .crossJoin(broadcast(bloom))
+      .withColumn("hit", BloomFilter.bloomContains(col("bf"), col("c_custkey")))
+    // no false negatives — every inserted key must probe true
+    assert(probed.where(col("member") && !col("hit")).count() == 0)
+    // false-positive rate of non-members within 4x the analytic bound
+    val nonMembers = probed.where(!col("member"))
+    val fp = nonMembers.where(col("hit")).count().toDouble
+    val nProbes = nonMembers.count().toDouble
+    val m = (1 << 17).toDouble
+    val designFpp = math.pow(1.0 - math.exp(-4.0 * nKeys / m), 4.0)
+    assert(nProbes == 0 || fp / nProbes <= math.max(4 * designFpp, 0.01),
+      s"observed fpp ${fp / nProbes} vs design $designFpp (n=$nKeys)")
+    // the pruned+verified join result equals the plain semi-join twin
+    val viaBloom = Joins.qJoinBloom(spark, sf)
+    val exact = Tables.orders(spark, sf)
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+    assert(viaBloom.select("o_orderpriority", "n_orders")
+      .except(exact).count() == 0)
+  }
 }
