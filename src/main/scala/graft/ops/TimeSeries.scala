@@ -359,4 +359,40 @@ object TimeSeries {
       .unionAll(level("4_purchase", s4))
       .orderBy("stage")
   }
+
+  /** Mean-shift change-point detection over the daily event-count
+    * series — "when did traffic step?" Offline CUSUM: for every
+    * candidate split, compare the left/right segment means and keep the
+    * split maximizing |Δmean| (tiebreak earliest day). ALL-INTEGER:
+    * |Δmean| ranks by |S₁·n₂ − S₂·n₁| div (n₁·n₂) fixed-point — no
+    * float accumulation to drift cross-engine (the q_ts_anomaly
+    * lesson). Shape: one data-sized hash agg to daily counts, then two
+    * windows + the argmax pick over the tiny days×types series — at
+    * 100 TB everything after the first agg touches ~10² rows. */
+  def qTsChangepoint(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val scored = daily
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("n1", row_number().over(w).cast("long"))
+      .withColumn("stot", sum(col("n")).over(wAll))
+      .withColumn("ntot", count(lit(1)).over(wAll))
+      .withColumn("n2", col("ntot") - col("n1"))
+      .where(col("n2") > 0)
+      .withColumn("diff",
+        abs(col("s1") * col("n2") - (col("stot") - col("s1")) * col("n1")))
+      .withColumn("score_scaled", expr("(1000 * diff) div (n1 * n2)"))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(col("score_scaled").desc, col("day"))
+    scored.withColumn("rn", row_number().over(pick))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("day").as("cp_day"), col("score_scaled"),
+        expr("(1000 * s1) div n1").as("mean_before_scaled"),
+        expr("(1000 * (stot - s1)) div n2").as("mean_after_scaled"))
+      .orderBy("event_type")
+  }
 }

@@ -1472,4 +1472,31 @@ object OracleSql {
     FROM orders
     WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
     GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS FIRST""")
+
+  val qTsChangepoint: String = n("""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, day, n,
+        SUM(n) OVER (PARTITION BY event_type ORDER BY day) AS s1,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS n1,
+        SUM(n) OVER (PARTITION BY event_type) AS stot,
+        COUNT(*) OVER (PARTITION BY event_type) AS ntot
+      FROM d),
+    c AS (
+      SELECT event_type, day, s1, n1, stot, ntot - n1 AS n2,
+        abs(s1 * (ntot - n1) - (stot - s1) * n1) AS diff
+      FROM s WHERE ntot - n1 > 0),
+    sc AS (
+      SELECT event_type, day, s1, n1, stot, n2,
+        (1000 * diff) // (n1 * n2) AS score,
+        ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY (1000 * diff) // (n1 * n2) DESC, day ASC) AS rn
+      FROM c)
+    SELECT event_type, day AS cp_day,
+      CAST(score AS BIGINT) AS score_scaled,
+      CAST((1000 * s1) // n1 AS BIGINT) AS mean_before_scaled,
+      CAST((1000 * (stot - s1)) // n2 AS BIGINT) AS mean_after_scaled
+    FROM sc WHERE rn = 1 ORDER BY event_type ASC NULLS FIRST""")
 }
