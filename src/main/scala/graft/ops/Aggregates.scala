@@ -216,6 +216,43 @@ object Aggregates {
     * engines/partitionings — unusable for cross-engine hashing, and the
     * explicit-moment form is also what a map-side-combinable multi-stat
     * pass computes at scale anyway (one shuffle, five decimal sums). */
+  /** A/B experiment readout — deterministic 50/50 assignment by
+    * [[Util.md5Bucket]] (user-sticky, shard-reproducible, no RNG) and a
+    * Welch t-statistic per event_type from EXACT moments: values are
+    * floor-quantized to 1e-6 fixed point and summed as integers (the
+    * qEmbedQuantize discipline — exact and order-independent where a
+    * raw double Σx² drifts), so mean/var/t are closed-form doubles over
+    * bit-identical integer sums. Shape: one data-sized hash agg to
+    * (type, arm), then trivial reshape over ~10 rows. */
+  def qAbTest(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf)
+      .withColumn("isa", md5Bucket(col("user_id")) <= "7")
+      .withColumn("vfp", floor(col("value") * lit(1e6)).cast("long"))
+      .withColumn("vvfp", floor(col("value") * col("value") * lit(1e6)).cast("long"))
+    val m = e.groupBy(col("event_type"), col("isa"))
+      .agg(count(lit(1)).as("n"), sum(col("vfp")).as("sx"), sum(col("vvfp")).as("sxx"))
+    val w = m.groupBy(col("event_type")).agg(
+      max(when(col("isa"), col("n"))).as("n_a"),
+      max(when(col("isa"), col("sx"))).as("sxa"),
+      max(when(col("isa"), col("sxx"))).as("sxxa"),
+      max(when(!col("isa"), col("n"))).as("n_b"),
+      max(when(!col("isa"), col("sx"))).as("sxb"),
+      max(when(!col("isa"), col("sxx"))).as("sxxb"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    w.withColumn("mean_a", col("sxa").cast("double") / lit(1e6) / na)
+      .withColumn("mean_b", col("sxb").cast("double") / lit(1e6) / nb)
+      .withColumn("var_a",
+        (col("sxxa").cast("double") / lit(1e6) - col("mean_a") * col("mean_a") * na) / (na - 1))
+      .withColumn("var_b",
+        (col("sxxb").cast("double") / lit(1e6) - col("mean_b") * col("mean_b") * nb) / (nb - 1))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("mean_a"),
+        round(col("mean_b"), 6).as("mean_b"),
+        round((col("mean_a") - col("mean_b")) /
+          sqrt(col("var_a") / na + col("var_b") / nb), 6).as("t_stat"))
+      .orderBy("event_type")
+  }
+
   def qAggCorr(s: SparkSession, sf: String): DataFrame = {
     val x = col("l_extendedprice")
     val y = col("l_quantity")

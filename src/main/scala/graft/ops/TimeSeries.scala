@@ -395,4 +395,33 @@ object TimeSeries {
         expr("(1000 * (stot - s1)) div n2").as("mean_after_scaled"))
       .orderBy("event_type")
   }
+
+  /** Event-sequence pattern counts (the MATCH_RECOGNIZE-lite funnel
+    * miner): each user's journey becomes an ordered initials string
+    * (s/v/c/p/o over the unique (ts, event_id) total order) and
+    * patterns are counted by non-overlapping `replace` deletion —
+    * `(len − len(replace(j, pat, ''))) div |pat|` — which both engines
+    * scan left-to-right identically, where regex quantifier semantics
+    * (greedy vs leftmost-longest) could diverge. ALL-INTEGER outputs.
+    * Shape: one (user) hash agg building the journey via
+    * `array_sort(collect_list(struct))` — per-user state is bounded by
+    * events-per-user, the sessionize shape; string ops are map-side. */
+  def qSeqPattern(s: SparkSession, sf: String): DataFrame = {
+    val ch = when(col("event_type") === "signup", "s")
+      .when(col("event_type") === "view", "v")
+      .when(col("event_type") === "click", "c")
+      .when(col("event_type") === "purchase", "p")
+      .otherwise("o")
+    Tables.events(s, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), ch.as("ch"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("ch")))),
+          x => x.getField("ch")), "").as("journey"))
+      .select(col("user_id"), col("n_events"),
+        expr("(length(journey) - length(replace(journey, 'vcp', ''))) div 3").as("n_vcp"),
+        expr("(length(journey) - length(replace(journey, 'vp', ''))) div 2").as("n_vp"))
+      .orderBy("user_id")
+  }
 }

@@ -1499,4 +1499,55 @@ object OracleSql {
       CAST((1000 * s1) // n1 AS BIGINT) AS mean_before_scaled,
       CAST((1000 * (stot - s1)) // n2 AS BIGINT) AS mean_after_scaled
     FROM sc WHERE rn = 1 ORDER BY event_type ASC NULLS FIRST""")
+
+  val qAbTest: String = n("""
+    WITH e AS (
+      SELECT event_type,
+        substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7' AS isa,
+        CAST(floor(value * 1e6) AS BIGINT) AS vfp,
+        CAST(floor(value * value * 1e6) AS BIGINT) AS vvfp
+      FROM events),
+    m AS (
+      SELECT event_type, isa, COUNT(*) AS n, SUM(vfp) AS sx, SUM(vvfp) AS sxx
+      FROM e GROUP BY 1, 2),
+    w AS (
+      SELECT event_type,
+        MAX(CASE WHEN isa THEN n END) AS n_a,
+        MAX(CASE WHEN isa THEN sx END) AS sxa,
+        MAX(CASE WHEN isa THEN sxx END) AS sxxa,
+        MAX(CASE WHEN NOT isa THEN n END) AS n_b,
+        MAX(CASE WHEN NOT isa THEN sx END) AS sxb,
+        MAX(CASE WHEN NOT isa THEN sxx END) AS sxxb
+      FROM m GROUP BY 1),
+    c AS (
+      SELECT event_type, n_a, n_b,
+        CAST(sxa AS DOUBLE) / 1e6 / CAST(n_a AS DOUBLE) AS mean_a,
+        CAST(sxb AS DOUBLE) / 1e6 / CAST(n_b AS DOUBLE) AS mean_b,
+        CAST(sxxa AS DOUBLE) AS sxxa_d, CAST(sxxb AS DOUBLE) AS sxxb_d
+      FROM w),
+    v AS (
+      SELECT event_type, n_a, n_b, mean_a, mean_b,
+        (sxxa_d / 1e6 - mean_a * mean_a * CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1) AS var_a,
+        (sxxb_d / 1e6 - mean_b * mean_b * CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1) AS var_b
+      FROM c)
+    SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+      round((mean_a - mean_b) /
+        sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)), 6) AS t_stat
+    FROM v ORDER BY event_type ASC NULLS FIRST""")
+
+  val qSeqPattern: String = n("""
+    WITH ch AS (
+      SELECT user_id, ts, event_id,
+        CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+          WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p' ELSE 'o' END AS ch
+      FROM events),
+    j AS (
+      SELECT user_id, COUNT(*) AS n_events,
+        string_agg(ch, '' ORDER BY ts ASC, event_id ASC) AS journey
+      FROM ch GROUP BY user_id)
+    SELECT user_id, n_events,
+      (length(journey) - length(replace(journey, 'vcp', ''))) // 3 AS n_vcp,
+      (length(journey) - length(replace(journey, 'vp', ''))) // 2 AS n_vp
+    FROM j ORDER BY user_id ASC NULLS FIRST""")
 }
