@@ -188,6 +188,55 @@ object StreamOps {
         OutputMode.Append())
   }
 
+  /** s_stream_bloom_dedup: BOUNDED-STATE streaming dedup on event_id.
+    * `dropDuplicates` (s_stream_dedup) keeps one state row per distinct
+    * key — O(distinct ids), unbounded on an open-ended id space even
+    * with a watermark. This variant shards ids and keeps ONE Bloom
+    * bitset per shard ([[graft.functions.BloomUtil]], the same kernel
+    * as q_join_bloom): state is shards·m/8 bytes FOREVER, regardless of
+    * cardinality. The trade is one-sided and fpp-bounded: a duplicate
+    * can never pass (no false negatives), but ~fpp of uniques are
+    * wrongly dropped — the right trade for at-scale ingest dedup where
+    * a missed dup poisons training data and a dropped unique is noise.
+    * Intra-batch rows are processed in (ts, event_id) order so the
+    * emitted set is deterministic. */
+  private class BloomDedupProcessor(numBits: Int, numHashes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Event] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var bloom: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      bloom = getHandle.getValueState[Array[Byte]](
+        "bloom", E.BINARY, org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Event] = {
+      val blob =
+        if (bloom.exists()) bloom.get()
+        else graft.functions.BloomUtil.emptyBlob(numBits, numHashes)
+      val out = Seq.newBuilder[Event]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
+        if (!graft.functions.BloomUtil.contains(blob, e.eventId)) {
+          graft.functions.BloomUtil.setBits(blob, e.eventId)
+          out += e
+        }
+      }
+      bloom.update(blob)
+      out.result().iterator
+    }
+  }
+
+  /** Requires the RocksDB state store, like [[highWaterMarks]]. */
+  def bloomDedup(events: Dataset[Event], shards: Int = 32,
+                 numBits: Int = 1 << 15, numHashes: Int = 4): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.eventId % shards)
+      .transformWithState(new BloomDedupProcessor(numBits, numHashes),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Output row of the streaming funnel: a user advancing to a stage. */
   case class StageAdvance(userId: Long, stage: Int, ts: java.sql.Timestamp)
 

@@ -261,6 +261,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_stream_bloom_dedup: bounded-state dedup drops dups in and across batches") {
+    import spark.implicits._
+    withRocksDB {
+      val in = MemoryStream[Event](spark)
+      val q = StreamOps.bloomDedup(in.toDS())
+        .writeStream.format("memory").queryName("bloomdedup")
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(ev(10, 0), ev(11, 1), ev(10, 2), // intra-batch dup id 10
+                   ev(12, 3))
+        q.processAllAvailable()
+        in.addData(ev(11, 4), ev(12, 5),            // cross-batch dups
+                   ev(13, 6))
+        q.processAllAvailable()
+        val ids = spark.table("bloomdedup").collect().map(_.getLong(0)).toSeq
+        // no id emitted twice; at this load (4 ids, 2^15-bit blooms) the
+        // fpp is ~0 so exactly the distinct set passes
+        assert(ids.sorted == Seq(10L, 11L, 12L, 13L), s"got $ids")
+      } finally q.stop()
+    }
+  }
+
   test("s_stream_file_source + s_stream_foreachbatch_sink: file ingest to parquet sink") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
