@@ -38,9 +38,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_bloom_agg requires (key, numBits, numHashes), got ${args.length} args")
         require(args(1).foldable && args(2).foldable,
           "graft_bloom_agg numBits/numHashes must be literals")
-        BloomBuildAgg(args(0),
-          args(1).eval().asInstanceOf[Number].intValue(),
-          args(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+        // validate here, at analysis time, with clear messages — not as
+        // a ClassCastException in planning or a per-task require on the
+        // executors
+        def intArg(e: Expression, name: String): Int = e.eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_agg $name must be an integer literal, got $other")
+        }
+        val bits = intArg(args(1), "numBits")
+        val hashes = intArg(args(2), "numHashes")
+        require(bits > 0 && bits % 8 == 0,
+          s"graft_bloom_agg numBits must be a positive multiple of 8, got $bits")
+        require(hashes > 0, s"graft_bloom_agg numHashes must be positive, got $hashes")
+        BloomBuildAgg(args(0), bits, hashes).toAggregateExpression()
       }))
   }
 }

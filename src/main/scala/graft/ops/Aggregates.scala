@@ -245,6 +245,12 @@ object Aggregates {
         (col("sxxa").cast("double") / lit(1e6) - col("mean_a") * col("mean_a") * na) / (na - 1))
       .withColumn("var_b",
         (col("sxxb").cast("double") / lit(1e6) - col("mean_b") * col("mean_b") * nb) / (nb - 1))
+      // guard degenerate cells (mirrored in the oracle): an arm with
+      // n<2 has no sample variance, and a zero pooled variance would
+      // divide by zero — where Spark yields NULL but DuckDB yields
+      // inf/nan, breaking parity
+      .where(col("n_a") >= 2 && col("n_b") >= 2 &&
+        (col("var_a") / na + col("var_b") / nb) > 0)
       .select(col("event_type"), col("n_a"), col("n_b"),
         round(col("mean_a"), 6).as("mean_a"),
         round(col("mean_b"), 6).as("mean_b"),

@@ -136,8 +136,13 @@ object Relational {
     * not repartition(4): compaction must not shuffle, only concatenate
     * partitions on read. */
   def qSinkCompact(s: SparkSession, sf: String): DataFrame = {
-    val frag = "/tmp/graft_sink/events_fragmented"
-    val compact = "/tmp/graft_sink/events_compacted"
+    // per-invocation scratch dir: a fixed shared path lets concurrent
+    // JVMs (verify + bench + tests) interleave overwrite-writes and
+    // read each other's half-written layouts
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sink_compact").toString
+    val frag = s"$base/events_fragmented"
+    val compact = s"$base/events_compacted"
     val e = Tables.events(s, sf).select("event_id", "event_type", "value")
     e.repartition(64).write.mode("overwrite").parquet(frag)
     s.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)

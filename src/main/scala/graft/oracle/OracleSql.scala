@@ -1534,7 +1534,10 @@ object OracleSql {
       round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
       round((mean_a - mean_b) /
         sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)), 6) AS t_stat
-    FROM v ORDER BY event_type ASC NULLS FIRST""")
+    FROM v
+    WHERE n_a >= 2 AND n_b >= 2
+      AND (var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)) > 0
+    ORDER BY event_type ASC NULLS FIRST""")
 
   val qSeqPattern: String = n("""
     WITH ch AS (

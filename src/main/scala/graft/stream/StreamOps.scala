@@ -191,38 +191,67 @@ object StreamOps {
   /** s_stream_bloom_dedup: BOUNDED-STATE streaming dedup on event_id.
     * `dropDuplicates` (s_stream_dedup) keeps one state row per distinct
     * key — O(distinct ids), unbounded on an open-ended id space even
-    * with a watermark. This variant shards ids and keeps ONE Bloom
-    * bitset per shard ([[graft.functions.BloomUtil]], the same kernel
-    * as q_join_bloom): state is shards·m/8 bytes FOREVER, regardless of
-    * cardinality. The trade is one-sided and fpp-bounded: a duplicate
-    * can never pass (no false negatives), but ~fpp of uniques are
-    * wrongly dropped — the right trade for at-scale ingest dedup where
-    * a missed dup poisons training data and a dropped unique is noise.
-    * Intra-batch rows are processed in (ts, event_id) order so the
-    * emitted set is deterministic. */
+    * with a watermark. This variant shards ids and keeps a ROTATING
+    * PAIR of Bloom bitsets per shard ([[graft.functions.BloomUtil]],
+    * the same kernel as q_join_bloom): membership checks both
+    * generations, inserts go to the current one, and when the current
+    * generation reaches its design capacity (m·ln2/k inserts — the fill
+    * at which fpp meets its analytic bound) it becomes the previous and
+    * a fresh one starts. State is 2·shards·m/8 bytes forever AND the
+    * false-positive rate stays at the design bound instead of
+    * saturating toward 100% as a single ever-filling bitset would.
+    * The trades, both one-sided and bounded: ~fpp of uniques are
+    * wrongly dropped (the right trade for ingest dedup, where a missed
+    * dup poisons training data and a dropped unique is noise), and a
+    * duplicate CAN pass only when its first occurrence is older than a
+    * full generation (≥ m·ln2/k distinct ids ago on its shard) — the
+    * sliding-recency semantics every bounded-memory dedup must pick.
+    * Intra-batch rows are processed in full (µs ts, id, payload) order
+    * so the emitted set is deterministic under arrival-order shuffle. */
   private class BloomDedupProcessor(numBits: Int, numHashes: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Event] {
     import org.apache.spark.sql.{Encoders => E}
-    @transient private var bloom: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+    @transient private var cur: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+    @transient private var prev: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+    @transient private var nCur: org.apache.spark.sql.streaming.ValueState[Long] = _
+    private val rotateAt: Long = (numBits * math.log(2) / numHashes).toLong.max(1L)
 
     override def init(outputMode: OutputMode,
-                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      bloom = getHandle.getValueState[Array[Byte]](
-        "bloom", E.BINARY, org.apache.spark.sql.streaming.TTLConfig.NONE)
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttl = org.apache.spark.sql.streaming.TTLConfig.NONE
+      cur = getHandle.getValueState[Array[Byte]]("cur", E.BINARY, ttl)
+      prev = getHandle.getValueState[Array[Byte]]("prev", E.BINARY, ttl)
+      nCur = getHandle.getValueState[Long]("ncur", E.scalaLong, ttl)
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Event] = {
-      val blob =
-        if (bloom.exists()) bloom.get()
-        else graft.functions.BloomUtil.emptyBlob(numBits, numHashes)
+      import graft.functions.BloomUtil
+      var curB = if (cur.exists()) cur.get() else BloomUtil.emptyBlob(numBits, numHashes)
+      var prevB = if (prev.exists()) prev.get() else null
+      var n = if (nCur.exists()) nCur.get() else 0L
       val out = Seq.newBuilder[Event]
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
-        if (!graft.functions.BloomUtil.contains(blob, e.eventId)) {
-          graft.functions.BloomUtil.setBits(blob, e.eventId)
+      // java.sql.Timestamp.getTime truncates to ms — getNanos restores
+      // the sub-ms part; userId/value break (ts, id) ties so identical
+      // keys pick the same representative on every run
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.eventId,
+                              e.userId, e.value)).foreach { e =>
+        val seen = BloomUtil.contains(curB, e.eventId) ||
+          (prevB != null && BloomUtil.contains(prevB, e.eventId))
+        if (!seen) {
+          if (n >= rotateAt) {
+            prevB = curB
+            curB = BloomUtil.emptyBlob(numBits, numHashes)
+            n = 0L
+          }
+          BloomUtil.setBits(curB, e.eventId)
+          n += 1
           out += e
         }
       }
-      bloom.update(blob)
+      cur.update(curB)
+      if (prevB != null) prev.update(prevB)
+      nCur.update(n)
       out.result().iterator
     }
   }

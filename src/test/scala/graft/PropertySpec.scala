@@ -305,13 +305,21 @@ class PropertySpec extends SparkSpec {
     val designFpp = math.pow(1.0 - math.exp(-4.0 * nKeys / m), 4.0)
     assert(nProbes == 0 || fp / nProbes <= math.max(4 * designFpp, 0.01),
       s"observed fpp ${fp / nProbes} vs design $designFpp (n=$nKeys)")
-    // the pruned+verified join result equals the plain semi-join twin
+    // the pruned+verified join result equals the plain semi-join twin —
+    // SYMMETRIC except over all columns (price rounded: both sides are
+    // decimal-path sums but the comparison shouldn't hinge on the last
+    // ulp of the final decimal→double cast), so missing groups and
+    // value drift both fail
     val viaBloom = Joins.qJoinBloom(spark, sf)
+      .select(col("o_orderpriority"), col("n_orders"),
+        round(col("total_price"), 4).as("tp"))
     val exact = Tables.orders(spark, sf)
       .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"))
-    assert(viaBloom.select("o_orderpriority", "n_orders")
-      .except(exact).count() == 0)
+      .agg(count(lit(1)).as("n_orders"),
+        round(graft.ops.Util.dsum(col("o_totalprice")), 4).as("tp"))
+    assert(viaBloom.except(exact).count() == 0 &&
+           exact.except(viaBloom).count() == 0,
+      "bloom-pruned join diverged from the exact semi-join twin")
   }
 }
