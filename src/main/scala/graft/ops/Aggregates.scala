@@ -216,6 +216,32 @@ object Aggregates {
     * engines/partitionings — unusable for cross-engine hashing, and the
     * explicit-moment form is also what a map-side-combinable multi-stat
     * pass computes at scale anyway (one shuffle, five decimal sums). */
+  /** Exact weighted percentile (lower weighted median) per group —
+    * the "median latency weighted by request volume" shape built-in
+    * percentile functions don't cover. Weights are declared integers
+    * (1 + user_id % 3); the pick is the first value in the unique
+    * (value, event_id) order whose running weight crosses half the
+    * total — the crossing test `2·cumw ≥ totw` is pure integer
+    * arithmetic and the output is an INPUT double, so nothing is
+    * engine-accumulated. One (event_type) shuffle serves all three
+    * window passes. */
+  def qAggPercentileWeighted(s: SparkSession, sf: String): DataFrame = {
+    val byVal = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val whole = Window.partitionBy(col("event_type"))
+    val c = Tables.events(s, sf)
+      .select(col("event_type"), col("event_id"), col("value"),
+        (lit(1) + col("user_id") % 3).as("wt"))
+      .withColumn("cumw", sum(col("wt")).over(byVal))
+      .withColumn("totw", sum(col("wt")).over(whole))
+      .where(lit(2) * col("cumw") >= col("totw"))
+    c.withColumn("rn", row_number().over(byVal))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("totw").cast("long").as("total_weight"),
+        col("value").as("wmedian"))
+      .orderBy("event_type")
+  }
+
   /** A/B experiment readout — deterministic 50/50 assignment by
     * [[Util.md5Bucket]] (user-sticky, shard-reproducible, no RNG) and a
     * Welch t-statistic per event_type from EXACT moments: values are

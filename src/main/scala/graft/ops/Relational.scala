@@ -311,6 +311,27 @@ object Relational {
     l.except(o).orderBy("orderkey")
   }
 
+  /** EXCEPT ALL — multiset difference (completes §2.7's bag algebra):
+    * each orderkey survives (its lineitem multiplicity − its orders
+    * multiplicity) times, so multi-line orders keep n−1 copies where
+    * the DISTINCT variant would drop them entirely. Planned as one
+    * count-per-key aggregate + generate, not a sort-based dedup. */
+  def qExceptAll(s: SparkSession, sf: String): DataFrame = {
+    val l = Tables.lineitem(s, sf).select(col("l_orderkey").as("orderkey"))
+    val o = Tables.orders(s, sf).select(col("o_orderkey").as("orderkey"))
+    l.exceptAll(o).orderBy("orderkey")
+  }
+
+  /** INTERSECT ALL — multiset intersection: min(multiplicity) copies
+    * of each nation key across the two account-filtered sides. */
+  def qIntersectAll(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(s, sf)
+      .where(col("c_acctbal") > 5000).select(col("c_nationkey").as("nationkey"))
+    val su = Tables.supplier(s, sf)
+      .where(col("s_acctbal") > 0).select(col("s_nationkey").as("nationkey"))
+    c.intersectAll(su).orderBy("nationkey")
+  }
+
   /** CDC MERGE / upsert as a plain-parquet pattern: apply an update
     * batch (derived deterministically here: every 97th order escalates
     * to status 'X' with a 10% price bump) to the base snapshot via one

@@ -1553,4 +1553,31 @@ object OracleSql {
       (length(journey) - length(replace(journey, 'vcp', ''))) // 3 AS n_vcp,
       (length(journey) - length(replace(journey, 'vp', ''))) // 2 AS n_vp
     FROM j ORDER BY user_id ASC NULLS FIRST""")
+
+  val qExceptAll: String = n("""
+    SELECT l_orderkey AS orderkey FROM lineitem
+    EXCEPT ALL
+    SELECT o_orderkey AS orderkey FROM orders
+    ORDER BY orderkey""")
+
+  val qIntersectAll: String = n("""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 0
+    ORDER BY nationkey""")
+
+  val qAggPercentileWeighted: String = n("""
+    WITH w AS (
+      SELECT event_type, event_id, value, 1 + user_id % 3 AS wt FROM events),
+    c AS (
+      SELECT event_type, event_id, value, wt,
+        SUM(wt) OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS cumw,
+        SUM(wt) OVER (PARTITION BY event_type) AS totw
+      FROM w),
+    q AS (
+      SELECT event_type, value, totw,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn
+      FROM c WHERE 2 * cumw >= totw)
+    SELECT event_type, CAST(totw AS BIGINT) AS total_weight, value AS wmedian
+    FROM q WHERE rn = 1 ORDER BY event_type ASC NULLS FIRST""")
 }
