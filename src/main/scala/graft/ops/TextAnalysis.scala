@@ -151,6 +151,37 @@ object TextAnalysis {
       .orderBy("lang", "rk")
   }
 
+  /** URL canonicalization + domain rollup — the web-corpus curation
+    * step (per-domain quotas, domain blocklists, canonical-URL dedup
+    * all start here). The fixture has no URLs, so the op DECLARES a
+    * deterministic injection (mirrored verbatim in the oracle): every
+    * doc gets a source-derived URL with tracking-noise query params and
+    * mixed-case host. Pipeline: canonicalize (lowercase host, strip
+    * `?...` and trailing slash) → parse host/TLD via shared-subset
+    * regex → per-host rollup. Map-side expressions + one hash agg. */
+  def qTextUrls(s: SparkSession, sf: String): DataFrame = {
+    val tld = when(col("doc_id") % 3 === 0, ".com")
+      .when(col("doc_id") % 3 === 1, ".org").otherwise(".net")
+    val rawUrl = concat(
+      when(col("doc_id") % 2 === 0, "https://WWW.").otherwise("https://www."),
+      col("source"), tld, lit("/"), col("lang"), lit("/"),
+      col("doc_id").cast("string"),
+      when(col("doc_id") % 4 === 0, "/").otherwise(""),
+      when(col("doc_id") % 2 === 0, "?utm_source=feed&ref=42").otherwise(""))
+    val canon = regexp_replace(
+      regexp_replace(lower(rawUrl), "\\?.*$", ""), "/$", "")
+    Tables.documents(s, sf)
+      .select(col("lang"), col("n_chars"), canon.as("url"))
+      .select(col("lang"), col("n_chars"),
+        regexp_extract(col("url"), "^https://([a-z0-9.]+)/", 1).as("host"))
+      .withColumn("tld", regexp_extract(col("host"), "\\.([a-z]+)$", 1))
+      .groupBy(col("host"), col("tld"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        count_distinct(col("lang")).as("n_langs"))
+      .orderBy("host")
+  }
+
   /** Deterministic per-lang weighted sampling — the domain-mixture
     * reweighting step (DoReMi-style mixture tuning, rates fixed up
     * front): keep a doc iff its [[Util.md5Bucket]] hex digit is ≤ the

@@ -1580,4 +1580,31 @@ object OracleSql {
       FROM c WHERE 2 * cumw >= totw)
     SELECT event_type, CAST(totw AS BIGINT) AS total_weight, value AS wmedian
     FROM q WHERE rn = 1 ORDER BY event_type ASC NULLS FIRST""")
+
+  val qTextUrls: String = n("""
+    WITH raw AS (
+      SELECT lang, n_chars,
+        CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.' ELSE 'https://www.' END
+          || source
+          || CASE WHEN doc_id % 3 = 0 THEN '.com'
+                  WHEN doc_id % 3 = 1 THEN '.org' ELSE '.net' END
+          || '/' || lang || '/' || CAST(doc_id AS VARCHAR)
+          || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+          || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=42' ELSE '' END
+          AS url
+      FROM documents),
+    c AS (
+      SELECT lang, n_chars,
+        regexp_extract(
+          regexp_replace(regexp_replace(lower(url), '\?.*$', ''), '/$', ''),
+          '^https://([a-z0-9.]+)/', 1) AS host
+      FROM raw),
+    h AS (
+      SELECT lang, n_chars, host,
+        regexp_extract(host, '\.([a-z]+)$', 1) AS tld
+      FROM c)
+    SELECT host, tld, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      COUNT(DISTINCT lang) AS n_langs
+    FROM h GROUP BY host, tld ORDER BY host ASC NULLS FIRST""")
 }
