@@ -370,7 +370,10 @@ object Relational {
     * profiled projection DECLARES one derived column
     * (`nullif(o_orderstatus,'F')`) to exercise NULL accounting. */
   def qProfileColumns(s: SparkSession, sf: String): DataFrame = {
-    val base = Tables.orders(s, sf)
+    // fixture tables are single parquet files → single-task scans; the
+    // ×7 Expand amplification is CPU-heavy enough to be worth spreading
+    // (5.2 s → sub-second at sf0.1)
+    val base = Tables.orders(s, sf).repartition(32)
       .withColumn("status_nf", expr("nullif(o_orderstatus, 'F')"))
     val num = Seq("o_orderkey", "o_custkey", "o_totalprice")
     val str = Seq("o_orderstatus", "o_orderpriority", "status_nf")
