@@ -396,6 +396,33 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** EWMA smoothing with α=1/2 — the TSDB exponential smoother, made
+    * hash-exact: values floor-quantize to 1e-6 fixed point and the
+    * 16-term window is an EXPLICIT Σ lag_i·2^(15−i) of integers
+    * (power-of-two weights are exact; a recursive s_t = αx + (1−α)s
+    * float chain would accumulate engine-order drift, and a windowed
+    * Σx·w over doubles is order-dependent). One integer division pair
+    * at the end mirrors on both engines. Emitted only where the full
+    * 16-row history exists. One (user) window pass, constant memory
+    * per row. Weights beyond 16 terms are < 2⁻¹⁶ ≈ 1.5e-5 of the
+    * signal — below the 1e-6 quantization floor times typical values,
+    * the declared truncation. */
+  def qTsEwma(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val terms = (0 until 16).map(i =>
+      lag(col("xfp"), i).over(byUser) * lit(1L << (15 - i)))
+    Tables.events(s, sf)
+      .withColumn("xfp", floor(col("value") * lit(1e6)).cast("long"))
+      .withColumn("num", terms.reduce(_ + _))
+      .withColumn("rn", row_number().over(byUser))
+      .where(col("rn") >= 16)
+      .select(col("event_id"), col("user_id"),
+        (col("num").cast("double") / lit(((1L << 16) - 1).toDouble * 1e6))
+          .as("ewma"))
+      .orderBy("event_id")
+  }
+
   /** Event-sequence pattern counts (the MATCH_RECOGNIZE-lite funnel
     * miner): each user's journey becomes an ordered initials string
     * (s/v/c/p/o over the unique (ts, event_id) total order) and

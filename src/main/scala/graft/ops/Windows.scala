@@ -111,4 +111,27 @@ object Windows {
               last(col("o_totalprice")).over(w).as("last_price"))
       .orderBy("o_orderkey")
   }
+
+  /** Centered 21-row moving MEDIAN per user — the robust smoother a
+    * spike-riddled series needs where the moving average chases
+    * outliers. The frame is held to EXACTLY 21 rows (full-frame rows
+    * only), so the count is odd and the median is the middle INPUT
+    * value — no interpolation, no engine accumulation, hash-exact by
+    * construction. Spark has no median window function: the frame's
+    * values are collected, sorted, and indexed (`element_at(…, 11)`),
+    * all inside one (user) window pass; DuckDB states `median()` over
+    * the same frame directly. 21 values per row is constant memory —
+    * the shape survives any series length. */
+  def qWinMovingMedian(s: SparkSession, sf: String): DataFrame = {
+    val frame = byUser.rowsBetween(-10, 10)
+    val whole = Window.partitionBy("user_id")
+    Tables.events(s, sf)
+      .withColumn("med21",
+        element_at(sort_array(collect_list(col("value")).over(frame)), 11))
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("cnt", count(lit(1)).over(whole))
+      .where(col("rn") >= 11 && col("rn") <= col("cnt") - 10)
+      .select(col("event_id"), col("user_id"), col("med21"))
+      .orderBy("event_id")
+  }
 }

@@ -1607,4 +1607,43 @@ object OracleSql {
       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       COUNT(DISTINCT lang) AS n_langs
     FROM h GROUP BY host, tld ORDER BY host ASC NULLS FIRST""")
+
+  val qWinMovingMedian: String = n("""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+        median(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING) AS med21,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn,
+        COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events)
+    SELECT event_id, user_id, med21 FROM w
+    WHERE rn >= 11 AND rn <= cnt - 10 ORDER BY event_id ASC NULLS FIRST""")
+
+  val qTsEwma: String = n("""
+    WITH e AS (
+      SELECT event_id, user_id, ts, CAST(floor(value * 1e6) AS BIGINT) AS xfp
+      FROM events),
+    w AS (
+      SELECT event_id, user_id,
+        xfp * 32768
+        + lag(xfp, 1) OVER win * 16384
+        + lag(xfp, 2) OVER win * 8192
+        + lag(xfp, 3) OVER win * 4096
+        + lag(xfp, 4) OVER win * 2048
+        + lag(xfp, 5) OVER win * 1024
+        + lag(xfp, 6) OVER win * 512
+        + lag(xfp, 7) OVER win * 256
+        + lag(xfp, 8) OVER win * 128
+        + lag(xfp, 9) OVER win * 64
+        + lag(xfp, 10) OVER win * 32
+        + lag(xfp, 11) OVER win * 16
+        + lag(xfp, 12) OVER win * 8
+        + lag(xfp, 13) OVER win * 4
+        + lag(xfp, 14) OVER win * 2
+        + lag(xfp, 15) OVER win * 1 AS num,
+        ROW_NUMBER() OVER win AS rn
+      FROM e
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+    SELECT event_id, user_id, CAST(num AS DOUBLE) / 65535000000.0 AS ewma
+    FROM w WHERE rn >= 16 ORDER BY event_id ASC NULLS FIRST""")
 }
