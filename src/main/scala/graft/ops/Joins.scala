@@ -248,6 +248,27 @@ object Joins {
       .orderBy("o_orderpriority")
   }
 
+  /** Multi-dimension star join (the TPC-H Q5 shape): fact orders
+    * against the customer → nation → region dimension chain, revenue
+    * per region. The dims broadcast in a CHAIN — the fact side never
+    * shuffles; Catalyst folds all three joins into consecutive
+    * BroadcastHashJoins inside one codegen span over the scan. At
+    * 100 TB this is THE star-schema plan: zero fact movement, dim
+    * broadcast cost amortized across every executor. */
+  def qJoinStar(s: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(s, sf).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(s, sf).select(col("n_nationkey"), col("n_regionkey"))
+    val r = Tables.region(s, sf).select(col("r_regionkey"), col("r_name"))
+    Tables.orders(s, sf)
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("r_name")
+  }
+
   /** Bloom-filter runtime join pruning — the manual "runtime filter"
     * every warehouse engine injects into selective star joins: build a
     * 16 KB bitset over the filtered dim keys (native mergeable

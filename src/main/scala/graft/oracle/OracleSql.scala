@@ -1646,4 +1646,13 @@ object OracleSql {
       WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
     SELECT event_id, user_id, CAST(num AS DOUBLE) / 65535000000.0 AS ewma
     FROM w WHERE rn >= 16 ORDER BY event_id ASC NULLS FIRST""")
+
+  val qJoinStar: String = n("""
+    SELECT r_name, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name ASC NULLS FIRST""")
 }

@@ -256,6 +256,51 @@ object StreamOps {
     }
   }
 
+  /** Output row of the streaming EWMA smoother. */
+  case class Smoothed(userId: Long, eventId: Long, ewma: Double)
+
+  /** s_stream_ewma: per-user α=1/2 recursive EWMA — the streaming
+    * sibling of the batch q_ts_ewma (which truncates to 16 explicit
+    * terms; the stream keeps the full recursion because state makes it
+    * free). All arithmetic is 1e-6 fixed-point integer:
+    * s_t = (x_fp + s_{t−1}) div 2 — exact halving per step, no float
+    * accumulation, so replays and shard moves can never change emitted
+    * values. O(1) state (one long) per user. */
+  private class EwmaProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Smoothed] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[Long](
+        "ewma_fp", E.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Smoothed] = {
+      var has = state.exists()
+      var s = if (has) state.get() else 0L
+      val out = Seq.newBuilder[Smoothed]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.eventId)).foreach { e =>
+        val xfp = math.floor(e.value * 1e6).toLong
+        s = if (has) (xfp + s) / 2 else xfp // first sample seeds the level
+        has = true
+        out += Smoothed(key, e.eventId, s.toDouble / 1e6)
+      }
+      state.update(s)
+      out.result().iterator
+    }
+  }
+
+  /** Requires the RocksDB state store, like [[highWaterMarks]]. */
+  def ewma(events: Dataset[Event]): Dataset[Smoothed] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new EwmaProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Requires the RocksDB state store, like [[highWaterMarks]]. */
   def bloomDedup(events: Dataset[Event], shards: Int = 32,
                  numBits: Int = 1 << 15, numHashes: Int = 4): Dataset[Event] = {

@@ -261,6 +261,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_stream_ewma: fixed-point recursion is exact within and across batches") {
+    import spark.implicits._
+    withRocksDB {
+      val in = MemoryStream[Event](spark)
+      val q = StreamOps.ewma(in.toDS())
+        .writeStream.format("memory").queryName("ewma")
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(ev(1, 0, user = 1, value = 4.0),
+                   ev(2, 1, user = 1, value = 2.0))
+        q.processAllAvailable()
+        in.addData(ev(3, 2, user = 1, value = 5.0))
+        q.processAllAvailable()
+        val rows = spark.table("ewma").collect()
+          .map(r => (r.getLong(1), r.getDouble(2))).toMap
+        // seed 4.0; (2+4)/2 = 3.0; (5+3)/2 = 4.0 — exact halving chain
+        assert(rows == Map(1L -> 4.0, 2L -> 3.0, 3L -> 4.0), s"got $rows")
+      } finally q.stop()
+    }
+  }
+
   test("s_stream_bloom_dedup: bounded-state dedup drops dups in and across batches") {
     import spark.implicits._
     withRocksDB {
