@@ -638,4 +638,40 @@ object TextDedup {
               col("n_shared_grams"), col("worst_train_doc"), col("worst_overlap"))
       .orderBy("doc_id")
   }
+
+  /** PageRank over the near-dup pair graph — graph analytics on the
+    * corpus: rank ∝ how centrally a doc sits in its duplication
+    * neighborhood (the canonical-representative picker that beats
+    * min-id when cluster quality matters). ALL-INTEGER fixed point:
+    * ranks are 1e6-scaled longs, each of the FIXED 5 iterations is
+    * `150000 + (850000 · Σ(r_u div deg_u)) div 1e6` — integer div
+    * mirrored on both engines, zero float accumulation. The edge set
+    * is the τ=0.6 Jaccard pair graph ([[qDedupJaccard]] — already
+    * oracle-verified equal to the oracle's own pair derivation).
+    * Shape: per-iteration (node-key) join+agg over |edges| rows, the
+    * standard distributed PageRank round; edges/degrees are
+    * localCheckpoint'd once, ranks per round (plans stay constant
+    * size, and min-of-2 benches never read a cross-invocation cache
+    * — the q_dedup_cluster discipline). */
+  def qGraphPagerank(s: SparkSession, sf: String): DataFrame = {
+    val pairs = qDedupJaccard(s, sf).select(col("a_id"), col("b_id"))
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .localCheckpoint()
+    val degs = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    var r = degs.select(col("u").as("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to 5) {
+      r = edges
+        .join(r.withColumnRenamed("id", "u"), "u")
+        .join(degs, "u")
+        .groupBy(col("v"))
+        .agg(sum(expr("r div d")).as("m"))
+        .select(col("v").as("id"),
+          expr("150000 + (850000 * m) div 1000000").as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("id").as("doc_id"), col("r").as("rank_fp"))
+      .orderBy("doc_id")
+  }
 }

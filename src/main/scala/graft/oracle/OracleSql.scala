@@ -1655,4 +1655,36 @@ object OracleSql {
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name ORDER BY r_name ASC NULLS FIRST""")
+
+  val qGraphPagerank: String = n("""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars,
+        list_distinct(string_split(text, ' ')) AS tk
+      FROM documents),
+    pairs AS (
+      SELECT a_id, b_id FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+        FROM toks a JOIN toks b
+          ON a.doc_id < b.doc_id AND a.lang = b.lang
+         AND abs(a.n_chars - b.n_chars) <= 25) t
+      WHERE jaccard >= 0.6),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    r0 AS (SELECT u AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+    r1 AS (SELECT e.v AS id, 150000 + (850000 * SUM(r.r // g.d)) // 1000000 AS r
+           FROM edges e JOIN r0 r ON e.u = r.id JOIN deg g ON g.u = e.u GROUP BY e.v),
+    r2 AS (SELECT e.v AS id, 150000 + (850000 * SUM(r.r // g.d)) // 1000000 AS r
+           FROM edges e JOIN r1 r ON e.u = r.id JOIN deg g ON g.u = e.u GROUP BY e.v),
+    r3 AS (SELECT e.v AS id, 150000 + (850000 * SUM(r.r // g.d)) // 1000000 AS r
+           FROM edges e JOIN r2 r ON e.u = r.id JOIN deg g ON g.u = e.u GROUP BY e.v),
+    r4 AS (SELECT e.v AS id, 150000 + (850000 * SUM(r.r // g.d)) // 1000000 AS r
+           FROM edges e JOIN r3 r ON e.u = r.id JOIN deg g ON g.u = e.u GROUP BY e.v),
+    r5 AS (SELECT e.v AS id, 150000 + (850000 * SUM(r.r // g.d)) // 1000000 AS r
+           FROM edges e JOIN r4 r ON e.u = r.id JOIN deg g ON g.u = e.u GROUP BY e.v)
+    SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_fp FROM r5
+    ORDER BY doc_id ASC NULLS FIRST""")
 }
