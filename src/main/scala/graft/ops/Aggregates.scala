@@ -216,6 +216,27 @@ object Aggregates {
     * engines/partitionings — unusable for cross-engine hashing, and the
     * explicit-moment form is also what a map-side-combinable multi-stat
     * pass computes at scale anyway (one shuffle, five decimal sums). */
+  /** Ordered group concatenation (string_agg/listagg — the report
+    * column every BI layer asks for): top-3 customers by balance per
+    * nation, pipe-joined in (balance desc, custkey) order. Spark has
+    * no ordered string_agg: rank first (only 3 rows per group
+    * survive), then `array_join(transform(array_sort(collect_list(
+    * struct))))` — the struct sort key makes the concatenation order
+    * total, so the string is deterministic on both engines. */
+  def qAggStringAgg(s: SparkSession, sf: String): DataFrame = {
+    val rk = row_number().over(Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey")))
+    Tables.customer(s, sf)
+      .withColumn("rk", rk)
+      .where(col("rk") <= 3)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_top"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("rk"), col("c_name")))),
+          x => x.getField("c_name")), "|").as("top_names"))
+      .orderBy("c_nationkey")
+  }
+
   /** Exact weighted percentile (lower weighted median) per group —
     * the "median latency weighted by request volume" shape built-in
     * percentile functions don't cover. Weights are declared integers

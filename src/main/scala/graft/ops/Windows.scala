@@ -112,6 +112,28 @@ object Windows {
       .orderBy("o_orderkey")
   }
 
+  /** Gaps-and-islands: longest consecutive-active-day streak per user
+    * (the retention/engagement "streak" metric). The classic trick:
+    * within a user's DISTINCT active days, `day − (dense-rank in
+    * days) · 1d` is constant exactly across consecutive runs — group
+    * by that island key and take the max length. ALL-INTEGER (epoch
+    * days), one (user) shuffle reused by the window and both aggs. */
+  def qWinStreak(s: SparkSession, sf: String): DataFrame = {
+    val days = Tables.events(s, sf)
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"))
+      .distinct()
+    val rk = row_number().over(
+      Window.partitionBy(col("user_id")).orderBy(col("day")))
+    days.withColumn("island", col("day") - rk)
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
   /** Centered 21-row moving MEDIAN per user — the robust smoother a
     * spike-riddled series needs where the moving average chases
     * outliers. The frame is held to EXACTLY 21 rows (full-frame rows

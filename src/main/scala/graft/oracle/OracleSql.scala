@@ -1687,4 +1687,27 @@ object OracleSql {
            FROM edges e JOIN r4 r ON e.u = r.id JOIN deg g ON g.u = e.u GROUP BY e.v)
     SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_fp FROM r5
     ORDER BY doc_id ASC NULLS FIRST""")
+
+  val qAggStringAgg: String = n("""
+    WITH r AS (
+      SELECT c_nationkey, c_name,
+        ROW_NUMBER() OVER (PARTITION BY c_nationkey
+          ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+      FROM customer)
+    SELECT c_nationkey, COUNT(*) AS n_top,
+      string_agg(c_name, '|' ORDER BY rk ASC) AS top_names
+    FROM r WHERE rk <= 3 GROUP BY c_nationkey
+    ORDER BY c_nationkey ASC NULLS FIRST""")
+
+  val qWinStreak: String = n("""
+    WITH days AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    isl AS (
+      SELECT user_id, day,
+        day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day ASC) AS island
+      FROM days),
+    g AS (SELECT user_id, island, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+    SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+      COUNT(*) AS n_streaks
+    FROM g GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""")
 }

@@ -285,6 +285,21 @@ class PropertySpec extends SparkSpec {
     assert(ex.join(lhs, Seq("orderkey"), "left_anti").count() == 0)
   }
 
+  test("pagerank: node set preserved, ranks within the damping bounds") {
+    val ranks = TextDedup.qGraphPagerank(spark, sf)
+    val pairs = TextDedup.qDedupJaccard(spark, sf)
+    val nodes = pairs.select(col("a_id").as("id"))
+      .unionAll(pairs.select(col("b_id").as("id"))).distinct()
+    // every graph node gets a rank, nothing extra appears
+    assert(ranks.count() == nodes.count())
+    assert(ranks.join(nodes, ranks("doc_id") === nodes("id"), "left_anti").count() == 0)
+    // damping floor: rank >= 150000 always; total mass never exceeds
+    // the initial n*1e6 (integer division only ever loses mass)
+    assert(ranks.where(col("rank_fp") < 150000L).count() == 0)
+    val total = ranks.agg(sum(col("rank_fp"))).head.getLong(0)
+    assert(total <= nodes.count() * 1000000L)
+  }
+
   test("bloom filter: zero false negatives; fpp within 4x design bound") {
     import graft.functions.BloomFilter
     val dim = Tables.customer(spark, sf)
