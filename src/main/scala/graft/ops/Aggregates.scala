@@ -462,4 +462,24 @@ object Aggregates {
       .select(explode(col("top")).as("hh"))
       .select(col("hh.item").as("user_id"), col("hh.est").as("est"))
   }
+
+  /** FILTER (WHERE …) aggregate clauses — conditional aggregation
+    * without self-joins or N filtered scans: per order priority, total
+    * orders, finished-status count, and the exact decimal sum of
+    * high-value order prices, all in ONE two-phase hash agg (each
+    * FILTER is a map-side predicate on its partial). The SQL surface
+    * is identical on both engines, so the oracle is this query
+    * verbatim. */
+  def qAggFiltered(s: SparkSession, sf: String): DataFrame = {
+    Tables.orders(s, sf).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT o_orderpriority,
+             COUNT(*) AS n_orders,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+             CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                           FILTER (WHERE o_totalprice > 100000), 0) AS DOUBLE) AS high_value_total
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
 }

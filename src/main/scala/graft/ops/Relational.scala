@@ -403,4 +403,22 @@ object Relational {
       ((num :+ "o_orderdate").map(rowNum) ++ str.map(rowStr)): _*)))
       .orderBy("col_name")
   }
+
+  /** ORC source round-trip — the second columnar lake format (Spark's
+    * native ORC reader is vectorized with predicate pushdown and column
+    * pruning, same as parquet). Write once from the fixture, read back
+    * with a pushed `p_size` filter and a pruned 3-column projection,
+    * aggregate. The oracle states the identical result straight from
+    * the parquet fixture — the format must be a lossless carrier. */
+  def qSourceOrc(s: SparkSession, sf: String): DataFrame = {
+    val dir = s"/tmp/graft_sink/part_orc"
+    Tables.part(s, sf)
+      .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .where(col("p_size") >= 10)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice")).as("total_price"))
+      .orderBy("p_brand")
+  }
 }

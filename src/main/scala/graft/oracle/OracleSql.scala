@@ -1710,4 +1710,34 @@ object OracleSql {
     SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
       COUNT(*) AS n_streaks
     FROM g GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""")
+
+  /** The ORC round-trip must be a lossless carrier, so the oracle reads
+    * the same rows from the parquet fixture directly. */
+  val qSourceOrc: String = n("""
+    SELECT p_brand, COUNT(*) AS n_parts,
+      CAST(SUM(CAST(p_retailprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+    FROM part WHERE p_size >= 10
+    GROUP BY p_brand ORDER BY p_brand ASC NULLS FIRST""")
+
+  /** Verbatim twin of the Spark-side FILTER-clause SQL. */
+  val qAggFiltered: String = n("""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                    FILTER (WHERE o_totalprice > 100000), 0) AS DOUBLE) AS high_value_total
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC NULLS FIRST""")
+
+  val qWinNthValue: String = n("""
+    SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
+      c_acctbal - second_bal AS gap_to_second
+    FROM (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+        ROW_NUMBER() OVER w AS rn,
+        nth_value(c_acctbal, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS second_bal
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+    ) t WHERE rn <= 3
+    ORDER BY c_nationkey ASC NULLS FIRST, rn ASC NULLS FIRST""")
 }
