@@ -297,4 +297,45 @@ object Joins {
            dsum(col("o_totalprice")).as("total_price"))
       .orderBy("o_orderpriority")
   }
+
+  /** Interval-OVERLAP join — both sides are intervals (vs
+    * `q_join_theta_range`'s point-in-band): which user sessions were
+    * exposed to an error incident? Sessions = the 30-min-gap sessionize
+    * intervals; incidents = per-day [min, max] spans of error events.
+    * The overlap predicate `s.lo ≤ i.hi AND i.lo ≤ s.hi` would be a
+    * nested loop; instead both sides REPLICATE to every hour bucket
+    * they span and equi-join on the bucket. Each true overlap is
+    * emitted exactly once — at the overlap's FIRST hour bucket
+    * (`greatest(los) div HOUR`, which provably lies in both sides'
+    * bucket ranges) — so no post-join distinct is needed. Replication
+    * factor = interval span / bucket width (constant); at 100 TB the
+    * bucket key distributes and no payload beyond (keys, lo, hi) rides
+    * the join. Overlap length is exact integer µs arithmetic. */
+  def qJoinInterval(s: SparkSession, sf: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val newSess = when(us - lag(us, 1).over(byUser) > 1800L * 1000000L, 1).otherwise(0)
+    val sess = Tables.events(s, sf)
+      .withColumn("sess", sum(newSess).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(unix_micros(col("ts"))).as("s_lo"),
+           max(unix_micros(col("ts"))).as("s_hi"))
+    val inc = Tables.events(s, sf)
+      .where(col("event_type") === "error")
+      .groupBy(date_trunc("day", col("ts")).as("inc_day"))
+      .agg(min(unix_micros(col("ts"))).as("i_lo"),
+           max(unix_micros(col("ts"))).as("i_hi"))
+    val sessB = sess.withColumn("bucket",
+      explode(sequence(expr("s_lo div 3600000000"), expr("s_hi div 3600000000"))))
+    val incB = inc.withColumn("bucket",
+      explode(sequence(expr("i_lo div 3600000000"), expr("i_hi div 3600000000"))))
+    sessB.join(incB, "bucket")
+      .where(col("s_lo") <= col("i_hi") && col("i_lo") <= col("s_hi") &&
+             col("bucket") === expr("greatest(s_lo, i_lo) div 3600000000"))
+      .select(col("user_id"), col("sess"), col("inc_day"),
+              ((least(col("s_hi"), col("i_hi")) - greatest(col("s_lo"), col("i_lo")))
+                / lit(1000000.0)).as("overlap_s"))
+      .orderBy("user_id", "sess", "inc_day")
+  }
 }

@@ -1728,6 +1728,37 @@ object OracleSql {
     FROM orders GROUP BY o_orderpriority
     ORDER BY o_orderpriority ASC NULLS FIRST""")
 
+  /** Plain inequality overlap join over the same session/incident CTEs —
+    * DuckDB's optimizer handles the fixture scale; the Spark side's
+    * bucket-and-replicate is the declared at-scale equivalent (emit-once
+    * rule makes the row sets identical, not merely equal-cardinality). */
+  val qJoinInterval: String = n("""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+             THEN 1 ELSE 0 END AS newsess
+      FROM events),
+    sessioned AS (
+      SELECT user_id, ts,
+        CAST(SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS sess
+      FROM flagged),
+    sessions AS (
+      SELECT user_id, sess, MIN(epoch_us(ts)) AS s_lo, MAX(epoch_us(ts)) AS s_hi
+      FROM sessioned GROUP BY user_id, sess),
+    incidents AS (
+      SELECT date_trunc('day', ts) AS inc_day,
+        MIN(epoch_us(ts)) AS i_lo, MAX(epoch_us(ts)) AS i_hi
+      FROM events WHERE event_type = 'error' GROUP BY 1)
+    SELECT s.user_id, s.sess, i.inc_day,
+      (least(s.s_hi, i.i_hi) - greatest(s.s_lo, i.i_lo)) / 1000000.0 AS overlap_s
+    FROM sessions s JOIN incidents i
+      ON s.s_lo <= i.i_hi AND i.i_lo <= s.s_hi
+    ORDER BY s.user_id ASC NULLS FIRST, s.sess ASC NULLS FIRST,
+             i.inc_day ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
