@@ -311,4 +311,34 @@ object TextAnalysis {
         sum(expr("1000 * n_dup div n_bi")).as("sum_dup_scaled"))
       .orderBy("source")
   }
+
+  /** Corpus-trained unigram LM cross-entropy per doc — the classic
+    * cheap perplexity filter (docs of only ultra-common tokens score
+    * low = dull/duplicated boilerplate; rare-token gibberish scores
+    * high; the keep band is the middle). The LM is the corpus itself:
+    * p(t) = tf(t)/N. Determinism: `ln` may differ by 1 ulp across
+    * libm implementations, so per-TOKEN log-probs are rounded to 4dp
+    * BEFORE any accumulation (the q_text_tfidf discipline), then the
+    * per-doc sum runs on the exact decimal path weighted by in-doc
+    * counts; one mirrored final division. Shuffle profile: two token
+    * hash aggs + one token-key join (fixture: vocab broadcasts; at
+    * 100 TB vocab is a data-sized side and the join shuffles on the
+    * token key — each side carries (token, 8-byte payload) only). */
+  def qTextUnigramLm(s: SparkSession, sf: String): DataFrame = {
+    val toks = Tables.documents(s, sf)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+    val dtf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+    val tf = dtf.groupBy(col("token")).agg(sum(col("c")).as("tf"))
+    val nn = tf.agg(sum(col("tf")).as("nn"))
+    val logp = tf.crossJoin(broadcast(nn))
+      .select(col("token"),
+              round(log(col("tf").cast("double") / col("nn")), 4).as("logp"))
+    dtf.join(broadcast(logp), "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+           ((-sum(col("logp").cast(D) * col("c"))).cast("double")
+             / sum(col("c"))).as("xent"))
+      .orderBy("doc_id")
+  }
 }

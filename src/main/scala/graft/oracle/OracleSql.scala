@@ -1759,6 +1759,27 @@ object OracleSql {
     ORDER BY s.user_id ASC NULLS FIRST, s.sess ASC NULLS FIRST,
              i.inc_day ASC NULLS FIRST""")
 
+  /** Per-token log-probs rounded to 4dp BEFORE accumulation (libm `ln`
+    * can differ by 1 ulp cross-engine); the per-doc weighted sum runs
+    * on the exact decimal path; one mirrored final division. */
+  val qTextUnigramLm: String = n("""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    dtf AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM toks
+      WHERE token <> '' GROUP BY doc_id, token),
+    tf AS (SELECT token, CAST(SUM(c) AS BIGINT) AS tf FROM dtf GROUP BY token),
+    nn AS (SELECT CAST(SUM(tf) AS BIGINT) AS nn FROM tf),
+    lp AS (
+      SELECT token, round(ln(CAST(tf AS DOUBLE) / nn), 4) AS logp
+      FROM tf CROSS JOIN nn)
+    SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+      CAST(-SUM(CAST(lp.logp AS DECIMAL(18,4)) * d.c) AS DOUBLE)
+        / SUM(d.c) AS xent
+    FROM dtf d JOIN lp USING (token)
+    GROUP BY d.doc_id ORDER BY d.doc_id ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
