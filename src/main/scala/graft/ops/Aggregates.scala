@@ -426,6 +426,32 @@ object Aggregates {
       .orderBy("event_type")
   }
 
+  /** Audience overlap via mergeable HLL sketches — |A∩B| for every
+    * event-type pair by inclusion–exclusion est(A)+est(B)−est(A∪B),
+    * where the union estimate comes from `hll_union` over the SAME
+    * per-type sketches (no second pass over raw rows — the sketch
+    * reuse that makes 100 TB audience overlap a constant-size
+    * problem: sketches are ~2^12 registers regardless of user count).
+    * The pair join runs over #event-types rows, not data. No oracle
+    * (estimates are sketch-dependent); property-tested against the
+    * exact pairwise intersection (PropertySpec). */
+  def aAggHllIntersect(s: SparkSession, sf: String): DataFrame = {
+    val sk = Tables.events(s, sf)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        round(hll_sketch_estimate(col("sk_a")), 1).as("est_a"),
+        round(hll_sketch_estimate(col("sk_b")), 1).as("est_b"),
+        round(hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))), 1)
+          .as("est_union"))
+      .withColumn("est_intersect",
+        round(col("est_a") + col("est_b") - col("est_union"), 1))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Fixed-width latency-style histogram per event_type — the TSDB
     * `histogram()` primitive: 10 buckets of width 50 over [0, 500),
     * plus the Prometheus-style cumulative (`le`) count per bucket.

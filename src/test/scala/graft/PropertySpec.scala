@@ -259,6 +259,25 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0, "merged HLL estimate deviated >5% from exact distinct")
   }
 
+  test("HLL inclusion-exclusion intersections match exact overlaps within bounds") {
+    // est(A∩B) = est(A)+est(B)−est(A∪B) compounds three ~1.6%-rsd
+    // estimates, so the bound is looser than the single-sketch tests:
+    // 15% of the exact overlap or 5 absolute, whichever is larger.
+    import org.apache.spark.sql.functions._
+    val est = graft.ops.Aggregates.aAggHllIntersect(spark, sf)
+    val tu = Tables.events(spark, sf)
+      .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+    val exact = tu.alias("x")
+      .join(tu.alias("y"), col("x.u") === col("y.u") && col("x.t") < col("y.t"))
+      .groupBy(col("x.t").as("type_a"), col("y.t").as("type_b"))
+      .agg(countDistinct(col("x.u")).as("exact_i"))
+    val joined = est.join(exact, Seq("type_a", "type_b"))
+    assert(joined.count() == est.count(), "every pair must have an exact twin row")
+    val bad = joined.where(abs(col("est_intersect") - col("exact_i")) >
+      greatest(col("exact_i") * 0.15, lit(5.0))).count()
+    assert(bad == 0, "inclusion-exclusion estimate deviated beyond the compound bound")
+  }
+
   test("approx percentiles bracket the exact percentiles (accuracy bound)") {
     // percentile_approx at accuracy 10000 over ~thousands of rows per
     // group is near-exact: its rank error is bounded by n/accuracy.
