@@ -26,8 +26,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        builder(args(0), args(1))
      })
 
+  private def fn1(name: String, impl: Class[_])(
+      builder: Expression => Expression) =
+    (new FunctionIdentifier(name),
+     new ExpressionInfo(impl.getName, name),
+     (args: Seq[Expression]) => {
+       require(args.length == 1,
+         s"$name requires exactly 1 argument, got ${args.length}")
+       builder(args(0))
+     })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(fn("graft_dot", classOf[DotProduct])(DotProduct.apply))
+    ext.injectFunction(fn1("graft_bitmap_agg", classOf[BitmapBuildAgg])(
+      e => BitmapBuildAgg(e).toAggregateExpression()))
+    ext.injectFunction(fn1("graft_bitmap_union_agg", classOf[BitmapUnionAgg])(
+      e => BitmapUnionAgg(e).toAggregateExpression()))
+    ext.injectFunction(fn1("graft_bitmap_count", classOf[BitmapCount])(
+      BitmapCount.apply))
     ext.injectFunction(fn("graft_l2sq", classOf[SquaredL2])(SquaredL2.apply))
     ext.injectFunction(fn("graft_bloom_contains", classOf[BloomMightContain])(
       BloomMightContain.apply))

@@ -452,6 +452,26 @@ object Aggregates {
       .orderBy("type_a", "type_b")
   }
 
+  /** EXACT distinct users per event type via graft's mergeable bitmap
+    * aggregate (`functions/BitmapDistinct.scala` — the ClickHouse
+    * `groupBitmap` pattern): daily bitmap partials → lossless OR-union
+    * per type → popcount. The exact sibling of `a_agg_hll_partial`'s
+    * sketch rollup: pre-aggregated daily state re-rolls to ANY
+    * grouping with zero error and without touching raw rows again —
+    * which is why the oracle can state a direct `COUNT(DISTINCT)`.
+    * Shuffle: ≤ distinct-keys/8 bytes per (type, day) partial vs one
+    * row per distinct key for the naive plan. */
+  def qAggBitmapDistinct(s: SparkSession, sf: String): DataFrame = {
+    import graft.functions.Bitmap._
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(bitmapAgg(col("user_id")).as("bm"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+           bitmapCount(bitmapUnionAgg(col("bm"))).as("n_users"))
+      .orderBy("event_type")
+  }
+
   /** Fixed-width latency-style histogram per event_type — the TSDB
     * `histogram()` primitive: 10 buckets of width 50 over [0, 500),
     * plus the Prometheus-style cumulative (`le`) count per bucket.

@@ -1780,6 +1780,15 @@ object OracleSql {
     FROM dtf d JOIN lp USING (token)
     GROUP BY d.doc_id ORDER BY d.doc_id ASC NULLS FIRST""")
 
+  /** The bitmap rollup is EXACT, so the oracle is the direct distinct —
+    * stating the lossless-merge property as the graded result. */
+  val qAggBitmapDistinct: String = n("""
+    SELECT event_type,
+      CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    ORDER BY event_type ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second

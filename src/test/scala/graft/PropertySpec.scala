@@ -278,6 +278,32 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0, "inclusion-exclusion estimate deviated beyond the compound bound")
   }
 
+  test("bitmap distinct: blob roundtrip dense+sparse, rollup == countDistinct, SQL surface") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.BitmapUtil
+    // dense container (0..65535 full) + second container + far sparse one
+    val bm = BitmapUtil.empty
+    (0L until 70000L).foreach(BitmapUtil.add(bm, _))
+    BitmapUtil.add(bm, 1L << 40)
+    assert(BitmapUtil.count(bm) == 70001L)
+    assert(BitmapUtil.count(BitmapUtil.deser(BitmapUtil.ser(bm))) == 70001L)
+    assert(BitmapUtil.countBlob(BitmapUtil.ser(bm)) == 70001L)
+    // the graded rollup (daily partials OR-merged) must be EXACT
+    val est = graft.ops.Aggregates.qAggBitmapDistinct(spark, sf)
+    val exact = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("x"))
+    assert(est.join(exact, "event_type").where(col("n_users") =!= col("x")).count() == 0,
+           "bitmap rollup must equal the direct distinct count")
+    // SQL-registered surface agrees
+    Tables.events(spark, sf).createOrReplaceTempView("events")
+    val viaSql = spark.sql(
+      "SELECT graft_bitmap_count(graft_bitmap_agg(user_id)) AS n FROM events")
+      .head.getLong(0)
+    val direct = Tables.events(spark, sf).select(countDistinct(col("user_id")))
+      .head.getLong(0)
+    assert(viaSql == direct)
+  }
+
   test("approx percentiles bracket the exact percentiles (accuracy bound)") {
     // percentile_approx at accuracy 10000 over ~thousands of rows per
     // group is near-exact: its rank error is bounded by n/accuracy.
