@@ -1,8 +1,8 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** SURVEY.md §2.10 — Structured Streaming operators.
@@ -458,4 +458,58 @@ object StreamOps {
     * production form, compiled but untestable offline. */
   def foreachBatchParquetSink(df: DataFrame, outDir: String, checkpoint: String) =
     Sinks.sinkTo(df, new ParquetAppendSink(outDir), checkpoint)
+
+  /** s_stream_cdc_upsert: streaming CDC MERGE — maintain a key→latest
+    * snapshot on plain parquet across micro-batches (the streaming form
+    * of `q_upsert_snapshot`, and the shape a warehouse sink's keyed
+    * MERGE takes behind the [[BatchSink]] seam). Per batch: (1) the
+    * batch collapses to its last change per key (`max_by` on the total
+    * (ts, event_id) order — so a REPLAYED batch re-applies as a no-op,
+    * which is the exactly-once story across sink retries), (2) FULL
+    * OUTER join against the current snapshot, update-wins coalesce,
+    * (3) write to a temp dir and atomically swap — readers never see a
+    * half-written snapshot. At scale the join shuffles on the key and
+    * AQE broadcast-converts small change batches against the big base
+    * (same plan as q_upsert_snapshot). */
+  def cdcUpsert(changes: DataFrame, snapshotDir: String,
+                checkpoint: String): DataStreamWriter[Row] =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdcBatch(batch, batchId, snapshotDir)
+      }
+
+  /** The batch-form merge `cdcUpsert` runs per micro-batch — public so
+    * a batch backfill can apply the identical merge rule. */
+  def applyCdcBatch(batch: DataFrame, batchId: Long,
+                    snapshotDir: String): Unit = {
+    if (batch.isEmpty) return
+    val s = batch.sparkSession
+    val latest = batch.groupBy(col("user_id"))
+      .agg(max_by(struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+                  struct(col("ts"), col("event_id"))).as("r"))
+      .select(col("user_id"), col("r.ts").as("ts"), col("r.event_id").as("event_id"),
+              col("r.event_type").as("event_type"), col("r.value").as("value"))
+    val dir = new java.io.File(snapshotDir)
+    val merged =
+      if (dir.exists()) {
+        val base = s.read.parquet(snapshotDir)
+        base.alias("b").join(latest.alias("u"), Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            coalesce(col("u.ts"), col("b.ts")).as("ts"),
+            coalesce(col("u.event_id"), col("b.event_id")).as("event_id"),
+            coalesce(col("u.event_type"), col("b.event_type")).as("event_type"),
+            coalesce(col("u.value"), col("b.value")).as("value"))
+      } else latest
+    // write-then-swap: the tmp write materializes the merge (which
+    // still reads the old snapshot lazily) BEFORE the old dir goes away
+    val tmp = new java.io.File(snapshotDir + s"_tmp$batchId")
+    merged.write.mode("overwrite").parquet(tmp.getPath)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete()
+    }
+    if (dir.exists()) rm(dir)
+    require(tmp.renameTo(dir), s"snapshot swap failed: $tmp -> $dir")
+  }
 }

@@ -304,6 +304,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_stream_cdc_upsert: snapshot holds the latest change per key across batches and replays") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val snap = s"$tmp/snap"; val ckpt = s"$tmp/ckpt"
+    val in = MemoryStream[Event](spark)
+    val q = StreamOps.cdcUpsert(snake(in.toDF()), snap, ckpt).start()
+    try {
+      in.addData(ev(1, 0, user = 1, value = 1.0), ev(2, 1, user = 2, value = 2.0),
+                 ev(3, 2, user = 1, value = 5.0)) // in-batch: later change wins
+      q.processAllAvailable()
+      in.addData(ev(4, 3, user = 1, value = 9.0), ev(5, 4, user = 3, value = 3.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(snap).orderBy("user_id").collect()
+      assert(out.length == 3, "one row per key")
+      assert(out(0).getAs[Double]("value") == 9.0, "user 1 updated by batch 2")
+      assert(out(1).getAs[Double]("value") == 2.0, "user 2 untouched by batch 2")
+      assert(out(2).getAs[Double]("value") == 3.0, "user 3 inserted by batch 2")
+      // replay idempotence: re-applying batch 2's rows changes nothing
+      StreamOps.applyCdcBatch(
+        snake(Seq(ev(4, 3, user = 1, value = 9.0), ev(5, 4, user = 3, value = 3.0)).toDF()),
+        99L, snap)
+      val replayed = spark.read.parquet(snap).orderBy("user_id").collect()
+      assert(replayed.map(_.getAs[Double]("value")).sameElements(Array(9.0, 2.0, 3.0)))
+    } finally q.stop()
+  }
+
   test("s_stream_file_source + s_stream_foreachbatch_sink: file ingest to parquet sink") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
