@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import Util.dsum
+import Util.{dsum, morton}
 
 /** SURVEY.md §2.1–2.2 (scans/filters), §2.6 (sort/top-k), §2.7 (set ops).
   *
@@ -410,6 +410,35 @@ object Relational {
     * with a pushed `p_size` filter and a pruned 3-column projection,
     * aggregate. The oracle states the identical result straight from
     * the parquet fixture — the format must be a lossless carrier. */
+  /** Z-order clustered layout (the multi-dimensional generalization of
+    * `q_sink_partitioned`'s single-column layout): events range-
+    * partitioned and sorted by the Morton interleave of (user_id,
+    * epoch-day), one file per range — so per-file min/max stats
+    * constrain BOTH dimensions at once, and a range predicate on
+    * either column (or both) skips files. A user-sorted layout serves
+    * user predicates only: every file spans the whole month, so a
+    * day-window scan reads all of them; the z-order layout reads ~half
+    * (property-tested: 9/16 vs 16/16 files at sf0.001). The graded
+    * query is the read-back day-window aggregate — layout must not
+    * change results, only which files a scan touches. */
+  def qSinkZorder(s: SparkSession, sf: String): DataFrame = {
+    val dir = s"/tmp/graft_sink/events_zorder"
+    Tables.events(s, sf)
+      .withColumn("z", morton(col("user_id"), expr("unix_micros(ts) div 86400000000")))
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .where(col("ts") >= lit("2024-01-11").cast("timestamp") &&
+             col("ts") < lit("2024-01-21").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"),
+           dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
   def qSourceOrc(s: SparkSession, sf: String): DataFrame = {
     val dir = s"/tmp/graft_sink/part_orc"
     Tables.part(s, sf)

@@ -49,6 +49,19 @@ object Util {
     least(org.apache.spark.sql.functions.expr(
       s"CAST(floor($colName) AS BIGINT) div 50"), lit(9L))
 
+  /** Morton (Z-order) interleave of two non-negative long columns'
+    * low `bits` bits — x occupies even bit positions, y odd. Pure
+    * bitwise/arithmetic ops (stays in whole-stage codegen). Sorting a
+    * layout by this key co-clusters BOTH dimensions, so per-file
+    * min/max stats prune range predicates on either column — the
+    * multi-dimensional data-layout move single-column sorting can't
+    * make (see q_sink_zorder + the pruning property test). */
+  def morton(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+      (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
   /** Deterministic hex bucket of an id — the shared basis for every
     * hash-sampling / split / generation-membership op (q_sample_hash,
     * q_sample_split, q_pipeline_curate, q_scan_merge_schema,

@@ -1789,6 +1789,16 @@ object OracleSql {
     FROM events GROUP BY event_type
     ORDER BY event_type ASC NULLS FIRST""")
 
+  /** Layout must not change results — the oracle states the day-window
+    * aggregate straight from the fixture. */
+  val qSinkZorder: String = n("""
+    SELECT event_type, COUNT(*) AS n_events,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'
+    GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second

@@ -304,6 +304,34 @@ class PropertySpec extends SparkSpec {
     assert(viaSql == direct)
   }
 
+  test("z-order layout prunes day-window files a user-sorted layout cannot") {
+    // The claim behind q_sink_zorder: with per-file min/max stats, a
+    // range predicate on the NON-leading dimension skips files only if
+    // the layout co-clusters both dimensions. User-sorted files each
+    // span the whole month (every user is active all month), so ALL
+    // overlap a 10-day window; the Morton layout leaves some files
+    // with a constrained day range (simulated on this fixture: 9/16).
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val ev = Tables.events(spark, sf)
+    ev.repartitionByRange(16, col("user_id"), col("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/lin")
+    ev.withColumn("z", graft.ops.Util.morton(
+        col("user_id"), expr("unix_micros(ts) div 86400000000")))
+      .repartitionByRange(16, col("z")).sortWithinPartitions("z").drop("z")
+      .write.mode("overwrite").parquet(s"$tmp/z")
+    val loDay = 19723L + 10L; val hiDay = 19723L + 19L // Jan 11–20 as epoch days
+    def overlapping(dir: String): Long =
+      spark.read.parquet(dir)
+        .withColumn("f", input_file_name())
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+        .groupBy("f").agg(min("day").as("lo"), max("day").as("hi"))
+        .where(col("lo") <= hiDay && col("hi") >= loDay).count()
+    val lin = overlapping(s"$tmp/lin"); val zo = overlapping(s"$tmp/z")
+    assert(lin == 16, s"user-sorted layout should not prune day windows (got $lin)")
+    assert(zo < lin, s"z-order must prune strictly more files ($zo vs $lin)")
+  }
+
   test("approx percentiles bracket the exact percentiles (accuracy bound)") {
     // percentile_approx at accuracy 10000 over ~thousands of rows per
     // group is near-exact: its rank error is bounded by n/accuracy.
