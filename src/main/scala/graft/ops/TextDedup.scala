@@ -639,6 +639,44 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** 8-gram CONTAINMENT pairs — the asymmetric near-dup relation
+    * Jaccard is blind to: a short doc fully embedded in a longer one
+    * has low Jaccard (union is large) but containment(A→B) =
+    * |grams(A)∩grams(B)| / |grams(A)| ≈ 1. The subset-duplication
+    * detector a curation pipeline runs AFTER symmetric dedup. Same
+    * inverted-index shape as `q_text_contamination` (postings =
+    * fixed-width (gram-md5, id) rows; join bounded by true shared
+    * grams, never |docs|²), self-joined and scored ALL-INTEGER:
+    * containment_pm = 1000·shared div n_a, emitted where ≥ 500. Pairs
+    * are DIRECTIONAL — (a contained-in b) and (b contained-in a) are
+    * distinct rows with different denominators. */
+  def qTextContainment(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, sf)
+      .withColumn("tk", split(col("text"), " "))
+      .where(size(col("tk")) >= 8)
+    val shingleFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 7)
+    val grams = d
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "w")))
+      .withColumn("g8", collect_list(col("w")).over(shingleFrame))
+      .where(size(col("g8")) === 8)
+      .select(col("doc_id"), md5(concat_ws(" ", col("g8"))).as("gram"))
+      .distinct()
+      .localCheckpoint() // consumed 3× (sizes + both join sides)
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    val a = grams.select(col("doc_id").as("a_id"), col("gram"))
+    val b = grams.select(col("doc_id").as("b_id"), col("gram"))
+    a.join(b, "gram").where(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("doc_id", "a_id"), "a_id")
+      .withColumn("containment_pm", expr("1000 * shared div n_a"))
+      .where(col("containment_pm") >= 500)
+      .select(col("a_id"), col("b_id"), col("n_a"), col("shared"), col("containment_pm"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** PageRank over the near-dup pair graph — graph analytics on the
     * corpus: rank ∝ how centrally a doc sits in its duplication
     * neighborhood (the canonical-representative picker that beats

@@ -1799,6 +1799,28 @@ object OracleSql {
     WHERE ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'
     GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""")
 
+  val qTextContainment: String = n("""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE len(string_split(text, ' ')) >= 8),
+    g0 AS (
+      SELECT doc_id,
+        list_transform(range(1, len(tk) - 6),
+                       i -> md5(array_to_string(tk[i:i+7], ' '))) AS grams
+      FROM t),
+    g AS (
+      SELECT DISTINCT doc_id, gram
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM g0) z),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_a FROM g GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+      FROM g a JOIN g b USING (gram)
+      WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+    SELECT a_id, b_id, n_a, shared, 1000 * shared // n_a AS containment_pm
+    FROM shared JOIN sizes ON sizes.doc_id = shared.a_id
+    WHERE 1000 * shared // n_a >= 500
+    ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
