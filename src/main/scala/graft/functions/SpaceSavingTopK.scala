@@ -52,7 +52,54 @@ case class SpaceSavingTopK(
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 
-  private def add(b: mutable.HashMap[String, Long], item: String, n: Long): Unit =
+  override def update(b: mutable.HashMap[String, Long],
+                      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) SpaceSavingUtil.add(b, v.toString, 1L, capacity)
+    b
+  }
+
+  override def merge(b: mutable.HashMap[String, Long],
+                     other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    other.foreach { case (item, cnt) => SpaceSavingUtil.add(b, item, cnt, capacity) }
+    b
+  }
+
+  override def eval(b: mutable.HashMap[String, Long]): Any = {
+    new GenericArrayData(SpaceSavingUtil.top(b, k).map { case (i, c) =>
+      InternalRow(UTF8String.fromString(i), c)
+    }.toArray[Any])
+  }
+
+  override def serialize(b: mutable.HashMap[String, Long]): Array[Byte] =
+    SpaceSavingUtil.ser(b)
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] =
+    SpaceSavingUtil.deser(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SpaceSavingTopK =
+    copy(child = newChildren.head)
+}
+
+object SpaceSavingTopK {
+  /** Aggregate Column: approximate top-k heavy hitters of a string column. */
+  def topkSketch(c: Column, k: Int, capacity: Int): Column =
+    Bridge.column(
+      SpaceSavingTopK(Bridge.expression(c), k, capacity).toAggregateExpression())
+}
+
+/** The SpaceSaving kernel, shared by the batch aggregate above and the
+  * streaming top-k processor (`StreamOps.topkPerKey`) — one definition
+  * so the eviction rule and wire format can never drift between the
+  * batch and streaming forms. */
+object SpaceSavingUtil {
+  def add(b: mutable.HashMap[String, Long], item: String, n: Long,
+          capacity: Int): Unit =
     b.get(item) match {
       case Some(c) => b.update(item, c + n)
       case None if b.size < capacity => b.update(item, n)
@@ -73,27 +120,11 @@ case class SpaceSavingTopK(
         b.update(item, minCnt + n)
     }
 
-  override def update(b: mutable.HashMap[String, Long],
-                      input: InternalRow): mutable.HashMap[String, Long] = {
-    val v = child.eval(input)
-    if (v != null) add(b, v.toString, 1L)
-    b
-  }
+  /** Top-k by (est desc, item) — total order, deterministic. */
+  def top(b: mutable.HashMap[String, Long], k: Int): Seq[(String, Long)] =
+    b.toSeq.sortBy { case (i, c) => (-c, i) }.take(k)
 
-  override def merge(b: mutable.HashMap[String, Long],
-                     other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    other.foreach { case (item, cnt) => add(b, item, cnt) }
-    b
-  }
-
-  override def eval(b: mutable.HashMap[String, Long]): Any = {
-    val top = b.toSeq.sortBy { case (i, c) => (-c, i) }.take(k)
-    new GenericArrayData(top.map { case (i, c) =>
-      InternalRow(UTF8String.fromString(i), c)
-    }.toArray[Any])
-  }
-
-  override def serialize(b: mutable.HashMap[String, Long]): Array[Byte] = {
+  def ser(b: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(b.size)
@@ -107,34 +138,18 @@ case class SpaceSavingTopK(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+  def deser(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val b = mutable.HashMap.empty[String, Long]
     var i = 0
     while (i < n) {
       val len = in.readInt()
-      val bytes = new Array[Byte](len)
-      in.readFully(bytes)
-      val item = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      b.update(item, in.readLong())
+      val raw = new Array[Byte](len)
+      in.readFully(raw)
+      b.update(new String(raw, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
       i += 1
     }
     b
   }
-
-  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopK =
-    copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingTopK =
-    copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): SpaceSavingTopK =
-    copy(child = newChildren.head)
-}
-
-object SpaceSavingTopK {
-  /** Aggregate Column: approximate top-k heavy hitters of a string column. */
-  def topkSketch(c: Column, k: Int, capacity: Int): Column =
-    Bridge.column(
-      SpaceSavingTopK(Bridge.expression(c), k, capacity).toAggregateExpression())
 }

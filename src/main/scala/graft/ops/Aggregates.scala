@@ -325,6 +325,37 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Per-group skewness + excess kurtosis from EXPLICIT decimal moments
+    * (Σx…Σx⁴ exact, closed-form central moments in double) — built-in
+    * `skewness`/`kurtosis` are order-dependent streaming estimators,
+    * unusable for cross-engine hashing, same reason as `q_agg_corr`.
+    * Every downstream double op is a short mirrored chain (explicit
+    * multiplication order, `m2·sqrt(m2)` not `pow(m2,1.5)`), rounded
+    * at 6dp. One two-phase hash agg; the moment math runs on #groups
+    * rows. */
+  def qAggSkewKurt(s: SparkSession, sf: String): DataFrame = {
+    val x = col("l_quantity")
+    val m = Tables.lineitem(s, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+           dsum(x).as("s1"), dsum(x * x, 6).as("s2"),
+           dsum(x * x * x, 8).as("s3"), dsum(x * x * x * x, 8).as("s4"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("m2", col("s2") / col("n") - col("mean") * col("mean"))
+      .withColumn("m3", col("s3") / col("n")
+        - lit(3.0) * col("mean") * (col("s2") / col("n"))
+        + lit(2.0) * col("mean") * col("mean") * col("mean"))
+      .withColumn("m4", col("s4") / col("n")
+        - lit(4.0) * col("mean") * (col("s3") / col("n"))
+        + lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n"))
+        - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+    m.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+             round(col("mean"), 6).as("mean_qty"),
+             round(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skew_qty"),
+             round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6).as("kurt_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Point-frequency estimates from a Count-Min sketch (completes the
     * sketch family: HLL distinct, quantile, SpaceSaving top-k, CMS
     * frequency). The sketch is Spark's built-in `count_min_sketch`

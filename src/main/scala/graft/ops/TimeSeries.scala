@@ -451,4 +451,38 @@ object TimeSeries {
         expr("(length(journey) - length(replace(journey, 'vp', ''))) div 2").as("n_vp"))
       .orderBy("user_id")
   }
+
+  /** Per-type linear trend + forecast — OLS over the daily count
+    * series, the "is traffic growing and where will it be next week"
+    * dashboard readout. The q_agg_corr discipline: every moment
+    * (n, Σx, Σy, Σxy, Σx²) is an exact INTEGER sum (x = day index,
+    * y = daily count), so slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²) is one
+    * double division of two exact integers, and intercept/forecast
+    * are short mirrored IEEE chains — no accumulation-order drift
+    * anywhere. Day index is day − global-min-day (a broadcast 1-row
+    * scalar), keeping the integers small. The raw-data pass is one
+    * hash agg to days×types rows; the regression runs on that tiny
+    * series. */
+  def qTsForecastLinreg(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    val dd = daily.crossJoin(broadcast(d0)).select(
+      col("event_type"), (col("day") - col("d0")).as("x"), col("y"))
+    dd.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+           max(col("x")).as("mx"))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx")) / col("n"))
+      .withColumn("forecast_7d",
+        col("intercept") + col("slope") * (col("mx") + lit(7)))
+      .select(col("event_type"), col("n").as("n_days"), col("slope"),
+              col("intercept"), col("forecast_7d"))
+      .orderBy("event_type")
+  }
 }

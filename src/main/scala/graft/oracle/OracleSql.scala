@@ -1821,6 +1821,54 @@ object OracleSql {
     WHERE 1000 * shared // n_a >= 500
     ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST""")
 
+  /** All moments are exact integer sums; slope/intercept/forecast are
+    * short mirrored IEEE chains (the q_agg_corr discipline). */
+  val qTsForecastLinreg: String = n("""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT MIN(day) AS d0 FROM daily),
+    dd AS (SELECT event_type, day - d0 AS x, y FROM daily CROSS JOIN m),
+    s AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, MAX(x) AS mx
+      FROM dd GROUP BY 1),
+    k AS (
+      SELECT event_type, n, mx, sx, sy,
+        CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS slope
+      FROM s),
+    k2 AS (
+      SELECT event_type, n, mx, slope,
+        (CAST(sy AS DOUBLE) - slope * sx) / n AS intercept
+      FROM k)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days, slope, intercept,
+      intercept + slope * (mx + 7) AS forecast_7d
+    FROM k2 ORDER BY event_type ASC NULLS FIRST""")
+
+  /** Identical moment chain as the Spark side — explicit multiplication
+    * order, `m2*sqrt(m2)` not `pow`, round at 6dp. */
+  val qAggSkewKurt: String = n("""
+    WITH s AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s2,
+        CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS s3,
+        CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag),
+    k AS (SELECT l_returnflag, n, s1, s2, s3, s4, s1 / n AS mean FROM s),
+    c AS (
+      SELECT l_returnflag, n, mean,
+        s2 / n - mean * mean AS m2,
+        s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean AS m3,
+        s4 / n - 4.0 * mean * (s3 / n) + 6.0 * mean * mean * (s2 / n)
+          - 3.0 * mean * mean * mean * mean AS m4
+      FROM k)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      round(mean, 6) AS mean_qty,
+      round(m3 / (m2 * sqrt(m2)), 6) AS skew_qty,
+      round(m4 / (m2 * m2) - 3.0, 6) AS kurt_qty
+    FROM c ORDER BY l_returnflag ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second

@@ -459,6 +459,52 @@ object StreamOps {
   def foreachBatchParquetSink(df: DataFrame, outDir: String, checkpoint: String) =
     Sinks.sinkTo(df, new ParquetAppendSink(outDir), checkpoint)
 
+  case class TopKHit(eventType: String, item: String, est: Long)
+
+  /** s_stream_topk: streaming heavy hitters — a bounded SpaceSaving
+    * summary per key maintained across micro-batches via
+    * `transformWithState` (the streaming form of `a_agg_topk_sketch`,
+    * same kernel: [[graft.functions.SpaceSavingUtil]], so eviction rule
+    * and wire format are shared with the batch aggregate by
+    * construction). State per key is O(capacity) FOREVER — the
+    * all-time top talkers readout that a per-window groupBy.count
+    * cannot give without unbounded state. Each batch re-emits the
+    * current top-k snapshot (Update-mode semantics); intra-batch rows
+    * feed the summary in full (ts, id) order so emitted estimates are
+    * deterministic under arrival-order shuffle. */
+  private class TopKProcessor(k: Int, capacity: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, TopKHit] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var sk: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sk = getHandle.getValueState[Array[Byte]](
+        "sk", E.BINARY, org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[TopKHit] = {
+      import graft.functions.SpaceSavingUtil
+      val b = if (sk.exists()) SpaceSavingUtil.deser(sk.get())
+              else scala.collection.mutable.HashMap.empty[String, Long]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+        .foreach(e => SpaceSavingUtil.add(b, e.userId.toString, 1L, capacity))
+      sk.update(SpaceSavingUtil.ser(b))
+      SpaceSavingUtil.top(b, k).map { case (item, est) => TopKHit(key, item, est) }
+        .iterator
+    }
+  }
+
+  /** Requires the RocksDB state store (transformWithState's only
+    * supported provider), like [[highWaterMarks]]. */
+  def topkPerKey(events: Dataset[Event], k: Int, capacity: Int): Dataset[TopKHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.eventType)
+      .transformWithState(new TopKProcessor(k, capacity),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** s_stream_cdc_upsert: streaming CDC MERGE — maintain a key→latest
     * snapshot on plain parquet across micro-batches (the streaming form
     * of `q_upsert_snapshot`, and the shape a warehouse sink's keyed

@@ -261,6 +261,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_stream_topk: SpaceSaving state accumulates exact counts across batches") {
+    import spark.implicits._
+    withRocksDB {
+      val in = MemoryStream[Event](spark)
+      // capacity 8 > 3 distinct users -> the summary is EXACT here; the
+      // point under test is cross-batch state carry + deterministic order
+      val q = StreamOps.topkPerKey(in.toDS(), k = 2, capacity = 8)
+        .writeStream.format("memory").queryName("sstopk")
+        .outputMode(OutputMode.Update).start()
+      try {
+        in.addData(ev(1, 0, user = 1), ev(2, 1, user = 1), ev(3, 2, user = 2))
+        q.processAllAvailable()
+        in.addData(ev(4, 3, user = 2), ev(5, 4, user = 2), ev(6, 5, user = 3))
+        q.processAllAvailable()
+        // batch 2 snapshot: user 2 has 3 total, user 1 has 2
+        val latest = spark.table("sstopk").collect()
+          .map(r => (r.getString(1), r.getLong(2))).toSet
+        assert(latest.contains(("2", 3L)), s"user 2 must show 3 cumulative, got $latest")
+        assert(latest.contains(("1", 2L)), s"user 1 must show 2 cumulative, got $latest")
+      } finally q.stop()
+    }
+  }
+
   test("s_stream_ewma: fixed-point recursion is exact within and across batches") {
     import spark.implicits._
     withRocksDB {
