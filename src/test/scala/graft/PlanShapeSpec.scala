@@ -159,4 +159,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(r.head.getBoolean(0), "inserted key must probe true")
     assert(!r.head.getBoolean(1), "far-absent key expected false at this fpp")
   }
+
+  test("q_join_interval overlaps via a bucket equi-join, not a nested loop") {
+    val p = plan(Joins.qJoinInterval(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"interval-overlap join planned as nested loop:\n$p")
+  }
+
+  test("q_text_containment pairs come from the inverted-index equi-join") {
+    val p = plan(TextDedup.qTextContainment(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"containment self-join planned as nested loop:\n$p")
+  }
+
+  test("graft_bitmap_* are SQL-callable and exact") {
+    val r = spark.sql(
+      """SELECT graft_bitmap_count(graft_bitmap_union_agg(bm)) AS n FROM (
+           SELECT graft_bitmap_agg(id) AS bm FROM range(0, 1000) t(id)
+           GROUP BY id % 7)""").collect()
+    assert(r.head.getLong(0) == 1000L, "union of 7 partial bitmaps must be exact")
+  }
 }
