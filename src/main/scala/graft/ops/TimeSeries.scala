@@ -452,6 +452,46 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** LTTB-style downsampling (largest-triangle, BUCKET-ANCHOR variant)
+    * — the dashboard decimation that keeps visual extremes where
+    * per-bucket averaging flattens them: per (type, day) keep the ONE
+    * event maximizing the triangle area against the previous and next
+    * day's mean points. True LTTB anchors on the previously SELECTED
+    * point (a sequential dependency no engine parallelizes and no SQL
+    * states); anchoring on the neighbor-bucket means — a declared,
+    * standard simplification — makes every bucket's argmax independent
+    * (embarrassingly parallel at 100 TB, one window pass here).
+    * Determinism: x in integer minutes, y floor-quantized to 1e-3, and
+    * the area comparison is cleared of its mean denominators by
+    * cross-multiplying n₀·n₂ — the ranked quantity is an exact integer
+    * (magnitudes ≤ ~2.5e15, long-safe), so the argmax can never flip
+    * on float rounding. Interior days only (both anchors exist). */
+  def qTsDownsampleLttb(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("x1", expr("unix_micros(ts) div 60000000"))
+      .withColumn("y1", expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("y1")).as("sd"), count(lit(1)).as("nd"))
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val anchors = daily.select(col("event_type"), col("day"),
+        lag(col("sd"), 1).over(byDay).as("s0"), lag(col("nd"), 1).over(byDay).as("n0"),
+        (lag(col("day"), 1).over(byDay) * 1440 + 720).as("x0"),
+        lead(col("sd"), 1).over(byDay).as("s2"), lead(col("nd"), 1).over(byDay).as("n2"),
+        (lead(col("day"), 1).over(byDay) * 1440 + 720).as("x2"))
+      .where(col("n0").isNotNull && col("n2").isNotNull)
+    val area = abs((col("x1") - col("x0")) * (col("s2") * col("n0") - col("s0") * col("n2"))
+      - (col("x2") - col("x0")) * (col("y1") * col("n0") - col("s0")) * col("n2"))
+    val pick = Window.partitionBy("event_type", "day")
+      .orderBy(col("area").desc, col("event_id").asc)
+    e.join(broadcast(anchors), Seq("event_type", "day"))
+      .withColumn("area", area)
+      .withColumn("rn", row_number().over(pick))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("day"), col("event_id"), col("value"), col("area"))
+      .orderBy("event_type", "day")
+  }
+
   /** Per-type linear trend + forecast — OLS over the daily count
     * series, the "is traffic growing and where will it be next week"
     * dashboard readout. The q_agg_corr discipline: every moment

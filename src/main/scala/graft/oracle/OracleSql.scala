@@ -1869,6 +1869,40 @@ object OracleSql {
       round(m4 / (m2 * m2) - 3.0, 6) AS kurt_qty
     FROM c ORDER BY l_returnflag ASC NULLS FIRST""")
 
+  /** Mirror of the bucket-anchor LTTB pick — the ranked area is an
+    * exact integer (denominators cleared by cross-multiplication). */
+  val qTsDownsampleLttb: String = n("""
+    WITH e AS (
+      SELECT event_type, event_id, value,
+        epoch_us(ts) // 86400000000 AS day,
+        epoch_us(ts) // 60000000 AS x1,
+        CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y1
+      FROM events),
+    daily AS (
+      SELECT event_type, day, CAST(SUM(y1) AS BIGINT) AS sd, COUNT(*) AS nd
+      FROM e GROUP BY 1, 2),
+    anchors AS (
+      SELECT event_type, day,
+        LAG(sd) OVER w AS s0, LAG(nd) OVER w AS n0,
+        LAG(day) OVER w * 1440 + 720 AS x0,
+        LEAD(sd) OVER w AS s2, LEAD(nd) OVER w AS n2,
+        LEAD(day) OVER w * 1440 + 720 AS x2
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    cand AS (
+      SELECT e.event_type, e.day, e.event_id, e.value,
+        abs((e.x1 - a.x0) * (a.s2 * a.n0 - a.s0 * a.n2)
+            - (a.x2 - a.x0) * (e.y1 * a.n0 - a.s0) * a.n2) AS area
+      FROM e JOIN anchors a USING (event_type, day)
+      WHERE a.n0 IS NOT NULL AND a.n2 IS NOT NULL),
+    r AS (
+      SELECT event_type, day, event_id, value, area,
+        ROW_NUMBER() OVER (PARTITION BY event_type, day
+                           ORDER BY area DESC, event_id ASC) AS rn
+      FROM cand)
+    SELECT event_type, day, event_id, value, CAST(area AS BIGINT) AS area
+    FROM r WHERE rn = 1
+    ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
