@@ -439,6 +439,24 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Corrupt-file tolerance — the lake reality that a writer crash or
+    * a bad upload leaves a non-parquet blob inside a table directory.
+    * A garbage file is planted deterministically next to the real
+    * ones; `ignoreCorruptFiles` makes the scan skip what it cannot
+    * read instead of failing the whole query (at 100 TB a single bad
+    * object must not kill a fleet-wide scan). The aggregate must equal
+    * the fixture's — the corrupt file contributes nothing. */
+  def qScanCorrupt(s: SparkSession, sf: String): DataFrame = {
+    val dir = s"/tmp/graft_sink/nation_corrupt"
+    Tables.nation(s, sf).write.mode("overwrite").parquet(dir)
+    val junk = new java.io.FileOutputStream(s"$dir/part-junk.parquet")
+    try junk.write("NOT A PARQUET FILE".getBytes("UTF-8")) finally junk.close()
+    s.read.option("ignoreCorruptFiles", "true").parquet(dir)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"))
+      .orderBy("n_regionkey")
+  }
+
   def qSourceOrc(s: SparkSession, sf: String): DataFrame = {
     val dir = s"/tmp/graft_sink/part_orc"
     Tables.part(s, sf)

@@ -271,4 +271,86 @@ object Vectors {
            (sum(col("norm_sq").cast(D)).cast("double") / count(lit(1))).as("avg_norm"))
       .orderBy("lang")
   }
+
+  /** Top principal component of the embedding cloud — the "is this
+    * embedding space collapsed" diagnostic (a near-1 variance share on
+    * PC1 means the encoder output is degenerate; also the first step of
+    * PCA whitening / IVF coarse-quantizer seeding). Two-stage shape
+    * that survives 100 TB: (1) per-partition LOCAL accumulation of the
+    * d×d second-moment matrix and mean vector (`mapPartitions` — the
+    * outer products never shuffle; each partition emits one constant
+    * d²+d payload), driver-merged in partition-index order
+    * (deterministic); (2) power iteration on the d×d covariance on the
+    * driver — a CONSTANT-size problem (64×64 here) independent of row
+    * count, like collecting a CMS sketch. 200 fixed iterations;
+    * canonical sign (largest-|loading| coordinate positive). No oracle
+    * (iterative linear algebra is not DuckDB-SQL-expressible);
+    * property-tested: ‖Cv−λv‖/λ residual, unit norm, and λ vs the
+    * variance of the actual projections (the definitional twin). */
+  def aEmbedPca(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val dim = 64
+    val parts = Tables.embeddings(s, sf).select(col("embedding"))
+      .as[Array[Float]]
+      .mapPartitions { it =>
+        val g = new Array[Double](dim * dim)
+        val mu = new Array[Double](dim)
+        var n = 0L
+        it.foreach { v =>
+          var i = 0
+          while (i < dim) {
+            val vi = v(i).toDouble
+            mu(i) += vi
+            var j = 0
+            while (j < dim) { g(i * dim + j) += vi * v(j).toDouble; j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        Iterator.single((g, mu, n))
+      }.collect()
+    val g = new Array[Double](dim * dim)
+    val mu = new Array[Double](dim)
+    var n = 0L
+    parts.foreach { case (pg, pmu, pn) =>
+      var i = 0
+      while (i < dim * dim) { g(i) += pg(i); i += 1 }
+      i = 0
+      while (i < dim) { mu(i) += pmu(i); i += 1 }
+      n += pn
+    }
+    // covariance C = G/n − μμᵀ
+    val c = new Array[Double](dim * dim)
+    for (i <- 0 until dim; j <- 0 until dim)
+      c(i * dim + j) = g(i * dim + j) / n - (mu(i) / n) * (mu(j) / n)
+    def matvec(x: Array[Double]): Array[Double] = {
+      val w = new Array[Double](dim)
+      for (i <- 0 until dim) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += c(i * dim + j) * x(j); j += 1 }
+        w(i) = acc
+      }
+      w
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    for (_ <- 0 until 200) {
+      val w = matvec(v)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / norm)
+    }
+    // report the Rayleigh quotient vᵀCv — for ANY unit v it equals the
+    // variance of the data projected on v (the definitional invariant
+    // the property test checks), and at convergence it is λ₁
+    val lambda = v.zip(matvec(v)).map { case (a, b) => a * b }.sum
+    // canonical sign: the largest-|loading| coordinate is positive
+    val kmax = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(kmax) < 0) v = v.map(-_)
+    val trace = (0 until dim).map(i => c(i * dim + i)).sum
+    v.zipWithIndex.map { case (l, i) =>
+      (i, math.rint(l * 1e6) / 1e6, math.rint(lambda * 1e6) / 1e6,
+       math.rint(lambda / trace * 1e6) / 1e6)
+    }.toSeq.toDF("coord", "loading", "eigval", "var_share")
+      .orderBy("coord")
+  }
 }

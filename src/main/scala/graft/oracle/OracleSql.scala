@@ -1903,6 +1903,13 @@ object OracleSql {
     FROM r WHERE rn = 1
     ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""")
 
+  /** The corrupt file must contribute nothing — oracle states the
+    * aggregate from the intact fixture. */
+  val qScanCorrupt: String = n("""
+    SELECT n_regionkey, COUNT(*) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    ORDER BY n_regionkey ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second

@@ -332,6 +332,32 @@ class PropertySpec extends SparkSpec {
     assert(zo < lin, s"z-order must prune strictly more files ($zo vs $lin)")
   }
 
+  test("a_embed_pca: unit PC1, eigenvalue == projection variance, residual small") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Vectors.aEmbedPca(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    val v = out.map(_.getDouble(1))
+    val lambda = out.head.getDouble(2)
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-3, "PC1 must be unit-norm")
+    // definitional twin: vᵀCv IS the population variance of projections
+    val emb = Tables.embeddings(spark, sf).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val projs = emb.map(e => e.zip(v).map { case (a, b) => a.toDouble * b }.sum)
+    val m = projs.sum / projs.length
+    val varp = projs.map(p => (p - m) * (p - m)).sum / projs.length
+    assert(math.abs(varp - lambda) <= 0.01 * lambda + 1e-6,
+           s"projection variance $varp != reported eigenvalue $lambda")
+    // PC1 must beat every single coordinate's variance (top-eigenvalue check)
+    val dim = v.length
+    val coordVar = (0 until dim).map { i =>
+      val xs = emb.map(_(i).toDouble)
+      val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+    }.max
+    assert(lambda >= coordVar * 0.999,
+           s"PC1 eigenvalue $lambda below best single-coordinate variance $coordVar")
+  }
+
   test("approx percentiles bracket the exact percentiles (accuracy bound)") {
     // percentile_approx at accuracy 10000 over ~thousands of rows per
     // group is near-exact: its rank error is bounded by n/accuracy.
