@@ -298,6 +298,30 @@ object Joins {
       .orderBy("o_orderpriority")
   }
 
+  /** As-of join with STALENESS TOLERANCE — the telemetry LOCF variant
+    * where a sample only counts while fresh: for each error, the last
+    * preceding non-error value of the same user, but NULLed when older
+    * than 10 minutes (a monitor must not act on a reading from an hour
+    * ago), plus an explicit `stale` accounting flag. Same single
+    * (user) window shuffle as `q_join_asof`; the tolerance is exact
+    * integer µs arithmetic on top. */
+  def qJoinAsofTolerance(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, sf)
+      .withColumn("prev_value",
+        last(when(col("event_type") =!= "error", col("value")), ignoreNulls = true).over(w))
+      .withColumn("p_ts",
+        last(when(col("event_type") =!= "error", col("ts")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "error")
+      .withColumn("age_s", expr("(unix_micros(ts) - unix_micros(p_ts)) div 1000000"))
+      .withColumn("fresh_value", when(col("age_s") <= 600, col("prev_value")))
+      .withColumn("stale",
+        when(col("p_ts").isNotNull && col("age_s") > 600, 1L).otherwise(0L))
+      .select(col("event_id"), col("user_id"), col("fresh_value"), col("stale"))
+      .orderBy("event_id")
+  }
+
   /** Interval-OVERLAP join — both sides are intervals (vs
     * `q_join_theta_range`'s point-in-band): which user sessions were
     * exposed to an error incident? Sessions = the 30-min-gap sessionize

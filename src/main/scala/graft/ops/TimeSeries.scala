@@ -452,6 +452,53 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** DAU / cumulative-users stickiness — the engagement ratio product
+    * dashboards lead with. Cumulative distinct users per day WITHOUT a
+    * running-distinct scan: a user's first active day is a plain
+    * per-user min, cumulative distinct(d) = # users with first_day ≤ d
+    * — one window cumsum over the tiny daily series. ALL-INTEGER
+    * (`1000·dau div cum` fixed point). The trick is the 100 TB story:
+    * running distinct counts re-derive from per-user firsts forever,
+    * no day-over-day distinct re-scan. */
+  def qTsStickiness(s: SparkSession, sf: String): DataFrame = {
+    val day = date_trunc("day", col("ts"))
+    val dau = Tables.events(s, sf)
+      .groupBy(day.as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val newUsers = Tables.events(s, sf)
+      .groupBy(col("user_id")).agg(min(day).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val cum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(newUsers, Seq("day"), "left")
+      .withColumn("cum_users", sum(coalesce(col("n_new"), lit(0L))).over(cum))
+      .withColumn("stickiness_pm", expr("1000 * dau div cum_users"))
+      .select(col("day"), col("dau"), col("cum_users"), col("stickiness_pm"))
+      .orderBy("day")
+  }
+
+  /** Multi-window SLO burn alert (the SRE 2-window page rule): page an
+    * hour only when BOTH the fast 1h burn exceeds 2× budget AND the
+    * slow trailing-6h burn exceeds budget (budget 1%) — fast-only
+    * pages on noise, slow-only pages late. Cross-multiplied integer
+    * comparisons (`50·err > n`, `100·err6 > n6`), zero float anywhere.
+    * The raw pass is one hash agg; both windows run over the ≤ 720-row
+    * hourly series. */
+  def qTsBurnMultiwindow(s: SparkSession, sf: String): DataFrame = {
+    val hourly = Tables.events(s, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+    val w6 = Window.orderBy("hour").rowsBetween(-5, 0)
+    hourly
+      .withColumn("n6", sum(col("n_events")).over(w6))
+      .withColumn("err6", sum(col("n_err")).over(w6))
+      .withColumn("page",
+        when(col("n_err") * 50 > col("n_events") &&
+             col("err6") * 100 > col("n6"), 1L).otherwise(0L))
+      .orderBy("hour")
+  }
+
   /** LTTB-style downsampling (largest-triangle, BUCKET-ANCHOR variant)
     * — the dashboard decimation that keeps visual extremes where
     * per-bucket averaging flattens them: per (type, day) keep the ONE

@@ -1910,6 +1910,54 @@ object OracleSql {
     FROM nation GROUP BY n_regionkey
     ORDER BY n_regionkey ASC NULLS FIRST""")
 
+  val qJoinAsofTolerance: String = n("""
+    WITH t AS (
+      SELECT event_id, user_id, ts, event_type,
+        LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+          OVER w AS prev_value,
+        LAST_VALUE(CASE WHEN event_type <> 'error' THEN ts END IGNORE NULLS)
+          OVER w AS p_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    a AS (
+      SELECT event_id, user_id, prev_value, p_ts,
+        (epoch_us(ts) - epoch_us(p_ts)) // 1000000 AS age_s
+      FROM t WHERE event_type = 'error')
+    SELECT event_id, user_id,
+      CASE WHEN age_s <= 600 THEN prev_value END AS fresh_value,
+      CASE WHEN p_ts IS NOT NULL AND age_s > 600 THEN 1 ELSE 0 END AS stale
+    FROM a ORDER BY event_id ASC NULLS FIRST""")
+
+  val qTsStickiness: String = n("""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS n_active
+      FROM events GROUP BY 1),
+    firsts AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS day FROM events GROUP BY 1),
+    news AS (SELECT day, COUNT(*) AS n_new FROM firsts GROUP BY 1),
+    j AS (
+      SELECT d.day, CAST(n_active AS BIGINT) AS dau,
+        CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY d.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      FROM d LEFT JOIN news ON news.day = d.day)
+    SELECT day, dau, cum_users, 1000 * dau // cum_users AS stickiness_pm
+    FROM j ORDER BY day ASC NULLS FIRST""")
+
+  val qTsBurnMultiwindow: String = n("""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT hour, n_events, n_err,
+        CAST(SUM(n_events) OVER win AS BIGINT) AS n6,
+        CAST(SUM(n_err) OVER win AS BIGINT) AS err6
+      FROM h WINDOW win AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+    SELECT hour, n_events, n_err, n6, err6,
+      CASE WHEN n_err * 50 > n_events AND err6 * 100 > n6 THEN 1 ELSE 0 END AS page
+    FROM w ORDER BY hour ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
