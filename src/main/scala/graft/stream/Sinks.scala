@@ -30,6 +30,18 @@ final class ParquetAppendSink(outDir: String) extends BatchSink {
     batch.write.mode("append").parquet(outDir)
 }
 
+/** Idempotent-by-batchId parquet sink — each micro-batch owns the
+  * `batch=<id>` subdirectory and OVERWRITES it, so a REPLAYED batch (a
+  * sink retry after a crash between the write and the checkpoint
+  * commit) replaces its own previous output instead of appending a
+  * duplicate. This is the checkpointed-batchId exactly-once recipe the
+  * [[BatchSink]] contract describes; readers see the union via plain
+  * partition discovery on `outDir`. */
+final class IdempotentParquetSink(outDir: String) extends BatchSink {
+  override def write(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+}
+
 /** JDBC binding of the same seam — compiles against Spark's built-in
   * JDBC source; untestable offline (no reachable database, no driver
   * jar), by declared design. For ClickHouse the url is

@@ -459,6 +459,11 @@ object StreamOps {
   def foreachBatchParquetSink(df: DataFrame, outDir: String, checkpoint: String) =
     Sinks.sinkTo(df, new ParquetAppendSink(outDir), checkpoint)
 
+  /** s_stream_idempotent_sink: replay-safe micro-batch sink — see
+    * [[IdempotentParquetSink]]. */
+  def idempotentParquetSink(df: DataFrame, outDir: String, checkpoint: String) =
+    Sinks.sinkTo(df, new IdempotentParquetSink(outDir), checkpoint)
+
   case class TopKHit(eventType: String, item: String, est: Long)
 
   /** s_stream_topk: streaming heavy hitters — a bounded SpaceSaving

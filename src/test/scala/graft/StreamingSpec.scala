@@ -353,6 +353,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_stream_idempotent_sink: a replayed batch overwrites itself, never duplicates") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idem").toString
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val in = MemoryStream[Event](spark)
+    val q = StreamOps.idempotentParquetSink(snake(in.toDF()), out, ckpt).start()
+    try {
+      in.addData(ev(1, 0), ev(2, 1))
+      q.processAllAvailable()
+      in.addData(ev(3, 2))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 3)
+      // simulate a sink retry: re-deliver batch 1's rows under the SAME batchId
+      new graft.stream.IdempotentParquetSink(out)
+        .write(snake(Seq(ev(3, 2)).toDF()), 1L)
+      assert(spark.read.parquet(out).count() == 3,
+             "replayed batchId must overwrite its own directory, not append")
+      // a plain append sink WOULD have duplicated — the contrast pin
+      new graft.stream.ParquetAppendSink(s"$tmp/append")
+        .write(snake(Seq(ev(3, 2)).toDF()), 1L)
+      new graft.stream.ParquetAppendSink(s"$tmp/append")
+        .write(snake(Seq(ev(3, 2)).toDF()), 1L)
+      assert(spark.read.parquet(s"$tmp/append").count() == 2)
+    } finally q.stop()
+  }
+
   test("s_stream_file_source + s_stream_foreachbatch_sink: file ingest to parquet sink") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
