@@ -684,6 +684,32 @@ object TextDedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Triangle counting over the τ=0.6 near-dup pair graph — the graph
+    * metric that separates CLIQUE-like duplication (template families:
+    * every pair similar → triangles everywhere) from CHAIN-like drift
+    * (A≈B≈C but A≉C → zero triangles), which decides whether
+    * cluster-representative picking is safe. Wedge enumeration on the
+    * canonical a<b orientation: e(x,y) ⋈ e(y,z) gives each wedge once
+    * with x<y<z, a LEFT SEMI against the closing edge (x,z) keeps
+    * actual triangles — every triangle counted exactly once, no /3 or
+    * /6 correction. All joins are vertex-key equi-joins; the a<b
+    * orientation bounds wedges by per-node out-degree² (the standard
+    * degree-orientation trick, exact here since ids are the order).
+    * Per-node participation counts are ALL-INTEGER. */
+  def qGraphTriangles(s: SparkSession, sf: String): DataFrame = {
+    val pairs = bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6)
+      .select(col("a_id"), col("b_id")).localCheckpoint() // consumed 3×
+    val e1 = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+    val e2 = pairs.select(col("a_id").as("y"), col("b_id").as("z"))
+    val closing = pairs.select(col("a_id").as("x"), col("b_id").as("z"))
+    e1.join(e2, "y")
+      .join(closing, Seq("x", "z"), "left_semi")
+      .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
   /** PageRank over the near-dup pair graph — graph analytics on the
     * corpus: rank ∝ how centrally a doc sits in its duplication
     * neighborhood (the canonical-representative picker that beats

@@ -1958,6 +1958,34 @@ object OracleSql {
       CASE WHEN n_err * 50 > n_events AND err6 * 100 > n6 THEN 1 ELSE 0 END AS page
     FROM w ORDER BY hour ASC NULLS FIRST""")
 
+  /** Same pair CTE as qDedupCluster; each triangle enumerated once via
+    * the canonical x<y<z wedge + closing-edge join. */
+  val qGraphTriangles: String = n("""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars,
+        list_distinct(string_split(text, ' ')) AS tk
+      FROM documents),
+    pairs AS (
+      SELECT a_id, b_id FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+        FROM toks a JOIN toks b
+          ON a.doc_id < b.doc_id AND a.lang = b.lang
+         AND abs(a.n_chars - b.n_chars) <= 25) t
+      WHERE jaccard >= 0.6),
+    tri AS (
+      SELECT p1.a_id AS x, p1.b_id AS y, p2.b_id AS z
+      FROM pairs p1
+      JOIN pairs p2 ON p2.a_id = p1.b_id
+      JOIN pairs p3 ON p3.a_id = p1.a_id AND p3.b_id = p2.b_id),
+    nodes AS (
+      SELECT x AS doc_id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+    SELECT doc_id, COUNT(*) AS n_triangles
+    FROM nodes GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
