@@ -63,6 +63,30 @@ object SqlSurface {
       ORDER BY nk.k""")
   }
 
+  /** EXISTS / NOT EXISTS predicates — the SQL spelling of semi/anti
+    * joins (`q_join_semi`/`q_join_anti` reach the same plans through
+    * the DataFrame API): customers with an urgent order, and customers
+    * with no orders at all, counted per nation. Catalyst rewrites both
+    * subqueries to one semi and one anti join — no per-row
+    * re-execution. */
+  def qSqlExists(s: SparkSession, sf: String): DataFrame = {
+    Tables.customer(s, sf).createOrReplaceTempView("customer")
+    Tables.orders(s, sf).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT c_nationkey,
+             COUNT(*) AS n_cust,
+             COUNT(CASE WHEN EXISTS (
+               SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority = '1-URGENT') THEN 1 END) AS n_urgent,
+             COUNT(CASE WHEN NOT EXISTS (
+               SELECT 1 FROM orders o2
+               WHERE o2.o_custkey = c.c_custkey) THEN 1 END) AS n_orderless
+      FROM customer c
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""")
+  }
+
   /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
     * "top-2 orders per customer" idiom. Catalyst decorrelates the
     * lateral limit into a window (rank ≤ 2) over one partitioned pass,

@@ -157,6 +157,25 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Running DISTINCT count — "how many event types has this user
+    * touched so far" (the feature-adoption curve). No engine has a
+    * distinct-over-window aggregate that scales; the standard rewrite:
+    * flag each (user, type)'s FIRST occurrence with one row_number
+    * window, then a cumulative sum of flags — two window passes over
+    * the SAME (user) partitioning, one shuffle total, ALL-INTEGER. */
+  def qWinRunningDistinct(s: SparkSession, sf: String): DataFrame = {
+    val firstOcc = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val cum = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, sf)
+      .withColumn("is_first",
+        when(row_number().over(firstOcc) === 1, 1L).otherwise(0L))
+      .withColumn("n_types_seen", sum(col("is_first")).over(cum))
+      .select(col("event_id"), col("user_id"), col("n_types_seen"))
+      .orderBy("event_id")
+  }
+
   /** nth_value — "distance to the runner-up at every row" (the
     * price-gap-to-second reporting idiom). Full-frame `nth_value(…, 2)`
     * over (nation, balance DESC, custkey) — the custkey tiebreak makes

@@ -1986,6 +1986,32 @@ object OracleSql {
     SELECT doc_id, COUNT(*) AS n_triangles
     FROM nodes GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""")
 
+  val qSqlExists: String = n("""
+    SELECT c_nationkey, COUNT(*) AS n_cust,
+      COUNT(CASE WHEN EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT') THEN 1 END) AS n_urgent,
+      COUNT(CASE WHEN NOT EXISTS (
+        SELECT 1 FROM orders o2
+        WHERE o2.o_custkey = c.c_custkey) THEN 1 END) AS n_orderless
+    FROM customer c
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey ASC NULLS FIRST""")
+
+  val qWinRunningDistinct: String = n("""
+    WITH f AS (
+      SELECT event_id, user_id, ts,
+        CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) = 1
+             THEN 1 ELSE 0 END AS is_first
+      FROM events)
+    SELECT event_id, user_id,
+      CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS n_types_seen
+    FROM f ORDER BY event_id ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
