@@ -82,4 +82,24 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id", "frame_idx")
   }
+
+  /** Content-hash dedup over the BINARY payload — media dedup by
+    * exact bytes (the first gate of any image/video curation pipeline:
+    * identical files recur across crawls far more often than
+    * near-dups). Hashes the raw payload column, keeps the min doc_id
+    * per digest with duplicate and byte accounting. Shuffles (digest,
+    * id, n_bytes) only — payloads never move, which is the entire
+    * point at 100 TB of media. Oracle parity: payload = UTF-8 of text,
+    * and DuckDB's md5(VARCHAR) hashes the same bytes. */
+  def qMultimodalDedup(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), md5(col("payload")).as("digest"),
+              length(col("payload")).as("n_bytes"))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keep_id"),
+           count(lit(1)).as("n_copies"),
+           first(col("n_bytes")).as("n_bytes"),
+           sum(col("n_bytes")).as("total_bytes"))
+      .orderBy("keep_id")
 }

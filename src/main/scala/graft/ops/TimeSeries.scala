@@ -477,6 +477,23 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Top movers — the "what changed most since yesterday" dashboard
+    * lead: largest |day-over-day delta| in daily event counts, ranked
+    * with a total (|Δ|, type, day) order so the top-10 cut is
+    * deterministic. ALL-INTEGER; the rank runs over the tiny
+    * days×types series. */
+  def qTsTopMovers(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily.withColumn("prev_n", lag(col("n"), 1).over(w))
+      .where(col("prev_n").isNotNull)
+      .withColumn("delta", col("n") - col("prev_n"))
+      .orderBy(abs(col("delta")).desc, col("event_type"), col("day"))
+      .limit(10)
+  }
+
   /** Multi-window SLO burn alert (the SRE 2-window page rule): page an
     * hour only when BOTH the fast 1h burn exceeds 2× budget AND the
     * slow trailing-6h burn exceeds budget (budget 1%) — fast-only

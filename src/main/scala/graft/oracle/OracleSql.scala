@@ -2012,6 +2012,27 @@ object OracleSql {
         AS n_types_seen
     FROM f ORDER BY event_id ASC NULLS FIRST""")
 
+  /** payload = UTF-8 bytes of text, and DuckDB md5(VARCHAR) hashes
+    * exactly those bytes — digest parity without blob md5 support. */
+  val qMultimodalDedup: String = n("""
+    SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+      CAST(MIN(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+      CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents GROUP BY md5(text)
+    ORDER BY keep_id ASC NULLS FIRST""")
+
+  val qTsTopMovers: String = n("""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT event_type, day, n,
+        LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+      FROM daily)
+    SELECT event_type, day, n, prev_n, n - prev_n AS delta
+    FROM d WHERE prev_n IS NOT NULL
+    ORDER BY abs(n - prev_n) DESC, event_type ASC, day ASC LIMIT 10""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second

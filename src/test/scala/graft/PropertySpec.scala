@@ -358,6 +358,20 @@ class PropertySpec extends SparkSpec {
            s"PC1 eigenvalue $lambda below best single-coordinate variance $coordVar")
   }
 
+  test("q_join_interval emits each overlapping (session, incident) pair exactly once") {
+    // the emit-once rule (bucket == overlap-start hour) replaces a
+    // post-join distinct — so duplicates would be silent correctness
+    // rot, not just waste. Pin uniqueness and overlap sanity.
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Joins.qJoinInterval(spark, sf)
+    val n = out.count()
+    assert(n > 0)
+    assert(n == out.select("user_id", "sess", "inc_day").distinct().count(),
+           "emit-once rule must yield exactly one row per overlapping pair")
+    assert(out.where(col("overlap_s") < 0).count() == 0,
+           "every emitted pair must genuinely overlap")
+  }
+
   test("approx percentiles bracket the exact percentiles (accuracy bound)") {
     // percentile_approx at accuracy 10000 over ~thousands of rows per
     // group is near-exact: its rank error is bounded by n/accuracy.
