@@ -298,6 +298,27 @@ object Joins {
       .orderBy("o_orderpriority")
   }
 
+  /** NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    * dimension-with-unknown-bucket idiom: an "unknown" (NULL) key on
+    * both sides should MATCH (land in the unknown bucket) where plain
+    * `=` silently drops the rows. Keys are deterministically NULLified
+    * (regionkey 2 → NULL on both sides) so the fixture exercises both
+    * the NULL-NULL match and the ordinary paths. At scale `<=>` hashes
+    * NULL as a regular key value — still a hash join, but ALL unknowns
+    * land in ONE partition, so a high-NULL fact side needs the
+    * `q_join_skew_salted` treatment on that bucket (noted, not needed
+    * at dimension scale). */
+  def qJoinNullSafe(s: SparkSession, sf: String): DataFrame = {
+    val nat = Tables.nation(s, sf)
+      .withColumn("rk", when(col("n_regionkey") === 2, lit(null)).otherwise(col("n_regionkey")))
+    val reg = Tables.region(s, sf)
+      .withColumn("rk2", when(col("r_regionkey") === 2, lit(null)).otherwise(col("r_regionkey")))
+    nat.join(broadcast(reg), col("rk") <=> col("rk2"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"),
+              col("rk").isNull.as("via_null_bucket"))
+      .orderBy("n_nationkey")
+  }
+
   /** As-of join with STALENESS TOLERANCE — the telemetry LOCF variant
     * where a sample only counts while fresh: for each error, the last
     * preceding non-error value of the same user, but NULLed when older

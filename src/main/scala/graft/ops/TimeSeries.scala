@@ -477,6 +477,22 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Percent-of-total share — "what fraction of today's traffic was
+    * errors": each (day, type) cell's share of its day's total, in
+    * 1e-3 fixed point (`1000·n div day_total` — ALL-INTEGER, no float
+    * division anywhere). The share join is a window sum over the tiny
+    * daily matrix, not a second scan. */
+  def qTsPercentOfTotal(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val byDay = Window.partitionBy("day")
+    daily
+      .withColumn("day_total", sum(col("n")).over(byDay))
+      .withColumn("share_pm", expr("1000 * n div day_total"))
+      .orderBy("day", "event_type")
+  }
+
   /** Top movers — the "what changed most since yesterday" dashboard
     * lead: largest |day-over-day delta| in daily event counts, ranked
     * with a total (|Δ|, type, day) order so the top-10 cut is

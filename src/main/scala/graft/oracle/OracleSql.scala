@@ -2033,6 +2033,29 @@ object OracleSql {
     FROM d WHERE prev_n IS NOT NULL
     ORDER BY abs(n - prev_n) DESC, event_type ASC, day ASC LIMIT 10""")
 
+  val qJoinNullSafe: String = n("""
+    WITH nat AS (
+      SELECT n_nationkey, n_name,
+        CASE WHEN n_regionkey = 2 THEN NULL ELSE n_regionkey END AS rk
+      FROM nation),
+    reg AS (
+      SELECT r_name,
+        CASE WHEN r_regionkey = 2 THEN NULL ELSE r_regionkey END AS rk2
+      FROM region)
+    SELECT n_nationkey, n_name, r_name, rk IS NULL AS via_null_bucket
+    FROM nat JOIN reg ON rk IS NOT DISTINCT FROM rk2
+    ORDER BY n_nationkey ASC NULLS FIRST""")
+
+  val qTsPercentOfTotal: String = n("""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT day, event_type, n,
+      CAST(SUM(n) OVER (PARTITION BY day) AS BIGINT) AS day_total,
+      1000 * n // CAST(SUM(n) OVER (PARTITION BY day) AS BIGINT) AS share_pm
+    FROM daily
+    ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
