@@ -325,6 +325,24 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Per-user lifecycle summary — the user-dimension build every
+    * product warehouse maintains: first/last activity, entry and exit
+    * event types (min_by/max_by on the total (ts, id) order — tie-safe
+    * like q_agg_argmax), volume, and integer lifetime days. ONE hash
+    * agg; this is the "wide user table" that downstream joins
+    * broadcast. */
+  def qAggUserLifecycle(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_seen"),
+           max(col("ts")).as("last_seen"),
+           min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("first_type"),
+           max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"),
+           count(lit(1)).as("n_events"),
+           expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 86400000000")
+             .as("lifetime_days"))
+      .orderBy("user_id")
+
   /** Per-group skewness + excess kurtosis from EXPLICIT decimal moments
     * (Σx…Σx⁴ exact, closed-form central moments in double) — built-in
     * `skewness`/`kurtosis` are order-dependent streaming estimators,

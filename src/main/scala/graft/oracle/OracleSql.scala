@@ -2056,6 +2056,27 @@ object OracleSql {
     FROM daily
     ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST""")
 
+  /** first/last types via ROW_NUMBER over the same total (ts, id)
+    * order as the Spark min_by/max_by struct (the q_agg_argmax
+    * discipline — arg_min's tie rule is unspecified). */
+  val qAggUserLifecycle: String = n("""
+    WITH w AS (
+      SELECT user_id, event_type,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn_a,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events),
+    f AS (SELECT user_id, event_type AS first_type FROM w WHERE rn_a = 1),
+    l AS (SELECT user_id, event_type AS last_type FROM w WHERE rn_d = 1),
+    g AS (
+      SELECT user_id, MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+        COUNT(*) AS n_events,
+        (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 86400000000 AS lifetime_days
+      FROM events GROUP BY 1)
+    SELECT g.user_id, first_seen, last_seen, first_type, last_type,
+           n_events, lifetime_days
+    FROM g JOIN f USING (user_id) JOIN l USING (user_id)
+    ORDER BY g.user_id ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second

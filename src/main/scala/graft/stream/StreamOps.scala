@@ -452,6 +452,31 @@ object StreamOps {
               col("imp_ts"), col("clk_ts"))
   }
 
+  /** s_stream_join_outer: LEFT OUTER stream-stream interval join — the
+    * un-attributed-impression readout `intervalJoin` cannot give: an
+    * impression with no click inside its 30-min window must still
+    * emit, with NULL click columns. Structured Streaming holds such
+    * rows in state until the WATERMARK passes the end of their join
+    * window (only then is "no match" final — emitting earlier would be
+    * wrong, never emitting would leak state), so unmatched rows appear
+    * one watermark-advance later than matches. Same bounded-state
+    * discipline as the inner join. */
+  def intervalJoinOuter(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+    val imp = impressions.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
+              col("ts").as("imp_ts"))
+    val clk = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("clk_id"), col("user_id").as("clk_user"),
+              col("ts").as("clk_ts"))
+    imp.join(clk,
+      col("imp_user") === col("clk_user") &&
+      col("clk_ts") >= col("imp_ts") &&
+      col("clk_ts") <= col("imp_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("imp_id"), col("clk_id"), col("imp_user").as("user_id"),
+              col("imp_ts"), col("clk_ts"))
+  }
+
   /** s_stream_foreachbatch_sink: micro-batch append through the
     * [[BatchSink]] seam (Sinks.scala) — parquet binding here; the JDBC
     * binding ([[JdbcAppendSink]]) is the "write to ClickHouse"

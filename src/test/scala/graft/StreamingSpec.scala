@@ -186,6 +186,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_stream_join_outer: unmatched impression emits with NULL click after watermark") {
+    import spark.implicits._
+    val imps = MemoryStream[Event](spark)
+    val clks = MemoryStream[Event](spark)
+    val q = StreamOps.intervalJoinOuter(snake(imps.toDF()), snake(clks.toDF()))
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      imps.addData(ev(100, 0, user = 1), ev(101, 0, user = 2))
+      clks.addData(ev(200, 10, user = 1)) // matches imp 100; imp 101 unmatched
+      q.processAllAvailable()
+      // advance BOTH watermarks well past imp 101's join window
+      // (0 + 30min) + 10min watermark: events at t=120min
+      imps.addData(ev(102, 120, user = 9))
+      clks.addData(ev(201, 120, user = 9))
+      q.processAllAvailable()
+      imps.addData(ev(103, 125, user = 9)) // one more batch to flush state
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      assert(rows(100L) == 200L, s"matched pair must join: $rows")
+      assert(rows.contains(101L) && rows(101L) == -1L,
+             s"unmatched impression must emit with NULL click after watermark: $rows")
+    } finally q.stop()
+  }
+
   test("s_stream_anomaly: Welford z-score flags the spike, not the warmup") {
     import spark.implicits._
     withRocksDB {
