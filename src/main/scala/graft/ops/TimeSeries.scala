@@ -477,6 +477,29 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Rolling 7-day active users (WAU) — EXACT, without a distinct-over-
+    * window (which no engine scales): each (user, day) pair fans out to
+    * the ≤ 7 window-end days it contributes to (`explode(sequence)` of
+    * integer day offsets), then one countDistinct per window day. The
+    * fan-out rides the DEDUP'D (user, day) pairs — 7× a small frame,
+    * not 7× the raw events — which is the shape that survives 100 TB;
+    * trailing phantom windows are clipped at the data's max day.
+    * ALL-INTEGER day arithmetic. */
+  def qTsWauRolling(s: SparkSession, sf: String): DataFrame = {
+    val pairs = Tables.events(s, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val bounds = pairs.agg(max(col("day")).as("maxd"))
+    pairs
+      .withColumn("o", explode(sequence(lit(0L), lit(6L))))
+      .withColumn("window_day", col("day") + col("o"))
+      .crossJoin(broadcast(bounds))
+      .where(col("window_day") <= col("maxd"))
+      .groupBy(col("window_day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy("window_day")
+  }
+
   /** Percent-of-total share — "what fraction of today's traffic was
     * errors": each (day, type) cell's share of its day's total, in
     * 1e-3 fixed point (`1000·n div day_total` — ALL-INTEGER, no float

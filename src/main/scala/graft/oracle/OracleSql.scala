@@ -2077,6 +2077,17 @@ object OracleSql {
     FROM g JOIN f USING (user_id) JOIN l USING (user_id)
     ORDER BY g.user_id ASC NULLS FIRST""")
 
+  val qTsWauRolling: String = n("""
+    WITH pairs AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    b AS (SELECT MAX(day) AS maxd FROM pairs),
+    w AS (
+      SELECT user_id, day + o AS window_day
+      FROM pairs CROSS JOIN (SELECT unnest(range(7)) AS o) t)
+    SELECT window_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM w CROSS JOIN b WHERE window_day <= maxd
+    GROUP BY window_day ORDER BY window_day ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
