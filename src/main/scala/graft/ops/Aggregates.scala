@@ -325,6 +325,29 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Tukey IQR outlier fences per group — the robust outlier rule
+    * dashboards use where z-scores chase their own outliers: flag
+    * values above q3 + 1.5·IQR. Quartiles are interpolated from INPUT
+    * doubles (the q_agg_percentile_exact discipline) and the fence is
+    * rounded at 4dp on both engines BEFORE comparing, so the flag set
+    * cannot flip on a last-ulp quartile difference. Two passes: a
+    * #groups-row fence table broadcasts back into one counting agg. */
+  def qAggOutlierIqr(s: SparkSession, sf: String): DataFrame = {
+    val fences = Tables.events(s, sf)
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.25)"), 4).as("q1"),
+           round(expr("percentile(value, 0.75)"), 4).as("q3"))
+      .withColumn("thr_hi",
+        round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 4))
+    Tables.events(s, sf).join(broadcast(fences), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("q1")).as("q1"), first(col("q3")).as("q3"),
+           first(col("thr_hi")).as("thr_hi"),
+           sum(when(col("value") > col("thr_hi"), 1L).otherwise(0L)).as("n_outliers"),
+           max(when(col("value") > col("thr_hi"), col("value"))).as("worst"))
+      .orderBy("event_type")
+  }
+
   /** Per-user lifecycle summary — the user-dimension build every
     * product warehouse maintains: first/last activity, entry and exit
     * event types (min_by/max_by on the total (ts, id) order — tie-safe

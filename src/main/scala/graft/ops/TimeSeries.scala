@@ -477,6 +477,29 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Cumulative error-budget remaining — the month-long SLO account
+    * (vs `q_ts_slo_burn`'s instantaneous rate): against a 99% SLO the
+    * budget earned by day d is 1% of events-to-date, spend is errors-
+    * to-date; remaining is kept in events×100 fixed point
+    * (`cum_events − 100·cum_errors` — positive while inside budget),
+    * with an exhausted flag. ALL-INTEGER; two window sums over the
+    * tiny daily series. */
+  def qTsErrorBudget(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+    val cum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_events", sum(col("n_events")).over(cum))
+      .withColumn("cum_err", sum(col("n_err")).over(cum))
+      .withColumn("budget_left_scaled", col("cum_events") - col("cum_err") * 100)
+      .withColumn("exhausted",
+        when(col("budget_left_scaled") < 0, 1L).otherwise(0L))
+      .orderBy("day")
+  }
+
   /** Rolling 7-day active users (WAU) — EXACT, without a distinct-over-
     * window (which no engine scales): each (user, day) pair fans out to
     * the ≤ 7 window-end days it contributes to (`explode(sequence)` of

@@ -2088,6 +2088,36 @@ object OracleSql {
     FROM w CROSS JOIN b WHERE window_day <= maxd
     GROUP BY window_day ORDER BY window_day ASC NULLS FIRST""")
 
+  val qAggOutlierIqr: String = n("""
+    WITH f AS (
+      SELECT event_type,
+        round(quantile_cont(value, 0.25), 4) AS q1,
+        round(quantile_cont(value, 0.75), 4) AS q3
+      FROM events GROUP BY event_type),
+    f2 AS (
+      SELECT event_type, q1, q3, round(q3 + 1.5 * (q3 - q1), 4) AS thr_hi FROM f)
+    SELECT e.event_type, MIN(q1) AS q1, MIN(q3) AS q3, MIN(thr_hi) AS thr_hi,
+      CAST(SUM(CASE WHEN value > thr_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      MAX(CASE WHEN value > thr_hi THEN value END) AS worst
+    FROM events e JOIN f2 USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type ASC NULLS FIRST""")
+
+  val qTsErrorBudget: String = n("""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+      FROM events GROUP BY 1),
+    c AS (
+      SELECT day, n_events, n_err,
+        CAST(SUM(n_events) OVER w AS BIGINT) AS cum_events,
+        CAST(SUM(n_err) OVER w AS BIGINT) AS cum_err
+      FROM daily WINDOW w AS (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT day, n_events, n_err, cum_events, cum_err,
+      cum_events - cum_err * 100 AS budget_left_scaled,
+      CASE WHEN cum_events - cum_err * 100 < 0 THEN 1 ELSE 0 END AS exhausted
+    FROM c ORDER BY day ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
