@@ -367,10 +367,10 @@ object TextDedup {
       // closed neighborhood (one hop per round on its own — near-dup
       // chains across the length band made that ~20 rounds at sf0.1)
       val nbrMin = edges
-        .join(labels.select(col("id").as("b_id"), col("lab")), "b_id")
+        .join(broadcast(labels.select(col("id").as("b_id"), col("lab"))), "b_id")
         .groupBy(col("a_id")).agg(min(col("lab")).as("nlab"))
         .select(col("a_id").as("id"), col("nlab"))
-      val cand = labels.join(nbrMin, Seq("id"), "left")
+      val cand = labels.join(broadcast(nbrMin), Seq("id"), "left")
         .select(col("id"), col("lab").as("old"),
                 least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab1"))
       // step 2 — pointer jump (hash-to-min): adopt your label's label.
@@ -379,7 +379,7 @@ object TextDedup {
       // min) while squaring the propagation distance per round:
       // convergence in O(log diameter) rounds instead of O(diameter).
       val next = cand
-        .join(cand.select(col("id").as("lab1"), col("lab1").as("lab2")),
+        .join(broadcast(cand.select(col("id").as("lab1"), col("lab1").as("lab2"))),
               Seq("lab1"), "left")
         .select(col("id"), col("old"),
                 least(col("lab1"), coalesce(col("lab2"), col("lab1"))).as("lab"))
@@ -702,8 +702,12 @@ object TextDedup {
     val e1 = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
     val e2 = pairs.select(col("a_id").as("y"), col("b_id").as("z"))
     val closing = pairs.select(col("a_id").as("x"), col("b_id").as("z"))
-    e1.join(e2, "y")
-      .join(closing, Seq("x", "z"), "left_semi")
+    // the FILTERED pair list (τ=0.6 survivors) is orders of magnitude
+    // smaller than the corpus — broadcast it for both wedge-side joins
+    // (zero shuffles at fixture scale; at 100 TB with a pair list past
+    // broadcast budget the same equi-joins run as shuffles unchanged)
+    e1.join(broadcast(e2), "y")
+      .join(broadcast(closing), Seq("x", "z"), "left_semi")
       .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_triangles"))
@@ -733,9 +737,13 @@ object TextDedup {
       .localCheckpoint()
     var r = degs.select(col("u").as("id"), lit(1000000L).as("r"))
     for (_ <- 1 to 5) {
+      // rank and degree frames are |V| rows — broadcast both so each
+      // round's only shuffle is the groupBy(v) message aggregation
+      // (the distributed-PageRank minimum); at a |V| past broadcast
+      // budget the same equi-joins run as shuffles unchanged
       r = edges
-        .join(r.withColumnRenamed("id", "u"), "u")
-        .join(degs, "u")
+        .join(broadcast(r.withColumnRenamed("id", "u")), "u")
+        .join(broadcast(degs), "u")
         .groupBy(col("v"))
         .agg(sum(expr("r div d")).as("m"))
         .select(col("v").as("id"),
