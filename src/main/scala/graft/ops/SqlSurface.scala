@@ -63,6 +63,22 @@ object SqlSurface {
       ORDER BY nk.k""")
   }
 
+  /** Parameterized SQL (Spark 4 named-parameter binding) — the
+    * injection-safe way a service layer templates user input into
+    * queries: values bind as literals through the analyzer, never by
+    * string concatenation. The oracle states the same query with the
+    * values inlined — binding must be semantically invisible. */
+  def qSqlParameterized(s: SparkSession, sf: String): DataFrame = {
+    Tables.orders(s, sf).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+         FROM orders
+         WHERE o_orderstatus = :status AND o_totalprice > :floor
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      Map("status" -> "O", "floor" -> 50000))
+  }
+
   /** EXISTS / NOT EXISTS predicates — the SQL spelling of semi/anti
     * joins (`q_join_semi`/`q_join_anti` reach the same plans through
     * the DataFrame API): customers with an urgent order, and customers

@@ -2118,6 +2118,14 @@ object OracleSql {
       CASE WHEN cum_events - cum_err * 100 < 0 THEN 1 ELSE 0 END AS exhausted
     FROM c ORDER BY day ASC NULLS FIRST""")
 
+  /** The bound parameters inlined — binding must be invisible. */
+  val qSqlParameterized: String = n("""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 50000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second

@@ -406,6 +406,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_stream_trigger_availablenow: drains the backlog as batches, then stops itself") {
+    // Trigger.AvailableNow — the "incremental batch" operating mode: a
+    // scheduled job runs the STREAMING pipeline (same code, same
+    // checkpoint, same exactly-once) over whatever accumulated since
+    // the last run, then exits. awaitTermination returning (vs running
+    // forever) IS the semantic under test; a second invocation resumes
+    // from the checkpoint and picks up only the new file.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    val srcDir = s"$tmp/src"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    snake(Seq(ev(1, 0), ev(2, 1)).toDF()).write.parquet(s"$srcDir/b1.parquet")
+    def drain(): Unit = {
+      val q = StreamOps.foreachBatchParquetSink(
+          StreamOps.fileSource(spark, s"$srcDir/*/"), outDir, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow query must terminate itself")
+    }
+    drain()
+    assert(spark.read.parquet(outDir).count() == 2)
+    snake(Seq(ev(3, 2)).toDF()).write.parquet(s"$srcDir/b2.parquet")
+    drain()
+    assert(spark.read.parquet(outDir).count() == 3,
+           "second drain must process only the new backlog from the checkpoint")
+  }
+
   test("s_stream_file_source + s_stream_foreachbatch_sink: file ingest to parquet sink") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
