@@ -439,6 +439,39 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Incremental rollup maintenance — the materialized-view pattern a
+    * telemetry warehouse lives on (ClickHouse SummingMergeTree /
+    * AggregatingMergeTree analog): the standing per-(type, day) rollup
+    * absorbs ONE new day by unioning the stored partials with the new
+    * day's partial and re-aggregating — raw history is never
+    * re-scanned. Exactness of the merge is q_agg_reagg's losslessness
+    * (counts and decimal sums are associative), which is why the
+    * oracle can state the DIRECT full aggregate. Here both phases run
+    * in-query for determinism: build the rollup from days < max(day),
+    * then merge day max(day)'s partial and read the result back. */
+  def qRollupIncremental(s: SparkSession, sf: String): DataFrame = {
+    val dir = s"/tmp/graft_sink/rollup_incr"
+    val e = Tables.events(s, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+    val maxDay = e.agg(max(col("day")).as("maxd"))
+    val withMax = e.crossJoin(broadcast(maxDay))
+    def partial(df: DataFrame) = df
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast(Util.D)).as("sum_dec"))
+    // phase 1: the standing rollup (everything before the new day)
+    partial(withMax.where(col("day") < col("maxd")))
+      .write.mode("overwrite").parquet(dir)
+    // phase 2: merge ONE new day's partial into the stored rollup
+    val stored = s.read.parquet(dir)
+    val newDay = partial(withMax.where(col("day") === col("maxd")))
+    stored.unionByName(newDay)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n_events")).as("n_events"),
+           sum(col("sum_dec")).cast("double").as("total_value"))
+      .orderBy("event_type", "day")
+  }
+
   /** Corrupt-file tolerance — the lake reality that a writer crash or
     * a bad upload leaves a non-parquet blob inside a table directory.
     * A garbage file is planted deterministically next to the real

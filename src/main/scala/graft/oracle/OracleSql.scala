@@ -2126,6 +2126,14 @@ object OracleSql {
     WHERE o_orderstatus = 'O' AND o_totalprice > 50000
     GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS FIRST""")
 
+  /** Direct full aggregate — the merge-losslessness proof for the
+    * incremental rollup (same statement as qAggReagg's). */
+  val qRollupIncremental: String = n("""
+    SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
