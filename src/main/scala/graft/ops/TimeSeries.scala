@@ -477,6 +477,36 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Apdex score per event type — the classic user-satisfaction SLA
+    * readout: satisfied (value ≤ T), tolerating (≤ 4T), frustrated;
+    * apdex = (sat + tol/2) / total, held in 1e-3 fixed point with the
+    * half cleared by cross-multiplication (`1000·(2·sat+tol) div
+    * (2·total)`) — ALL-INTEGER, one hash agg. T=50. */
+  def qTsApdex(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("total"),
+           sum(when(col("value") <= 50.0, 1L).otherwise(0L)).as("sat"),
+           sum(when(col("value") > 50.0 && col("value") <= 200.0, 1L).otherwise(0L))
+             .as("tol"))
+      .withColumn("apdex_pm", expr("1000 * (2 * sat + tol) div (2 * total)"))
+      .orderBy("event_type")
+
+  /** Event-type transition matrix — per-user Markov step counts (the
+    * "where do users go next" path analysis): lag the previous type
+    * over each user's (ts, id)-ordered stream, count (prev, next)
+    * cells. One (user) window shuffle + one hash agg to the ≤ types²
+    * matrix; ALL-INTEGER. */
+  def qTsTransitionMatrix(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, sf)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "event_type")
+  }
+
   /** Cumulative error-budget remaining — the month-long SLO account
     * (vs `q_ts_slo_burn`'s instantaneous rate): against a 99% SLO the
     * budget earned by day d is 1% of events-to-date, spend is errors-

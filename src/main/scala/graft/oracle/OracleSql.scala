@@ -2134,6 +2134,26 @@ object OracleSql {
     FROM events GROUP BY 1, 2
     ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""")
 
+  val qTsApdex: String = n("""
+    SELECT event_type, COUNT(*) AS total,
+      CAST(SUM(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS sat,
+      CAST(SUM(CASE WHEN value > 50.0 AND value <= 200.0 THEN 1 ELSE 0 END) AS BIGINT) AS tol,
+      1000 * (2 * CAST(SUM(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+              + CAST(SUM(CASE WHEN value > 50.0 AND value <= 200.0 THEN 1 ELSE 0 END) AS BIGINT))
+        // (2 * COUNT(*)) AS apdex_pm
+    FROM events GROUP BY event_type
+    ORDER BY event_type ASC NULLS FIRST""")
+
+  val qTsTransitionMatrix: String = n("""
+    WITH t AS (
+      SELECT user_id, event_type,
+        LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type, COUNT(*) AS n
+    FROM t WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type ASC NULLS FIRST, event_type ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
