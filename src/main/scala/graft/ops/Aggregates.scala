@@ -325,6 +325,26 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Gini coefficient of per-user activity — "is usage concentrated in
+    * a few whales": G = Σ(2i−n−1)·xᵢ / (n·Σx) over counts sorted
+    * ascending with a total (count, user) tie order. ALL-INTEGER until
+    * one 1e6-fixed-point division (counts and ranks are integers — no
+    * float accumulation anywhere). Two tiny stages after the per-user
+    * count: one rank window + one sum over #users rows. */
+  def qAggGini(s: SparkSession, sf: String): DataFrame = {
+    val counts = Tables.events(s, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("x"), col("user_id"))
+    counts
+      .withColumn("i", row_number().over(w))
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("x")).as("total_events"),
+           sum((col("i") * 2 - 1) * col("x")).as("wsum"))
+      .withColumn("gini_ppm",
+        expr("(1000000 * (wsum - total_events * n_users)) div (n_users * total_events)"))
+      .select(col("n_users"), col("total_events"), col("gini_ppm"))
+  }
+
   /** Tukey IQR outlier fences per group — the robust outlier rule
     * dashboards use where z-scores chase their own outliers: flag
     * values above q3 + 1.5·IQR. Quartiles are interpolated from INPUT

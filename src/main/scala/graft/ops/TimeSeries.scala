@@ -477,6 +477,32 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Time-weighted average (TWAP) per user — the gauge semantics every
+    * TSDB applies when samples are irregular: each value holds until
+    * the next sample, so its weight is the hold duration (a plain mean
+    * over-weights bursts). Σ(v·Δt)/ΣΔt with the products on the exact
+    * decimal path: value cast to DECIMAL(18,4) × integer SECOND hold →
+    * exact decimal, order-independent partial sums; ONE mirrored final
+    * division. Holds are truncated to whole seconds (declared) — NOT a
+    * precision nicety: µs holds push the decimal sum past 2^53, where
+    * the final decimal→double CAST itself rounds differently per
+    * engine (observed: last-ulp twap mismatches); second holds keep
+    * every sum inside double-exact range. One (user) window + one
+    * hash agg. */
+  def qTsTwap(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, sf)
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+      .where(col("next_us").isNotNull)
+      .withColumn("hold_s", expr("(next_us - unix_micros(ts)) div 1000000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_holds"),
+           sum(col("hold_s")).as("span_s"),
+           (sum(col("value").cast(Util.D) * col("hold_s")).cast("double")
+             / sum(col("hold_s"))).as("twap"))
+      .orderBy("user_id")
+  }
+
   /** Apdex score per event type — the classic user-satisfaction SLA
     * readout: satisfied (value ≤ T), tolerating (≤ 4T), frustrated;
     * apdex = (sat + tol/2) / total, held in 1e-3 fixed point with the

@@ -2154,6 +2154,35 @@ object OracleSql {
     GROUP BY prev_type, event_type
     ORDER BY prev_type ASC NULLS FIRST, event_type ASC NULLS FIRST""")
 
+  /** Second-resolution holds (mirrored `div 1000000`): µs holds would
+    * push the decimal sum past 2^53, where decimal→double CAST rounds
+    * differently per engine. */
+  val qTsTwap: String = n("""
+    WITH t AS (
+      SELECT user_id, value, epoch_us(ts) AS us,
+        LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+      FROM events),
+    h AS (
+      SELECT user_id, value, (next_us - us) // 1000000 AS hold_s
+      FROM t WHERE next_us IS NOT NULL)
+    SELECT user_id, COUNT(*) AS n_holds,
+      CAST(SUM(hold_s) AS BIGINT) AS span_s,
+      CAST(SUM(CAST(value AS DECIMAL(18,4)) * hold_s) AS DOUBLE)
+        / CAST(SUM(hold_s) AS BIGINT) AS twap
+    FROM h GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""")
+
+  val qAggGini: String = n("""
+    WITH c AS (SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1),
+    r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM c),
+    s AS (
+      SELECT COUNT(*) AS n_users, CAST(SUM(x) AS BIGINT) AS total_events,
+        CAST(SUM((2 * i - 1) * x) AS BIGINT) AS wsum
+      FROM r)
+    SELECT n_users, total_events,
+      (1000000 * (wsum - total_events * n_users))
+        // (n_users * total_events) AS gini_ppm
+    FROM s""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
