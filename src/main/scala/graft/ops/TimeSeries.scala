@@ -477,6 +477,23 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Cohort retention matrix — the product-analytics triangle: users
+    * cohorted by first active (epoch) week, cells count distinct users
+    * active at each week offset. Generalizes `q_ts_retention`'s d/d+1
+    * pair to the full matrix; ALL-INTEGER week arithmetic; the matrix
+    * derives from the dedup'd (user, week) frame, raw events touched
+    * once. */
+  def qTsCohortMatrix(s: SparkSession, sf: String): DataFrame = {
+    val uw = Tables.events(s, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("week"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Time-weighted average (TWAP) per user — the gauge semantics every
     * TSDB applies when samples are irregular: each value holds until
     * the next sample, so its weight is the hold duration (a plain mean

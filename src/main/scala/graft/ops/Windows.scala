@@ -157,6 +157,29 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Leaderboard rank movement — each user's activity rank in the
+    * final week vs the week before (the "who's rising" readout): two
+    * (week)-partitioned dense ranks over weekly counts joined on user,
+    * integer delta; ties broken inside the rank by (count desc, user)
+    * so movement is total-order deterministic. */
+  def qWinRankChange(s: SparkSession, sf: String): DataFrame = {
+    val weekly = Tables.events(s, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("week"))
+      .groupBy(col("user_id"), col("week")).agg(count(lit(1)).as("n"))
+    val last2 = weekly.agg(max(col("week")).as("wmax"))
+    val w = Window.partitionBy("week").orderBy(col("n").desc, col("user_id"))
+    val ranked = weekly.crossJoin(broadcast(last2))
+      .where(col("week") >= col("wmax") - 1)
+      .withColumn("rnk", row_number().over(w))
+    val cur = ranked.where(col("week") === col("wmax"))
+      .select(col("user_id"), col("rnk").as("rank_now"), col("n").as("n_now"))
+    val prev = ranked.where(col("week") === col("wmax") - 1)
+      .select(col("user_id"), col("rnk").as("rank_prev"))
+    cur.join(prev, Seq("user_id"), "inner")
+      .withColumn("moved", col("rank_prev") - col("rank_now"))
+      .orderBy("rank_now", "user_id")
+  }
+
   /** Running DISTINCT count — "how many event types has this user
     * touched so far" (the feature-adoption curve). No engine has a
     * distinct-over-window aggregate that scales; the standard rewrite:

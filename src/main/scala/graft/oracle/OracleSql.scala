@@ -2183,6 +2183,35 @@ object OracleSql {
         // (n_users * total_events) AS gini_ppm
     FROM s""")
 
+  val qTsCohortMatrix: String = n("""
+    WITH uw AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
+    SELECT cohort_week, week - cohort_week AS week_offset,
+      CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_active
+    FROM uw JOIN cohort ON cohort.user_id = uw.user_id
+    GROUP BY cohort_week, week - cohort_week
+    ORDER BY cohort_week ASC NULLS FIRST, week_offset ASC NULLS FIRST""")
+
+  val qWinRankChange: String = n("""
+    WITH weekly AS (
+      SELECT user_id, epoch_us(ts) // 604800000000 AS week, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT MAX(week) AS wmax FROM weekly),
+    ranked AS (
+      SELECT user_id, week, n,
+        ROW_NUMBER() OVER (PARTITION BY week ORDER BY n DESC, user_id ASC) AS rnk
+      FROM weekly CROSS JOIN b WHERE week >= wmax - 1),
+    cur AS (
+      SELECT user_id, rnk AS rank_now, n AS n_now
+      FROM ranked CROSS JOIN b WHERE week = wmax),
+    prev AS (
+      SELECT user_id, rnk AS rank_prev
+      FROM ranked CROSS JOIN b WHERE week = wmax - 1)
+    SELECT user_id, rank_now, n_now, rank_prev, rank_prev - rank_now AS moved
+    FROM cur JOIN prev USING (user_id)
+    ORDER BY rank_now ASC NULLS FIRST, user_id ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
