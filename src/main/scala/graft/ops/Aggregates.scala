@@ -325,6 +325,51 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Typed `Aggregator[IN, BUF, OUT]` summary — the §2.12 extension
+    * point for Encoder-backed custom aggregation (the typed sibling of
+    * the binary-buffer `TypedImperativeAggregate`s used for the Bloom/
+    * bitmap/SpaceSaving sketches): an exact (count, min, max,
+    * decimal-path sum) summary whose buffer is a case class, merged
+    * associatively across partitions. The oracle states the same
+    * summary with built-ins — a custom Aggregator must be
+    * indistinguishable from native aggregates where semantics
+    * overlap. */
+  def qAggTypedSummary(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.events(s, sf)
+      .select(col("event_type"), col("value")).as[(String, Double)]
+    ds.groupByKey(_._1)
+      .agg(Aggregates.typedSummary.toColumn.name("s"))
+      .select(col("key").as("event_type"), col("s._1").as("n"),
+              col("s._2").as("min_value"), col("s._3").as("max_value"),
+              col("s._4").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Exact (count, min, max, 1e-4 fixed-point sum) over (key, value)
+    * rows — `floor` is exact on every double and integer sums are
+    * order-independent: Util.dsum's discipline in typed form. */
+  private val typedSummary
+      : org.apache.spark.sql.expressions.Aggregator[(String, Double), SummaryBuf,
+                                                    (Long, Double, Double, Double)] =
+    new org.apache.spark.sql.expressions.Aggregator[(String, Double), SummaryBuf,
+                                                    (Long, Double, Double, Double)] {
+      import org.apache.spark.sql.{Encoder, Encoders}
+      override def zero: SummaryBuf = SummaryBuf(0L, Double.MaxValue, Double.MinValue, 0L)
+      override def reduce(b: SummaryBuf, r: (String, Double)): SummaryBuf =
+        SummaryBuf(b.n + 1, math.min(b.mn, r._2), math.max(b.mx, r._2),
+                   b.sumFp + math.floor(r._2 * 10000.0).toLong)
+      override def merge(a: SummaryBuf, b: SummaryBuf): SummaryBuf =
+        SummaryBuf(a.n + b.n, math.min(a.mn, b.mn), math.max(a.mx, b.mx),
+                   a.sumFp + b.sumFp)
+      override def finish(b: SummaryBuf): (Long, Double, Double, Double) =
+        (b.n, b.mn, b.mx, b.sumFp.toDouble / 10000.0)
+      override def bufferEncoder: Encoder[SummaryBuf] = Encoders.product[SummaryBuf]
+      override def outputEncoder: Encoder[(Long, Double, Double, Double)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+                       Encoders.scalaDouble, Encoders.scalaDouble)
+    }
+
   /** Gini coefficient of per-user activity — "is usage concentrated in
     * a few whales": G = Σ(2i−n−1)·xᵢ / (n·Σx) over counts sorted
     * ascending with a total (count, user) tie order. ALL-INTEGER until
@@ -621,3 +666,8 @@ object Aggregates {
       ORDER BY o_orderpriority""")
   }
 }
+
+/** Buffer for [[Aggregates.qAggTypedSummary]]'s typed Aggregator —
+  * top-level (not object-nested) so Catalyst's Janino codegen can
+  * resolve the Product accessors. */
+case class SummaryBuf(n: Long, mn: Double, mx: Double, sumFp: Long)

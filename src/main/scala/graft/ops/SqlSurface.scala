@@ -63,6 +63,21 @@ object SqlSurface {
       ORDER BY nk.k""")
   }
 
+  /** SQL hint surface — `/*+ BROADCAST(...) */` is how a SQL-only user
+    * steers the join strategy (the DataFrame caller uses
+    * `broadcast()`, `q_join_broadcast`). Plan-pinned to
+    * BroadcastHashJoin in PlanShapeSpec: a hint the optimizer silently
+    * dropped would be indistinguishable from one it honored. */
+  def qSqlBroadcastHint(s: SparkSession, sf: String): DataFrame = {
+    Tables.customer(s, sf).createOrReplaceTempView("customer")
+    Tables.nation(s, sf).createOrReplaceTempView("nation")
+    s.sql("""
+      SELECT /*+ BROADCAST(n) */ n.n_name, COUNT(*) AS n_cust,
+             CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name ORDER BY n.n_name""")
+  }
+
   /** Parameterized SQL (Spark 4 named-parameter binding) — the
     * injection-safe way a service layer templates user input into
     * queries: values bind as literals through the analyzer, never by

@@ -2212,6 +2212,20 @@ object OracleSql {
     FROM cur JOIN prev USING (user_id)
     ORDER BY rank_now ASC NULLS FIRST, user_id ASC NULLS FIRST""")
 
+  val qAggTypedSummary: String = n("""
+    SELECT event_type, COUNT(*) AS n, MIN(value) AS min_value,
+      MAX(value) AS max_value,
+      CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS DOUBLE)
+        / CAST(10000 AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    ORDER BY event_type ASC NULLS FIRST""")
+
+  val qSqlBroadcastHint: String = n("""
+    SELECT n.n_name, COUNT(*) AS n_cust,
+      CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second

@@ -160,6 +160,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!r.head.getBoolean(1), "far-absent key expected false at this fpp")
   }
 
+  test("q_sql_broadcast_hint resolves to a BroadcastHashJoin") {
+    val p = plan(SqlSurface.qSqlBroadcastHint(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"BROADCAST hint dropped:\n$p")
+  }
+
   test("q_join_interval overlaps via a bucket equi-join, not a nested loop") {
     val p = plan(Joins.qJoinInterval(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
