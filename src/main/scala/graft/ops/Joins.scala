@@ -298,6 +298,30 @@ object Joins {
       .orderBy("o_orderpriority")
   }
 
+  /** The NATIVE as-of join (`graft.plans.AsOfJoin` — custom
+    * LogicalPlan + Strategy + physical merge exec, the §2.12/§7.4
+    * whole-operator extension point): same question and SAME ORACLE as
+    * `q_join_asof` (for each error, the user's latest preceding
+    * non-error value), but answered by one streaming merge pass over
+    * key-clustered (key, time)-sorted sides with O(1) state — no
+    * window frames, no left∪right row expansion. The right side's
+    * columns are fresh aliases (self-as-of: no exprId may be shared
+    * across sides). Equality of the two implementations is exactly
+    * what the shared oracle grades. */
+  def qJoinAsofNative(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf)
+    val left = e.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"),
+              unix_micros(col("ts")).as("t_us"))
+    val right = e.where(col("event_type") =!= "error")
+      .select(col("user_id").as("r_user"), unix_micros(col("ts")).as("r_us"),
+              col("value").as("prev_value"))
+    graft.plans.AsOfJoin
+      .asofJoin(left, right, "user_id", "r_user", "t_us", "r_us", "prev_value")
+      .select(col("event_id"), col("user_id"), col("ts"), col("prev_value"))
+      .orderBy("event_id")
+  }
+
   /** NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
     * dimension-with-unknown-bucket idiom: an "unknown" (NULL) key on
     * both sides should MATCH (land in the unknown bucket) where plain

@@ -1,0 +1,146 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Native AS-OF join — the whole-operator Catalyst extension the
+  * builder brief's preference ladder ends at (custom `LogicalPlan` +
+  * `Strategy` + `SparkPlan`, SURVEY §2.12 row 4 / §7.4): for each left
+  * row, the LATEST right row of the same key with right-time ≤
+  * left-time, as ONE physical merge pass.
+  *
+  * Why a custom operator when the window idiom (`q_join_asof`) answers
+  * the same question: the window form must materialize left∪right into
+  * one partition-sorted stream and carry every left column through the
+  * sort; the native exec keeps the sides separate, asks the planner for
+  * key-clustered, (key, time)-sorted children — the SAME distribution a
+  * sort-merge join would demand, so EnsureRequirements inserts at most
+  * one exchange+sort per side — and then streams BOTH sides once with
+  * O(1) state (the last-seen payload per key). That is the textbook
+  * at-scale as-of shape: no buffered window frames, no row expansion.
+  *
+  * Scope (declared): LONG keys and LONG event-time values (epoch µs —
+  * what `unix_micros` produces), one attribute of carried payload.
+  * Ties: right-time == left-time matches ("at or before").
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Attribute, rightKey: Attribute,
+                        leftTime: Attribute, rightTime: Attribute,
+                        payload: Attribute) extends BinaryNode {
+  // the payload may have no match -> nullable in the output schema
+  override def output: Seq[Attribute] = left.output :+ payload.withNullability(true)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: injected via GraftExtensions (or used directly through
+  * [[AsOfJoin.asofJoin]], which registers it on the session lazily). */
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, p) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, p) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Attribute, rightKey: Attribute,
+                        leftTime: Attribute, rightTime: Attribute,
+                        payload: Attribute) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output :+ payload.withNullability(true)
+
+  /** Same demand a sort-merge join makes: key-clustered children —
+    * EnsureRequirements co-partitions the sides (one exchange each at
+    * most) — plus (key, time) sort inside each partition. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+        Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lkB = BindReferences.bindReference(leftKey: Expression, left.output)
+    val ltB = BindReferences.bindReference(leftTime: Expression, left.output)
+    val rkB = BindReferences.bindReference(rightKey: Expression, right.output)
+    val rtB = BindReferences.bindReference(rightTime: Expression, right.output)
+    val rightOutput = right.output
+    val payloadAttr = payload
+    val outAttrs = output
+    val leftOutput = left.output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val payloadProj = UnsafeProjection.create(Seq(payloadAttr: Expression), rightOutput)
+      val resultProj = UnsafeProjection.create(
+        outAttrs.map(a => a: Expression), leftOutput :+ payloadAttr.withNullability(true))
+      val nullPayload = new GenericInternalRow(1)
+      val joined = new JoinedRow()
+      // single merge pass: O(1) state = the last payload seen for the
+      // key currently being streamed on the right side
+      var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var heldKey: Long = 0L
+      var held: UnsafeRow = null
+      lIter.map { lRow =>
+        val k = lkB.eval(lRow).asInstanceOf[Long]
+        val t = ltB.eval(lRow).asInstanceOf[Long]
+        var continue = rRow != null
+        while (continue) {
+          val rk = rkB.eval(rRow).asInstanceOf[Long]
+          if (rk < k || (rk == k && rtB.eval(rRow).asInstanceOf[Long] <= t)) {
+            if (held == null || heldKey != rk) held = null
+            heldKey = rk
+            held = payloadProj(rRow).copy()
+            rRow = if (rIter.hasNext) rIter.next() else null
+            continue = rRow != null
+          } else continue = false
+        }
+        val matched: InternalRow =
+          if (held != null && heldKey == k) held else nullPayload
+        resultProj(joined(lRow, matched))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+  /** DataFrame surface: AS-OF join `left` to the latest `right` row
+    * with `rightKey == leftKey` and `rightTime ≤ leftTime`, carrying
+    * `payloadCol`. Key/time columns must be LONG (cast/`unix_micros`
+    * first), and the RIGHT side's columns should be fresh aliases when
+    * both sides derive from one table (self-as-of) so no exprId is
+    * shared across sides. Registers [[AsOfJoinStrategy]] on the
+    * session idempotently — no SparkSessionExtensions config needed. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               payloadCol: String): DataFrame = {
+    val spark: SparkSession = left.sparkSession
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      classic.experimental.extraStrategies =
+        classic.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lp = Bridge.analyzed(left)
+    val rp = Bridge.analyzed(right)
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"asofJoin: column $name not found in [${p.output.map(_.name).mkString(", ")}]"))
+    Bridge.ofRows(spark, AsOfJoinPlan(lp, rp,
+      attr(lp, leftKey), attr(rp, rightKey),
+      attr(lp, leftTime), attr(rp, rightTime), attr(rp, payloadCol)))
+  }
+}

@@ -160,6 +160,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!r.head.getBoolean(1), "far-absent key expected false at this fpp")
   }
 
+  test("q_join_asof_native plans through the custom AsOfJoinExec") {
+    val p = plan(Joins.qJoinAsofNative(spark, sf))
+    assert(p.contains("AsOfJoin"), s"custom strategy not applied:\n$p")
+  }
+
   test("q_sql_broadcast_hint resolves to a BroadcastHashJoin") {
     val p = plan(SqlSurface.qSqlBroadcastHint(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"BROADCAST hint dropped:\n$p")
