@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
@@ -71,10 +71,18 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lkB = BindReferences.bindReference(leftKey: Expression, left.output)
-    val ltB = BindReferences.bindReference(leftTime: Expression, left.output)
-    val rkB = BindReferences.bindReference(rightKey: Expression, right.output)
-    val rtB = BindReferences.bindReference(rightTime: Expression, right.output)
+    // ordinal access in the merge loop (not bound-expression eval) —
+    // the loop body is the operator's whole cost, and getLong(ordinal)
+    // is what codegen would emit for these attribute reads
+    def ordinal(attrs: Seq[Attribute], a: Attribute): Int = {
+      val i = attrs.indexWhere(_.exprId == a.exprId)
+      require(i >= 0, s"attribute $a not found in ${attrs.mkString(", ")}")
+      i
+    }
+    val lkOrd = ordinal(left.output, leftKey)
+    val ltOrd = ordinal(left.output, leftTime)
+    val rkOrd = ordinal(right.output, rightKey)
+    val rtOrd = ordinal(right.output, rightTime)
     val rightOutput = right.output
     val payloadAttr = payload
     val outAttrs = output
@@ -91,13 +99,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var heldKey: Long = 0L
       var held: UnsafeRow = null
       lIter.map { lRow =>
-        val k = lkB.eval(lRow).asInstanceOf[Long]
-        val t = ltB.eval(lRow).asInstanceOf[Long]
+        val k = lRow.getLong(lkOrd)
+        val t = lRow.getLong(ltOrd)
         var continue = rRow != null
         while (continue) {
-          val rk = rkB.eval(rRow).asInstanceOf[Long]
-          if (rk < k || (rk == k && rtB.eval(rRow).asInstanceOf[Long] <= t)) {
-            if (held == null || heldKey != rk) held = null
+          val rk = rRow.getLong(rkOrd)
+          if (rk < k || (rk == k && rRow.getLong(rtOrd) <= t)) {
             heldKey = rk
             held = payloadProj(rRow).copy()
             rRow = if (rIter.hasNext) rIter.next() else null
