@@ -322,6 +322,27 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** FORWARD direction of the native as-of operator (`forward = true`):
+    * for each error, the user's EARLIEST following non-error value —
+    * the "next good sample" readout. Forward needs even less state
+    * than backward: the un-consumed right head IS the candidate. Same
+    * custom exec, direction-parameterized; its own window-form oracle
+    * (FIRST_VALUE over the following frame). */
+  def qJoinAsofNativeFwd(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf)
+    val left = e.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"),
+              unix_micros(col("ts")).as("t_us"))
+    val right = e.where(col("event_type") =!= "error")
+      .select(col("user_id").as("r_user"), unix_micros(col("ts")).as("r_us"),
+              col("value").as("next_value"))
+    graft.plans.AsOfJoin
+      .asofJoin(left, right, "user_id", "r_user", "t_us", "r_us", "next_value",
+                forward = true)
+      .select(col("event_id"), col("user_id"), col("ts"), col("next_value"))
+      .orderBy("event_id")
+  }
+
   /** NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
     * dimension-with-unknown-bucket idiom: an "unknown" (NULL) key on
     * both sides should MATCH (land in the unknown bucket) where plain

@@ -2226,6 +2226,18 @@ object OracleSql {
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name ORDER BY n.n_name ASC NULLS FIRST""")
 
+  /** Forward-as-of window twin: FIRST_VALUE over the following frame
+    * (CURRENT ROW inclusion is harmless — the error row itself is NULL
+    * in the CASE, and fixture timestamps are unique). */
+  val qJoinAsofNativeFwd: String = n("""
+    SELECT event_id, user_id, ts, next_value FROM (
+      SELECT event_id, user_id, ts, event_type,
+        FIRST_VALUE(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_value
+      FROM events) t
+    WHERE event_type = 'error' ORDER BY event_id ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second

@@ -32,7 +32,8 @@ import org.apache.spark.sql.graftbridge.Bridge
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Attribute, rightKey: Attribute,
                         leftTime: Attribute, rightTime: Attribute,
-                        payload: Attribute) extends BinaryNode {
+                        payload: Attribute,
+                        forward: Boolean = false) extends BinaryNode {
   // the payload may have no match -> nullable in the output schema
   override def output: Seq[Attribute] = left.output :+ payload.withNullability(true)
   override protected def withNewChildrenInternal(
@@ -44,8 +45,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * [[AsOfJoin.asofJoin]], which registers it on the session lazily). */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, p) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, p) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, p, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, p, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -53,7 +54,8 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Attribute, rightKey: Attribute,
                         leftTime: Attribute, rightTime: Attribute,
-                        payload: Attribute) extends BinaryExecNode {
+                        payload: Attribute,
+                        forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ payload.withNullability(true)
 
@@ -93,27 +95,50 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         outAttrs.map(a => a: Expression), leftOutput :+ payloadAttr.withNullability(true))
       val nullPayload = new GenericInternalRow(1)
       val joined = new JoinedRow()
-      // single merge pass: O(1) state = the last payload seen for the
-      // key currently being streamed on the right side
       var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
-      var heldKey: Long = 0L
-      var held: UnsafeRow = null
-      lIter.map { lRow =>
-        val k = lRow.getLong(lkOrd)
-        val t = lRow.getLong(ltOrd)
-        var continue = rRow != null
-        while (continue) {
-          val rk = rRow.getLong(rkOrd)
-          if (rk < k || (rk == k && rRow.getLong(rtOrd) <= t)) {
-            heldKey = rk
-            held = payloadProj(rRow).copy()
-            rRow = if (rIter.hasNext) rIter.next() else null
-            continue = rRow != null
-          } else continue = false
+      if (forward) {
+        // FORWARD: earliest right row with rt ≥ t. Discard right rows
+        // strictly behind the current left row; the right head (not
+        // consumed — later left rows may match it too) is the match
+        // when its key agrees. O(1) state = the right head itself.
+        lIter.map { lRow =>
+          val k = lRow.getLong(lkOrd)
+          val t = lRow.getLong(ltOrd)
+          var continue = rRow != null
+          while (continue) {
+            val rk = rRow.getLong(rkOrd)
+            if (rk < k || (rk == k && rRow.getLong(rtOrd) < t)) {
+              rRow = if (rIter.hasNext) rIter.next() else null
+              continue = rRow != null
+            } else continue = false
+          }
+          val matched: InternalRow =
+            if (rRow != null && rRow.getLong(rkOrd) == k) payloadProj(rRow)
+            else nullPayload
+          resultProj(joined(lRow, matched))
         }
-        val matched: InternalRow =
-          if (held != null && heldKey == k) held else nullPayload
-        resultProj(joined(lRow, matched))
+      } else {
+        // BACKWARD (LOCF): single merge pass, O(1) state = the last
+        // payload seen for the key currently streamed on the right
+        var heldKey: Long = 0L
+        var held: UnsafeRow = null
+        lIter.map { lRow =>
+          val k = lRow.getLong(lkOrd)
+          val t = lRow.getLong(ltOrd)
+          var continue = rRow != null
+          while (continue) {
+            val rk = rRow.getLong(rkOrd)
+            if (rk < k || (rk == k && rRow.getLong(rtOrd) <= t)) {
+              heldKey = rk
+              held = payloadProj(rRow).copy()
+              rRow = if (rIter.hasNext) rIter.next() else null
+              continue = rRow != null
+            } else continue = false
+          }
+          val matched: InternalRow =
+            if (held != null && heldKey == k) held else nullPayload
+          resultProj(joined(lRow, matched))
+        }
       }
     }
   }
@@ -134,7 +159,7 @@ object AsOfJoin {
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
-               payloadCol: String): DataFrame = {
+               payloadCol: String, forward: Boolean = false): DataFrame = {
     val spark: SparkSession = left.sparkSession
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!classic.experimental.extraStrategies.contains(AsOfJoinStrategy))
@@ -148,6 +173,6 @@ object AsOfJoin {
           s"asofJoin: column $name not found in [${p.output.map(_.name).mkString(", ")}]"))
     Bridge.ofRows(spark, AsOfJoinPlan(lp, rp,
       attr(lp, leftKey), attr(rp, rightKey),
-      attr(lp, leftTime), attr(rp, rightTime), attr(rp, payloadCol)))
+      attr(lp, leftTime), attr(rp, rightTime), attr(rp, payloadCol), forward))
   }
 }
