@@ -439,6 +439,36 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Dynamic partition overwrite — the incremental-backfill write: a
+    * corrected batch for ONE partition must replace exactly that
+    * partition and leave every other untouched (static overwrite mode
+    * would wipe the whole table — the classic lake foot-gun this
+    * option exists to fix). The 'P' partition is rewritten with doubled
+    * prices (×2 is exact on any double); the read-back aggregate
+    * proves the other partitions survived byte-identical, which is
+    * precisely what the oracle's CASE states. */
+  def qSinkDynamicOverwrite(s: SparkSession, sf: String): DataFrame = {
+    val dir = s"/tmp/graft_sink/orders_dyn"
+    val base = Tables.orders(s, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("o_orderstatus"))
+    base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    val patch = base.where(col("o_orderstatus") === "P")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try patch.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    s.read.parquet(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Incremental rollup maintenance — the materialized-view pattern a
     * telemetry warehouse lives on (ClickHouse SummingMergeTree /
     * AggregatingMergeTree analog): the standing per-(type, day) rollup

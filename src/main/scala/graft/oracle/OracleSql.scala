@@ -2238,6 +2238,15 @@ object OracleSql {
       FROM events) t
     WHERE event_type = 'error' ORDER BY event_id ASC NULLS FIRST""")
 
+  /** The expected post-overwrite table: only 'P' doubled (×2 exact on
+    * any double), every other partition untouched. */
+  val qSinkDynamicOverwrite: String = n("""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice * (CASE WHEN o_orderstatus = 'P' THEN 2 ELSE 1 END)
+                    AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    ORDER BY o_orderstatus ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
