@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
      })
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator strategy (graft.plans.AsOfJoin) — fleet-wide
+    // activation via config; the DataFrame helper also registers it
+    // lazily per session, so either path works
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction(fn("graft_dot", classOf[DotProduct])(DotProduct.apply))
     ext.injectFunction(fn1("graft_bitmap_agg", classOf[BitmapBuildAgg])(
       e => BitmapBuildAgg(e).toAggregateExpression()))

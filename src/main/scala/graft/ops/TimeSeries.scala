@@ -520,6 +520,38 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Brownout intervals — gaps-and-islands over QUIET hours (the
+    * inverse of `q_win_streak`'s activity islands, and the "partial
+    * outage" detector a pure zero-traffic rule misses): densify the
+    * hourly axis (the `q_ts_gapfill` spine), flag hours below HALF the
+    * mean hourly traffic with the cross-multiplied integer test
+    * `cnt·n_hours·2 < total` (scale-invariant — no float mean, no
+    * tuned absolute threshold), and merge consecutive quiet hours into
+    * (start, end, duration) rows via the hour−row_number island key.
+    * ALL-INTEGER; every stage runs on the tiny hourly series. */
+  def qTsOutageIntervals(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf)
+    val hourly = e.groupBy(expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = e.agg(expr("unix_micros(min(ts)) div 3600000000").as("lo"),
+                       expr("unix_micros(max(ts)) div 3600000000").as("hi"))
+    val axis = bounds.select(explode(sequence(col("lo"), col("hi"))).as("h"))
+    val filled = axis.join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("cnt"), lit(0L)).as("c"))
+    val totals = filled.agg(count(lit(1)).as("nh"), sum(col("c")).as("total"))
+    val quiet = filled.crossJoin(broadcast(totals))
+      .where(col("c") * col("nh") * 2 < col("total"))
+      .select(col("h"))
+    val island = Window.orderBy("h")
+    quiet
+      .withColumn("isl", col("h") - row_number().over(island))
+      .groupBy(col("isl"))
+      .agg(min(col("h")).as("start_hour"), max(col("h")).as("end_hour"),
+           count(lit(1)).as("n_hours"))
+      .select(col("start_hour"), col("end_hour"), col("n_hours"))
+      .orderBy("start_hour")
+  }
+
   /** Apdex score per event type — the classic user-satisfaction SLA
     * readout: satisfied (value ≤ T), tolerating (≤ 4T), frustrated;
     * apdex = (sat + tol/2) / total, held in 1e-3 fixed point with the

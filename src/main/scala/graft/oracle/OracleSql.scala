@@ -2247,6 +2247,22 @@ object OracleSql {
     FROM orders GROUP BY o_orderstatus
     ORDER BY o_orderstatus ASC NULLS FIRST""")
 
+  val qTsOutageIntervals: String = n("""
+    WITH h AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS c FROM events GROUP BY 1),
+    b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM h),
+    axis AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+    f AS (SELECT axis.h, CAST(COALESCE(c, 0) AS BIGINT) AS c
+          FROM axis LEFT JOIN h USING (h)),
+    t AS (SELECT COUNT(*) AS nh, CAST(SUM(c) AS BIGINT) AS total FROM f),
+    quiet AS (
+      SELECT f.h FROM f CROSS JOIN t WHERE c * nh * 2 < total),
+    isl AS (
+      SELECT h, h - ROW_NUMBER() OVER (ORDER BY h) AS isl FROM quiet)
+    SELECT MIN(h) AS start_hour, MAX(h) AS end_hour, COUNT(*) AS n_hours
+    FROM isl GROUP BY isl
+    ORDER BY start_hour ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
