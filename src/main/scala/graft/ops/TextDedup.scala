@@ -353,6 +353,13 @@ object TextDedup {
       .select(col("id"), col("id").as("lab"))
       .repartition(8, col("id"))
       .localCheckpoint()
+    // AQE re-plans each round's whole query at every localCheckpoint
+    // materialization; on these tiny loop frames that adaptive planning
+    // IS the round cost, not the data. Disable it for the loop only
+    // (restored after), like the repartition-by-num guards elsewhere.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = s.conf.getOption(aqeKey)
+    s.conf.set(aqeKey, "false")
     var converged = false
     var rounds = 0
     // Wall time here is per-round PLANNING cost × rounds, not data:
@@ -389,6 +396,10 @@ object TextDedup {
       labels = next.select(col("id"), col("lab"))
       converged = nChanged == 0
       rounds += 1
+    }
+    aqePrev match {
+      case Some(v) => s.conf.set(aqeKey, v)
+      case None => s.conf.unset(aqeKey)
     }
     val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lab")
