@@ -312,6 +312,37 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Zipf-exponent fit — the corpus-statistics diagnostic (natural
+    * text has token frequencies ~ rank^(−s) with s ≈ 1; templated /
+    * machine-generated corpora deviate): OLS of ln(freq) on ln(rank)
+    * over the top-1000 tokens, slope = −s. Ranks come from a total
+    * (count desc, token) order; per-token logs are rounded at 4dp
+    * BEFORE the decimal-path moment sums (`ln` 1-ulp rule), and the
+    * slope/intercept chain mirrors `q_ts_forecast_linreg`. The token
+    * count is data-sized; everything after runs on 1000 rows. */
+  def qTextZipf(s: SparkSession, sf: String): DataFrame = {
+    val counts = Tables.documents(s, sf)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("token"))))
+      .where(col("r") <= 1000)
+      .select(round(log(col("r").cast("double")), 4).as("x"),
+              round(log(col("c").cast("double")), 4).as("y"))
+    ranked.agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y"), 8).as("sxy"),
+        dsum(col("x") * col("x"), 8).as("sxx"))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("zipf_s", round(negate(col("slope")), 4))
+      .select(col("n").cast("long").as("n_tokens_fit"), col("zipf_s"))
+  }
+
   /** Corpus-trained unigram LM cross-entropy per doc — the classic
     * cheap perplexity filter (docs of only ultra-common tokens score
     * low = dull/duplicated boilerplate; rare-token gibberish scores

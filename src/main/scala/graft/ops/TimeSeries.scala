@@ -520,6 +520,36 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Lag-1 autocorrelation of the daily count series per type — "is
+    * today's traffic predictive of tomorrow's" (≈1 trending, ≈0 noise,
+    * <0 oscillating): Pearson corr of (xₜ, xₜ₊₁) from EXACT INTEGER
+    * moments over the lagged pairs (daily counts and their products
+    * are integers — the q_agg_corr discipline with no decimal cast
+    * even needed), closed form in double, 6dp. One data-sized hash
+    * agg; the lag window and moments run on days×types rows. */
+  def qTsAutocorr(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val pairs = daily
+      .withColumn("y", lead(col("x"), 1).over(w))
+      .where(col("y").isNotNull)
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+           sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+           sum(col("x") * col("y")).cast("double").as("sxy"),
+           sum(col("x") * col("x")).cast("double").as("sxx"),
+           sum(col("y") * col("y")).cast("double").as("syy"))
+      .withColumn("autocorr_lag1",
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                 * (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+      .select(col("event_type"), col("n").cast("long").as("n_pairs"),
+              col("autocorr_lag1"))
+      .orderBy("event_type")
+  }
+
   /** Brownout intervals — gaps-and-islands over QUIET hours (the
     * inverse of `q_win_streak`'s activity islands, and the "partial
     * outage" detector a pure zero-traffic rule misses): densify the

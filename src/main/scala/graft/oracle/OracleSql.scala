@@ -2263,6 +2263,49 @@ object OracleSql {
     FROM isl GROUP BY isl
     ORDER BY start_hour ASC NULLS FIRST""")
 
+  /** Per-token logs rounded at 4dp BEFORE the decimal moment sums;
+    * slope chain mirrors qTsForecastLinreg / qAggCorr. */
+  val qTextZipf: String = n("""
+    WITH counts AS (
+      SELECT token, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) z
+      WHERE token <> '' GROUP BY token),
+    ranked AS (
+      SELECT round(ln(CAST(r AS DOUBLE)), 4) AS x,
+             round(ln(CAST(c AS DOUBLE)), 4) AS y
+      FROM (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS r
+            FROM counts) t
+      WHERE r <= 1000),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(x * y AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(x * x AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+      round(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 4) AS zipf_s
+    FROM m""")
+
+  val qTsAutocorr: String = n("""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT event_type, x,
+        LEAD(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+      FROM daily),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM p WHERE y IS NOT NULL GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+      round((n * sxy - sx * sy)
+            / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS autocorr_lag1
+    FROM m ORDER BY event_type ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
