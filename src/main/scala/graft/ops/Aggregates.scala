@@ -325,6 +325,40 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Exponential (power-of-2) histogram + its quantile readout — the
+    * OTel/DDSketch-family shape: constant relative error with ~10
+    * buckets where the fixed-width histogram (`q_agg_histogram`) needs
+    * width tuning. Bucketing is a mirrored integer CASE ladder over
+    * `floor(value)` (edges can never straddle engines); the p50/p99
+    * readout picks each bucket's LOWER BOUND at the q·N cumulative
+    * crossing via cross-multiplied integer comparisons — zero float
+    * anywhere. One data-sized hash agg; everything after runs on the
+    * ≤ 10-row-per-type histogram. */
+  def qAggExpHistogram(s: SparkSession, sf: String): DataFrame = {
+    val v = expr("CAST(floor(value) AS BIGINT)")
+    val bucket = when(v >= 512, 10).when(v >= 256, 9).when(v >= 128, 8)
+      .when(v >= 64, 7).when(v >= 32, 6).when(v >= 16, 5).when(v >= 8, 4)
+      .when(v >= 4, 3).when(v >= 2, 2).when(v >= 1, 1).otherwise(0)
+    val hist = Tables.events(s, sf)
+      .groupBy(col("event_type"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("event_type")
+    val lower = expr("CASE WHEN bucket = 0 THEN 0 ELSE shiftleft(1L, bucket - 1) END")
+    hist
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(tot))
+      .withColumn("lo", lower)
+      .withColumn("is_p50", when(col("cum") * 2 >= col("total") &&
+        (col("cum") - col("n")) * 2 < col("total"), 1L).otherwise(0L))
+      .withColumn("is_p99", when(col("cum") * 100 >= col("total") * 99 &&
+        (col("cum") - col("n")) * 100 < col("total") * 99, 1L).otherwise(0L))
+      .select(col("event_type"), col("bucket"), col("lo"), col("n"),
+              col("cum"), col("is_p50"), col("is_p99"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** Typed `Aggregator[IN, BUF, OUT]` summary — the §2.12 extension
     * point for Encoder-backed custom aggregation (the typed sibling of
     * the binary-buffer `TypedImperativeAggregate`s used for the Bloom/

@@ -2306,6 +2306,31 @@ object OracleSql {
             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS autocorr_lag1
     FROM m ORDER BY event_type ASC NULLS FIRST""")
 
+  val qAggExpHistogram: String = n("""
+    WITH e AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS v FROM events),
+    h AS (
+      SELECT event_type,
+        CASE WHEN v >= 512 THEN 10 WHEN v >= 256 THEN 9 WHEN v >= 128 THEN 8
+             WHEN v >= 64 THEN 7 WHEN v >= 32 THEN 6 WHEN v >= 16 THEN 5
+             WHEN v >= 8 THEN 4 WHEN v >= 4 THEN 3 WHEN v >= 2 THEN 2
+             WHEN v >= 1 THEN 1 ELSE 0 END AS bucket,
+        COUNT(*) AS n
+      FROM e GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, bucket, n,
+        CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      FROM h)
+    SELECT event_type, bucket,
+      CAST(CASE WHEN bucket = 0 THEN 0 ELSE 1 << (bucket - 1) END AS BIGINT) AS lo,
+      n, cum,
+      CASE WHEN cum * 2 >= total AND (cum - n) * 2 < total THEN 1 ELSE 0 END AS is_p50,
+      CASE WHEN cum * 100 >= total * 99 AND (cum - n) * 100 < total * 99
+           THEN 1 ELSE 0 END AS is_p99
+    FROM c ORDER BY event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
