@@ -439,6 +439,37 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** `binaryFile` source — how raw media assets actually enter a
+    * multimodal pipeline: one opaque file per asset on the lake, read
+    * as (path, length, content) rows. One blob per document is written
+    * distributedly (`foreach` — executor-side I/O, the media-asset
+    * layout), read back through the binaryFile reader, ids recovered
+    * from paths, and byte accounting aggregated; the oracle states the
+    * same bytes straight from the fixture — the file round-trip must
+    * be lossless. Content column is pruned by the scan when unused. */
+  def qSourceBinaryfile(s: SparkSession, sf: String): DataFrame = {
+    val dir = s"/tmp/graft_sink/doc_blobs"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    Tables.documents(s, sf).select(col("doc_id"), col("text"))
+      .foreach { row =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, row.getLong(0).toString + ".bin"),
+          row.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ()
+      }
+    s.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+              col("length"))
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_files"), sum(col("length")).as("total_bytes"))
+      .orderBy("bucket")
+  }
+
   /** Dynamic partition overwrite — the incremental-backfill write: a
     * corrected batch for ONE partition must replace exactly that
     * partition and leave every other untouched (static overwrite mode

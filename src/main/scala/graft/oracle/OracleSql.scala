@@ -2331,6 +2331,14 @@ object OracleSql {
            THEN 1 ELSE 0 END AS is_p99
     FROM c ORDER BY event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""")
 
+  /** Bytes stated straight from the fixture — the blob round-trip must
+    * be lossless. */
+  val qSourceBinaryfile: String = n("""
+    SELECT doc_id % 10 AS bucket, COUNT(*) AS n_files,
+      CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents GROUP BY 1
+    ORDER BY bucket ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
