@@ -520,6 +520,43 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Decomposition-lite: DETRENDED weekly seasonality per type — the
+    * `q_ts_seasonality` profile is biased when traffic trends (later
+    * weekdays absorb the growth); here the OLS trend (the
+    * q_ts_forecast_linreg moments, same exact-integer chain) is
+    * removed first and the per-day-of-week means are taken over the
+    * RESIDUALS. Residuals are floor-quantized at 1e-6 into BIGINT
+    * (floor is exact on every double; the fitted value is a
+    * deterministic mirrored IEEE chain), so the per-dow aggregation is
+    * pure integer; one mirrored final division. Day-of-week class is
+    * `day % 7` (epoch-day modulus — mirrored, labels are classes not
+    * calendar names). */
+  def qTsSeasonalDetrended(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    val dd = daily.crossJoin(broadcast(d0))
+      .select(col("event_type"), col("day"), (col("day") - col("d0")).as("x"), col("y"))
+    val fit = dd.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx")) / col("n"))
+      .select(col("event_type"), col("slope"), col("intercept"))
+    dd.join(broadcast(fit), "event_type")
+      .withColumn("resid_fp", expr(
+        "CAST(floor((y - (intercept + slope * x)) * 1000000) AS BIGINT)"))
+      .groupBy(col("event_type"), (col("day") % 7).as("dow_class"))
+      .agg(count(lit(1)).as("n_days"),
+           (sum(col("resid_fp")).cast("double") / (count(lit(1)) * lit(1000000)))
+             .as("avg_resid"))
+      .orderBy("event_type", "dow_class")
+  }
+
   /** Lag-1 autocorrelation of the daily count series per type — "is
     * today's traffic predictive of tomorrow's" (≈1 trending, ≈0 noise,
     * <0 oscillating): Pearson corr of (xₜ, xₜ₊₁) from EXACT INTEGER

@@ -2339,6 +2339,33 @@ object OracleSql {
     FROM documents GROUP BY 1
     ORDER BY bucket ASC NULLS FIRST""")
 
+  val qTsSeasonalDetrended: String = n("""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2),
+    m0 AS (SELECT MIN(day) AS d0 FROM daily),
+    dd AS (SELECT event_type, day, day - d0 AS x, y FROM daily CROSS JOIN m0),
+    s AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM dd GROUP BY 1),
+    k AS (
+      SELECT event_type, n, sx, sy,
+        CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS slope
+      FROM s),
+    k2 AS (
+      SELECT event_type, slope,
+        (CAST(sy AS DOUBLE) - slope * sx) / n AS intercept
+      FROM k),
+    r AS (
+      SELECT dd.event_type, dd.day % 7 AS dow_class,
+        CAST(floor((y - (intercept + slope * x)) * 1000000) AS BIGINT) AS resid_fp
+      FROM dd JOIN k2 ON k2.event_type = dd.event_type)
+    SELECT event_type, dow_class, COUNT(*) AS n_days,
+      CAST(SUM(resid_fp) AS DOUBLE) / (COUNT(*) * 1000000) AS avg_resid
+    FROM r GROUP BY event_type, dow_class
+    ORDER BY event_type ASC NULLS FIRST, dow_class ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
