@@ -325,6 +325,29 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Pareto share — "what fraction of events do the top 20% of users
+    * produce" (the 80/20 readout, `q_agg_gini`'s operational
+    * companion): users ranked by count desc with a (count, user) total
+    * tie order, cutoff rank = ⌈n/5⌉ computed as `(n+4) div 5`, share
+    * in 1e-3 fixed point — ALL-INTEGER end to end. Two tiny window
+    * passes over the #users frame. */
+  def qAggParetoShare(s: SparkSession, sf: String): DataFrame = {
+    val counts = Tables.events(s, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+    val byDesc = Window.orderBy(col("x").desc, col("user_id"))
+    val cum = byDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(lit(1))
+    counts
+      .withColumn("r", row_number().over(byDesc))
+      .withColumn("cumx", sum(col("x")).over(cum))
+      .withColumn("n_users", count(lit(1)).over(whole))
+      .withColumn("total_events", sum(col("x")).over(whole))
+      .where(col("r") === expr("(n_users + 4) div 5"))
+      .select(col("n_users"), col("total_events"),
+              col("cumx").as("top20_events"),
+              expr("1000 * cumx div total_events").as("share_pm"))
+  }
+
   /** Exponential (power-of-2) histogram + its quantile readout — the
     * OTel/DDSketch-family shape: constant relative error with ~10
     * buckets where the fixed-width histogram (`q_agg_histogram`) needs

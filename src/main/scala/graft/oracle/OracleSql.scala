@@ -2366,6 +2366,20 @@ object OracleSql {
     FROM r GROUP BY event_type, dow_class
     ORDER BY event_type ASC NULLS FIRST, dow_class ASC NULLS FIRST""")
 
+  val qAggParetoShare: String = n("""
+    WITH c AS (SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1),
+    r AS (
+      SELECT x,
+        ROW_NUMBER() OVER (ORDER BY x DESC, user_id ASC) AS r,
+        CAST(SUM(x) OVER (ORDER BY x DESC, user_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumx,
+        COUNT(*) OVER () AS n_users,
+        CAST(SUM(x) OVER () AS BIGINT) AS total_events
+      FROM c)
+    SELECT n_users, total_events, cumx AS top20_events,
+      1000 * cumx // total_events AS share_pm
+    FROM r WHERE r = (n_users + 4) // 5""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
