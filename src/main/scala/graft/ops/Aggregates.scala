@@ -325,6 +325,29 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Sample-ratio mismatch (SRM) — the A/B hygiene gate run BEFORE
+    * reading any experiment metric: a 50/50 assignment whose arm
+    * counts differ by more than ~3σ means the bucketing is broken and
+    * every downstream readout is invalid. Same md5 arm rule as
+    * `q_ab_test`; the 3σ binomial bound |nA−nB| > 3·√n is squared to
+    * the ALL-INTEGER test `(nA−nB)² · 1 > 9·n` — no sqrt, no float.
+    * Per event_type + pooled total. */
+  def qAbSrm(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf)
+      .withColumn("isa", md5Bucket(col("user_id")) <= "7")
+    val per = e.groupBy(col("event_type"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("n_a"),
+           sum(when(!col("isa"), 1L).otherwise(0L)).as("n_b"))
+    per
+      .withColumn("delta", col("n_a") - col("n_b"))
+      .withColumn("srm_flag",
+        when(col("delta") * col("delta") > (col("n_a") + col("n_b")) * 9, 1L)
+          .otherwise(0L))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("delta"),
+              col("srm_flag"))
+      .orderBy("event_type")
+  }
+
   /** Pareto share — "what fraction of events do the top 20% of users
     * produce" (the 80/20 readout, `q_agg_gini`'s operational
     * companion): users ranked by count desc with a (count, user) total

@@ -312,6 +312,33 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Precision / recall / F1 per language from the `q_text_langid`
+    * confusion matrix — the model-evaluation readout that turns a
+    * confusion matrix into the numbers a dashboard shows. ALL-INTEGER
+    * 1e-3 fixed point (`1000·tp div (tp+fp)` etc., `nullif` guards a
+    * never-predicted class); built directly ON the langid query so the
+    * two can never disagree about the matrix. */
+  def qTextLangidPrf(s: SparkSession, sf: String): DataFrame = {
+    val cm = qTextLangid(s, sf)
+    val rowTot = cm.groupBy(col("lang")).agg(sum(col("n_docs")).as("row_n"))
+    val tp = cm.where(col("lang") === col("pred_lang"))
+      .select(col("lang"), col("n_docs").as("tp"))
+    val colTot = cm.groupBy(col("pred_lang")).agg(sum(col("n_docs")).as("col_n"))
+      .withColumnRenamed("pred_lang", "lang")
+    rowTot
+      .join(tp, Seq("lang"), "left")
+      .join(colTot, Seq("lang"), "left")
+      .withColumn("tp", coalesce(col("tp"), lit(0L)))
+      .withColumn("fp", coalesce(col("col_n"), lit(0L)) - col("tp"))
+      .withColumn("fn", col("row_n") - col("tp"))
+      .withColumn("prec_pm", expr("1000 * tp div nullif(tp + fp, 0)"))
+      .withColumn("rec_pm", expr("1000 * tp div nullif(tp + fn, 0)"))
+      .withColumn("f1_pm", expr("2000 * tp div nullif(2 * tp + fp + fn, 0)"))
+      .select(col("lang"), col("tp"), col("fp"), col("fn"),
+              col("prec_pm"), col("rec_pm"), col("f1_pm"))
+      .orderBy("lang")
+  }
+
   /** Zipf-exponent fit — the corpus-statistics diagnostic (natural
     * text has token frequencies ~ rank^(−s) with s ≈ 1; templated /
     * machine-generated corpora deviate): OLS of ln(freq) on ln(rank)

@@ -2380,6 +2380,60 @@ object OracleSql {
       1000 * cumx // total_events AS share_pm
     FROM r WHERE r = (n_users + 4) // 5""")
 
+  /** PRF rollup over the SAME confusion CTEs as qTextLangid. */
+  val qTextLangidPrf: String = n("""
+    WITH s AS (
+      SELECT lang,
+        len(list_filter(string_split(lower(text), ' '),
+            t -> t IN ('stream','merge','hash','row')))     AS s_de,
+        len(list_filter(string_split(lower(text), ' '),
+            t -> t IN ('the','a','table','order')))          AS s_en,
+        len(list_filter(string_split(lower(text), ' '),
+            t -> t IN ('agg','scan','group','slow')))        AS s_es,
+        len(list_filter(string_split(lower(text), ' '),
+            t -> t IN ('query','batch','data','key')))       AS s_fr,
+        len(list_filter(string_split(lower(text), ' '),
+            t -> t IN ('join','small','customer','value')))  AS s_zh
+      FROM documents),
+    p AS (
+      SELECT lang,
+        CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh' END AS pred_lang
+      FROM s),
+    cm AS (SELECT lang, pred_lang, COUNT(*) AS n_docs FROM p GROUP BY 1, 2),
+    rt AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS row_n FROM cm GROUP BY 1),
+    tp AS (SELECT lang, CAST(n_docs AS BIGINT) AS tp FROM cm WHERE lang = pred_lang),
+    ct AS (SELECT pred_lang AS lang, CAST(SUM(n_docs) AS BIGINT) AS col_n
+           FROM cm GROUP BY 1),
+    j AS (
+      SELECT rt.lang, COALESCE(tp.tp, 0) AS tp,
+        COALESCE(ct.col_n, 0) - COALESCE(tp.tp, 0) AS fp,
+        rt.row_n - COALESCE(tp.tp, 0) AS fn
+      FROM rt LEFT JOIN tp ON tp.lang = rt.lang
+              LEFT JOIN ct ON ct.lang = rt.lang)
+    SELECT lang, tp, fp, fn,
+      1000 * tp // nullif(tp + fp, 0) AS prec_pm,
+      1000 * tp // nullif(tp + fn, 0) AS rec_pm,
+      2000 * tp // nullif(2 * tp + fp + fn, 0) AS f1_pm
+    FROM j ORDER BY lang ASC NULLS FIRST""")
+
+  /** Same md5 arm rule as qAbTest; 3σ bound squared to integers. */
+  val qAbSrm: String = n("""
+    WITH a AS (
+      SELECT event_type,
+        CAST(SUM(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+                      THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM events GROUP BY event_type)
+    SELECT event_type, n_a, n_b, n_a - n_b AS delta,
+      CASE WHEN (n_a - n_b) * (n_a - n_b) > (n_a + n_b) * 9
+           THEN 1 ELSE 0 END AS srm_flag
+    FROM a ORDER BY event_type ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
