@@ -439,6 +439,25 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Referential-integrity audit between the text and embedding tables
+    * — the multimodal-pipeline hygiene check (every doc should have a
+    * vector and vice versa; silent drift here poisons joins downstream):
+    * FULL OUTER on the key, one row per disposition (matched /
+    * doc-only / vector-only) with counts. ALL-INTEGER; one key-shuffle
+    * join. */
+  def qAuditReferential(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(s, sf).select(col("doc_id"))
+    val e = Tables.embeddings(s, sf).select(col("vec_id"))
+    d.join(e, col("doc_id") === col("vec_id"), "full_outer")
+      .withColumn("disposition",
+        when(col("doc_id").isNotNull && col("vec_id").isNotNull, "matched")
+          .when(col("vec_id").isNull, "doc_only")
+          .otherwise("vector_only"))
+      .groupBy(col("disposition"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("disposition")
+  }
+
   /** `binaryFile` source — how raw media assets actually enter a
     * multimodal pipeline: one opaque file per asset on the lake, read
     * as (path, length, content) rows. One blob per document is written

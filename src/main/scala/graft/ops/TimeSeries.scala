@@ -520,6 +520,24 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Freshness audit — "which streams stopped reporting": per type,
+    * last event time and its staleness against the NEWEST event
+    * anywhere (exact integer seconds), plus a stale flag at the 1-hour
+    * bound. The first dashboard an on-call opens; ALL-INTEGER. */
+  def qTsFreshness(s: SparkSession, sf: String): DataFrame = {
+    val per = Tables.events(s, sf)
+      .groupBy(col("event_type"))
+      .agg(max(col("ts")).as("last_seen"), count(lit(1)).as("n_events"))
+    val global = per.agg(max(col("last_seen")).as("newest"))
+    per.crossJoin(broadcast(global))
+      .withColumn("staleness_s",
+        expr("(unix_micros(newest) - unix_micros(last_seen)) div 1000000"))
+      .withColumn("stale", when(col("staleness_s") > 3600, 1L).otherwise(0L))
+      .select(col("event_type"), col("last_seen"), col("n_events"),
+              col("staleness_s"), col("stale"))
+      .orderBy("event_type")
+  }
+
   /** Decomposition-lite: DETRENDED weekly seasonality per type — the
     * `q_ts_seasonality` profile is biased when traffic trends (later
     * weekdays absorb the growth); here the OLS trend (the

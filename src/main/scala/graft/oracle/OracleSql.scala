@@ -2434,6 +2434,28 @@ object OracleSql {
            THEN 1 ELSE 0 END AS srm_flag
     FROM a ORDER BY event_type ASC NULLS FIRST""")
 
+  val qAuditReferential: String = n("""
+    WITH j AS (
+      SELECT d.doc_id, e.vec_id
+      FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id)
+    SELECT CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 'matched'
+                WHEN vec_id IS NULL THEN 'doc_only'
+                ELSE 'vector_only' END AS disposition,
+      COUNT(*) AS n
+    FROM j GROUP BY 1 ORDER BY disposition ASC NULLS FIRST""")
+
+  val qTsFreshness: String = n("""
+    WITH per AS (
+      SELECT event_type, MAX(ts) AS last_seen, COUNT(*) AS n_events
+      FROM events GROUP BY 1),
+    g AS (SELECT MAX(last_seen) AS newest FROM per)
+    SELECT event_type, last_seen, n_events,
+      (epoch_us(newest) - epoch_us(last_seen)) // 1000000 AS staleness_s,
+      CASE WHEN (epoch_us(newest) - epoch_us(last_seen)) // 1000000 > 3600
+           THEN 1 ELSE 0 END AS stale
+    FROM per CROSS JOIN g
+    ORDER BY event_type ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
