@@ -312,6 +312,36 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Heaps'-law vocabulary growth — the Zipf fit's companion
+    * diagnostic ("is the vocabulary still growing or has the corpus
+    * saturated" — a flat tail means new docs add no new language, a
+    * dedup/diversity smell): docs in deterministic doc_id order split
+    * into ntile(10) deciles, each token attributed to the decile of
+    * its FIRST containing doc (min doc_id — exact, order-independent),
+    * cumulative vocabulary per decile. ALL-INTEGER. */
+  def qTextVocabGrowth(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+      .select(col("doc_id"))
+      .withColumn("decile", ntile(10).over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+    val firstDoc = Tables.documents(s, sf)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(min(col("doc_id")).as("doc_id"))
+    val newPerDecile = firstDoc.join(docs, "doc_id")
+      .groupBy(col("decile")).agg(count(lit(1)).as("new_tokens"))
+    val docsPerDecile = docs.groupBy(col("decile")).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docsPerDecile.join(newPerDecile, Seq("decile"), "left")
+      .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+      .withColumn("docs_cum", sum(col("n_docs")).over(w))
+      .withColumn("vocab_cum", sum(col("new_tokens")).over(w))
+      .select(col("decile"), col("n_docs"), col("new_tokens"),
+              col("docs_cum"), col("vocab_cum"))
+      .orderBy("decile")
+  }
+
   /** Precision / recall / F1 per language from the `q_text_langid`
     * confusion matrix — the model-evaluation readout that turns a
     * confusion matrix into the numbers a dashboard shows. ALL-INTEGER

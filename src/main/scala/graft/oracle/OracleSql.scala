@@ -2456,6 +2456,29 @@ object OracleSql {
     FROM per CROSS JOIN g
     ORDER BY event_type ASC NULLS FIRST""")
 
+  val qTextVocabGrowth: String = n("""
+    WITH d AS (
+      SELECT doc_id, NTILE(10) OVER (ORDER BY doc_id) AS decile FROM documents),
+    f AS (
+      SELECT token, MIN(doc_id) AS doc_id FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents) z
+      WHERE token <> '' GROUP BY token),
+    np AS (
+      SELECT decile, COUNT(*) AS new_tokens
+      FROM f JOIN d ON d.doc_id = f.doc_id GROUP BY decile),
+    dp AS (SELECT decile, COUNT(*) AS n_docs FROM d GROUP BY decile),
+    j AS (
+      SELECT dp.decile, dp.n_docs,
+        CAST(COALESCE(np.new_tokens, 0) AS BIGINT) AS new_tokens
+      FROM dp LEFT JOIN np ON np.decile = dp.decile)
+    SELECT decile, n_docs, new_tokens,
+      CAST(SUM(n_docs) OVER win AS BIGINT) AS docs_cum,
+      CAST(SUM(new_tokens) OVER win AS BIGINT) AS vocab_cum
+    FROM j WINDOW win AS (ORDER BY decile
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY decile ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
