@@ -575,6 +575,26 @@ object TimeSeries {
       .orderBy("event_type", "dow_class")
   }
 
+  /** MTTR / MTBF over the brownout intervals — the two numbers an
+    * SRE review opens with, composed directly ON
+    * `q_ts_outage_intervals`' output (the metric and the incident list
+    * can never disagree): mean time to recovery = mean quiet-interval
+    * length, mean time between failures = mean start-to-start gap,
+    * both in hours at 1e-3 fixed point (`1000·Σ div n` — ALL-INTEGER,
+    * one mirrored division each). */
+  def qTsMttr(s: SparkSession, sf: String): DataFrame = {
+    val intervals = qTsOutageIntervals(s, sf)
+    val w = Window.orderBy("start_hour")
+    val withGap = intervals
+      .withColumn("next_start", lead(col("start_hour"), 1).over(w))
+      .withColumn("gap", col("next_start") - col("start_hour"))
+    withGap.agg(
+        count(lit(1)).as("n_incidents"),
+        sum(col("n_hours")).as("total_quiet_hours"),
+        expr("1000 * sum(n_hours) div count(1)").as("mttr_mh"),
+        expr("1000 * sum(gap) div nullif(count(gap), 0)").as("mtbf_mh"))
+  }
+
   /** Lag-1 autocorrelation of the daily count series per type — "is
     * today's traffic predictive of tomorrow's" (≈1 trending, ≈0 noise,
     * <0 oscillating): Pearson corr of (xₜ, xₜ₊₁) from EXACT INTEGER

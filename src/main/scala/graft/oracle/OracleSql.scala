@@ -2479,6 +2479,32 @@ object OracleSql {
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ORDER BY decile ASC NULLS FIRST""")
 
+  /** Same interval CTEs as qTsOutageIntervals + the MTTR/MTBF rollup. */
+  val qTsMttr: String = n("""
+    WITH h AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS c FROM events GROUP BY 1),
+    b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM h),
+    axis AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+    f AS (SELECT axis.h, CAST(COALESCE(c, 0) AS BIGINT) AS c
+          FROM axis LEFT JOIN h USING (h)),
+    t AS (SELECT COUNT(*) AS nh, CAST(SUM(c) AS BIGINT) AS total FROM f),
+    quiet AS (
+      SELECT f.h FROM f CROSS JOIN t WHERE c * nh * 2 < total),
+    isl AS (
+      SELECT h, h - ROW_NUMBER() OVER (ORDER BY h) AS isl FROM quiet),
+    iv AS (
+      SELECT MIN(h) AS start_hour, COUNT(*) AS n_hours
+      FROM isl GROUP BY isl),
+    g AS (
+      SELECT n_hours,
+        LEAD(start_hour) OVER (ORDER BY start_hour) - start_hour AS gap
+      FROM iv)
+    SELECT COUNT(*) AS n_incidents,
+      CAST(SUM(n_hours) AS BIGINT) AS total_quiet_hours,
+      1000 * CAST(SUM(n_hours) AS BIGINT) // COUNT(*) AS mttr_mh,
+      1000 * CAST(SUM(gap) AS BIGINT) // nullif(COUNT(gap), 0) AS mtbf_mh
+    FROM g""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
