@@ -477,6 +477,28 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Day-N retention curve — the normalized product metric the weekly
+    * cohort matrix doesn't give: for each day offset N, the fraction
+    * of users active exactly N days after their OWN first day, pooled
+    * across cohorts (numerator = distinct (user, offset) pairs,
+    * denominator = all users), in 1e-3 fixed point — ALL-INTEGER.
+    * Derived from the dedup'd (user, day) frame; raw events touched
+    * once. */
+  def qTsRetentionCurve(s: SparkSession, sf: String): DataFrame = {
+    val ud = Tables.events(s, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    val nUsers = first.agg(count(lit(1)).as("n_users"))
+    ud.join(first, "user_id")
+      .select(col("user_id"), (col("day") - col("d0")).as("offset_d"))
+      .groupBy(col("offset_d"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .crossJoin(broadcast(nUsers))
+      .withColumn("retention_pm", expr("1000 * n_active div n_users"))
+      .orderBy("offset_d")
+  }
+
   /** Cohort retention matrix — the product-analytics triangle: users
     * cohorted by first active (epoch) week, cells count distinct users
     * active at each week offset. Generalizes `q_ts_retention`'s d/d+1

@@ -2505,6 +2505,18 @@ object OracleSql {
       1000 * CAST(SUM(gap) AS BIGINT) // nullif(COUNT(gap), 0) AS mtbf_mh
     FROM g""")
 
+  val qTsRetentionCurve: String = n("""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    f AS (SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY 1),
+    nu AS (SELECT COUNT(*) AS n_users FROM f)
+    SELECT day - d0 AS offset_d,
+      CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS n_active, n_users,
+      1000 * CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) // n_users AS retention_pm
+    FROM ud JOIN f ON f.user_id = ud.user_id CROSS JOIN nu
+    GROUP BY day - d0, n_users
+    ORDER BY offset_d ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
