@@ -325,6 +325,33 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Lifetime-value deciles — the monetization distribution readout
+    * ("how skewed is revenue per user"): per-user exact decimal value
+    * totals, ntile(10) over the total (ltv, user) order, per-decile
+    * count + decimal-sum + share in 1e-3 fixed point of a 1e-4
+    * fixed-point total (ALL-INTEGER after the per-user decimal
+    * round-off). */
+  def qAggLtvDeciles(s: SparkSession, sf: String): DataFrame = {
+    val perUser = Tables.events(s, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast(D)).as("ltv_dec"))
+      .withColumn("ltv_fp", expr("CAST(ltv_dec * 10000 AS BIGINT)"))
+    val w = Window.orderBy(col("ltv_fp"), col("user_id"))
+    val total = Window.partitionBy(lit(1))
+    perUser
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("total_fp", sum(col("ltv_fp")).over(total))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("ltv_fp")).as("decile_fp"),
+           max(col("total_fp")).as("total_fp"))
+      .withColumn("share_pm", expr("1000 * decile_fp div total_fp"))
+      .select(col("decile"), col("n_users"),
+              (col("decile_fp").cast("double") / 10000.0).as("decile_value"),
+              col("share_pm"))
+      .orderBy("decile")
+  }
+
   /** Sample-ratio mismatch (SRM) — the A/B hygiene gate run BEFORE
     * reading any experiment metric: a 50/50 assignment whose arm
     * counts differ by more than ~3σ means the bucketing is broken and

@@ -157,6 +157,24 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Maximum drawdown per user — the finance classic, equally at home
+    * on any cumulative telemetry counter ("worst dip below the
+    * high-water mark so far"): running decimal cumsum (exact at every
+    * row, the `q_win_cumsum` path), running max of it, drawdown =
+    * runmax − cum, max over the series — every intermediate is an
+    * exact decimal, so the result is hash-exact with zero float
+    * accumulation. One (user) shuffle serves all three windows. */
+  def qWinDrawdown(s: SparkSession, sf: String): DataFrame = {
+    val cumW = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, sf)
+      .withColumn("cum", sum(col("value").cast(D)).over(cumW))
+      .withColumn("runmax", max(col("cum")).over(cumW))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           max(col("runmax") - col("cum")).cast("double").as("max_drawdown"))
+      .orderBy("user_id")
+  }
+
   /** Leaderboard rank movement — each user's activity rank in the
     * final week vs the week before (the "who's rising" readout): two
     * (week)-partitioned dense ranks over weekly counts joined on user,

@@ -2517,6 +2517,38 @@ object OracleSql {
     GROUP BY day - d0, n_users
     ORDER BY offset_d ASC NULLS FIRST""")
 
+  val qAggLtvDeciles: String = n("""
+    WITH pu AS (
+      SELECT user_id,
+        CAST(SUM(CAST(value AS DECIMAL(28,4))) * 10000 AS BIGINT) AS ltv_fp
+      FROM events GROUP BY user_id),
+    d AS (
+      SELECT ltv_fp, NTILE(10) OVER (ORDER BY ltv_fp, user_id) AS decile,
+        CAST(SUM(ltv_fp) OVER () AS BIGINT) AS total_fp
+      FROM pu)
+    SELECT decile, COUNT(*) AS n_users,
+      CAST(CAST(SUM(ltv_fp) AS BIGINT) AS DOUBLE)
+        / CAST(10000 AS DOUBLE) AS decile_value,
+      1000 * CAST(SUM(ltv_fp) AS BIGINT) // MAX(total_fp) AS share_pm
+    FROM d GROUP BY decile ORDER BY decile ASC NULLS FIRST""")
+
+  val qWinDrawdown: String = n("""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+        SUM(CAST(value AS DECIMAL(28,4)))
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM events),
+    r AS (
+      SELECT user_id,
+        MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - cum AS dd
+      FROM c)
+    SELECT user_id, COUNT(*) AS n_events,
+      CAST(MAX(dd) AS DOUBLE) AS max_drawdown
+    FROM r GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
