@@ -439,6 +439,32 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Sequence-continuity audit — dropped-message detection on a
+    * monotonically-assigned id (the ingest invariant "no event ids
+    * vanished between producer and table"): global min/max/count give
+    * the expected-density check, a lag window counts the actual gap
+    * runs and the widest one. ALL-INTEGER, one sort-free agg + one
+    * ordered window over ids only. */
+  def qAuditSequenceGaps(s: SparkSession, sf: String): DataFrame = {
+    val ids = Tables.events(s, sf).select(col("event_id"))
+    val w = Window.orderBy("event_id")
+    val gaps = ids
+      .withColumn("prev", lag(col("event_id"), 1).over(w))
+      .where(col("prev").isNotNull && col("event_id") - col("prev") > 1)
+      .agg(count(lit(1)).as("n_gaps"),
+           max(col("event_id") - col("prev") - 1).as("widest_gap"))
+    val span = ids.agg(min(col("event_id")).as("min_id"),
+                       max(col("event_id")).as("max_id"),
+                       count(lit(1)).as("n_rows"))
+    span.crossJoin(gaps)
+      .withColumn("missing",
+        col("max_id") - col("min_id") + 1 - col("n_rows"))
+      .withColumn("n_gaps", coalesce(col("n_gaps"), lit(0L)))
+      .withColumn("widest_gap", coalesce(col("widest_gap"), lit(0L)))
+      .select(col("min_id"), col("max_id"), col("n_rows"), col("missing"),
+              col("n_gaps"), col("widest_gap"))
+  }
+
   /** Referential-integrity audit between the text and embedding tables
     * — the multimodal-pipeline hygiene check (every doc should have a
     * vector and vice versa; silent drift here poisons joins downstream):

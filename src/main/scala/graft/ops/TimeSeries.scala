@@ -542,6 +542,31 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Peak days — strict local maxima of the daily series per type that
+    * also clear the series mean ("which days actually spiked", the
+    * annotation layer a traffic dashboard draws): lag/lead neighbor
+    * compares plus the cross-multiplied mean test `x·n_days > total`
+    * — ALL-INTEGER, no float mean. Interior days only (both neighbors
+    * observed). */
+  def qTsPeaks(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val tot = Window.partitionBy("event_type")
+    daily
+      .withColumn("prev", lag(col("x"), 1).over(w))
+      .withColumn("next", lead(col("x"), 1).over(w))
+      .withColumn("n_days", count(lit(1)).over(tot))
+      .withColumn("total", sum(col("x")).over(tot))
+      .where(col("prev").isNotNull && col("next").isNotNull &&
+             col("x") > col("prev") && col("x") > col("next") &&
+             col("x") * col("n_days") > col("total"))
+      .select(col("event_type"), col("day"), col("x").as("n_events"),
+              col("prev"), col("next"))
+      .orderBy("event_type", "day")
+  }
+
   /** Freshness audit — "which streams stopped reporting": per type,
     * last event time and its staleness against the NEWEST event
     * anywhere (exact integer seconds), plus a stale flag at the 1-hour

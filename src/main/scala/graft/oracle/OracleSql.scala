@@ -2549,6 +2549,41 @@ object OracleSql {
       CAST(MAX(dd) AS DOUBLE) AS max_drawdown
     FROM r GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""")
 
+  val qTsPeaks: String = n("""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT event_type, day, x,
+        LAG(x) OVER w AS prev, LEAD(x) OVER w AS next,
+        COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+        CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, day, x AS n_events, prev, next
+    FROM d
+    WHERE prev IS NOT NULL AND next IS NOT NULL
+      AND x > prev AND x > next AND x * n_days > total
+    ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""")
+
+  val qAuditSequenceGaps: String = n("""
+    WITH g AS (
+      SELECT event_id,
+        LAG(event_id) OVER (ORDER BY event_id) AS prev
+      FROM events),
+    gg AS (
+      SELECT COUNT(*) AS n_gaps,
+        MAX(event_id - prev - 1) AS widest_gap
+      FROM g WHERE prev IS NOT NULL AND event_id - prev > 1),
+    s AS (
+      SELECT MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+        COUNT(*) AS n_rows
+      FROM events)
+    SELECT min_id, max_id, n_rows,
+      max_id - min_id + 1 - n_rows AS missing,
+      CAST(COALESCE(n_gaps, 0) AS BIGINT) AS n_gaps,
+      CAST(COALESCE(widest_gap, 0) AS BIGINT) AS widest_gap
+    FROM s CROSS JOIN gg""")
+
   val qWinNthValue: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal, rn, second_bal,
       c_acctbal - second_bal AS gap_to_second
