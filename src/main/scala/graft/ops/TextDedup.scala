@@ -353,6 +353,12 @@ object TextDedup {
       .select(col("id"), col("id").as("lab"))
       .repartition(8, col("id"))
       .localCheckpoint()
+    // Every loop-carried frame below is ≤ |V| rows of two longs; gate
+    // the broadcast hint on that size ONCE (|V| is loop-invariant —
+    // labels only relabel, never grow). count() reads the checkpointed
+    // blocks, not a recompute.
+    val nNodes = labels.count()
+    def bc(df: DataFrame): DataFrame = Util.gatedBroadcast(s, df, nNodes)
     // AQE re-plans each round's query at every localCheckpoint
     // materialization — pure overhead on these tiny fixed-shape loop
     // frames, so it's disabled for the loop (restored after). Measured
@@ -375,10 +381,10 @@ object TextDedup {
       // closed neighborhood (one hop per round on its own — near-dup
       // chains across the length band made that ~20 rounds at sf0.1)
       val nbrMin = edges
-        .join(broadcast(labels.select(col("id").as("b_id"), col("lab"))), "b_id")
+        .join(bc(labels.select(col("id").as("b_id"), col("lab"))), "b_id")
         .groupBy(col("a_id")).agg(min(col("lab")).as("nlab"))
         .select(col("a_id").as("id"), col("nlab"))
-      val cand = labels.join(broadcast(nbrMin), Seq("id"), "left")
+      val cand = labels.join(bc(nbrMin), Seq("id"), "left")
         .select(col("id"), col("lab").as("old"),
                 least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab1"))
       // step 2 — pointer jump (hash-to-min): adopt your label's label.
@@ -387,7 +393,7 @@ object TextDedup {
       // min) while squaring the propagation distance per round:
       // convergence in O(log diameter) rounds instead of O(diameter).
       val next = cand
-        .join(broadcast(cand.select(col("id").as("lab1"), col("lab1").as("lab2"))),
+        .join(bc(cand.select(col("id").as("lab1"), col("lab1").as("lab2"))),
               Seq("lab1"), "left")
         .select(col("id"), col("old"),
                 least(col("lab1"), coalesce(col("lab2"), col("lab1"))).as("lab"))
@@ -716,10 +722,13 @@ object TextDedup {
     val closing = pairs.select(col("a_id").as("x"), col("b_id").as("z"))
     // the FILTERED pair list (τ=0.6 survivors) is orders of magnitude
     // smaller than the corpus — broadcast it for both wedge-side joins
-    // (zero shuffles at fixture scale; at 100 TB with a pair list past
-    // broadcast budget the same equi-joins run as shuffles unchanged)
-    e1.join(broadcast(e2), "y")
-      .join(broadcast(closing), Seq("x", "z"), "left_semi")
+    // (zero shuffles at fixture scale), but only under the size gate:
+    // past broadcast budget the same equi-joins run as shuffles
+    // unchanged (Util.gatedBroadcast; count reads checkpointed blocks)
+    val nPairs = pairs.count()
+    def bc(df: DataFrame): DataFrame = Util.gatedBroadcast(s, df, nPairs)
+    e1.join(bc(e2), "y")
+      .join(bc(closing), Seq("x", "z"), "left_semi")
       .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_triangles"))
@@ -747,15 +756,18 @@ object TextDedup {
       .localCheckpoint()
     val degs = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
       .localCheckpoint()
+    // rank and degree frames are |V| rows — broadcast both (so each
+    // round's only shuffle is the groupBy(v) message aggregation, the
+    // distributed-PageRank minimum) but only under the size gate: at a
+    // |V| past broadcast budget the hint is withheld and the same
+    // equi-joins run as shuffles unchanged (Util.gatedBroadcast)
+    val nV = degs.count()
+    def bc(df: DataFrame): DataFrame = Util.gatedBroadcast(s, df, nV)
     var r = degs.select(col("u").as("id"), lit(1000000L).as("r"))
     for (_ <- 1 to 5) {
-      // rank and degree frames are |V| rows — broadcast both so each
-      // round's only shuffle is the groupBy(v) message aggregation
-      // (the distributed-PageRank minimum); at a |V| past broadcast
-      // budget the same equi-joins run as shuffles unchanged
       r = edges
-        .join(broadcast(r.withColumnRenamed("id", "u")), "u")
-        .join(broadcast(degs), "u")
+        .join(bc(r.withColumnRenamed("id", "u")), "u")
+        .join(bc(degs), "u")
         .groupBy(col("v"))
         .agg(sum(expr("r div d")).as("m"))
         .select(col("v").as("id"),

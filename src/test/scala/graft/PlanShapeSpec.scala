@@ -182,6 +182,60 @@ class PlanShapeSpec extends SparkSpec {
            s"containment self-join planned as nested loop:\n$p")
   }
 
+  /** The iterative graph family's loop-frame broadcasts are SIZE-GATED
+    * (Util.gatedBroadcast): under the gate the hint applies (fixture
+    * scale — measured 30-45% faster), above it the hint is withheld and
+    * the same equi-joins run as shuffle joins. Both branches pinned
+    * here; results must be identical on either path. */
+  test("graph-loop broadcast gate: hinted under threshold, shuffle fallback above") {
+    val gateKey = "graft.loop.broadcastThreshold"
+    val autoKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+                       "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    // default path: gate open at fixture scale → broadcast wedge joins
+    val hinted = TextDedup.qGraphTriangles(spark, sf)
+    val hintedRows = hinted.collect().map(_.toString).toSeq
+    assert(plan(hinted).contains("BroadcastHashJoin"),
+           s"gate should broadcast at fixture scale:\n${plan(hinted)}")
+    // fallback path: gate closed (threshold 0) + Spark's own auto
+    // broadcast off, so the plan must degrade to shuffle joins — this
+    // is the shape the same code produces at 100× |E|
+    val prev = autoKeys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(gateKey, "0")
+    autoKeys.foreach(spark.conf.set(_, "-1"))
+    try {
+      val fb = TextDedup.qGraphTriangles(spark, sf)
+      val fbRows = fb.collect().map(_.toString).toSeq
+      val p = plan(fb)
+      assert(!p.contains("BroadcastExchange"),
+             s"gate closed but plan still broadcasts:\n$p")
+      assert(fbRows == hintedRows, "fallback path changed the result")
+    } finally {
+      spark.conf.unset(gateKey)
+      prev.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+  }
+
+  test("q_dedup_cluster + q_graph_pagerank are correct on the shuffle fallback path") {
+    val gateKey = "graft.loop.broadcastThreshold"
+    val clusterRows = TextDedup.qDedupCluster(spark, sf).collect().map(_.toString).toSeq
+    val prRows = TextDedup.qGraphPagerank(spark, sf).collect().map(_.toString).toSeq
+    spark.conf.set(gateKey, "0")
+    try {
+      assert(TextDedup.qDedupCluster(spark, sf).collect().map(_.toString).toSeq
+               == clusterRows, "cluster fallback path changed the result")
+      assert(TextDedup.qGraphPagerank(spark, sf).collect().map(_.toString).toSeq
+               == prRows, "pagerank fallback path changed the result")
+    } finally spark.conf.unset(gateKey)
+  }
+
+  test("q_join_theta_range plans as a hash equi-join on the bucket key") {
+    val p = plan(Joins.qJoinThetaRange(spark, sf))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+             || p.contains("ShuffledHashJoin"),
+           s"bucket join not an equi-join plan:\n$p")
+  }
+
   test("graft_bitmap_* are SQL-callable and exact") {
     val r = spark.sql(
       """SELECT graft_bitmap_count(graft_bitmap_union_agg(bm)) AS n FROM (
