@@ -8,44 +8,77 @@ import graft.Tables
   *
   * Media assets ride through the pipeline as opaque `binary` payloads
   * next to typed metadata; decode / feature-extraction runs as a typed
-  * `mapPartitions` so one task amortizes (real-world) codec/model init
-  * across its whole partition — the same batch shape as an
-  * `mapInPandas`/Arrow UDF, but staying JVM-native.
+  * `mapPartitions` so one task amortizes codec init across its whole
+  * partition — the same batch shape as an `mapInPandas`/Arrow UDF, but
+  * staying JVM-native.
   *
-  * The decode kernel itself is a STUB (this container has no image /
-  * audio codecs): it derives deterministic fake dimensions from the
-  * payload bytes. Everything around it — binary column, case-class
-  * schema, per-partition batching, the SQL-visible output schema — is
-  * the real plumbing a production decode would use.
+  * The codec is REAL: assets are genuine PNG files (encoded with
+  * `javax.imageio`, the JDK's built-in codec), and the decode stage
+  * parses those bytes back through `ImageIO.read` — a full
+  * encode→compress→parse→decompress round trip per asset. Fixture
+  * assets are generated deterministically from `doc_id` (dimensions
+  * 16–47 × 16–39, gray(x,y) = (x + 7y + doc_id) mod 251), so the
+  * oracle can state the expected decoded dimensions and pixel-sum in
+  * closed-form integer SQL while Spark derives them from the actual
+  * decoded raster — any codec-path corruption breaks the hash match.
   */
 object Multimodal {
 
-  /** An asset row entering decode: opaque bytes + routing metadata. */
-  final case class MediaAsset(doc_id: Long, lang: String, payload: Array[Byte])
+  /** An asset row entering decode: opaque bytes + routing metadata.
+    * `n_frames` is sidecar/container metadata (a video's frame count
+    * travels in the container header, not the pixel payload). */
+  final case class MediaAsset(doc_id: Long, lang: String, n_frames: Long,
+                              payload: Array[Byte])
 
-  /** Decoded media metadata (what a real codec would emit). */
+  /** Decoded media metadata: dimensions + pixel checksum come from the
+    * DECODED raster, not the generator. */
   final case class DecodedMedia(doc_id: Long, lang: String,
-                                width: Long, height: Long, n_frames: Long)
+                                width: Long, height: Long, px_sum: Long,
+                                n_frames: Long)
 
-  /** STUB decode — replace with a real codec call. Deterministic pure
-    * function of the payload so the fixture pipeline is
-    * oracle-checkable; a real implementation would decode image headers
-    * (or sample video frames) here, one codec instance per partition.
-    * The stub's "dimensions" derive from codepoint count and first
-    * codepoint — the same unicode semantics as the oracle's
-    * n_chars/ascii(), not UTF-8 byte semantics, so parity holds even on
-    * non-ASCII payloads. */
-  private def decodeStub(a: MediaAsset): DecodedMedia = {
-    val text = new String(a.payload, java.nio.charset.StandardCharsets.UTF_8)
-    val len = text.codePointCount(0, text.length).toLong
-    val first = if (text.nonEmpty) text.codePointAt(0).toLong else 0L
-    DecodedMedia(a.doc_id, a.lang,
-      width = 64L + len % 512L,
-      height = 64L + (len * 31L + first) % 256L,
-      n_frames = 1L + len % 24L)
+  /** Deterministic PNG fixture: dimensions and a gray gradient derive
+    * from doc_id alone, then real `ImageIO` PNG encoding. Grayscale
+    * 8-bit PNG is lossless, so the decoded raster must reproduce the
+    * generator's samples exactly. */
+  private[ops] def renderPng(docId: Long): Array[Byte] = {
+    val w = (16L + docId % 32L).toInt
+    val h = (16L + (docId * 7L) % 24L).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((x + 7L * y + docId) % 251L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(1024)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** Binary-payload decode pipeline: documents → (metadata, binary
+  /** Real decode: parse the PNG payload, read dimensions + exact pixel
+    * sum off the decoded raster (raster samples, NOT getRGB — getRGB
+    * routes through color-space conversion). */
+  private def decodePng(a: MediaAsset): DecodedMedia = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(a.payload))
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    DecodedMedia(a.doc_id, a.lang, w.toLong, h.toLong, sum, a.n_frames)
+  }
+
+  /** Binary-payload decode pipeline: documents → (metadata, real PNG
     * payload) → per-partition decode → SQL-visible decoded schema. */
   def qMultimodalDecode(s: SparkSession, sf: String): DataFrame = {
     import s.implicits._
@@ -56,11 +89,15 @@ object Multimodal {
     import s.implicits._
     val assets: Dataset[MediaAsset] = Tables.documents(s, sf)
       .select(col("doc_id"), col("lang"),
-              encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaAsset]
+              (lit(1L) + col("doc_id") % 24L).as("n_frames"))
+      .as[(Long, String, Long)]
+      .map { case (id, lang, nf) => MediaAsset(id, lang, nf, renderPng(id)) }
     assets.mapPartitions { it =>
-      // One "codec init" per partition would go here.
-      it.map(decodeStub)
+      // Per-partition codec init: disable ImageIO's disk-backed stream
+      // cache once per task (the real-world analogue is constructing
+      // the codec/decoder context here, once, not per row).
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(decodePng)
     }
   }
 
@@ -69,8 +106,8 @@ object Multimodal {
 
   /** Frame sampling: every 4th frame of each decoded asset, as a typed
     * flatMap — the row-explosion stage of a video-training pipeline
-    * (each output row would carry the frame tensor; here just its
-    * metadata, the decode being stubbed). Fan-out happens AFTER the
+    * (each output row would carry the frame tensor; here its metadata,
+    * with `width` read from the real decode). Fan-out happens AFTER the
     * per-partition decode so the codec runs once per asset, not per
     * frame. */
   def qMultimodalFrames(s: SparkSession, sf: String): DataFrame = {

@@ -730,16 +730,34 @@ object OracleSql {
 
   val qMultimodalFrames: String = n("""
     SELECT doc_id,
-      CAST(unnest(range(0, 1 + n_chars % 24, 4)) AS BIGINT) AS frame_idx,
-      64 + n_chars % 512 AS width
+      CAST(unnest(range(0, 1 + doc_id % 24, 4)) AS BIGINT) AS frame_idx,
+      CAST(16 + doc_id % 32 AS BIGINT) AS width
     FROM documents ORDER BY doc_id, frame_idx""")
 
+  // Mirrors the PNG fixture generator (Multimodal.renderPng): w in
+  // 16..47, h in 16..39, gray(x,y) = (x + 7y + doc_id) mod 251. Spark
+  // reads these off the DECODED raster; the oracle computes them in
+  // closed form — per row y the x-sum of (c+x) mod 251 wraps at most
+  // once (c ≤ 250, w ≤ 47), so it is w*c + w(w-1)/2 − 251·max(0, c+w−251).
   val qMultimodalDecode: String = n("""
-    SELECT doc_id, lang,
-      64 + n_chars % 512 AS width,
-      64 + (n_chars * 31 + ascii(substr(text, 1, 1))) % 256 AS height,
-      1 + n_chars % 24 AS n_frames
-    FROM documents ORDER BY doc_id""")
+    WITH dims AS (
+      SELECT doc_id, lang,
+             16 + doc_id % 32 AS w,
+             16 + (doc_id * 7) % 24 AS h
+      FROM documents),
+    rows_ AS (
+      SELECT doc_id, w, (7 * t.y + doc_id) % 251 AS c
+      FROM dims, generate_series(0, 38) t(y) WHERE t.y < h),
+    px AS (
+      SELECT doc_id,
+             CAST(SUM(w * c + w * (w - 1) // 2
+                      - 251 * GREATEST(0, c + w - 251)) AS BIGINT) AS px_sum
+      FROM rows_ GROUP BY doc_id)
+    SELECT d.doc_id, d.lang,
+           CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+           px.px_sum, CAST(1 + d.doc_id % 24 AS BIGINT) AS n_frames
+    FROM dims d JOIN px USING (doc_id)
+    ORDER BY d.doc_id""")
 
   // ---- §2.11 extensions (round 3): pipeline composites ----
 
