@@ -20,13 +20,16 @@ import org.apache.spark.sql.types._
   * partials can roll up to per-group totals with NO estimation error —
   * the answer is bit-for-bit the same as a direct `COUNT(DISTINCT)`.
   *
-  * Layout: two-level — key's high 48 bits pick a container, the low 16
-  * bits set one of 2^16 bits inside it (an `Array[Long]` of 1024
-  * words). Dense ids cluster into few containers (8 KB each); the
-  * serialized form writes only non-zero words, so sparse containers
-  * cost ~10 bytes per distinct key. Shuffle volume is
-  * O(distinct keys / 8) bytes at worst — 8× better than shuffling raw
-  * distinct rows, and unlike HLL it is exact at any cardinality.
+  * Layout: two-level, Roaring-style — key's high 48 bits pick a
+  * container, the low 16 bits land in it as either a SORTED short
+  * array (≤4096 entries: ~2 bytes/key in memory AND on the wire) or a
+  * dense 2^16-bit word array (8 KB, adopted exactly when the sorted
+  * array would exceed it). Dense ids cluster into few dense
+  * containers; scattered key domains (hashed / snowflake ids — one
+  * key per container) stay sparse, so in-memory cost is O(keys), not
+  * 8 KB per distinct prefix. Shuffle volume is O(distinct keys / 8)
+  * bytes at worst — 8× better than shuffling raw distinct rows, and
+  * unlike HLL it is exact at any cardinality.
   *
   * Three surfaces mirror the DataSketches HLL triple:
   * `bitmapAgg` (build: keys → blob), `bitmapUnionAgg` (rollup:
@@ -35,36 +38,129 @@ import org.apache.spark.sql.types._
   * `graft_bitmap_union_agg` / `graft_bitmap_count`.
   */
 object BitmapUtil {
-  /** high-48-bits → 2^16-bit container. */
-  type BM = mutable.LongMap[Array[Long]]
+  /** A sparse container past this many entries (= the 8 KB dense size)
+    * converts to dense — Roaring's exact threshold. */
+  val SparseMax = 4096
 
-  def empty: BM = mutable.LongMap.empty[Array[Long]]
+  sealed trait Container
+  /** Sorted unique low-16 values in `vals(0 until n)` (Char = u16). */
+  final class Sparse(var vals: Array[Char], var n: Int) extends Container
+  /** 2^16-bit word array. */
+  final class Dense(val words: Array[Long]) extends Container
 
-  def add(bm: BM, v: Long): Unit = {
-    val words = bm.getOrElseUpdate(v >>> 16, new Array[Long](1024))
-    val low = (v & 0xffffL).toInt
+  /** high-48-bits → sparse-or-dense low-16 container. */
+  type BM = mutable.LongMap[Container]
+
+  def empty: BM = mutable.LongMap.empty[Container]
+
+  private def setBit(words: Array[Long], low: Int): Unit =
     words(low >>> 6) |= 1L << (low & 63)
+
+  private def toDense(s: Sparse): Dense = {
+    val d = new Dense(new Array[Long](1024))
+    var i = 0
+    while (i < s.n) { setBit(d.words, s.vals(i).toInt); i += 1 }
+    d
   }
 
-  /** OR-merge `other` into `into` (exact set union, order-independent). */
+  def add(bm: BM, v: Long): Unit = {
+    val high = v >>> 16
+    val low = (v & 0xffffL).toInt
+    bm.get(high) match {
+      case None =>
+        val s = new Sparse(new Array[Char](4), 1)
+        s.vals(0) = low.toChar
+        bm.update(high, s)
+      case Some(d: Dense) => setBit(d.words, low)
+      case Some(s: Sparse) =>
+        val idx = java.util.Arrays.binarySearch(s.vals, 0, s.n, low.toChar)
+        if (idx < 0) {
+          if (s.n == SparseMax) {
+            val d = toDense(s)
+            setBit(d.words, low)
+            bm.update(high, d)
+          } else {
+            val ins = -idx - 1
+            if (s.n == s.vals.length)
+              s.vals = java.util.Arrays.copyOf(s.vals, s.vals.length * 2)
+            System.arraycopy(s.vals, ins, s.vals, ins + 1, s.n - ins)
+            s.vals(ins) = low.toChar
+            s.n += 1
+          }
+        }
+    }
+  }
+
+  /** Union of two sorted unique char runs; densifies past SparseMax. */
+  private def mergeSparse(a: Sparse, b: Sparse): Container = {
+    val out = new Array[Char](math.min(a.n + b.n, SparseMax + 1))
+    var (i, j, k) = (0, 0, 0)
+    var pending = -1 // the element that didn't fit, if any
+    while (pending < 0 && (i < a.n || j < b.n)) {
+      val c =
+        if (j >= b.n || (i < a.n && a.vals(i) <= b.vals(j))) {
+          val c0 = a.vals(i); if (j < b.n && b.vals(j) == c0) j += 1; i += 1; c0
+        } else { val c0 = b.vals(j); j += 1; c0 }
+      if (k == SparseMax) pending = c.toInt else { out(k) = c; k += 1 }
+    }
+    if (pending < 0) new Sparse(out, k)
+    else {
+      val d = toDense(new Sparse(out, k))
+      setBit(d.words, pending)
+      while (i < a.n) { setBit(d.words, a.vals(i).toInt); i += 1 }
+      while (j < b.n) { setBit(d.words, b.vals(j).toInt); j += 1 }
+      d
+    }
+  }
+
+  /** OR-merge `other` into `into` (exact set union, order-independent).
+    * `other`'s containers are copied, never aliased — the caller may
+    * discard or keep mutating its buffer. */
   def or(into: BM, other: BM): Unit =
-    other.foreach { case (high, ws) =>
-      val mine = into.getOrElseUpdate(high, new Array[Long](1024))
-      var i = 0
-      while (i < 1024) { mine(i) |= ws(i); i += 1 }
+    other.foreach { case (high, c) =>
+      into.get(high) match {
+        case None =>
+          c match {
+            case s: Sparse =>
+              into.update(high, new Sparse(java.util.Arrays.copyOf(s.vals, s.n), s.n))
+            case d: Dense => into.update(high, new Dense(d.words.clone()))
+          }
+        case Some(mine: Dense) =>
+          c match {
+            case s: Sparse =>
+              var i = 0
+              while (i < s.n) { setBit(mine.words, s.vals(i).toInt); i += 1 }
+            case d: Dense =>
+              var i = 0
+              while (i < 1024) { mine.words(i) |= d.words(i); i += 1 }
+          }
+        case Some(mine: Sparse) =>
+          c match {
+            case s: Sparse => into.update(high, mergeSparse(mine, s))
+            case d: Dense =>
+              val nd = new Dense(d.words.clone())
+              var i = 0
+              while (i < mine.n) { setBit(nd.words, mine.vals(i).toInt); i += 1 }
+              into.update(high, nd)
+          }
+      }
     }
 
   def count(bm: BM): Long = {
     var n = 0L
-    bm.foreach { case (_, ws) =>
-      var i = 0
-      while (i < 1024) { n += java.lang.Long.bitCount(ws(i)); i += 1 }
+    bm.foreach {
+      case (_, s: Sparse) => n += s.n
+      case (_, d: Dense) =>
+        var i = 0
+        while (i < 1024) { n += java.lang.Long.bitCount(d.words(i)); i += 1 }
     }
     n
   }
 
-  /** Deterministic encoding: containers sorted by unsigned high key;
-    * per container only the non-zero words as (short index, word). */
+  /** Deterministic encoding: containers sorted by high key (always
+    * non-negative — `v >>> 16`); per container a tag byte then either
+    * the sorted shorts (sparse) or the non-zero (index, word) pairs
+    * (dense). A scattered key costs ~2 bytes on the wire. */
   def ser(bm: BM): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
@@ -72,16 +168,24 @@ object BitmapUtil {
     java.util.Arrays.sort(highs)
     out.writeInt(highs.length)
     highs.foreach { high =>
-      val ws = bm(high)
-      var nz = 0
-      var i = 0
-      while (i < 1024) { if (ws(i) != 0L) nz += 1; i += 1 }
       out.writeLong(high)
-      out.writeInt(nz)
-      i = 0
-      while (i < 1024) {
-        if (ws(i) != 0L) { out.writeShort(i); out.writeLong(ws(i)) }
-        i += 1
+      bm(high) match {
+        case s: Sparse =>
+          out.writeByte(0)
+          out.writeInt(s.n)
+          var i = 0
+          while (i < s.n) { out.writeChar(s.vals(i).toInt); i += 1 }
+        case d: Dense =>
+          out.writeByte(1)
+          var nz = 0
+          var i = 0
+          while (i < 1024) { if (d.words(i) != 0L) nz += 1; i += 1 }
+          out.writeInt(nz)
+          i = 0
+          while (i < 1024) {
+            if (d.words(i) != 0L) { out.writeShort(i); out.writeLong(d.words(i)) }
+            i += 1
+          }
       }
     }
     out.flush()
@@ -95,11 +199,21 @@ object BitmapUtil {
     var c = 0
     while (c < nContainers) {
       val high = in.readLong()
-      val nz = in.readInt()
-      val ws = new Array[Long](1024)
-      var i = 0
-      while (i < nz) { ws(in.readShort().toInt) = in.readLong(); i += 1 }
-      bm.update(high, ws)
+      val container: Container = in.readByte() match {
+        case 0 =>
+          val n = in.readInt()
+          val vals = new Array[Char](n)
+          var i = 0
+          while (i < n) { vals(i) = in.readChar(); i += 1 }
+          new Sparse(vals, n)
+        case _ =>
+          val nz = in.readInt()
+          val ws = new Array[Long](1024)
+          var i = 0
+          while (i < nz) { ws(in.readShort().toInt) = in.readLong(); i += 1 }
+          new Dense(ws)
+      }
+      bm.update(high, container)
       c += 1
     }
     bm
@@ -113,9 +227,16 @@ object BitmapUtil {
     var c = 0
     while (c < nContainers) {
       in.readLong()
-      val nz = in.readInt()
-      var i = 0
-      while (i < nz) { in.readShort(); n += java.lang.Long.bitCount(in.readLong()); i += 1 }
+      in.readByte() match {
+        case 0 =>
+          val k = in.readInt()
+          n += k
+          in.skipBytes(2 * k)
+        case _ =>
+          val nz = in.readInt()
+          var i = 0
+          while (i < nz) { in.readShort(); n += java.lang.Long.bitCount(in.readLong()); i += 1 }
+      }
       c += 1
     }
     n

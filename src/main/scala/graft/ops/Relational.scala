@@ -423,8 +423,25 @@ object Relational {
     * change results, only which files a scan touches. */
   def qSinkZorder(s: SparkSession, sf: String): DataFrame = {
     val dir = s"/tmp/graft_sink/events_zorder"
-    Tables.events(s, sf)
-      .withColumn("z", morton(col("user_id"), expr("unix_micros(ts) div 86400000000")))
+    val ev = Tables.events(s, sf)
+    // morton interleaves LOW 16 bits only — min/max-scale both
+    // dimensions into the 2^16 domain first, or a user_id past 65535
+    // would alias modulo 2^16 and silently stop co-clustering that
+    // dimension (results stay right; pruning degrades). The stats pass
+    // is one tiny agg — the same range scan a lakehouse OPTIMIZE
+    // ZORDER performs before clustering.
+    val st = ev.agg(
+      min(col("user_id")), max(col("user_id")),
+      min(expr("unix_micros(ts) div 86400000000")),
+      max(expr("unix_micros(ts) div 86400000000"))).head()
+    val (uLo, uSpan) = (st.getLong(0), math.max(1L, st.getLong(1) - st.getLong(0)))
+    val (dLo, dSpan) = (st.getLong(2), math.max(1L, st.getLong(3) - st.getLong(2)))
+    ev
+      .withColumn("u16", expr(s"((user_id - $uLo) * 65535) div $uSpan"))
+      .withColumn("d16",
+        expr(s"(((unix_micros(ts) div 86400000000) - $dLo) * 65535) div $dSpan"))
+      .withColumn("z", morton(col("u16"), col("d16")))
+      .drop("u16", "d16")
       .repartitionByRange(16, col("z"))
       .sortWithinPartitions("z")
       .drop("z")

@@ -55,7 +55,11 @@ object Util {
     * layout by this key co-clusters BOTH dimensions, so per-file
     * min/max stats prune range predicates on either column — the
     * multi-dimensional data-layout move single-column sorting can't
-    * make (see q_sink_zorder + the pruning property test). */
+    * make (see q_sink_zorder + the pruning property test). CALLER
+    * CONTRACT: inputs must already sit in the 2^bits domain —
+    * normalize (min/max-scale or rank) first, as qSinkZorder does;
+    * larger values alias modulo 2^bits and that dimension silently
+    * stops co-clustering. */
   def morton(x: Column, y: Column, bits: Int = 16): Column =
     (0 until bits).map { i =>
       (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +

@@ -25,9 +25,13 @@ import org.apache.spark.sql.graftbridge.Bridge
   * O(1) state (the last-seen payload per key). That is the textbook
   * at-scale as-of shape: no buffered window frames, no row expansion.
   *
-  * Scope (declared): LONG keys and LONG event-time values (epoch µs —
-  * what `unix_micros` produces), one attribute of carried payload.
-  * Ties: right-time == left-time matches ("at or before").
+  * Scope: LONG keys and LONG event-time values (epoch µs — what
+  * `unix_micros` produces), ENFORCED at analysis time by
+  * [[AsOfJoin.asofJoin]] (a non-LONG column raises instead of silently
+  * comparing garbage through `getLong`); one attribute of carried
+  * payload. NULL key/time: right rows are skipped, left rows get a
+  * null payload. Ties: right-time == left-time matches ("at or
+  * before").
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Attribute, rightKey: Attribute,
@@ -95,27 +99,43 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         outAttrs.map(a => a: Expression), leftOutput :+ payloadAttr.withNullability(true))
       val nullPayload = new GenericInternalRow(1)
       val joined = new JoinedRow()
-      var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+      // NULL discipline (nullable inputs are allowed; the TYPE must be
+      // LONG — enforced at analysis time in asofJoin): a right row with
+      // NULL key or time can never be "the latest at-or-before" →
+      // skipped; a left row with NULL key or time matches nothing →
+      // null payload. Nulls sort first, so skipping keeps the merge
+      // order intact.
+      def nextRight(): InternalRow = {
+        var r: InternalRow = if (rIter.hasNext) rIter.next() else null
+        while (r != null && (r.isNullAt(rkOrd) || r.isNullAt(rtOrd)))
+          r = if (rIter.hasNext) rIter.next() else null
+        r
+      }
+      var rRow: InternalRow = nextRight()
       if (forward) {
         // FORWARD: earliest right row with rt ≥ t. Discard right rows
         // strictly behind the current left row; the right head (not
         // consumed — later left rows may match it too) is the match
         // when its key agrees. O(1) state = the right head itself.
         lIter.map { lRow =>
-          val k = lRow.getLong(lkOrd)
-          val t = lRow.getLong(ltOrd)
-          var continue = rRow != null
-          while (continue) {
-            val rk = rRow.getLong(rkOrd)
-            if (rk < k || (rk == k && rRow.getLong(rtOrd) < t)) {
-              rRow = if (rIter.hasNext) rIter.next() else null
-              continue = rRow != null
-            } else continue = false
+          if (lRow.isNullAt(lkOrd) || lRow.isNullAt(ltOrd))
+            resultProj(joined(lRow, nullPayload))
+          else {
+            val k = lRow.getLong(lkOrd)
+            val t = lRow.getLong(ltOrd)
+            var continue = rRow != null
+            while (continue) {
+              val rk = rRow.getLong(rkOrd)
+              if (rk < k || (rk == k && rRow.getLong(rtOrd) < t)) {
+                rRow = nextRight()
+                continue = rRow != null
+              } else continue = false
+            }
+            val matched: InternalRow =
+              if (rRow != null && rRow.getLong(rkOrd) == k) payloadProj(rRow)
+              else nullPayload
+            resultProj(joined(lRow, matched))
           }
-          val matched: InternalRow =
-            if (rRow != null && rRow.getLong(rkOrd) == k) payloadProj(rRow)
-            else nullPayload
-          resultProj(joined(lRow, matched))
         }
       } else {
         // BACKWARD (LOCF): single merge pass, O(1) state = the last
@@ -123,21 +143,25 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         var heldKey: Long = 0L
         var held: UnsafeRow = null
         lIter.map { lRow =>
-          val k = lRow.getLong(lkOrd)
-          val t = lRow.getLong(ltOrd)
-          var continue = rRow != null
-          while (continue) {
-            val rk = rRow.getLong(rkOrd)
-            if (rk < k || (rk == k && rRow.getLong(rtOrd) <= t)) {
-              heldKey = rk
-              held = payloadProj(rRow).copy()
-              rRow = if (rIter.hasNext) rIter.next() else null
-              continue = rRow != null
-            } else continue = false
+          if (lRow.isNullAt(lkOrd) || lRow.isNullAt(ltOrd))
+            resultProj(joined(lRow, nullPayload))
+          else {
+            val k = lRow.getLong(lkOrd)
+            val t = lRow.getLong(ltOrd)
+            var continue = rRow != null
+            while (continue) {
+              val rk = rRow.getLong(rkOrd)
+              if (rk < k || (rk == k && rRow.getLong(rtOrd) <= t)) {
+                heldKey = rk
+                held = payloadProj(rRow).copy()
+                rRow = nextRight()
+                continue = rRow != null
+              } else continue = false
+            }
+            val matched: InternalRow =
+              if (held != null && heldKey == k) held else nullPayload
+            resultProj(joined(lRow, matched))
           }
-          val matched: InternalRow =
-            if (held != null && heldKey == k) held else nullPayload
-          resultProj(joined(lRow, matched))
         }
       }
     }
@@ -171,8 +195,20 @@ object AsOfJoin {
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"asofJoin: column $name not found in [${p.output.map(_.name).mkString(", ")}]"))
+    // The merge exec reads keys/times via InternalRow.getLong — an INT
+    // or TIMESTAMP column would silently yield garbage comparisons, so
+    // reject non-LONG types at analysis time instead. (NULL values are
+    // fine: the exec skips null-keyed right rows and null-matches
+    // null-keyed left rows.)
+    def longAttr(p: LogicalPlan, name: String): Attribute = {
+      val a = attr(p, name)
+      require(a.dataType == org.apache.spark.sql.types.LongType,
+        s"asofJoin: column $name is ${a.dataType.simpleString}; key/time " +
+        "columns must be LONG — cast / unix_micros() first")
+      a
+    }
     Bridge.ofRows(spark, AsOfJoinPlan(lp, rp,
-      attr(lp, leftKey), attr(rp, rightKey),
-      attr(lp, leftTime), attr(rp, rightTime), attr(rp, payloadCol), forward))
+      longAttr(lp, leftKey), longAttr(rp, rightKey),
+      longAttr(lp, leftTime), longAttr(rp, rightTime), attr(rp, payloadCol), forward))
   }
 }

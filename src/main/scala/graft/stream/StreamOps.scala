@@ -542,9 +542,14 @@ object StreamOps {
     * batch collapses to its last change per key (`max_by` on the total
     * (ts, event_id) order — so a REPLAYED batch re-applies as a no-op,
     * which is the exactly-once story across sink retries), (2) FULL
-    * OUTER join against the current snapshot, update-wins coalesce,
-    * (3) write to a temp dir and atomically swap — readers never see a
-    * half-written snapshot. At scale the join shuffles on the key and
+    * OUTER join against the current snapshot; the update row wins
+    * WHOLE-ROW when present (a presence marker, not per-column
+    * coalesce — so an update legitimately carrying NULL in a column
+    * sets NULL instead of resurrecting the old value, matching MERGE
+    * semantics), (3) write to a temp dir and swap via a crash-safe
+    * three-step (base → `_old`, tmp → base, delete `_old`) with
+    * recovery at the next batch — a crash at any point leaves either
+    * the old or the new snapshot intact, never neither. At scale the join shuffles on the key and
     * AQE broadcast-converts small change batches against the big base
     * (same plan as q_upsert_snapshot). */
   def cdcUpsert(changes: DataFrame, snapshotDir: String,
@@ -559,6 +564,20 @@ object StreamOps {
     * a batch backfill can apply the identical merge rule. */
   def applyCdcBatch(batch: DataFrame, batchId: Long,
                     snapshotDir: String): Unit = {
+    val dir = new java.io.File(snapshotDir)
+    val old = new java.io.File(snapshotDir + "_old")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete()
+    }
+    // Crash recovery BEFORE any read: a previous swap may have died
+    // between its renames. base missing + _old present = died mid-swap
+    // (restore the old snapshot; the checkpoint will replay that batch
+    // against it); both present = died after commit, before cleanup
+    // (the commit stands; just drop _old).
+    if (!dir.exists() && old.exists())
+      require(old.renameTo(dir), s"snapshot recovery failed: $old -> $dir")
+    else if (old.exists()) rm(old)
     if (batch.isEmpty) return
     val s = batch.sparkSession
     val latest = batch.groupBy(col("user_id"))
@@ -566,26 +585,29 @@ object StreamOps {
                   struct(col("ts"), col("event_id"))).as("r"))
       .select(col("user_id"), col("r.ts").as("ts"), col("r.event_id").as("event_id"),
               col("r.event_type").as("event_type"), col("r.value").as("value"))
-    val dir = new java.io.File(snapshotDir)
     val merged =
       if (dir.exists()) {
         val base = s.read.parquet(snapshotDir)
-        base.alias("b").join(latest.alias("u"), Seq("user_id"), "full_outer")
+        // presence marker, not per-column coalesce: the update row wins
+        // whole-row, so NULL-carrying updates set NULL (MERGE semantics)
+        val upd = latest.withColumn("u_present", lit(true))
+        val won = col("u_present").isNotNull
+        base.alias("b").join(upd.alias("u"), Seq("user_id"), "full_outer")
           .select(col("user_id"),
-            coalesce(col("u.ts"), col("b.ts")).as("ts"),
-            coalesce(col("u.event_id"), col("b.event_id")).as("event_id"),
-            coalesce(col("u.event_type"), col("b.event_type")).as("event_type"),
-            coalesce(col("u.value"), col("b.value")).as("value"))
+            when(won, col("u.ts")).otherwise(col("b.ts")).as("ts"),
+            when(won, col("u.event_id")).otherwise(col("b.event_id")).as("event_id"),
+            when(won, col("u.event_type")).otherwise(col("b.event_type")).as("event_type"),
+            when(won, col("u.value")).otherwise(col("b.value")).as("value"))
       } else latest
     // write-then-swap: the tmp write materializes the merge (which
-    // still reads the old snapshot lazily) BEFORE the old dir goes away
+    // still reads the old snapshot lazily) BEFORE the old dir goes
+    // away; then the three-step swap above's counterpart — at every
+    // point a complete snapshot exists as either `dir` or `_old`.
     val tmp = new java.io.File(snapshotDir + s"_tmp$batchId")
     merged.write.mode("overwrite").parquet(tmp.getPath)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-      f.delete()
-    }
-    if (dir.exists()) rm(dir)
+    if (dir.exists())
+      require(dir.renameTo(old), s"snapshot swap failed: $dir -> $old")
     require(tmp.renameTo(dir), s"snapshot swap failed: $tmp -> $dir")
+    rm(old) // crash here is healed by the recovery block next batch
   }
 }

@@ -288,6 +288,29 @@ class PropertySpec extends SparkSpec {
     assert(BitmapUtil.count(bm) == 70001L)
     assert(BitmapUtil.count(BitmapUtil.deser(BitmapUtil.ser(bm))) == 70001L)
     assert(BitmapUtil.countBlob(BitmapUtil.ser(bm)) == 70001L)
+    // sparse∪sparse overflow converts to dense WITHOUT losing the
+    // overflow element (4500 union entries > SparseMax)
+    val sa = BitmapUtil.empty
+    (0L until 2500L).foreach(BitmapUtil.add(sa, _))
+    val sb = BitmapUtil.empty
+    (2000L until 4500L).foreach(BitmapUtil.add(sb, _))
+    BitmapUtil.or(sa, sb)
+    assert(BitmapUtil.count(sa) == 4500L, "sparse-merge overflow lost keys")
+    assert(BitmapUtil.countBlob(BitmapUtil.ser(sa)) == 4500L)
+    // scattered key domain (one key per container — the hashed-id
+    // shape): memory AND wire stay O(keys), never 8 KB per prefix
+    val sc = BitmapUtil.empty
+    (0L until 10000L).foreach(k => BitmapUtil.add(sc, k << 16))
+    assert(BitmapUtil.count(sc) == 10000L)
+    assert(BitmapUtil.ser(sc).length < 10000 * 16,
+           "scattered keys must serialize ~15 B/key, not a dense container each")
+    // or() must COPY the other side's containers, never alias them
+    val src = BitmapUtil.empty
+    BitmapUtil.add(src, 7L)
+    val dst = BitmapUtil.empty
+    BitmapUtil.or(dst, src)
+    BitmapUtil.add(src, 8L)
+    assert(BitmapUtil.count(dst) == 1L, "or() aliased the source container")
     // the graded rollup (daily partials OR-merged) must be EXACT
     val est = graft.ops.Aggregates.qAggBitmapDistinct(spark, sf)
     val exact = Tables.events(spark, sf).groupBy(col("event_type"))

@@ -380,6 +380,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_stream_cdc_upsert: crash-safe swap recovery + NULL-carrying update sets NULL") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_rec").toString
+    val snap = s"$tmp/snap"
+    StreamOps.applyCdcBatch(
+      snake(Seq(ev(1, 0, user = 1, value = 1.0),
+                ev(2, 1, user = 2, value = 2.0)).toDF()), 0L, snap)
+    // simulate a crash between the swap's two renames: base moved
+    // aside, the new snapshot never landed
+    val dir = new java.io.File(snap)
+    val old = new java.io.File(snap + "_old")
+    assert(dir.renameTo(old), "test setup: move base aside")
+    // the next batch must RESTORE the pre-crash snapshot before merging
+    StreamOps.applyCdcBatch(
+      snake(Seq(ev(3, 2, user = 3, value = 3.0)).toDF()), 1L, snap)
+    val rows = spark.read.parquet(snap).orderBy("user_id").collect()
+    assert(rows.length == 3, "recovery must preserve every pre-crash key")
+    assert(rows(0).getAs[Double]("value") == 1.0 &&
+           rows(1).getAs[Double]("value") == 2.0, "pre-crash values intact")
+    assert(!old.exists(), "recovery artifacts cleaned up")
+    // MERGE semantics: an update legitimately carrying NULL must SET
+    // null, not resurrect the old value through a coalesce
+    val nullUpd = Seq((99L, ts(10), 1L, "click", None: Option[Double]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    StreamOps.applyCdcBatch(nullUpd, 2L, snap)
+    val after = spark.read.parquet(snap).orderBy("user_id").collect()
+    assert(after.length == 3)
+    assert(after(0).isNullAt(after(0).fieldIndex("value")),
+           "NULL-carrying update must set NULL (whole-row win, not coalesce)")
+    assert(after(1).getAs[Double]("value") == 2.0 &&
+           after(2).getAs[Double]("value") == 3.0, "untouched keys keep values")
+  }
+
   test("s_stream_idempotent_sink: a replayed batch overwrites itself, never duplicates") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_idem").toString
