@@ -42,13 +42,13 @@ final class IdempotentParquetSink(outDir: String) extends BatchSink {
     batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
 }
 
-/** JDBC binding of the same seam — compiles against Spark's built-in
-  * JDBC source; untestable offline (no reachable database, no driver
-  * jar), by declared design. For ClickHouse the url is
-  * `jdbc:clickhouse://host:8123/db` with the vendor driver on the
-  * classpath; `ON CONFLICT`-style idempotent upserts would replace the
-  * plain append via `foreachPartition` once a concrete dialect is
-  * fixed. */
+/** JDBC binding of the same seam — Spark's built-in JDBC source,
+  * exercised end-to-end in StreamingSpec (`s_stream_jdbc_sink`)
+  * against embedded Derby, the in-JVM database Spark already ships.
+  * For ClickHouse the url is `jdbc:clickhouse://host:8123/db` with the
+  * vendor driver on the classpath — same code path, different dialect;
+  * `ON CONFLICT`-style idempotent upserts would replace the plain
+  * append via `foreachPartition` once a concrete dialect is fixed. */
 final class JdbcAppendSink(url: String, table: String,
                            options: Map[String, String] = Map.empty)
     extends BatchSink {

@@ -413,6 +413,36 @@ class StreamingSpec extends SparkSpec {
            after(2).getAs[Double]("value") == 3.0, "untouched keys keep values")
   }
 
+  test("s_stream_jdbc_sink: foreachBatch through JdbcAppendSink round-trips an embedded warehouse") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc").toString
+    // Derby embedded — a real JDBC database in this JVM (ships with
+    // Spark for the Hive metastore), standing in for the deployment's
+    // ClickHouse/Postgres URL on the SAME code path: Spark's JDBC
+    // writer fans out per partition, the sink only binds url+table.
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val in = MemoryStream[Event](spark)
+    val sink = new graft.stream.JdbcAppendSink(url, "events_sink",
+      Map("driver" -> driver))
+    val q = graft.stream.Sinks.sinkTo(snake(in.toDF()), sink, s"$tmp/ckpt").start()
+    try {
+      in.addData(ev(1, 0), ev(2, 1, user = 2, value = 2.5))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, user = 3, typ = "error", value = -1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "events_sink")
+      .option("driver", driver).load()
+      .orderBy("event_id").collect()
+    assert(back.length == 3, "both micro-batches landed")
+    assert(back.map(_.getAs[Long]("event_id")).sameElements(Array(1L, 2L, 3L)))
+    assert(back(1).getAs[Double]("value") == 2.5)
+    assert(back(2).getAs[String]("event_type") == "error")
+    assert(back(0).getAs[Timestamp]("ts") == ts(0), "timestamps survive the dialect")
+  }
+
   test("s_stream_idempotent_sink: a replayed batch overwrites itself, never duplicates") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_idem").toString
