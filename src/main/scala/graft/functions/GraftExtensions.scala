@@ -48,6 +48,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e => BitmapUnionAgg(e).toAggregateExpression()))
     ext.injectFunction(fn1("graft_bitmap_count", classOf[BitmapCount])(
       BitmapCount.apply))
+    ext.injectFunction(fn("graft_quantile_agg", classOf[QuantileBuildAgg]) {
+      (value, relErr) =>
+        require(relErr.foldable, "graft_quantile_agg relErr must be a literal")
+        val e = relErr.eval() match {
+          case n: Number => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_quantile_agg relErr must be a numeric literal, got $other")
+        }
+        require(e > 0 && e < 1, s"graft_quantile_agg relErr must be in (0,1), got $e")
+        QuantileBuildAgg(value, e).toAggregateExpression()
+    })
+    ext.injectFunction(fn1("graft_quantile_merge_agg", classOf[QuantileMergeAgg])(
+      e => QuantileMergeAgg(e).toAggregateExpression()))
+    ext.injectFunction(fn("graft_quantile_query", classOf[QuantileQuery])(
+      QuantileQuery.apply))
     ext.injectFunction(fn("graft_l2sq", classOf[SquaredL2])(SquaredL2.apply))
     ext.injectFunction(fn("graft_bloom_contains", classOf[BloomMightContain])(
       BloomMightContain.apply))

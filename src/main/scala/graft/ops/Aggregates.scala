@@ -661,6 +661,30 @@ object Aggregates {
     * Spark's Apache DataSketches HllSketch aggs. No oracle (estimates
     * depend on sketch geometry); property-tested within rsd of the
     * exact per-type distincts; exact twin: q_agg_distinct. */
+  /** Mergeable QUANTILE rollup — the percentile sibling of
+    * [[aAggHllPartial]], closing the sketch family's most-used tsdb
+    * gap: per-(event_type, day) GK-summary partials (graft's
+    * `QuantileBuildAgg`, built on Spark's own QuantileSummaries),
+    * merged per type, then p50/p95/p99 read off the merged blob. Raw
+    * rows are scanned ONCE by the partial build; every later slice is
+    * a constant-size blob merge. No oracle (GK estimates depend on
+    * compression geometry); PropertySpec enforces the guarantee that
+    * the φ-estimate's true rank sits within ε·N of φ·N. Exact twin:
+    * q_agg_percentile_exact. */
+  def aAggQuantilePartial(s: SparkSession, sf: String): DataFrame = {
+    import graft.functions.QuantileSketch._
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(quantileAgg(col("value"), 0.01).as("sk"))
+    daily.groupBy(col("event_type"))
+      .agg(quantileMergeAgg(col("sk")).as("sk"))
+      .select(col("event_type"),
+        round(quantileQuery(col("sk"), lit(0.5)), 4).as("p50"),
+        round(quantileQuery(col("sk"), lit(0.95)), 4).as("p95"),
+        round(quantileQuery(col("sk"), lit(0.99)), 4).as("p99"))
+      .orderBy("event_type")
+  }
+
   def aAggHllPartial(s: SparkSession, sf: String): DataFrame = {
     val daily = Tables.events(s, sf)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))

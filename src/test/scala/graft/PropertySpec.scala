@@ -278,6 +278,42 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0, "inclusion-exclusion estimate deviated beyond the compound bound")
   }
 
+  test("quantile sketch: merged-partial estimates honor the GK rank bound; SQL surface") {
+    import org.apache.spark.sql.functions._
+    val eps = 0.01 // relErr used by aAggQuantilePartial
+    val est = graft.ops.Aggregates.aAggQuantilePartial(spark, sf).collect()
+    assert(est.nonEmpty)
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(_.getDouble(1)).sorted }
+    est.foreach { r =>
+      val vals = byType(r.getString(0))
+      val n = vals.length
+      for ((phi, i) <- Seq(0.5 -> 1, 0.95 -> 2, 0.99 -> 3)) {
+        val v = r.getDouble(i)
+        // GK guarantee: the estimate's true rank is within ε·N of φ·N
+        // (±1 for the discrete rank cut)
+        val rank = vals.count(_ <= v)
+        assert(math.abs(rank - phi * n) <= eps * n + 1,
+          s"type=${r.getString(0)} phi=$phi est=$v rank=$rank n=$n")
+        // and the estimate is an actual observed value (GK returns
+        // sampled inputs, never interpolations)
+        assert(vals.contains(v), s"estimate $v not an observed value")
+      }
+    }
+    // the per-day partial path must agree with a single global sketch
+    // within the additive bound (merge does not degrade the guarantee)
+    Tables.events(spark, sf).createOrReplaceTempView("events_q")
+    val viaSql = spark.sql(
+      """SELECT graft_quantile_query(graft_quantile_agg(value, 0.01D), 0.5D) AS p50
+         FROM events_q""").head.getDouble(0)
+    val n = byType.values.map(_.length).sum
+    val all = byType.values.flatten.toArray.sorted
+    val rank = all.count(_ <= viaSql)
+    assert(math.abs(rank - 0.5 * n) <= eps * n + 1, "SQL surface violates the bound")
+  }
+
   test("bitmap distinct: blob roundtrip dense+sparse, rollup == countDistinct, SQL surface") {
     import org.apache.spark.sql.functions._
     import graft.functions.BitmapUtil
