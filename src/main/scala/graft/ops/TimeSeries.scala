@@ -170,19 +170,34 @@ object TimeSeries {
   def qTsAnomaly(s: SparkSession, sf: String): DataFrame = {
     val frame = byUser.rowsBetween(-20, -1)
     // explicit sum/sumsq stddev — engines' native stddev_samp use
-    // different incremental algorithms; these exact expressions produce
-    // the same doubles on both sides
+    // different incremental algorithms. The sums go through DECIMAL
+    // (value is true-scale-2, value² true-scale-4 — exact at these
+    // cast scales): windowed double accumulation order is NOT
+    // contractually identical cross-engine (DuckDB segment-tree vs
+    // Spark frame recompute), and a last-ulp flip could cross the
+    // round(z,4) or |z|>3 cut. Decimal window sums are exact and
+    // order-independent; the downstream μ/σ/z arithmetic is identical
+    // IEEE on identical inputs.
     val n = count(col("value")).over(frame)
-    val sm = sum(col("value")).over(frame)
-    val ssq = sum(col("value") * col("value")).over(frame)
-    val mu = sm / n
+    val sm = sum(col("value").cast("decimal(28,2)")).over(frame).cast("double")
+    val ssq = sum((col("value") * col("value")).cast("decimal(28,4)"))
+      .over(frame).cast("double")
+    // EXPLICIT zero-divisor guards (greatest/when), NOT reliance on the
+    // n20>=5 filter short-circuiting: ANSI division throws on a zero
+    // divisor even for doubles, and whether the filter's conjuncts
+    // guard the projection depends on predicate-pushdown inlining — an
+    // optimizer detail this query must not bet on. For surviving rows
+    // (n ≥ 5, sd > 0) every guard is a no-op, so oracle parity holds.
+    val nSafe = greatest(n, lit(1L))
+    val mu = sm / nSafe
     // clamp: cancellation can push the variance a hair negative for
     // near-constant frames — Spark sqrt would give NaN (which passes
     // NaN-is-largest filters!) and DuckDB sqrt would hard-error
-    val sd = sqrt(greatest((ssq - sm * sm / n) / (n - 1), lit(0.0)))
+    val sd = sqrt(greatest(
+      (ssq - sm * sm / nSafe) / greatest(n - 1, lit(1L)), lit(0.0)))
     Tables.events(s, sf)
       .withColumn("n20", n).withColumn("sd", sd)
-      .withColumn("z", (col("value") - mu) / col("sd"))
+      .withColumn("z", (col("value") - mu) / when(col("sd") > 0, col("sd")))
       .where(col("n20") >= 5 && col("sd") > 0 && abs(col("z")) > 3)
       .select(col("event_id"), col("user_id"), col("value"),
               round(col("z"), 4).as("z"))

@@ -248,9 +248,12 @@ object OracleSql {
       FROM (
         SELECT event_id, user_id, value,
           COUNT(value) OVER f AS n20,
-          SUM(value) OVER f / COUNT(value) OVER f AS mu,
-          sqrt(greatest((SUM(value * value) OVER f
-                - SUM(value) OVER f * SUM(value) OVER f / COUNT(value) OVER f)
+          CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER f AS DOUBLE)
+            / COUNT(value) OVER f AS mu,
+          sqrt(greatest((CAST(SUM(CAST(value * value AS DECIMAL(28,4))) OVER f AS DOUBLE)
+                - CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER f AS DOUBLE)
+                  * CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER f AS DOUBLE)
+                  / COUNT(value) OVER f)
                / (COUNT(value) OVER f - 1), 0.0)) AS sd
         FROM events
         WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
