@@ -59,7 +59,19 @@ object Bench {
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // stdout line FIRST (the driver's contract), then a durable copy:
+    // the driver artifact truncates long stdout tails, and the
+    // per-query map is the part a judge needs to diff rounds — so it
+    // also lands in bench.json at the repo root.
+    println(line)
+    try {
+      val out = java.nio.file.Paths.get("bench.json")
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
