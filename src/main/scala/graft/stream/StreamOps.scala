@@ -1,6 +1,6 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -533,6 +533,95 @@ object StreamOps {
       .transformWithState(new TopKProcessor(k, capacity),
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** One banded signature row entering the standing LSH index. */
+  case class BandDoc(key: Long, docId: Long, sig: Array[Long])
+
+  /** An indexed signature held in band-bucket state. */
+  case class IndexedSig(docId: Long, sig: Array[Long])
+
+  /** A flagged near-dup: `aId` < `bId`, `nAgree` of 32 minhashes equal
+    * (agreement/32 is the unbiased Jaccard estimate). */
+  case class DupHit(aId: Long, bId: Long, nAgree: Int)
+
+  /** s_stream_minhash_index: the band-bucket keyed state — every doc's
+    * full 32-hash signature is appended to its 16 band buckets; an
+    * arriving doc compares against the bucket's standing members, so a
+    * near-dup is flagged across micro-batches (batch N vs batch N−k).
+    * State per bucket is O(members × 32 longs); a production deployment
+    * over an open-ended corpus adds TTLConfig to age out cold docs —
+    * same trade declared on [[HighWaterProcessor]]. */
+  private class MinhashIndexProcessor(minAgree: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, BandDoc, DupHit] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var index: org.apache.spark.sql.streaming.ListState[IndexedSig] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      index = getHandle.getListState[IndexedSig](
+        "sigs", E.product[IndexedSig], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[BandDoc],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[DupHit] = {
+      val stored = scala.collection.mutable.ArrayBuffer.empty[IndexedSig]
+      if (index.exists()) index.get().foreach(stored += _)
+      val out = Seq.newBuilder[DupHit]
+      // grouping is guaranteed, intra-key order is not — sort by docId
+      // so in-batch pair emission is deterministic
+      rows.toSeq.sortBy(_.docId).foreach { d =>
+        if (!stored.exists(_.docId == d.docId)) { // idempotent on replay
+          stored.foreach { s =>
+            var agree = 0
+            var i = 0
+            while (i < d.sig.length) { if (d.sig(i) == s.sig(i)) agree += 1; i += 1 }
+            if (agree >= minAgree)
+              out += DupHit(math.min(d.docId, s.docId),
+                            math.max(d.docId, s.docId), agree)
+          }
+          stored += IndexedSig(d.docId, d.sig)
+          index.appendValue(IndexedSig(d.docId, d.sig))
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** s_stream_minhash_index: STREAMING near-dup detection against a
+    * standing LSH index — the streaming twin of the batch
+    * `a_dedup_minhash`, closing batch/stream parity for the dedup
+    * family. Same signature scheme as the batch op (32 murmur3-affine
+    * minhashes, 16 bands × 2 rows, band key = xxhash64(band, sig…));
+    * the DataFrame pre-stage computes signatures with codegen'd column
+    * functions, then `transformWithState` keeps each band bucket's
+    * member signatures in RocksDB ListState. A colliding pair is
+    * verified by signature agreement (≥ `minAgree` of 32 — the
+    * estimated-Jaccard cut), so output needs no second pass over text.
+    * A pair colliding in several bands emits per band — downstream
+    * dedup is one `distinct` in the sink (same contract as the batch
+    * op's candidate stage). Requires the RocksDB state store, like
+    * [[highWaterMarks]]. */
+  def minhashIndexDedup(docs: DataFrame, minAgree: Int = 16): Dataset[DupHit] = {
+    import docs.sparkSession.implicits._
+    val nHashes = 32
+    val rowsPerBand = 2
+    val prime = 2147483647L
+    val tk = array_distinct(split(lower(col("text")), " "))
+    val sigs: Seq[Column] = (0 until nHashes).map { i =>
+      val a = 2L * i + 1; val b = 104729L * (i + 1)
+      array_min(transform(tk,
+        t => pmod(hash(t).cast("long") * a + b, lit(prime))))
+    }
+    val bands: Column = array((0 until nHashes / rowsPerBand).map { j =>
+      xxhash64((lit(j) +: sigs.slice(j * rowsPerBand, (j + 1) * rowsPerBand)): _*)
+    }: _*)
+    docs.select(explode(bands).as("key"), col("doc_id").as("docId"),
+                array(sigs: _*).as("sig"))
+      .as[BandDoc]
+      .groupByKey(_.key)
+      .transformWithState(new MinhashIndexProcessor(minAgree),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** s_stream_cdc_upsert: streaming CDC MERGE — maintain a key→latest

@@ -413,6 +413,40 @@ class StreamingSpec extends SparkSpec {
            after(2).getAs[Double]("value") == 3.0, "untouched keys keep values")
   }
 
+  test("s_stream_minhash_index: near-dup in batch N flagged against a doc indexed in batch N-k") {
+    withRocksDB {
+      import spark.implicits._
+      val base = "the quick brown fox jumps over the lazy dog near the old river bank " +
+        "while rain falls softly on green meadows and distant hills fade into mist"
+      val nearDup = base.replace("softly", "gently") // one-token edit → high Jaccard
+      val unrelated = "completely different content about database engines sorting " +
+        "columnar pages through vectorized execution kernels without any shared words"
+      val in = MemoryStream[(Long, String)](spark)
+      val docs = in.toDF().toDF("doc_id", "text")
+      val hits = StreamOps.minhashIndexDedup(docs)
+      val q = hits.writeStream.format("memory").queryName("mh_hits")
+        .outputMode("append").start()
+      try {
+        in.addData((1L, base), (2L, unrelated)) // batch 0: index only
+        q.processAllAvailable()
+        assert(spark.table("mh_hits").count() == 0,
+               "unrelated docs must not collide")
+        in.addData((3L, nearDup)) // batch 1: must hit doc 1 from batch 0
+        q.processAllAvailable()
+        val found = spark.table("mh_hits")
+          .select("aId", "bId").distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(found == Set((1L, 3L)),
+               s"expected cross-batch near-dup (1,3) only, got $found")
+        // agreement estimates the true Jaccard: a one-token edit keeps
+        // most of the 32 minhashes equal
+        val agree = spark.table("mh_hits")
+          .agg(org.apache.spark.sql.functions.max("nAgree")).head.getInt(0)
+        assert(agree >= 24, s"agreement $agree/32 implausibly low for a near-copy")
+      } finally q.stop()
+    }
+  }
+
   test("s_stream_jdbc_sink: foreachBatch through JdbcAppendSink round-trips an embedded warehouse") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc").toString
