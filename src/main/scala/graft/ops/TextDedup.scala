@@ -415,6 +415,84 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the at-scale CC algorithm [[qDedupCluster]]'s scaladoc
+    * cites, now implemented as its own graded op with the SAME oracle
+    * (both must produce the component-min labeling of the τ=0.6
+    * near-dup graph).
+    *
+    * Why it matters at 100 TB: pointer-jump label propagation
+    * ([[qDedupCluster]]) needs O(graph diameter)-ish rounds and keeps
+    * a separate O(|V|) label frame joined against the full edge set
+    * each round; large/small-star rewrites the EDGE SET itself toward
+    * a star per component in O(log²n) rounds on adversarial chains
+    * (O(log n) in practice), each round two hash-partitioned
+    * groupBy+join passes over edges — no label side-car, no broadcast
+    * anywhere, every shuffle keyed on node ids. Edge count never grows
+    * (each round maps each edge to one output edge, dedup'd), so the
+    * per-round cost is monotone non-increasing.
+    *
+    * Round shape: large-star links every neighbor v>u to m=min(Γ⁺(u))
+    * (connectivity-preserving, orients edges large→small); small-star
+    * re-hangs the small neighbors onto m. Fixpoint = every node points
+    * at its component min; checked by an exact symmetric-difference
+    * count (one co-partitioned groupBy per round — the distributed
+    * convergence check, no driver data). localCheckpoint per stage
+    * keeps plans constant-size (§7.3 loop discipline). */
+  def qGraphCcStar(s: SparkSession, sf: String): DataFrame = {
+    val pairs = bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6)
+      .select(col("a_id"), col("b_id"))
+    // orient u > v (canonical pairs have a_id < b_id)
+    var edges = pairs.select(col("b_id").as("u"), col("a_id").as("v"))
+      .distinct()
+      .repartition(8, col("u"))
+      .localCheckpoint()
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val m = nb.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      nb.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(m.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")) // root self-loops carry no info
+        .distinct()
+        .repartition(8, col("u"))
+        .localCheckpoint()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // input orientation u > v holds by construction (see callers)
+      val m = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(m, "u").where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(m.select(col("u"), col("m").as("v")))
+        .distinct()
+        .repartition(8, col("u"))
+        .localCheckpoint()
+    }
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 25) { // O(log² n) bound; fixture closes in 2-3
+      val next = smallStar(largeStar(edges))
+      // exact distributed convergence check: symmetric difference of
+      // the two edge sets, counted co-partitioned — no data collected
+      val diff = next.unionAll(edges).groupBy("u", "v")
+        .agg(count(lit(1)).as("c")).where(col("c") === 1).count()
+      edges = next
+      converged = diff == 0
+      rounds += 1
+    }
+    // fixpoint = stars: every non-root points straight at its root
+    val labels = edges.select(col("u").as("id"), col("v").as("lab"))
+      .unionAll(edges.select(col("v").as("id"), col("v").as("lab")))
+      .groupBy("id").agg(min(col("lab")).as("lab"))
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lab")
+      .select(col("id").as("doc_id"), col("lab").as("cluster_id"),
+              col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus stats per (lang, source); integer sums stay exact. */
   def qTextStats(s: SparkSession, sf: String): DataFrame =
     Tables.documents(s, sf)

@@ -975,6 +975,12 @@ object OracleSql {
     FROM labels l JOIN sizes s USING (cluster_id)
     ORDER BY doc_id""")
 
+  // q_graph_cc_star computes the identical component-min labeling by a
+  // different distributed algorithm (large/small-star vs pointer-jump)
+  // — one truth, two implementations, literally one oracle. (Defined
+  // after qDedupCluster: object vals initialize in declaration order.)
+  val qGraphCcStar: String = qDedupCluster
+
   val qDedupEditdist: String = n("""
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS BIGINT) AS lev
