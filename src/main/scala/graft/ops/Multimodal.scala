@@ -120,6 +120,50 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Resized media metadata: 2× average-pooled dimensions + checksum. */
+  final case class ResizedMedia(doc_id: Long, rw: Long, rh: Long, pooled_sum: Long)
+
+  /** REAL image resize — 2× average-pooling on the DECODED raster (the
+    * thumbnail/downsample stage of an image-training pipeline, on
+    * actual pixels): decode the PNG payload, pool each 2×2 block to
+    * `block_sum div 4` (integer — exact on both engines), truncate odd
+    * edges, report pooled dims + pooled pixel sum. Same per-partition
+    * codec batching as the decode op; the oracle recomputes the pooled
+    * checksum from the generator over an explicit pixel grid, so the
+    * decode→resize arithmetic is verified end-to-end on real bytes. */
+  def qMultimodalResize(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val assets: Dataset[MediaAsset] = Tables.documents(s, sf)
+      .select(col("doc_id"), col("lang"),
+              (lit(1L) + col("doc_id") % 24L).as("n_frames"))
+      .as[(Long, String, Long)]
+      .map { case (id, lang, nf) => MediaAsset(id, lang, nf, renderPng(id)) }
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.payload))
+        val raster = img.getRaster
+        val (rw, rh) = (img.getWidth / 2, img.getHeight / 2)
+        var sum = 0L
+        var j = 0
+        while (j < rh) {
+          var i = 0
+          while (i < rw) {
+            val block = raster.getSample(2 * i, 2 * j, 0) +
+              raster.getSample(2 * i + 1, 2 * j, 0) +
+              raster.getSample(2 * i, 2 * j + 1, 0) +
+              raster.getSample(2 * i + 1, 2 * j + 1, 0)
+            sum += block / 4
+            i += 1
+          }
+          j += 1
+        }
+        ResizedMedia(a.doc_id, rw.toLong, rh.toLong, sum)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   /** Content-hash dedup over the BINARY payload — media dedup by
     * exact bytes (the first gate of any image/video curation pipeline:
     * identical files recur across crawls far more often than

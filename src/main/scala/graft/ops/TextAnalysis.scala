@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import Util._
@@ -180,6 +181,70 @@ object TextAnalysis {
         sum(col("n_chars")).as("sum_chars"),
         count_distinct(col("lang")).as("n_langs"))
       .orderBy("host")
+  }
+
+  /** URL-canonicalization dedup — the FIRST gate of a crawl pipeline
+    * (before any content hashing): the same page recurs under raw-URL
+    * decorations — scheme variants, `WWW.` casing, tracking params,
+    * trailing slashes — and canonical-URL grouping removes those
+    * re-crawls for the cost of one string normalization + hash agg,
+    * never touching page bytes. Raw URLs are synthesized per doc like
+    * [[qTextUrls]] (fixture docs carry no literal URLs), with ~4 docs
+    * sharing a canonical page under different decorations. Chain:
+    * lower → strip scheme → strip `www.` → strip query/fragment →
+    * strip trailing slash (each regex in the Java∩RE2 shared subset).
+    * Shuffles (canonical-url, id, n_chars) only — at 100 TB the
+    * normalization rides the scan, the agg is the only exchange. */
+  def qDedupUrl(s: SparkSession, sf: String): DataFrame = {
+    // the PAGE identity derives from doc_id div 4 alone — four raw
+    // crawl records share each canonical page under different
+    // decorations, so the dedup has real work to do (n_copies ≈ 4)
+    val page = expr("doc_id div 4")
+    val tld = when(page % 3 === 0, ".com")
+      .when(page % 3 === 1, ".org").otherwise(".net")
+    val raw = concat(
+      when(col("doc_id") % 2 === 0, "HTTPS://WWW.").otherwise("http://"),
+      lit("site-"), expr("doc_id div 40").cast("string"), tld,
+      lit("/page-"), page.cast("string"),
+      when(col("doc_id") % 4 === 0, "/").otherwise(""),
+      when(col("doc_id") % 2 === 1, "?utm_campaign=crawl&session=9").otherwise(""),
+      when(col("doc_id") % 8 === 2, "#fragment").otherwise(""))
+    val canon =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(raw), "^https?://", ""),
+            "^www\\.", ""),
+          "[?#].*$", ""),
+        "/$", "")
+    Tables.documents(s, sf)
+      .select(col("doc_id"), col("n_chars"), canon.as("url"))
+      .groupBy(col("url"))
+      .agg(min(col("doc_id")).as("keep_id"),
+           count(lit(1)).as("n_copies"),
+           sum(col("n_chars")).as("total_chars"))
+      .orderBy("keep_id")
+  }
+
+  /** Exact-size-k per-stratum sample by HASH RANK — the distributed,
+    * deterministic equivalent of reservoir sampling: rank docs inside
+    * each lang by (md5(doc_id), doc_id) and keep the first 10. Every
+    * doc is equally likely under the hash ordering (same marginal as a
+    * reservoir), but the selection is reproducible across shards,
+    * engines and re-runs — no RNG state to synchronize, which is what
+    * breaks naive reservoirs on 1000 executors. One window shuffle on
+    * lang; at 100 TB with billions of rows per stratum the same rank
+    * is computed as a per-partition top-k + merge (TakeOrdered per
+    * group), never a full sort. */
+  def qSampleReservoir(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, sf)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "rk")
   }
 
   /** Deterministic per-lang weighted sampling — the domain-mixture

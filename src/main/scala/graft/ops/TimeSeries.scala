@@ -52,6 +52,37 @@ object TimeSeries {
                 .as("rate"))
       .orderBy("event_id")
 
+  /** PromQL-style `irate`: the INSTANTANEOUS rate from each series'
+    * LAST TWO samples only — what dashboards show for fast-moving
+    * counters, vs [[qTsRate]]'s per-step rates over the whole series
+    * (irate reacts instantly and never averages over a scrape gap).
+    * Counter-reset rule mirrored from PromQL: v_last < v_prev means
+    * the counter restarted, so the increase is v_last itself. One
+    * (user_id) window shuffle to rank from the end, a 2-row group per
+    * user after the rn ≤ 2 filter — at scale the filter collapses
+    * everything past the last two samples map-side. Exact integer µs
+    * for Δt; value deltas are scale-2-exact doubles; ONE division +
+    * round(4), mirrored. */
+  def qTsIrate(s: SparkSession, sf: String): DataFrame = {
+    val back = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, sf)
+      .withColumn("rn", row_number().over(back))
+      .where(col("rn") <= 2)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("rn") === 1, col("value"))).as("v_last"),
+           max(when(col("rn") === 2, col("value"))).as("v_prev"),
+           max(when(col("rn") === 1, unix_micros(col("ts")))).as("t_last"),
+           max(when(col("rn") === 2, unix_micros(col("ts")))).as("t_prev"))
+      .where(col("v_prev").isNotNull && col("t_last") > col("t_prev"))
+      .select(col("user_id"),
+        round(
+          when(col("v_last") < col("v_prev"), col("v_last"))
+            .otherwise(col("v_last") - col("v_prev")) /
+          ((col("t_last") - col("t_prev")) / lit(1000000.0)), 4).as("irate"))
+      .orderBy("user_id")
+  }
+
   /** Dense hourly axis via sequence+explode, zero-filled by left join —
     * gap filling without a driver-side loop (the axis is generated
     * distributively from the min/max bounds). */

@@ -762,6 +762,80 @@ object OracleSql {
     FROM dims d JOIN px USING (doc_id)
     ORDER BY d.doc_id""")
 
+  // ---- round 4 additions ----
+
+  val qDedupUrl: String = n("""
+    WITH raw AS (
+      SELECT doc_id, n_chars,
+        concat(
+          CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END,
+          'site-', CAST(doc_id // 40 AS VARCHAR),
+          CASE WHEN (doc_id // 4) % 3 = 0 THEN '.com'
+               WHEN (doc_id // 4) % 3 = 1 THEN '.org' ELSE '.net' END,
+          '/page-', CAST(doc_id // 4 AS VARCHAR),
+          CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+          CASE WHEN doc_id % 2 = 1 THEN '?utm_campaign=crawl&session=9' ELSE '' END,
+          CASE WHEN doc_id % 8 = 2 THEN '#fragment' ELSE '' END) AS u
+      FROM documents),
+    canon AS (
+      SELECT doc_id, n_chars,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(u),
+          '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/$', '') AS url
+      FROM raw)
+    SELECT url, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM canon GROUP BY url ORDER BY keep_id""")
+
+  val qSampleReservoir: String = n("""
+    SELECT lang, rk, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+        ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents) t
+    WHERE rk <= 10 ORDER BY lang, rk""")
+
+  val qTsIrate: String = n("""
+    WITH ranked AS (
+      SELECT user_id, value, epoch_us(ts) AS t,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    last2 AS (
+      SELECT user_id,
+        MAX(CASE WHEN rn = 1 THEN value END) AS v_last,
+        MAX(CASE WHEN rn = 2 THEN value END) AS v_prev,
+        MAX(CASE WHEN rn = 1 THEN t END) AS t_last,
+        MAX(CASE WHEN rn = 2 THEN t END) AS t_prev
+      FROM ranked WHERE rn <= 2 GROUP BY user_id)
+    SELECT user_id,
+      round((CASE WHEN v_last < v_prev THEN v_last ELSE v_last - v_prev END)
+            / ((t_last - t_prev) / 1000000.0), 4) AS irate
+    FROM last2
+    WHERE v_prev IS NOT NULL AND t_last > t_prev
+    ORDER BY user_id""")
+
+  // Mirrors renderPng + 2x average pooling over the generator's grid:
+  // pooled pixel (i,j) = (sum of the 2x2 block) // 4, odd edges
+  // truncated; Spark computes the same off the DECODED raster.
+  val qMultimodalResize: String = n("""
+    WITH dims AS (
+      SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 7) % 24 AS h
+      FROM documents),
+    px AS (
+      SELECT d.doc_id, x.x // 2 AS i, y.y // 2 AS j,
+             (x.x + 7 * y.y + d.doc_id) % 251 AS v
+      FROM dims d, generate_series(0, 46) x(x), generate_series(0, 38) y(y)
+      WHERE x.x < 2 * (w // 2) AND y.y < 2 * (h // 2)),
+    pooled AS (
+      SELECT doc_id, i, j, SUM(v) // 4 AS pv
+      FROM px GROUP BY doc_id, i, j)
+    SELECT d.doc_id,
+      CAST(d.w // 2 AS BIGINT) AS rw, CAST(d.h // 2 AS BIGINT) AS rh,
+      CAST(SUM(p.pv) AS BIGINT) AS pooled_sum
+    FROM dims d JOIN pooled p USING (doc_id)
+    GROUP BY d.doc_id, d.w, d.h
+    ORDER BY d.doc_id""")
+
   // ---- §2.11 extensions (round 3): pipeline composites ----
 
   val qAggMode: String = n("""
