@@ -194,6 +194,63 @@ object Vectors {
       .orderBy("a_id", "b_id")
   }
 
+  /** Spherical k-means (Lloyd) over the embedding cloud — the corpus
+    * STRUCTURING op a training pipeline runs between dedup and
+    * sampling (domain discovery, cluster-balanced mixtures, IVF cell
+    * seeding): k=8 cosine clusters, 3 Lloyd rounds. Each round is one
+    * distributed pass — assignment by the same codegen
+    * `graft_ivf_cells` kernel as the ANN index (nprobe=1 = nearest
+    * centroid; the centroid matrix rides as a codegen reference
+    * object), recentering as a (cell, pos) hash agg over exploded
+    * UNIT vectors whose k×64 result is the only driver traffic
+    * (constant-size, the PCA/IVF collect pattern — data rows never
+    * leave the cluster). Output: per-cluster membership + mean
+    * cosine-to-centroid. No oracle (float iteration geometry is
+    * engine-specific); PropertySpec pins the Lloyd contract — full
+    * coverage, and the 3-round objective ≥ the 0-round objective. */
+  def aEmbedKmeans(s: SparkSession, sf: String): DataFrame = kmeans(s, sf, 8, 3)
+
+  private[graft] def kmeans(s: SparkSession, sf: String,
+                            k: Int, iters: Int): DataFrame = {
+    import s.implicits._
+    val v = normed(s, sf)
+    def normalize(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0) a else a.map(_ / n)
+    }
+    // deterministic seed: the k lowest-id vectors (any fixed rule
+    // works; k-means++ would sharpen clusters but adds k passes)
+    var cents: Array[Array[Double]] = Tables.embeddings(s, sf)
+      .where(col("vec_id") < k).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
+    val dim = cents.head.length
+    for (_ <- 1 to iters) {
+      val assigned = v.withColumn("cell",
+        graft.functions.VectorExpressions.ivfCells(col("dv"), cents, 1).getItem(0))
+      val sums = assigned
+        .select(col("cell"), col("nrm"), posexplode(col("dv")).as(Seq("pos", "x")))
+        .select(col("cell"), col("pos"), (col("x").cast("double") / col("nrm")).as("u"))
+        .groupBy(col("cell"), col("pos")).agg(sum(col("u")).as("sv"))
+        .collect() // k×dim rows — constant-size, never data-sized
+      val next = Array.fill(k)(new Array[Double](dim))
+      sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next.zipWithIndex.map { case (c, i) =>
+        if (c.forall(_ == 0.0)) cents(i) else normalize(c) // empty cell keeps its seed
+      }
+    }
+    val cellDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "cvec")
+    v.withColumn("cell",
+        graft.functions.VectorExpressions.ivfCells(col("dv"), cents, 1).getItem(0))
+      .join(broadcast(cellDf), "cell")
+      .withColumn("sim",
+        dot(transform(col("dv"), e => e.cast("double")), col("cvec")) / col("nrm"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), round(avg(col("sim")), 4).as("avg_sim"))
+      .orderBy("cell")
+  }
+
   /** Per-label embedding centroid in FIXED-POINT: each float component
     * is floored to a 2⁻³⁰ grid (`floor(x·2³⁰)` — float→double is exact,
     * the scaled floor is a pure binary op, identical on every engine)

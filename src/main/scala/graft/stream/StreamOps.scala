@@ -535,6 +535,51 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** Streaming percentile readout per event type. */
+  case class QuantileOut(eventType: String, n: Long, p50: Double, p95: Double)
+
+  /** s_stream_quantile: running p50/p95 per event type with BOUNDED
+    * state — the GK quantile sketch ([[graft.functions
+    * .QuantileSketchUtil]], the same kernel as the batch
+    * `a_agg_quantile_partial`) lives in a per-key ValueState as its
+    * serialized blob: O(1/ε · log εN) summary entries per key forever,
+    * where exact streaming percentiles would buffer every value. Each
+    * micro-batch inserts its rows, re-serializes (which compresses),
+    * and emits the updated estimates — batch/stream parity for the
+    * sketch family, like the minhash index is for dedup. */
+  private class QuantileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, QuantileOut] {
+    import org.apache.spark.sql.{Encoders => E}
+    import graft.functions.QuantileSketchUtil
+    @transient private var sk: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sk = getHandle.getValueState[Array[Byte]](
+        "sk", E.BINARY, org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[QuantileOut] = {
+      val buf = if (sk.exists()) QuantileSketchUtil.deser(sk.get())
+                else QuantileSketchUtil.empty(0.01)
+      rows.foreach(e => buf.qs = buf.qs.insert(e.value))
+      val blob = QuantileSketchUtil.ser(buf) // compresses as a side effect
+      sk.update(blob)
+      Iterator(QuantileOut(key, buf.qs.count,
+        QuantileSketchUtil.queryBlob(blob, 0.5),
+        QuantileSketchUtil.queryBlob(blob, 0.95)))
+    }
+  }
+
+  /** Requires the RocksDB state store, like [[highWaterMarks]]. */
+  def streamingQuantiles(events: Dataset[Event]): Dataset[QuantileOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.eventType)
+      .transformWithState(new QuantileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** One banded signature row entering the standing LSH index. */
   case class BandDoc(key: Long, docId: Long, sig: Array[Long])
 

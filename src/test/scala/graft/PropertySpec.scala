@@ -278,6 +278,28 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0, "inclusion-exclusion estimate deviated beyond the compound bound")
   }
 
+  test("kmeans: full coverage, and 3 Lloyd rounds improve the spherical objective") {
+    def objective(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val rows = df.collect()
+      val n = rows.map(_.getAs[Long]("n_members")).sum
+      val obj = rows.map(r => r.getAs[Long]("n_members") * r.getAs[Double]("avg_sim")).sum
+      (n, obj)
+    }
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val (n3, obj3) = objective(graft.ops.Vectors.kmeans(spark, sf, 8, 3))
+    assert(n3 == nVecs, "every vector must be assigned to exactly one cluster")
+    val (n0, obj0) = objective(graft.ops.Vectors.kmeans(spark, sf, 8, 0))
+    assert(n0 == nVecs)
+    // Lloyd never decreases Σ cos(x, centroid); allow rounding slack
+    assert(obj3 >= obj0 - 1e-6 * nVecs,
+           s"3-round objective $obj3 worse than seed objective $obj0")
+    // sims are cosines of unit-normalized pairs
+    graft.ops.Vectors.aEmbedKmeans(spark, sf).collect().foreach { r =>
+      val s = r.getAs[Double]("avg_sim")
+      assert(s >= -1.0001 && s <= 1.0001, s"avg_sim $s outside cosine range")
+    }
+  }
+
   test("quantile sketch: merged-partial estimates honor the GK rank bound; SQL surface") {
     import org.apache.spark.sql.functions._
     val eps = 0.01 // relErr used by aAggQuantilePartial

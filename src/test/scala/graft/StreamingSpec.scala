@@ -413,6 +413,33 @@ class StreamingSpec extends SparkSpec {
            after(2).getAs[Double]("value") == 3.0, "untouched keys keep values")
   }
 
+  test("s_stream_quantile: GK-sketch state accumulates across batches within the rank bound") {
+    withRocksDB {
+      import spark.implicits._
+      val in = MemoryStream[Event](spark)
+      val q = StreamOps.streamingQuantiles(in.toDS())
+        .writeStream.format("memory").queryName("sq_out")
+        .outputMode("update").start()
+      try {
+        in.addData((1 to 100).map(i => ev(i, i, value = i.toDouble)): _*)
+        q.processAllAvailable()
+        in.addData((101 to 200).map(i => ev(i, i, value = i.toDouble)): _*)
+        q.processAllAvailable()
+        // latest emission covers BOTH batches (state carried across)
+        val last = spark.table("sq_out").orderBy(org.apache.spark.sql.functions.desc("n"))
+          .head()
+        assert(last.getAs[Long]("n") == 200L, "sketch must span both batches")
+        val eps = 0.01
+        for ((phi, colName) <- Seq(0.5 -> "p50", 0.95 -> "p95")) {
+          val est = last.getAs[Double](colName)
+          val rank = (1 to 200).count(_ <= est) // values are exactly 1..200
+          assert(math.abs(rank - phi * 200) <= eps * 200 + 1,
+                 s"$colName=$est rank=$rank violates the GK bound")
+        }
+      } finally q.stop()
+    }
+  }
+
   test("s_stream_minhash_index: near-dup in batch N flagged against a doc indexed in batch N-k") {
     withRocksDB {
       import spark.implicits._
