@@ -343,6 +343,32 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** TOLERANCE variant of the NATIVE as-of operator: the same
+    * one-pass merge as `q_join_asof_native`, but the matched sample's
+    * TIME rides along as a second payload (the exec's multi-payload
+    * surface), so the ≤10-min staleness rule and the `stale` flag run
+    * as plain projections on the output — no second pass, no window.
+    * Same oracle as `q_join_asof_tolerance` (the window form): the
+    * custom exec and the portable idiom must agree on fresh/stale. */
+  def qJoinAsofNativeTol(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf)
+    val left = e.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("t_us"))
+    val right = e.where(col("event_type") =!= "error")
+      .select(col("user_id").as("r_user"), unix_micros(col("ts")).as("r_us"),
+              col("value").as("prev_value"))
+    graft.plans.AsOfJoin
+      .asofJoinMulti(left, right, "user_id", "r_user", "t_us", "r_us",
+                     Seq("prev_value", "r_us"))
+      .withColumn("age_s", expr("(t_us - r_us) div 1000000"))
+      .withColumn("fresh_value", when(col("age_s") <= 600, col("prev_value")))
+      .withColumn("stale",
+        when(col("r_us").isNotNull && col("age_s") > 600, 1L).otherwise(0L))
+      .select(col("event_id"), col("user_id"), col("fresh_value"), col("stale"))
+      .orderBy("event_id")
+  }
+
   /** NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
     * dimension-with-unknown-bucket idiom: an "unknown" (NULL) key on
     * both sides should MATCH (land in the unknown bucket) where plain

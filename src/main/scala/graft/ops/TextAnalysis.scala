@@ -434,6 +434,47 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Corpus-trained BIGRAM LM cross-entropy per doc — the next rung
+    * above [[qTextUnigramLm]]'s unigram filter: conditional
+    * p(w₂|w₁) = c(w₁w₂)/c(w₁·) catches wrong-order token salads that
+    * unigram stats score as fluent (the classic boilerplate-vs-
+    * gibberish separator cheap enough to run corpus-wide). MLE needs
+    * no smoothing here because scoring and training corpus coincide —
+    * every scored bigram has count ≥ 1 by construction. Context
+    * counts come FROM the bigram table (Σ over bigrams starting with
+    * w₁), so numerator and denominator can never drift. Same
+    * determinism discipline as the unigram op: per-bigram `ln` rounded
+    * at 4dp BEFORE the exact DECIMAL(18,4) weighted sum (the 1-ulp
+    * `ln` rule), one final mirrored double division. Shape: two
+    * exploded-bigram hash aggs + a vocab-sized logp join (broadcast at
+    * fixture; a data-sized (bigram, long) shuffle join at 100 TB, the
+    * qTextTfidf note). */
+  def qTextBigramLm(s: SparkSession, sf: String): DataFrame = {
+    val tk = split(lower(col("text")), " ")
+    // 1-token guard: sequence(0, -1) counts DOWN in Spark while the
+    // oracle's range(0) is empty (the qDedupNgram guard)
+    val bigrams = when(size(tk) >= 2,
+      transform(sequence(lit(0), size(tk) - 2),
+        i => concat_ws(" ", slice(tk, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val dbc = Tables.documents(s, sf)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val bf = dbc.groupBy(col("bg")).agg(sum(col("c")).as("bf"))
+    val cf = bf.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("bf")).as("cf"))
+    val lp = bf.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(cf, "w1")
+      .select(col("bg"),
+        round(log(col("bf").cast("double") / col("cf")), 4).as("logp"))
+    dbc.join(lp, "bg")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        (negate(sum(col("logp").cast("decimal(18,4)") * col("c"))).cast("double")
+          / sum(col("c"))).as("xent2"))
+      .orderBy("doc_id")
+  }
+
   /** Zipf-exponent fit — the corpus-statistics diagnostic (natural
     * text has token frequencies ~ rank^(−s) with s ≈ 1; templated /
     * machine-generated corpora deviate): OLS of ln(freq) on ln(rank)

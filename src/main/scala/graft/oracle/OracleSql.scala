@@ -764,6 +764,26 @@ object OracleSql {
 
   // ---- round 4 additions ----
 
+  val qTextBigramLm: String = n("""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    dbf AS (
+      SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+        i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))) AS bg
+      FROM toks),
+    dbc AS (SELECT doc_id, bg, COUNT(*) AS c FROM dbf GROUP BY doc_id, bg),
+    bf AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS bf FROM dbc GROUP BY bg),
+    cf AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(bf) AS BIGINT) AS cf
+           FROM bf GROUP BY 1),
+    lp AS (
+      SELECT bg, round(ln(CAST(bf.bf AS DOUBLE) / cf.cf), 4) AS logp
+      FROM bf JOIN cf ON split_part(bf.bg, ' ', 1) = cf.w1)
+    SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_bigrams,
+      CAST(-SUM(CAST(lp.logp AS DECIMAL(18,4)) * d.c) AS DOUBLE)
+        / SUM(d.c) AS xent2
+    FROM dbc d JOIN lp USING (bg)
+    GROUP BY d.doc_id ORDER BY d.doc_id ASC NULLS FIRST""")
+
   val qDedupUrl: String = n("""
     WITH raw AS (
       SELECT doc_id, n_chars,

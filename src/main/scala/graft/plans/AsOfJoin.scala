@@ -36,10 +36,11 @@ import org.apache.spark.sql.graftbridge.Bridge
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Attribute, rightKey: Attribute,
                         leftTime: Attribute, rightTime: Attribute,
-                        payload: Attribute,
+                        payloads: Seq[Attribute],
                         forward: Boolean = false) extends BinaryNode {
-  // the payload may have no match -> nullable in the output schema
-  override def output: Seq[Attribute] = left.output :+ payload.withNullability(true)
+  // payloads may have no match -> nullable in the output schema
+  override def output: Seq[Attribute] =
+    left.output ++ payloads.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -58,10 +59,11 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Attribute, rightKey: Attribute,
                         leftTime: Attribute, rightTime: Attribute,
-                        payload: Attribute,
+                        payloads: Seq[Attribute],
                         forward: Boolean = false) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output :+ payload.withNullability(true)
+  override def output: Seq[Attribute] =
+    left.output ++ payloads.map(_.withNullability(true))
 
   /** Same demand a sort-merge join makes: key-clustered children —
     * EnsureRequirements co-partitions the sides (one exchange each at
@@ -90,14 +92,16 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rkOrd = ordinal(right.output, rightKey)
     val rtOrd = ordinal(right.output, rightTime)
     val rightOutput = right.output
-    val payloadAttr = payload
+    val payloadAttrs = payloads
     val outAttrs = output
     val leftOutput = left.output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val payloadProj = UnsafeProjection.create(Seq(payloadAttr: Expression), rightOutput)
+      val payloadProj = UnsafeProjection.create(
+        payloadAttrs.map(a => a: Expression), rightOutput)
       val resultProj = UnsafeProjection.create(
-        outAttrs.map(a => a: Expression), leftOutput :+ payloadAttr.withNullability(true))
-      val nullPayload = new GenericInternalRow(1)
+        outAttrs.map(a => a: Expression),
+        leftOutput ++ payloadAttrs.map(_.withNullability(true)))
+      val nullPayload = new GenericInternalRow(payloadAttrs.length)
       val joined = new JoinedRow()
       // NULL discipline (nullable inputs are allowed; the TYPE must be
       // LONG — enforced at analysis time in asofJoin): a right row with
@@ -183,7 +187,19 @@ object AsOfJoin {
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
-               payloadCol: String, forward: Boolean = false): DataFrame = {
+               payloadCol: String, forward: Boolean = false): DataFrame =
+    asofJoinMulti(left, right, leftKey, rightKey, leftTime, rightTime,
+                  Seq(payloadCol), forward)
+
+  /** Multi-payload variant: carry several right-side columns through
+    * the same single merge pass (e.g. value + matched-sample time, so
+    * a staleness/tolerance rule can run on the output — see
+    * `q_join_asof_native_tol`). */
+  def asofJoinMulti(left: DataFrame, right: DataFrame,
+                    leftKey: String, rightKey: String,
+                    leftTime: String, rightTime: String,
+                    payloadCols: Seq[String],
+                    forward: Boolean = false): DataFrame = {
     val spark: SparkSession = left.sparkSession
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!classic.experimental.extraStrategies.contains(AsOfJoinStrategy))
@@ -209,6 +225,7 @@ object AsOfJoin {
     }
     Bridge.ofRows(spark, AsOfJoinPlan(lp, rp,
       longAttr(lp, leftKey), longAttr(rp, rightKey),
-      longAttr(lp, leftTime), longAttr(rp, rightTime), attr(rp, payloadCol), forward))
+      longAttr(lp, leftTime), longAttr(rp, rightTime),
+      payloadCols.map(attr(rp, _)), forward))
   }
 }
