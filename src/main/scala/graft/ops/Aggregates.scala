@@ -661,6 +661,28 @@ object Aggregates {
     * Spark's Apache DataSketches HllSketch aggs. No oracle (estimates
     * depend on sketch geometry); property-tested within rsd of the
     * exact per-type distincts; exact twin: q_agg_distinct. */
+  /** Per-user Shannon entropy of the event-type mix — the behavioral-
+    * diversity metric (entropy ≈ 0 flags single-action bots/monitors;
+    * high entropy = organic usage): H = −Σ (c/n)·ln(c/n) over the
+    * user's type distribution. Determinism follows the unigram-LM
+    * recipe exactly: the per-type `ln` is rounded at 4dp BEFORE the
+    * exact DECIMAL(18,4)·count weighted sum (1-ulp `ln` rule), one
+    * final mirrored double division. Two hash aggs over (user, type)
+    * cells — nothing data-sized survives the first agg. */
+  def qAggEntropy(s: SparkSession, sf: String): DataFrame = {
+    val cells = Tables.events(s, sf)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy(col("user_id")).agg(sum(col("c")).as("n"))
+    cells.join(totals, "user_id")
+      .withColumn("lp", round(log(col("c").cast("double") / col("n")), 4))
+      .groupBy(col("user_id"))
+      .agg(first(col("n")).as("n_events"),
+        (negate(sum(col("lp").cast("decimal(18,4)") * col("c"))).cast("double")
+          / first(col("n"))).as("entropy"))
+      .orderBy("user_id")
+  }
+
   /** Mergeable QUANTILE rollup — the percentile sibling of
     * [[aAggHllPartial]], closing the sketch family's most-used tsdb
     * gap: per-(event_type, day) GK-summary partials (graft's

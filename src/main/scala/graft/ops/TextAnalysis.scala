@@ -475,6 +475,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Token-budgeted training-mix assembly — the LAST step of a
+    * training-data pipeline (the first capstone, `q_pipeline_curate`,
+    * ends at splits; real mixes are cut by TOKEN BUDGET per language):
+    * Gopher-gate the corpus (shared [[Util.gopherRules]] — one
+    * definition, can't drift from `q_text_gopher`), order each lang's
+    * survivors by the deterministic hash rank (same basis as
+    * `q_sample_reservoir` — shard-reproducible, no RNG), take docs
+    * while the running token sum fits the lang's budget (en 20k,
+    * others 10k), report per-lang docs/tokens/utilization. ALL-INTEGER
+    * accounting. One (lang) window over gated survivors is the only
+    * shuffle; the gate rides the scan. */
+  def qPipelineMix(s: SparkSession, sf: String): DataFrame = {
+    val (r1, r2, r3) = gopherRules(col("text"), col("n_chars"))
+    val wc = size(split(lower(col("text")), " "))
+    val budget = when(col("lang") === "en", 20000L).otherwise(10000L)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.documents(s, sf)
+      .where(r1 && r2 && r3)
+      .select(col("lang"), col("doc_id"), wc.as("wc"))
+      .withColumn("cum", sum(col("wc")).over(w))
+      .where(col("cum") <= budget)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("wc")).as("tokens_kept"))
+      .withColumn("budget", budget)
+      .withColumn("util_pm", expr("1000 * tokens_kept div budget"))
+      .orderBy("lang")
+  }
+
   /** Zipf-exponent fit — the corpus-statistics diagnostic (natural
     * text has token frequencies ~ rank^(−s) with s ≈ 1; templated /
     * machine-generated corpora deviate): OLS of ln(freq) on ln(rank)

@@ -415,6 +415,23 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** Degree distribution of the τ=0.6 near-dup graph — the first
+    * diagnostic read on any dup graph (a heavy tail means template
+    * families / hub pages; a flat distribution means pairwise drift):
+    * per-node degree over the canonical pair list, then the
+    * degree→node-count histogram. ALL-INTEGER; two hash aggs over the
+    * (already filtered) pair list — nothing data-sized past the pair
+    * stage. */
+  def qGraphDegreeDist(s: SparkSession, sf: String): DataFrame = {
+    val pairs = bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6)
+      .select(col("a_id"), col("b_id"))
+    pairs.select(col("a_id").as("id"))
+      .unionAll(pairs.select(col("b_id").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
     * rounds (Kiveris et al., "Connected Components in MapReduce and
     * Beyond") — the at-scale CC algorithm [[qDedupCluster]]'s scaladoc

@@ -764,6 +764,63 @@ object OracleSql {
 
   // ---- round 4 additions ----
 
+  val qAggEntropy: String = n("""
+    WITH cells AS (
+      SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+    tot AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1)
+    SELECT c.user_id, MAX(t.n) AS n_events,
+      CAST(-SUM(CAST(round(ln(CAST(c.c AS DOUBLE) / t.n), 4) AS DECIMAL(18,4))
+                * c.c) AS DOUBLE) / MAX(t.n) AS entropy
+    FROM cells c JOIN tot t USING (user_id)
+    GROUP BY c.user_id ORDER BY c.user_id""")
+
+  val qGraphDegreeDist: String = n("""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang, n_chars,
+        list_distinct(string_split(text, ' ')) AS tk
+      FROM documents),
+    pairs AS (
+      SELECT a_id, b_id FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+        FROM toks a JOIN toks b
+          ON a.doc_id < b.doc_id AND a.lang = b.lang
+         AND abs(a.n_chars - b.n_chars) <= 25) t
+      WHERE jaccard >= 0.6),
+    deg AS (
+      SELECT id, COUNT(*) AS degree FROM (
+        SELECT a_id AS id FROM pairs
+        UNION ALL SELECT b_id AS id FROM pairs) t
+      GROUP BY id)
+    SELECT degree, COUNT(*) AS n_nodes FROM deg
+    GROUP BY degree ORDER BY degree""")
+
+  val qPipelineMix: String = n("""
+    WITH t AS (
+      SELECT doc_id, lang,
+        len(string_split(lower(text), ' ')) AS wc,
+        n_chars - len(string_split(lower(text), ' ')) + 1 AS sumlen,
+        len(list_distinct(string_split(lower(text), ' '))) AS dk
+      FROM documents),
+    p AS (
+      SELECT doc_id, lang, wc FROM t
+      WHERE wc BETWEEN 20 AND 90
+        AND sumlen * 10 >= wc * 38 AND sumlen * 10 <= wc * 46
+        AND dk * 10 >= wc * 5),
+    r AS (
+      SELECT lang, wc,
+        SUM(wc) OVER (PARTITION BY lang
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        CASE WHEN lang = 'en' THEN 20000 ELSE 10000 END AS budget
+      FROM p)
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(wc) AS BIGINT) AS tokens_kept,
+      CAST(MAX(budget) AS BIGINT) AS budget,
+      CAST(1000 * CAST(SUM(wc) AS BIGINT) // MAX(budget) AS BIGINT) AS util_pm
+    FROM r WHERE cum <= budget
+    GROUP BY lang ORDER BY lang""")
+
   val qTextBigramLm: String = n("""
     WITH toks AS (
       SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
