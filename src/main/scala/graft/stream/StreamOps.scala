@@ -535,6 +535,57 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** One per-sample rate emission from the streaming counter-delta op. */
+  case class RateOut(userId: Long, ts: java.sql.Timestamp, ratePerSec: Double)
+
+  /** s_stream_rate: cumulative counter → per-interval rate AT INGEST —
+    * the literal telemetry-collector core loop (a `pg_stat`-class
+    * poller ships cumulative counters; the rate must be computed
+    * against the PREVIOUS poll, which lives across micro-batches):
+    * per-key ValueState holds (last µs, last value); each sample emits
+    * Δv/Δt against it, with the counter-RESET rule (v < prev → the
+    * counter restarted, increase = v) mirrored from the batch
+    * `q_ts_counter_reset`/`q_ts_irate` semantics. State is O(keys) ×
+    * 16 bytes forever — the minimum any cross-batch delta needs. */
+  private class CounterRateProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, RateOut] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var last: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[(Long, Double)](
+        "last", E.tuple(E.scalaLong, E.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[RateOut] = {
+      var prev: Option[(Long, Double)] = if (last.exists()) Some(last.get()) else None
+      val out = Seq.newBuilder[RateOut]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
+        val us = e.ts.getTime * 1000L
+        prev match {
+          case Some((pUs, pV)) if us > pUs =>
+            val inc = if (e.value < pV) e.value else e.value - pV // reset rule
+            out += RateOut(key, e.ts, inc / ((us - pUs) / 1e6))
+          case _ => // first sample ever, or duplicate timestamp: no rate
+        }
+        prev = Some((us, e.value))
+      }
+      prev.foreach(last.update)
+      out.result().iterator
+    }
+  }
+
+  /** Requires the RocksDB state store, like [[highWaterMarks]]. */
+  def streamingRates(events: Dataset[Event]): Dataset[RateOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new CounterRateProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming percentile readout per event type. */
   case class QuantileOut(eventType: String, n: Long, p50: Double, p95: Double)
 

@@ -413,6 +413,32 @@ class StreamingSpec extends SparkSpec {
            after(2).getAs[Double]("value") == 3.0, "untouched keys keep values")
   }
 
+  test("s_stream_rate: counter deltas computed against the PREVIOUS batch's sample, with reset rule") {
+    withRocksDB {
+      import spark.implicits._
+      val in = MemoryStream[Event](spark)
+      val q = StreamOps.streamingRates(in.toDS())
+        .writeStream.format("memory").queryName("rate_out")
+        .outputMode("append").start()
+      try {
+        in.addData(ev(1, 0, user = 7, value = 10.0), ev(2, 1, user = 7, value = 70.0))
+        q.processAllAvailable()
+        // batch 2: cross-batch delta (against batch 1's last sample),
+        // then a counter reset (value drops)
+        in.addData(ev(3, 2, user = 7, value = 130.0), ev(4, 3, user = 7, value = 10.0))
+        q.processAllAvailable()
+        val rates = spark.table("rate_out").orderBy("ts").collect()
+          .map(_.getAs[Double]("ratePerSec"))
+        assert(rates.length == 3, "first-ever sample emits no rate")
+        assert(math.abs(rates(0) - 1.0) < 1e-9)  // (70-10)/60s
+        assert(math.abs(rates(1) - 1.0) < 1e-9,  // (130-70)/60s — CROSS-BATCH
+               "cross-batch delta must use the previous batch's state")
+        assert(math.abs(rates(2) - 10.0 / 60) < 1e-9,
+               "reset rule: value drop means increase = value itself")
+      } finally q.stop()
+    }
+  }
+
   test("s_stream_quantile: GK-sketch state accumulates across batches within the rank bound") {
     withRocksDB {
       import spark.implicits._
