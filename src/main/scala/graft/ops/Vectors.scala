@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorExpressions.dotProduct
@@ -192,6 +193,49 @@ object Vectors {
       .where(col("sim") >= 0.4)
       .select("a_id", "b_id", "sim")
       .orderBy("a_id", "b_id")
+  }
+
+  /** Embedding-space OUTLIER detection — the mislabeled/corrupted-
+    * vector curation gate (a vector far from its own label's centroid
+    * is a labeling error or an embedding-pipeline fault): top-5
+    * farthest vectors per label by squared L2 to the label centroid.
+    * Determinism: the centroid comes from [[qEmbedCentroid]]'s exact
+    * fixed-point integer sums (collected — 640 constant-size cells,
+    * never data), recovered as c = c_fp / (n·2³⁰) (one exact-input
+    * IEEE division per cell, identical on both engines); the per-row
+    * distance folds `zip_with` squares left-to-right via the
+    * `aggregate` HOF — FIXED fold order, so no shuffle-order float
+    * hazard — and the oracle's `list_reduce` folds the same way.
+    * Ranking cuts on round(d², 4) with vec_id tiebreak. */
+  def qEmbedOutliers(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val cents: Map[Int, Array[Double]] = Tables.embeddings(s, sf)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+           sum(floor(col("x").cast("double") * (1L << 30))).as("c_fp"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (lab, rows) =>
+        val arr = new Array[Double](rows.length)
+        rows.foreach(r => arr(r.getInt(1)) =
+          r.getLong(3).toDouble / (r.getLong(2).toDouble * (1L << 30)))
+        lab -> arr
+      }
+    val centDf = cents.toSeq.map { case (l, a) => (l, a) }.toDF("label", "cvec")
+    val d2 = aggregate(
+      zip_with(transform(col("embedding"), e => e.cast("double")), col("cvec"),
+               (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("d2").desc, col("vec_id"))
+    Tables.embeddings(s, sf)
+      .join(broadcast(centDf), "label")
+      .withColumn("d2", round(d2, 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("label"), col("rn"), col("vec_id"), col("d2"))
+      .orderBy("label", "rn")
   }
 
   /** Spherical k-means (Lloyd) over the embedding cloud — the corpus
