@@ -176,6 +176,28 @@ object Aggregates {
            round(expr("percentile(value, 0.95)"), 4).as("p95"))
       .orderBy("event_type")
 
+  /** Median absolute deviation per event type — the ROBUST dispersion
+    * stat (stddev is dragged by the very outliers a telemetry monitor
+    * hunts; MAD isn't, which is why robust z = |x−med|/MAD is the
+    * production outlier cut): med = exact median, MAD = median of
+    * |value − med|. Both medians use the `percentile`↔`quantile_cont`
+    * interpolation pair [[qAggPercentileExact]] already proves
+    * identical; |v−med| is one IEEE subtraction on identical doubles.
+    * Two passes by construction (the second depends on the first's
+    * result) — each one shuffle on the 5-type key; the join is a
+    * 5-row broadcast. */
+  def qAggMad(s: SparkSession, sf: String): DataFrame = {
+    val med = Tables.events(s, sf).groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    Tables.events(s, sf).join(med, "event_type")
+      .withColumn("ad", abs(col("value") - col("med")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(first(col("med")), 4).as("med"),
+           round(expr("percentile(ad, 0.5)"), 4).as("mad"))
+      .orderBy("event_type")
+  }
+
   /** PIVOT: order-priority counts spread to columns per status — the
     * wide-matrix reporting shape. Spark's `pivot` with an EXPLICIT value
     * list compiles to one two-phase hash aggregate (no extra pass to

@@ -764,6 +764,15 @@ object OracleSql {
 
   // ---- round 4 additions ----
 
+  val qAggMad: String = n("""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1)
+    SELECT e.event_type, COUNT(*) AS n, round(MAX(m.med), 4) AS med,
+      round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type""")
+
   val qEmbedOutliers: String = n("""
     WITH cent AS (
       SELECT label, i - 1 AS pos, COUNT(*) AS n,

@@ -535,6 +535,56 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** A missed-heartbeat alert: the key went silent past the gap. */
+  case class GapAlert(userId: Long, lastSeenMs: Long)
+
+  /** s_stream_gap_detect: missed-heartbeat detection via EVENT-TIME
+    * TIMERS — the monitoring primitive aggregation can't express (an
+    * absence fires no row to aggregate; only a timer can speak for a
+    * silent key): each batch re-arms one timer at last-seen + gap, and
+    * when the WATERMARK passes it unanswered, `handleExpiredTimer`
+    * emits the alert. Covers the one `transformWithState` surface the
+    * suite didn't yet exercise (registerTimer / deleteTimer /
+    * handleExpiredTimer, TimeMode.EventTime). State per key: one long
+    * + one timer. */
+  private class HeartbeatProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, GapAlert] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var lastSeen: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long](
+        "last", E.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[GapAlert] = {
+      val batchMax = rows.map(_.ts.getTime).max
+      val seen = if (lastSeen.exists()) math.max(lastSeen.get(), batchMax) else batchMax
+      lastSeen.update(seen)
+      // re-arm: exactly one pending timer per key
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(seen + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[GapAlert] =
+      Iterator(GapAlert(key, lastSeen.get()))
+  }
+
+  /** Requires the RocksDB state store; input must carry a watermark on
+    * `ts` (event-time timers fire against the watermark). */
+  def heartbeatGaps(events: Dataset[Event], gapMs: Long): Dataset[GapAlert] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "0 seconds")
+      .groupByKey(_.userId)
+      .transformWithState(new HeartbeatProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** One per-sample rate emission from the streaming counter-delta op. */
   case class RateOut(userId: Long, ts: java.sql.Timestamp, ratePerSec: Double)
 

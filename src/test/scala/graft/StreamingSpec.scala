@@ -413,6 +413,34 @@ class StreamingSpec extends SparkSpec {
            after(2).getAs[Double]("value") == 3.0, "untouched keys keep values")
   }
 
+  test("s_stream_gap_detect: event-time timer fires for the silent key only") {
+    withRocksDB {
+      import spark.implicits._
+      val in = MemoryStream[Event](spark)
+      val q = StreamOps.heartbeatGaps(in.toDS(), gapMs = 5 * 60000L)
+        .writeStream.format("memory").queryName("gap_out")
+        .outputMode("append").start()
+      try {
+        in.addData(ev(1, 0, user = 1), ev(2, 0, user = 2))
+        q.processAllAvailable()
+        // user 1 keeps beating (re-arming its timer past the watermark);
+        // user 2 goes silent — its t0+5min timer must fire once the
+        // watermark (driven by user 1's events) passes it
+        in.addData(ev(3, 4, user = 1))
+        q.processAllAvailable()
+        in.addData(ev(4, 10, user = 1))
+        q.processAllAvailable()
+        in.addData(ev(5, 12, user = 1))
+        q.processAllAvailable()
+        val alerts = spark.table("gap_out").collect()
+        assert(alerts.map(_.getAs[Long]("userId")).toSet == Set(2L),
+               s"exactly the silent key must alert, got ${alerts.mkString(",")}")
+        assert(alerts.head.getAs[Long]("lastSeenMs") == ts(0).getTime,
+               "alert must carry the key's last heartbeat")
+      } finally q.stop()
+    }
+  }
+
   test("s_stream_rate: counter deltas computed against the PREVIOUS batch's sample, with reset rule") {
     withRocksDB {
       import spark.implicits._
