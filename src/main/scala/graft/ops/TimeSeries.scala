@@ -52,6 +52,38 @@ object TimeSeries {
                 .as("rate"))
       .orderBy("event_id")
 
+  /** Gorilla-style timestamp-compression accounting — the TSDB
+    * storage-planning op (Facebook Gorilla / Prometheus encode
+    * timestamps as delta-of-delta; regular heartbeats cost ~1 bit per
+    * sample, jittery series blow the budget — this op tells you WHICH
+    * series, before you size the cluster): per series, Δ²t in seconds
+    * buckets into the Gorilla bit classes (0 bits when Δ²t=0, then
+    * 7/9/12/32 as the jitter widens), reported as total encoded bits
+    * vs 64-bit raw and a 1e-3 fixed-point compression ratio.
+    * ALL-INTEGER (µs→s integer division, CASE ladder, integer sums);
+    * one (user_id) window shuffle. */
+  def qTsCompressGorilla(s: SparkSession, sf: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, sf)
+      .withColumn("dus", us - lag(us, 1).over(w))
+      .withColumn("d", expr("dus div 1000000")) // exact integer seconds
+      .withColumn("dod", col("d") - lag(col("d"), 1).over(w))
+      .withColumn("bits",
+        when(col("dod").isNull, lit(64L)) // first two samples: raw header
+          .when(col("dod") === 0, lit(1L))
+          .when(col("dod").between(-63, 64), lit(7L))
+          .when(col("dod").between(-255, 256), lit(9L))
+          .when(col("dod").between(-2047, 2048), lit(12L))
+          .otherwise(lit(32L)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_samples"),
+           sum(col("bits")).as("enc_bits"))
+      .withColumn("raw_bits", col("n_samples") * 64L)
+      .withColumn("ratio_pm", expr("1000 * enc_bits div raw_bits"))
+      .orderBy("user_id")
+  }
+
   /** PromQL-style `irate`: the INSTANTANEOUS rate from each series'
     * LAST TWO samples only — what dashboards show for fast-moving
     * counters, vs [[qTsRate]]'s per-step rates over the whole series

@@ -764,6 +764,33 @@ object OracleSql {
 
   // ---- round 4 additions ----
 
+  val qTsCompressGorilla: String = n("""
+    WITH t AS (
+      SELECT user_id, ts, event_id,
+        epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS dus
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    d AS (
+      SELECT user_id, ts, event_id, dus // 1000000 AS d FROM t),
+    dd AS (
+      SELECT user_id,
+        d - LAG(d, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dod
+      FROM d),
+    b AS (
+      SELECT user_id,
+        CASE WHEN dod IS NULL THEN 64
+             WHEN dod = 0 THEN 1
+             WHEN dod BETWEEN -63 AND 64 THEN 7
+             WHEN dod BETWEEN -255 AND 256 THEN 9
+             WHEN dod BETWEEN -2047 AND 2048 THEN 12
+             ELSE 32 END AS bits
+      FROM dd)
+    SELECT user_id, COUNT(*) AS n_samples,
+      CAST(SUM(bits) AS BIGINT) AS enc_bits,
+      COUNT(*) * 64 AS raw_bits,
+      CAST(1000 * CAST(SUM(bits) AS BIGINT) // (COUNT(*) * 64) AS BIGINT) AS ratio_pm
+    FROM b GROUP BY user_id ORDER BY user_id""")
+
   val qAggMad: String = n("""
     WITH med AS (
       SELECT event_type, quantile_cont(value, 0.5) AS med
