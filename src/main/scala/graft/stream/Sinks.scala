@@ -59,6 +59,42 @@ final class JdbcAppendSink(url: String, table: String,
   }
 }
 
+/** EXACTLY-ONCE JDBC binding: each micro-batch stamps its rows with
+  * `batch_id` and CLAIMS the batch before appending — any rows a
+  * previous (crashed-before-checkpoint) attempt of the same batchId
+  * left behind are deleted first, so a sink retry replaces its own
+  * output instead of duplicating it. This is the warehouse-side
+  * analogue of [[IdempotentParquetSink]]'s batch-owned directories —
+  * the recipe the `BatchSink` contract describes, on a real database.
+  * The DELETE runs on the driver (one statement); the INSERT fans out
+  * per partition through Spark's JDBC writer. */
+final class JdbcIdempotentSink(url: String, table: String,
+                               options: Map[String, String] = Map.empty)
+    extends BatchSink {
+  override def write(batch: DataFrame, batchId: Long): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // claim: drop any previous attempt's rows (table may not exist
+      // yet — the first append creates it)
+      val tables = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+      val exists = tables.next()
+      tables.close()
+      if (exists) {
+        val st = conn.createStatement()
+        // Spark's JDBC writer creates columns as QUOTED (case-exact)
+        // identifiers — the claim must address the column the same way
+        st.executeUpdate(s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+        st.close()
+      }
+    } finally conn.close()
+    val withId = batch.withColumn("batch_id",
+      org.apache.spark.sql.functions.lit(batchId))
+    val w = withId.write.mode("append").format("jdbc")
+      .option("url", url).option("dbtable", table)
+    options.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
+  }
+}
+
 object Sinks {
   /** Bind a streaming DataFrame to a [[BatchSink]] with checkpointed
     * progress — the single entry point all sink variants share. */

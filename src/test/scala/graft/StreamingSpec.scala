@@ -558,6 +558,35 @@ class StreamingSpec extends SparkSpec {
     assert(back(0).getAs[Timestamp]("ts") == ts(0), "timestamps survive the dialect")
   }
 
+  test("s_stream_jdbc_idempotent: a replayed batch replaces its own rows in the warehouse") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jdbci").toString
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val sink = new graft.stream.JdbcIdempotentSink(url, "events_eo",
+      Map("driver" -> driver))
+    val in = MemoryStream[Event](spark)
+    val q = graft.stream.Sinks.sinkTo(snake(in.toDF()), sink, s"$tmp/ckpt").start()
+    try {
+      in.addData(ev(1, 0), ev(2, 1))
+      q.processAllAvailable()
+      in.addData(ev(3, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    def readBack() = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "events_eo")
+      .option("driver", driver).load()
+    assert(readBack().count() == 3)
+    // simulate a sink retry: re-deliver batch 1's rows under the SAME
+    // batchId — the claim step must delete the previous attempt first
+    sink.write(snake(Seq(ev(3, 2)).toDF()), 1L)
+    assert(readBack().count() == 3,
+           "replayed batchId must replace its own rows, not append")
+    // contrast: a NEW batchId appends
+    sink.write(snake(Seq(ev(4, 3)).toDF()), 2L)
+    assert(readBack().count() == 4)
+  }
+
   test("s_stream_idempotent_sink: a replayed batch overwrites itself, never duplicates") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_idem").toString
