@@ -456,6 +456,24 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** The from-scratch DataSource V2 connector, graded end-to-end
+    * ([[graft.sources.TelemetrySource]] — deterministic telemetry
+    * generator with FILTER PUSHDOWN and COLUMN PRUNING): the series
+    * range predicate narrows generation at the source (16 of 64
+    * series ever materialize) and only (series_id, value) is read.
+    * The oracle reproduces the pure-integer generator with
+    * `generate_series`, so the connector sits under the same hash
+    * gate as every operator. `sf` is unused — the source IS the data. */
+  def qSourceDsv2(s: SparkSession, sf: String): DataFrame =
+    s.read.format("graft.sources.TelemetrySource")
+      .option("series", "64").option("samples", "100")
+      .load()
+      .where(col("series_id").between(8, 23))
+      .groupBy(col("series_id"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(28,2)")).cast("double").as("total"))
+      .orderBy("series_id")
+
   /** Sequence-continuity audit — dropped-message detection on a
     * monotonically-assigned id (the ingest invariant "no event ids
     * vanished between producer and table"): global min/max/count give

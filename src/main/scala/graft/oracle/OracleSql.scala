@@ -764,6 +764,14 @@ object OracleSql {
 
   // ---- round 4 additions ----
 
+  // Mirrors graft.sources.TelemetrySource's pure-integer generator.
+  val qSourceDsv2: String = n("""
+    SELECT s AS series_id, COUNT(*) AS n,
+      CAST(SUM(CAST(CAST((s * 131 + i * 7) % 10000 AS DOUBLE) / 100.0
+               AS DECIMAL(28,2))) AS DOUBLE) AS total
+    FROM generate_series(8, 23) t(s), generate_series(0, 99) u(i)
+    GROUP BY s ORDER BY s""")
+
   val qTsCompressGorilla: String = n("""
     WITH t AS (
       SELECT user_id, ts, event_id,

@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A from-scratch DataSource V2 connector (SURVEY §2.1 / the §7.4
+  * extension-point matrix's last row): a deterministic telemetry
+  * GENERATOR table — `series` × `samples` rows of
+  * `(series_id, sample_idx, ts_us, value)` with
+  * `value = ((series_id·131 + idx·7) mod 10000) / 100.0` and 1-minute
+  * sample spacing — exposing the two optimizations that make a real
+  * connector (ClickHouse, a metrics API, an object-store format)
+  * worth writing over a generic JDBC bridge:
+  *
+  *  - **Filter pushdown** ([[SupportsPushDownFilters]]): range/equality
+  *    predicates on `series_id` narrow the generated series range AT
+  *    THE SOURCE — the analogue of a TSDB pushing a series selector
+  *    into its index; pushed filters disappear from the Spark plan.
+  *  - **Column pruning** ([[SupportsPushDownRequiredColumns]]): the
+  *    reader materializes ONLY requested columns — the columnar-scan
+  *    contract.
+  *
+  * Partition planning splits the (post-pushdown) series range across
+  * `partitions` input splits, so a cluster reads the source in
+  * parallel with no skew. The generator is pure integer math, so the
+  * DuckDB oracle reproduces it exactly with `generate_series` — a
+  * custom SOURCE graded by the same hash gate as every operator
+  * (`q_source_dsv2`). PlanShapeSpec pins pushdown + pruning via the
+  * scan description. */
+class TelemetrySource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TelemetrySource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TelemetryTable(
+      properties.getOrDefault("series", "64").toLong,
+      properties.getOrDefault("samples", "100").toLong,
+      properties.getOrDefault("partitions", "8").toInt)
+}
+
+object TelemetrySource {
+  val schema: StructType = StructType(Seq(
+    StructField("series_id", LongType, nullable = false),
+    StructField("sample_idx", LongType, nullable = false),
+    StructField("ts_us", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+  val T0: Long = 1704067200000000L // 2024-01-01 00:00 UTC, µs
+  val StepUs: Long = 60000000L     // 1-minute samples
+  def value(sid: Long, idx: Long): Double =
+    ((sid * 131L + idx * 7L) % 10000L) / 100.0
+}
+
+private[sources] class TelemetryTable(nSeries: Long, nSamples: Long,
+                                      nPartitions: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"telemetry($nSeries x $nSamples)"
+  override def schema(): StructType = TelemetrySource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TelemetryScanBuilder(nSeries, nSamples, nPartitions)
+}
+
+private[sources] class TelemetryScanBuilder(nSeries: Long, nSamples: Long,
+                                            nPartitions: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo: Long = 0L
+  private var hi: Long = nSeries - 1
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = TelemetrySource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, rest) = filters.partition {
+      case EqualTo("series_id", _: Long) => true
+      case GreaterThanOrEqual("series_id", _: Long) => true
+      case LessThanOrEqual("series_id", _: Long) => true
+      case GreaterThan("series_id", _: Long) => true
+      case LessThan("series_id", _: Long) => true
+      case _ => false
+    }
+    ours.foreach {
+      case EqualTo(_, v: Long) => lo = math.max(lo, v); hi = math.min(hi, v)
+      case GreaterThanOrEqual(_, v: Long) => lo = math.max(lo, v)
+      case LessThanOrEqual(_, v: Long) => hi = math.min(hi, v)
+      case GreaterThan(_, v: Long) => lo = math.max(lo, v + 1)
+      case LessThan(_, v: Long) => hi = math.min(hi, v - 1)
+      case _ =>
+    }
+    accepted = ours
+    rest // Spark keeps evaluating only these
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new TelemetryScan(lo, hi, nSamples, nPartitions, required)
+}
+
+private[sources] class TelemetryScan(lo: Long, hi: Long, nSamples: Long,
+                                     nPartitions: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"TelemetryScan[series=$lo..$hi, cols=${required.fieldNames.mkString(",")}]"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (hi < lo) return Array.empty
+    val n = hi - lo + 1
+    val parts = math.min(nPartitions.toLong, n).toInt
+    (0 until parts).map { p =>
+      // contiguous series ranges, sizes differing by at most 1
+      val start = lo + p * n / parts
+      val end = lo + (p + 1) * n / parts - 1
+      TelemetryRange(start, end, nSamples): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TelemetryReaderFactory(required)
+}
+
+private[sources] case class TelemetryRange(from: Long, to: Long,
+                                           nSamples: Long) extends InputPartition
+
+private[sources] class TelemetryReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[TelemetryRange]
+    new TelemetryReader(r.from, r.to, r.nSamples, required)
+  }
+}
+
+private[sources] class TelemetryReader(from: Long, to: Long, nSamples: Long,
+                                       required: StructType)
+    extends PartitionReader[InternalRow] {
+  // materialize ONLY the pruned columns, by ordinal plan built once
+  private val getters: Array[(Long, Long) => Any] = required.fieldNames.map {
+    case "series_id" => (sid: Long, _: Long) => sid
+    case "sample_idx" => (_: Long, idx: Long) => idx
+    case "ts_us" => (_: Long, idx: Long) =>
+      TelemetrySource.T0 + idx * TelemetrySource.StepUs
+    case "value" => (sid: Long, idx: Long) => TelemetrySource.value(sid, idx)
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  }
+  private var sid = from
+  private var idx = -1L
+  override def next(): Boolean = {
+    idx += 1
+    if (idx >= nSamples) { idx = 0; sid += 1 }
+    sid <= to && nSamples > 0
+  }
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(getters.length)
+    var i = 0
+    while (i < getters.length) { row.update(i, getters(i)(sid, idx)); i += 1 }
+    row
+  }
+  override def close(): Unit = ()
+}

@@ -236,6 +236,20 @@ class PlanShapeSpec extends SparkSpec {
            s"bucket join not an equi-join plan:\n$p")
   }
 
+  test("q_source_dsv2: the custom connector gets the filter pushed and columns pruned") {
+    val df = Relational.qSourceDsv2(spark, sf)
+    df.collect() // finalize executedPlan (AQE) before reading it
+    val p = plan(df)
+    // the scan description proves the series predicate narrowed
+    // GENERATION at the source and only 2 of 4 columns materialize
+    assert(p.contains("TelemetryScan[series=8..23, cols=series_id,value]"),
+           s"pushdown/pruning not reflected in the scan:\n$p")
+    // both between-bounds were fully absorbed: no post-scan Filter
+    // NODE (the BatchScan line's "RuntimeFilters:" label doesn't count)
+    assert(!p.contains("+- Filter ") && !p.contains(") Filter "),
+           s"pushed filter still evaluated post-scan:\n$p")
+  }
+
   test("graft_bitmap_* are SQL-callable and exact") {
     val r = spark.sql(
       """SELECT graft_bitmap_count(graft_bitmap_union_agg(bm)) AS n FROM (
