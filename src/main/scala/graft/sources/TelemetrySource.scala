@@ -66,13 +66,15 @@ private[sources] class TelemetryTable(nSeries: Long, nSamples: Long,
   override def name(): String = s"telemetry($nSeries x $nSamples)"
   override def schema(): StructType = TelemetrySource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TelemetryScanBuilder(nSeries, nSamples, nPartitions)
+    new TelemetryScanBuilder(nSeries, nSamples, nPartitions,
+      options.getLong("samplesPerTrigger", 10L))
 }
 
 private[sources] class TelemetryScanBuilder(nSeries: Long, nSamples: Long,
-                                            nPartitions: Int)
+                                            nPartitions: Int,
+                                            samplesPerTrigger: Long = 10L)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -107,45 +109,88 @@ private[sources] class TelemetryScanBuilder(nSeries: Long, nSamples: Long,
     required = requiredSchema
 
   override def build(): Scan =
-    new TelemetryScan(lo, hi, nSamples, nPartitions, required)
+    new TelemetryScan(lo, hi, nSamples, nPartitions, required, samplesPerTrigger)
 }
 
 private[sources] class TelemetryScan(lo: Long, hi: Long, nSamples: Long,
-                                     nPartitions: Int, required: StructType)
+                                     nPartitions: Int, required: StructType,
+                                     samplesPerTrigger: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"TelemetryScan[series=$lo..$hi, cols=${required.fieldNames.mkString(",")}]"
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    if (hi < lo) return Array.empty
+  private def seriesSplits(idxFrom: Long, idxTo: Long): Array[InputPartition] = {
+    if (hi < lo || idxTo <= idxFrom) return Array.empty
     val n = hi - lo + 1
     val parts = math.min(nPartitions.toLong, n).toInt
     (0 until parts).map { p =>
       // contiguous series ranges, sizes differing by at most 1
       val start = lo + p * n / parts
       val end = lo + (p + 1) * n / parts - 1
-      TelemetryRange(start, end, nSamples): InputPartition
+      TelemetryRange(start, end, idxFrom, idxTo): InputPartition
     }.toArray
   }
 
+  override def planInputPartitions(): Array[InputPartition] =
+    seriesSplits(0L, nSamples)
+
   override def createReaderFactory(): PartitionReaderFactory =
     new TelemetryReaderFactory(required)
+
+  /** The streaming face of the same connector — the collector-poll
+    * model the telemetry genre is built on: the OFFSET is the global
+    * sample index, each trigger "polls" up to `samplesPerTrigger` new
+    * samples per series, and a restart replays exactly the
+    * [start, end) offset range it checkpointed — offset-range
+    * exactly-once, like a Kafka source, with zero external state. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+      import org.apache.spark.sql.connector.read.streaming.Offset
+      private def off(i: Long): Offset = SampleOffset(i)
+      override def initialOffset(): Offset = off(0L)
+      // Each POLL produces samplesPerTrigger new samples (up to the
+      // cap) — latestOffset itself advances, like a broker gaining
+      // records between polls. It must NOT key off commit(): the
+      // engine checks availability BEFORE committing the previous
+      // batch, so commit-based advancement deadlocks after batch 1.
+      @volatile private var polled: Long = 0L
+      override def latestOffset(): Offset = {
+        polled = math.min(polled + samplesPerTrigger, nSamples)
+        off(polled)
+      }
+      override def commit(end: Offset): Unit = ()
+      override def deserializeOffset(json: String): Offset = off(json.toLong)
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+        seriesSplits(start.asInstanceOf[SampleOffset].idx,
+                     end.asInstanceOf[SampleOffset].idx)
+      override def createReaderFactory(): PartitionReaderFactory =
+        new TelemetryReaderFactory(required)
+      override def stop(): Unit = ()
+    }
+}
+
+private[sources] case class SampleOffset(idx: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = idx.toString
 }
 
 private[sources] case class TelemetryRange(from: Long, to: Long,
-                                           nSamples: Long) extends InputPartition
+                                           idxFrom: Long, idxTo: Long)
+    extends InputPartition
 
 private[sources] class TelemetryReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val r = partition.asInstanceOf[TelemetryRange]
-    new TelemetryReader(r.from, r.to, r.nSamples, required)
+    new TelemetryReader(r.from, r.to, r.idxFrom, r.idxTo, required)
   }
 }
 
-private[sources] class TelemetryReader(from: Long, to: Long, nSamples: Long,
+private[sources] class TelemetryReader(from: Long, to: Long,
+                                       idxFrom: Long, idxTo: Long,
                                        required: StructType)
     extends PartitionReader[InternalRow] {
   // materialize ONLY the pruned columns, by ordinal plan built once
@@ -158,11 +203,11 @@ private[sources] class TelemetryReader(from: Long, to: Long, nSamples: Long,
     case other => throw new IllegalArgumentException(s"unknown column $other")
   }
   private var sid = from
-  private var idx = -1L
+  private var idx = idxFrom - 1
   override def next(): Boolean = {
     idx += 1
-    if (idx >= nSamples) { idx = 0; sid += 1 }
-    sid <= to && nSamples > 0
+    if (idx >= idxTo) { idx = idxFrom; sid += 1 }
+    sid <= to && idxTo > idxFrom
   }
   override def get(): InternalRow = {
     val row = new GenericInternalRow(getters.length)

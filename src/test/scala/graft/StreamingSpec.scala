@@ -413,6 +413,26 @@ class StreamingSpec extends SparkSpec {
            after(2).getAs[Double]("value") == 3.0, "untouched keys keep values")
   }
 
+  test("s_stream_dsv2_source: the custom MicroBatchStream polls by offset ranges, exactly once") {
+    val stream = spark.readStream.format("graft.sources.TelemetrySource")
+      .option("series", "4").option("samples", "10")
+      .option("samplesPerTrigger", "4")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("tele_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("tele_stream")
+      assert(rows.count() == 40, "4 series x 10 samples, each exactly once")
+      assert(rows.select("sample_idx").distinct().count() == 10)
+      assert(rows.select("series_id").distinct().count() == 4)
+      // the 10-sample cap at 4 samples/trigger needs >= 3 micro-batches
+      // — proves offsets advanced incrementally, not one big batch
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+             s"expected >=3 polls, got ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+    } finally q.stop()
+  }
+
   test("s_stream_gap_detect: event-time timer fires for the silent key only") {
     withRocksDB {
       import spark.implicits._
