@@ -176,6 +176,37 @@ object Aggregates {
            round(expr("percentile(value, 0.95)"), 4).as("p95"))
       .orderBy("event_type")
 
+  /** Benford first-digit distribution of the value column — the
+    * data-forensics screen (organically-generated magnitudes follow
+    * Benford's log curve; fabricated or clipped feeds don't — a cheap
+    * tamper/synthetic-data tripwire): leading digit extracted in PURE
+    * INTEGER space (value is scale-2 exact → ×100 + floor(+0.5) is an
+    * exact BIGINT; its decimal string's first char is engine-stable,
+    * unlike any log10-based digit math), observed per-mille vs the
+    * Benford expectation as 1e-3 fixed-point ints. One map-side
+    * projection + 9-row hash agg. */
+  def qAggBenford(s: SparkSession, sf: String): DataFrame = {
+    // Benford permille: floor(1000·log10(1+1/d)) precomputed as
+    // literals — no runtime float on either engine
+    val expect = Map(1 -> 301L, 2 -> 176L, 3 -> 124L, 4 -> 96L, 5 -> 79L,
+                     6 -> 66L, 7 -> 57L, 8 -> 51L, 9 -> 45L)
+    val v100 = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val digit = substring(v100.cast("string"), 1, 1).cast("int")
+    val expectCol = expect.foldLeft(lit(0L)) { case (acc, (d, pm)) =>
+      when(col("digit") === d, lit(pm)).otherwise(acc)
+    }
+    val counted = Tables.events(s, sf)
+      .where(col("value") > 0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counted.agg(sum(col("n")).as("nn"))
+    counted.crossJoin(broadcast(total))
+      .withColumn("observed_pm", expr("1000 * n div nn"))
+      .withColumn("benford_pm", expectCol)
+      .select("digit", "n", "observed_pm", "benford_pm")
+      .orderBy("digit")
+  }
+
   /** Median absolute deviation per event type — the ROBUST dispersion
     * stat (stddev is dragged by the very outliers a telemetry monitor
     * hunts; MAD isn't, which is why robust z = |x−med|/MAD is the

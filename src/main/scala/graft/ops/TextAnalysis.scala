@@ -475,6 +475,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Top-20 collocations by pointwise mutual information — the
+    * phrase-mining op (PMI separates REAL collocations like proper
+    * names from bigrams that co-occur only because both words are
+    * common — exactly what a tokenizer-vocab or stop-phrase list needs):
+    * PMI = ln(N·c(w₁w₂) / (c(w₁)·c(w₂))) over corpus counts, min
+    * count 5 against noise. All counts integer; the single `ln` per
+    * surviving bigram is rounded at 4dp as the OUTPUT (no summation —
+    * the 1-ulp `ln` risk ends at the rounded value itself), ordering
+    * on the rounded value with a full bigram tiebreak. Three hash
+    * aggs over exploded tokens/bigrams; the unigram join is
+    * vocab-sized. */
+  def qTextPmi(s: SparkSession, sf: String): DataFrame = {
+    val tk = split(lower(col("text")), " ")
+    val bigrams = when(size(tk) >= 2,
+      transform(sequence(lit(0), size(tk) - 2),
+        i => concat_ws(" ", slice(tk, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val d = Tables.documents(s, sf)
+    val uni = d.select(explode(tk).as("w")).where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val nTokens = uni.agg(sum(col("cw")).as("nn"))
+    val bg = d.select(explode(bigrams).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      .where(col("cb") >= 5)
+    bg.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(nTokens))
+      .select(col("bg"), col("cb"),
+        round(log(col("nn").cast("double") * col("cb")
+          / (col("c1") * col("c2"))), 4).as("pmi"))
+      .orderBy(desc("pmi"), asc("bg"))
+      .limit(20)
+  }
+
   /** Token-budgeted training-mix assembly — the LAST step of a
     * training-data pipeline (the first capstone, `q_pipeline_curate`,
     * ends at splits; real mixes are cut by TOKEN BUDGET per language):

@@ -764,6 +764,40 @@ object OracleSql {
 
   // ---- round 4 additions ----
 
+  val qTextPmi: String = n("""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    uni AS (
+      SELECT w, COUNT(*) AS cw FROM (
+        SELECT unnest(t) AS w FROM toks) x WHERE w <> '' GROUP BY w),
+    nn AS (SELECT CAST(SUM(cw) AS BIGINT) AS nn FROM uni),
+    bg AS (
+      SELECT bg, COUNT(*) AS cb FROM (
+        SELECT unnest(list_transform(range(len(t) - 1),
+          i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))) AS bg
+        FROM toks) x
+      GROUP BY bg HAVING COUNT(*) >= 5)
+    SELECT b.bg, b.cb,
+      round(ln(CAST(n.nn AS DOUBLE) * b.cb / (u1.cw * u2.cw)), 4) AS pmi
+    FROM bg b
+    JOIN uni u1 ON split_part(b.bg, ' ', 1) = u1.w
+    JOIN uni u2 ON split_part(b.bg, ' ', 2) = u2.w
+    CROSS JOIN nn n
+    ORDER BY pmi DESC, bg LIMIT 20""")
+
+  val qAggBenford: String = n("""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM events WHERE value > 0),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c)
+    SELECT digit, n, CAST(1000 * n // nn AS BIGINT) AS observed_pm,
+      CAST(CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 124
+           WHEN 4 THEN 96 WHEN 5 THEN 79 WHEN 6 THEN 66 WHEN 7 THEN 57
+           WHEN 8 THEN 51 ELSE 45 END AS BIGINT) AS benford_pm
+    FROM c CROSS JOIN t ORDER BY digit""")
+
   // Mirrors graft.sources.TelemetrySource's pure-integer generator.
   val qSourceDsv2: String = n("""
     SELECT s AS series_id, COUNT(*) AS n,
