@@ -52,6 +52,26 @@ object TimeSeries {
                 .as("rate"))
       .orderBy("event_id")
 
+  /** Piecewise aggregate approximation (PAA) — the time-series
+    * DIMENSIONALITY REDUCTION primitive under SAX/indexing/motif
+    * mining (a series of any length becomes 8 segment means; distance
+    * in PAA space lower-bounds true Euclidean distance, which is what
+    * makes index pruning sound): ntile(8) splits each user's ordered
+    * series into equal-count segments, segment mean via the exact
+    * decimal path. One (user_id) window + one hash agg. */
+  def qTsPaa(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, sf)
+      .withColumn("seg", ntile(8).over(w))
+      .groupBy(col("user_id"), col("seg"))
+      // floor(x·10⁴+0.5), not round(): the decimal-exact-sum / count
+      // quotient has unbounded decimal scale, so round() hits genuine
+      // 1e-4 midpoint ties that the engines break differently (§7.3(8))
+      .agg(count(lit(1)).as("n"),
+           (floor(davg(col("value"), 2) * 10000 + lit(0.5)) / 10000.0).as("seg_mean"))
+      .orderBy("user_id", "seg")
+  }
+
   /** Gorilla-style timestamp-compression accounting — the TSDB
     * storage-planning op (Facebook Gorilla / Prometheus encode
     * timestamps as delta-of-delta; regular heartbeats cost ~1 bit per

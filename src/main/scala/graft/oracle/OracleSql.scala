@@ -764,6 +764,16 @@ object OracleSql {
 
   // ---- round 4 additions ----
 
+  val qTsPaa: String = n("""
+    WITH t AS (
+      SELECT user_id, value,
+        NTILE(8) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg
+      FROM events)
+    SELECT user_id, seg, COUNT(*) AS n,
+      floor(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+            * 10000 + 0.5) / 10000.0 AS seg_mean
+    FROM t GROUP BY user_id, seg ORDER BY user_id, seg""")
+
   val qTextPmi: String = n("""
     WITH toks AS (
       SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
