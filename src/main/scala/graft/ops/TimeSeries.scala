@@ -72,6 +72,31 @@ object TimeSeries {
       .orderBy("user_id", "seg")
   }
 
+  /** SAX symbolization + motif grouping — the step PAA exists FOR:
+    * quantize each [[qTsPaa]] segment mean into a 4-letter alphabet
+    * (fixed breakpoints 25/50/75 on the value domain), concatenate in
+    * segment order into each user's 8-char SAX word, then group
+    * identical words — users sharing a word share a coarse behavioral
+    * shape (the motif-discovery / whole-series-clustering primitive).
+    * Letters compare on the already-hash-proven PAA means (exact
+    * floor-rounded doubles, breakpoints exactly representable), the
+    * word is an ordered struct-sort concat (the qAggStringAgg
+    * determinism recipe), output ordered (count desc, word). */
+  def qTsSax(s: SparkSession, sf: String): DataFrame = {
+    val letter = when(col("seg_mean") < 25, "a")
+      .when(col("seg_mean") < 50, "b")
+      .when(col("seg_mean") < 75, "c").otherwise("d")
+    qTsPaa(s, sf)
+      .withColumn("letter", letter)
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("seg"), col("letter")))),
+        x => x.getField("letter")), "").as("sax"))
+      .groupBy(col("sax"))
+      .agg(count(lit(1)).as("n_users"), min(col("user_id")).as("example_user"))
+      .orderBy(desc("n_users"), asc("sax"))
+  }
+
   /** Gorilla-style timestamp-compression accounting — the TSDB
     * storage-planning op (Facebook Gorilla / Prometheus encode
     * timestamps as delta-of-delta; regular heartbeats cost ~1 bit per

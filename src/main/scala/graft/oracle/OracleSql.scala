@@ -764,6 +764,27 @@ object OracleSql {
 
   // ---- round 4 additions ----
 
+  val qTsSax: String = n("""
+    WITH t AS (
+      SELECT user_id, value,
+        NTILE(8) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg
+      FROM events),
+    p AS (
+      SELECT user_id, seg,
+        floor(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+              * 10000 + 0.5) / 10000.0 AS m
+      FROM t GROUP BY user_id, seg),
+    l AS (
+      SELECT user_id, seg,
+        CASE WHEN m < 25 THEN 'a' WHEN m < 50 THEN 'b'
+             WHEN m < 75 THEN 'c' ELSE 'd' END AS letter
+      FROM p),
+    w AS (
+      SELECT user_id, string_agg(letter, '' ORDER BY seg) AS sax
+      FROM l GROUP BY user_id)
+    SELECT sax, COUNT(*) AS n_users, MIN(user_id) AS example_user
+    FROM w GROUP BY sax ORDER BY n_users DESC, sax""")
+
   val qTsPaa: String = n("""
     WITH t AS (
       SELECT user_id, value,
