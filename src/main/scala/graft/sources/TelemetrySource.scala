@@ -162,10 +162,21 @@ private[sources] class TelemetryScan(lo: Long, hi: Long, nSamples: Long,
         off(polled)
       }
       override def commit(end: Offset): Unit = ()
-      override def deserializeOffset(json: String): Offset = off(json.toLong)
-      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-        seriesSplits(start.asInstanceOf[SampleOffset].idx,
-                     end.asInstanceOf[SampleOffset].idx)
+      // Restart recovery: the engine replays the offset log through
+      // deserializeOffset before asking for new offsets — the poll
+      // high-water mark must be restored from it, or latestOffset()
+      // would regress below the checkpointed committed offset and
+      // re-plan (duplicate) ranges already emitted before the crash.
+      override def deserializeOffset(json: String): Offset = {
+        val i = json.toLong
+        polled = math.max(polled, i)
+        off(i)
+      }
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+        val endIdx = end.asInstanceOf[SampleOffset].idx
+        polled = math.max(polled, endIdx) // belt-and-braces vs restart replay
+        seriesSplits(start.asInstanceOf[SampleOffset].idx, endIdx)
+      }
       override def createReaderFactory(): PartitionReaderFactory =
         new TelemetryReaderFactory(required)
       override def stop(): Unit = ()

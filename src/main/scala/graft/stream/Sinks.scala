@@ -72,20 +72,26 @@ final class JdbcIdempotentSink(url: String, table: String,
                                options: Map[String, String] = Map.empty)
     extends BatchSink {
   override def write(batch: DataFrame, batchId: Long): Unit = {
-    val conn = java.sql.DriverManager.getConnection(url)
+    // The claim connection must carry the same credentials/driver the
+    // Spark writer gets, or the claim fails on any authenticated
+    // warehouse while the append succeeds.
+    options.get("driver").foreach(Class.forName(_))
+    val props = new java.util.Properties()
+    options.get("user").foreach(props.setProperty("user", _))
+    options.get("password").foreach(props.setProperty("password", _))
+    val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      // claim: drop any previous attempt's rows (table may not exist
-      // yet — the first append creates it)
-      val tables = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
-      val exists = tables.next()
-      tables.close()
-      if (exists) {
-        val st = conn.createStatement()
-        // Spark's JDBC writer creates columns as QUOTED (case-exact)
-        // identifiers — the claim must address the column the same way
-        st.executeUpdate(s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
-        st.close()
-      }
+      // claim: drop any previous attempt's rows. Probing existence via
+      // getMetaData.getTables is dialect-trapped (Derby uppercases
+      // unquoted identifiers, Postgres lowercases them) — run the
+      // DELETE unconditionally and treat "table not found" as the
+      // first-ever append (the write below creates it).
+      val st = conn.createStatement()
+      // Spark's JDBC writer creates columns as QUOTED (case-exact)
+      // identifiers — the claim must address the column the same way
+      try st.executeUpdate(s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+      catch { case _: java.sql.SQLException => /* table not created yet */ }
+      finally st.close()
     } finally conn.close()
     val withId = batch.withColumn("batch_id",
       org.apache.spark.sql.functions.lit(batchId))

@@ -615,12 +615,19 @@ object StreamOps {
       rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
         val us = e.ts.getTime * 1000L
         prev match {
-          case Some((pUs, pV)) if us > pUs =>
-            val inc = if (e.value < pV) e.value else e.value - pV // reset rule
-            out += RateOut(key, e.ts, inc / ((us - pUs) / 1e6))
-          case _ => // first sample ever, or duplicate timestamp: no rate
+          case Some((pUs, pV)) =>
+            if (us > pUs) {
+              val inc = if (e.value < pV) e.value else e.value - pV // reset rule
+              out += RateOut(key, e.ts, inc / ((us - pUs) / 1e6))
+              prev = Some((us, e.value))
+            }
+            // else: a LATE sample at-or-before the stored timestamp —
+            // ignore it entirely. Advancing state here would rewind
+            // last-seen backwards and make the next in-order sample
+            // double-count the increase.
+          case None => // first sample ever: prime state, no rate yet
+            prev = Some((us, e.value))
         }
-        prev = Some((us, e.value))
       }
       prev.foreach(last.update)
       out.result().iterator

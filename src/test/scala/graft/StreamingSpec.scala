@@ -433,6 +433,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_stream_dsv2_source: restart restores the poll high-water mark from the checkpointed offset") {
+    // Unit-level restart simulation against the public connector API:
+    // a fresh MicroBatchStream (new JVM / query restart) replays the
+    // offset log through deserializeOffset; latestOffset() afterwards
+    // must resume ABOVE the checkpointed offset, never below it —
+    // regressing would re-plan (duplicate) already-emitted ranges.
+    import scala.jdk.CollectionConverters._
+    val props = Map("series" -> "4", "samples" -> "10",
+                    "samplesPerTrigger" -> "4")
+    def newStream() = new graft.sources.TelemetrySource()
+      .getTable(graft.sources.TelemetrySource.schema,
+        Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+        new java.util.HashMap[String, String](props.asJava))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(props.asJava))
+      .build().toMicroBatchStream("unused")
+    val run1 = newStream()
+    assert(run1.latestOffset().json().toLong == 4L)
+    assert(run1.latestOffset().json().toLong == 8L) // checkpointed, then "crash"
+    val run2 = newStream() // restart: engine replays the offset log
+    run2.deserializeOffset("8")
+    val resumed = run2.latestOffset().json().toLong
+    assert(resumed >= 8L,
+      s"latestOffset regressed to $resumed after restoring checkpoint 8 — would duplicate rows")
+    assert(resumed == 10L, "next poll caps at nSamples")
+  }
+
   test("s_stream_gap_detect: event-time timer fires for the silent key only") {
     withRocksDB {
       import spark.implicits._
@@ -483,6 +510,20 @@ class StreamingSpec extends SparkSpec {
                "cross-batch delta must use the previous batch's state")
         assert(math.abs(rates(2) - 10.0 / 60) < 1e-9,
                "reset rule: value drop means increase = value itself")
+        // batch 3: a LATE sample (ts before the stored last-seen) must
+        // neither emit a rate nor rewind state — otherwise the next
+        // in-order sample double-counts the increase
+        in.addData(ev(5, 2, user = 7, value = 999.0))
+        q.processAllAvailable()
+        assert(spark.table("rate_out").count() == 3,
+               "late sample must emit nothing")
+        in.addData(ev(6, 4, user = 7, value = 70.0))
+        q.processAllAvailable()
+        val all = spark.table("rate_out").orderBy("ts").collect()
+          .map(_.getAs[Double]("ratePerSec"))
+        assert(all.length == 4)
+        assert(math.abs(all(3) - 1.0) < 1e-9,  // (70-10)/60s vs min-3 state
+               "in-order sample must delta against pre-late state, not the late sample")
       } finally q.stop()
     }
   }
@@ -583,8 +624,13 @@ class StreamingSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft_jdbci").toString
     val url = s"jdbc:derby:$tmp/db;create=true"
     val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    // Credentials matter: in Derby the username IS the default schema,
+    // so the claim connection must carry the same user/password options
+    // as the Spark writer — a credential-less claim would probe schema
+    // APP while the writer appends to GRAFT.events_eo, silently
+    // defeating exactly-once (the ADVICE round-4 finding).
     val sink = new graft.stream.JdbcIdempotentSink(url, "events_eo",
-      Map("driver" -> driver))
+      Map("driver" -> driver, "user" -> "graft", "password" -> "pw"))
     val in = MemoryStream[Event](spark)
     val q = graft.stream.Sinks.sinkTo(snake(in.toDF()), sink, s"$tmp/ckpt").start()
     try {
@@ -595,7 +641,8 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     def readBack() = spark.read.format("jdbc")
       .option("url", url).option("dbtable", "events_eo")
-      .option("driver", driver).load()
+      .option("driver", driver)
+      .option("user", "graft").option("password", "pw").load()
     assert(readBack().count() == 3)
     // simulate a sink retry: re-deliver batch 1's rows under the SAME
     // batchId — the claim step must delete the previous attempt first
