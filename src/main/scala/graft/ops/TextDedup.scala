@@ -534,19 +534,28 @@ object TextDedup {
     * ranking (it surfaces the corpus' planted "dup" markers). Three
     * aggregates: per-(doc, term) tf, per-term df (both partial+final
     * hash aggs over exploded tokens), corpus N as a broadcast 1-row
-    * side. df (≤ |vocab| rows) broadcasts into the tf join, so the only
-    * real shuffle is the tf groupBy; the top-30 runs as
-    * TakeOrderedAndProject on the ROUNDED score with full (doc, term)
-    * tie-breaks — rounding before ordering keeps the cut deterministic
-    * across engines' last-ulp `ln` differences. */
+    * side. df is VOCABULARY-sized — fixture-small, but at web-corpus
+    * scale the vocabulary is data-sized (hundreds of millions of
+    * tokens), so the broadcast into the tf join is SIZE-GATED
+    * (Util.gatedBroadcast) on an upper bound of |vocab|: n_docs (a
+    * metadata-only parquet count, cheap at any scale) × 150 distinct
+    * tokens/doc. Heap's-law sublinearity makes the true vocab smaller,
+    * so the overestimate only ever engages the shuffle fallback EARLY
+    * — never an OOM late. Past the gate the same equi-join runs as a
+    * sort-merge join on `token` (PlanShapeSpec pins both branches).
+    * The top-30 runs as TakeOrderedAndProject on the ROUNDED score
+    * with full (doc, term) tie-breaks — rounding before ordering keeps
+    * the cut deterministic across engines' last-ulp `ln` differences. */
   def qTextTfidf(s: SparkSession, sf: String): DataFrame = {
-    val tokens = Tables.documents(s, sf)
+    val docs = Tables.documents(s, sf)
+    val tokens = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
       .where(col("token") =!= "")
     val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val nd = broadcast(Tables.documents(s, sf).agg(count(lit(1)).as("nd")))
-    tf.join(broadcast(df_), "token").crossJoin(nd)
+    val nd = broadcast(docs.agg(count(lit(1)).as("nd")))
+    val dfGated = Util.gatedBroadcast(s, df_, estRows = docs.count() * 150)
+    tf.join(dfGated, "token").crossJoin(nd)
       .select(col("doc_id"), col("token"),
               round(col("tf") * log(col("nd").cast("double") / col("df")), 4).as("tfidf"))
       .orderBy(desc("tfidf"), asc("doc_id"), asc("token"))
@@ -678,18 +687,23 @@ object TextDedup {
     * INTEGER arithmetic (1000·n_rare div n_distinct_tokens; flag at
     * ≥ 300), so the pass/fail sets are exact on both engines.
     *
-    * Shape: distinct-token explode → per-token df agg (≤ |vocab| rows,
-    * broadcasts back into the postings join) → per-doc agg → per-source
-    * agg. The only data-sized shuffles are the postings groupBys; df
-    * and the corpus size ride broadcasts. */
+    * Shape: distinct-token explode → per-token df agg (vocabulary-
+    * sized — data-sized at web-corpus scale, so its broadcast back
+    * into the postings join is SIZE-GATED like qTextTfidf's, on the
+    * same n_docs × 150 upper bound; past the gate it's a sort-merge
+    * join on `token`) → per-doc agg → per-source agg. The only
+    * data-sized shuffles are the postings groupBys; the corpus size
+    * rides a 1-row broadcast. */
   def qTextRarity(s: SparkSession, sf: String): DataFrame = {
-    val toks = Tables.documents(s, sf)
+    val docs = Tables.documents(s, sf)
+    val toks = docs
       .select(col("doc_id"), col("source"),
               explode(array_distinct(split(lower(col("text")), " "))).as("token"))
       .where(col("token") =!= "")
     val df_ = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val nd = broadcast(Tables.documents(s, sf).agg(count(lit(1)).as("nd")))
-    val perDoc = toks.join(broadcast(df_), "token").crossJoin(nd)
+    val nd = broadcast(docs.agg(count(lit(1)).as("nd")))
+    val dfGated = Util.gatedBroadcast(s, df_, estRows = docs.count() * 150)
+    val perDoc = toks.join(dfGated, "token").crossJoin(nd)
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_tok"),
            sum(when(col("df") * 20 <= col("nd"), 1L).otherwise(0L)).as("n_rare"))

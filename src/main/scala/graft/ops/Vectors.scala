@@ -62,9 +62,29 @@ object Vectors {
       .limit(10)
   }
 
+  /** Fail-fast guard on the two DECLARED all-pairs oracle twins: they
+    * exist so the ANN ops have an exact hash-graded counterpart at
+    * fixture scale, but nothing else should ever run them on data-sized
+    * input — n² pairs at 10⁸ vectors is not a plan, it's an outage.
+    * The cap is configurable (`graft.quadratic.maxRows`, default 50k ≈
+    * 2.5×10⁹ pairs, the edge of single-cluster feasibility); above it
+    * the guard throws with a pointer to the scale path instead of
+    * letting the crossJoin start. The count is parquet-metadata-cheap. */
+  private def quadraticGuard(s: SparkSession, sf: String, op: String,
+                             scalePath: String): Unit = {
+    val cap = s.conf.getOption("graft.quadratic.maxRows")
+      .map(_.toLong).getOrElse(50000L)
+    val n = Tables.embeddings(s, sf).count()
+    require(n <= cap,
+      s"$op is the declared all-pairs oracle twin (O(n^2) pairs): input has " +
+      s"$n rows > graft.quadratic.maxRows=$cap; at scale use $scalePath")
+  }
+
   /** Top-20 most-similar pairs (vec_id < vec_id). Norms are precomputed
-    * per vector (once, not per pair) on both engines. */
+    * per vector (once, not per pair) on both engines. Guarded: refuses
+    * data-sized input (see [[quadraticGuard]]). */
   def qSimKnnJoin(s: SparkSession, sf: String): DataFrame = {
+    quadraticGuard(s, sf, "q_sim_knn_join", "a_sim_ann_lsh / a_sim_ann_ivf")
     val v = normed(s, sf)
     aSide(v).crossJoin(bSide(v))
       .where(col("a_id") < col("b_id"))
@@ -76,8 +96,10 @@ object Vectors {
   /** Embedding-cosine near-dup: exact all-pairs at fixture scale (the
     * quadratic twin; `a_sim_ann_lsh` is the at-scale path). Threshold
     * 0.4 is calibrated to the fixture's near-random vectors (max
-    * pairwise cosine ≈ 0.46). */
+    * pairwise cosine ≈ 0.46). Guarded: refuses data-sized input (see
+    * [[quadraticGuard]]). */
   def qDedupEmbed(s: SparkSession, sf: String): DataFrame = {
+    quadraticGuard(s, sf, "q_dedup_embed", "a_sim_ann_lsh / a_sim_ann_ivf")
     aSide(normed(s, sf)).crossJoin(bSide(normed(s, sf)))
       .where(col("a_id") < col("b_id"))
       .withColumn("sim", pairSim)

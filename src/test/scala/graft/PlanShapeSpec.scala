@@ -216,6 +216,39 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** The vocabulary-sized df table in the text-scoring family must not
+    * be PINNED to a broadcast plan: under the size gate it broadcasts
+    * (fixture scale), above it the token equi-join degrades to a
+    * sort-merge join — the shape the same code produces on a
+    * web-corpus vocabulary. Results must be identical on either path. */
+  test("q_text_tfidf + q_text_rarity gate the vocab df broadcast, shuffle fallback above") {
+    val gateKey = "graft.loop.broadcastThreshold"
+    val autoKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+                       "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    for (q <- Seq(TextDedup.qTextTfidf(_, _), TextDedup.qTextRarity(_, _))) {
+      val hinted = q(spark, sf)
+      val hintedRows = hinted.collect().map(_.toString).toSeq
+      assert(plan(hinted).contains("BroadcastHashJoin"),
+             s"gate should broadcast the df table at fixture scale:\n${plan(hinted)}")
+      assert(!plan(hinted).contains("SortMergeJoin"))
+      val prev = autoKeys.map(k => k -> spark.conf.getOption(k))
+      spark.conf.set(gateKey, "0")
+      autoKeys.foreach(spark.conf.set(_, "-1"))
+      try {
+        val fb = q(spark, sf)
+        val p = plan(fb)
+        assert(p.contains("SortMergeJoin"),
+               s"gate closed but token join did not degrade to shuffle:\n$p")
+        assert(fb.collect().map(_.toString).toSeq == hintedRows,
+               "fallback path changed the result")
+      } finally {
+        spark.conf.unset(gateKey)
+        prev.foreach { case (k, v) =>
+          v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      }
+    }
+  }
+
   test("q_dedup_cluster + q_graph_pagerank are correct on the shuffle fallback path") {
     val gateKey = "graft.loop.broadcastThreshold"
     val clusterRows = TextDedup.qDedupCluster(spark, sf).collect().map(_.toString).toSeq

@@ -531,4 +531,21 @@ class PropertySpec extends SparkSpec {
            exact.except(viaBloom).count() == 0,
       "bloom-pruned join diverged from the exact semi-join twin")
   }
+
+  test("quadratic twins refuse data-sized input, routing callers to the ANN scale path") {
+    // The declared all-pairs oracle twins must FAIL FAST above the
+    // configurable row cap instead of launching an n² crossJoin.
+    // Simulate "oversized" by dropping the cap below the fixture size.
+    val key = "graft.quadratic.maxRows"
+    spark.conf.set(key, "10")
+    try {
+      for (q <- Seq(Vectors.qSimKnnJoin(_, _), Vectors.qDedupEmbed(_, _))) {
+        val e = intercept[IllegalArgumentException](q(spark, sf))
+        assert(e.getMessage.contains("a_sim_ann_lsh"),
+               s"guard message must route to the ANN path: ${e.getMessage}")
+      }
+    } finally spark.conf.unset(key)
+    // under the cap both still plan (the oracle-twin contract intact)
+    assert(Vectors.qSimKnnJoin(spark, sf).limit(1).count() >= 0)
+  }
 }
