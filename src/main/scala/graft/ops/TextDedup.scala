@@ -453,18 +453,36 @@ object TextDedup {
     * Round shape: large-star links every neighbor v>u to m=min(Γ⁺(u))
     * (connectivity-preserving, orients edges large→small); small-star
     * re-hangs the small neighbors onto m. Fixpoint = every node points
-    * at its component min; checked by an exact symmetric-difference
-    * count (one co-partitioned groupBy per round — the distributed
-    * convergence check, no driver data). localCheckpoint per stage
-    * keeps plans constant-size (§7.3 loop discipline). */
+    * at its component min. The convergence check is exact set
+    * equality, staged by cost: a per-round SIGNATURE — (count,
+    * XOR-fold of xxhash64(u,v)) in one shuffle-free scan of the round's already-
+    * checkpointed blocks — filters non-final rounds for free (the
+    * signature is carried forward, never recomputed), and only a
+    * signature MATCH pays the one definitive anti-join (next \ edges;
+    * equal count + empty difference ⇔ equal sets — the hash-sum is a
+    * screen, the anti-join keeps the check exact). Non-final rounds
+    * pay zero convergence shuffle — vs the previous symmetric-
+    * difference groupBy that shuffled 2|E| EVERY round. Loop-frame
+    * partition count derives from |E| (~250k edges/partition, min 8),
+    * not a fixture constant. localCheckpoint per stage keeps plans
+    * constant-size (§7.3 loop discipline). */
   def qGraphCcStar(s: SparkSession, sf: String): DataFrame = {
     val pairs = bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6)
       .select(col("a_id"), col("b_id"))
     // orient u > v (canonical pairs have a_id < b_id)
     var edges = pairs.select(col("b_id").as("u"), col("a_id").as("v"))
       .distinct()
-      .repartition(8, col("u"))
       .localCheckpoint()
+    // one shuffle-free scan: edge count (sizes the loop partitions) +
+    // the set's xor-folded hash (the convergence screen; XOR is
+    // order-independent and can't overflow under ANSI, unlike sum)
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var (nEdges, hEdges) = sig(edges)
+    val parts = math.max(8L, math.min(4096L, nEdges / 250000L + 1L)).toInt
+    edges = edges.repartition(parts, col("u")).localCheckpoint()
     def largeStar(e: DataFrame): DataFrame = {
       val nb = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val m = nb.groupBy("u").agg(min(col("v")).as("mn"))
@@ -474,7 +492,7 @@ object TextDedup {
         .unionAll(m.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v")) // root self-loops carry no info
         .distinct()
-        .repartition(8, col("u"))
+        .repartition(parts, col("u"))
         .localCheckpoint()
     }
     def smallStar(e: DataFrame): DataFrame = {
@@ -484,19 +502,21 @@ object TextDedup {
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(m.select(col("u"), col("m").as("v")))
         .distinct()
-        .repartition(8, col("u"))
+        .repartition(parts, col("u"))
         .localCheckpoint()
     }
     var converged = false
     var rounds = 0
     while (!converged && rounds < 25) { // O(log² n) bound; fixture closes in 2-3
       val next = smallStar(largeStar(edges))
-      // exact distributed convergence check: symmetric difference of
-      // the two edge sets, counted co-partitioned — no data collected
-      val diff = next.unionAll(edges).groupBy("u", "v")
-        .agg(count(lit(1)).as("c")).where(col("c") === 1).count()
+      val (nNext, hNext) = sig(next) // block read, no shuffle
+      // signature match screens candidate fixpoints; the anti-join
+      // (runs ~once, on the true final round) keeps the check EXACT
+      converged = nNext == nEdges && hNext == hEdges &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = next
-      converged = diff == 0
+      nEdges = nNext
+      hEdges = hNext
       rounds += 1
     }
     // fixpoint = stars: every non-root points straight at its root
