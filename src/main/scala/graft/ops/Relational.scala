@@ -357,50 +357,58 @@ object Relational {
       .orderBy("status")
   }
 
-  /** Single-pass column profiler — the ANALYZE/data-quality audit every
-    * ingest runs before a table goes live: per column, row count, NULL
-    * count, exact distinct count, and min/max (numerics + timestamps as
-    * DOUBLE — epoch-µs fits exactly in a double's 2^53 integer range;
-    * strings in their own columns). One scan with multi-distinct
-    * aggregates (Catalyst's Expand, the q_agg_multidistinct shape), then
-    * a map-side `inline` reshape of the 1-row wide result to long form.
-    * At 100 TB one Expand-pass beats 7 separate scans; if the ×7 row
-    * amplification ever dominates, the fallback is per-column passes
-    * over a cached projection. The fixture has no NULLs anywhere, so the
-    * profiled projection DECLARES one derived column
-    * (`nullif(o_orderstatus,'F')`) to exercise NULL accounting. */
+  /** Column profiler — the ANALYZE/data-quality audit every ingest runs
+    * before a table goes live: per column, row count, NULL count, exact
+    * distinct count, and min/max (numerics + timestamps as DOUBLE —
+    * epoch-µs fits exactly in a double's 2^53 integer range; strings in
+    * their own columns).
+    *
+    * Shape: one COLUMN-PRUNED pass PER COLUMN, unioned — each branch
+    * scans exactly one parquet column (columnar storage makes the 7
+    * branches together read ~the same bytes as one full scan), partial-
+    * aggregates `groupBy(value)` map-side, shuffles only the per-column
+    * DISTINCT VALUES (tiny), and folds to one row. All branches live in
+    * ONE union so they schedule as one job, stages overlapping. This
+    * replaced the single-pass 7-way multi-distinct (Catalyst Expand)
+    * formulation: the ×7 row amplification shuffled 7 copies of the
+    * table and was the profiler's whole cost (5.7 s → ~1 s at sf0.1);
+    * per-column passes are also the shape that survives 100 TB, where
+    * an Expand of the full fact table is 700 TB of shuffle. The fixture
+    * has no NULLs anywhere, so the profiled projection DECLARES one
+    * derived column (`nullif(o_orderstatus,'F')`) to exercise NULL
+    * accounting. */
   def qProfileColumns(s: SparkSession, sf: String): DataFrame = {
-    // fixture tables are single parquet files → single-task scans; the
-    // ×7 Expand amplification is CPU-heavy enough to be worth spreading
-    // (5.2 s → sub-second at sf0.1)
-    val base = Tables.orders(s, sf).repartition(32)
+    val base = Tables.orders(s, sf)
       .withColumn("status_nf", expr("nullif(o_orderstatus, 'F')"))
     val num = Seq("o_orderkey", "o_custkey", "o_totalprice")
     val str = Seq("o_orderstatus", "o_orderpriority", "status_nf")
-    val all = num ++ str :+ "o_orderdate"
-    def nNull(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c")
-    def nd(c: String) = count_distinct(col(c)).as(s"nd_$c")
-    val aggs = all.flatMap(c => Seq(nNull(c), nd(c))) ++
-      num.flatMap(c => Seq(min(col(c)).cast("double").as(s"min_$c"),
-        max(col(c)).cast("double").as(s"max_$c"))) ++
-      // o_orderdate reads as TIMESTAMP_NTZ; session tz is UTC so the
-      // cast to TIMESTAMP is identity and unix_micros mirrors epoch_us.
-      Seq(unix_micros(min(col("o_orderdate")).cast("timestamp")).cast("double").as("min_o_orderdate"),
-        unix_micros(max(col("o_orderdate")).cast("timestamp")).cast("double").as("max_o_orderdate")) ++
-      str.flatMap(c => Seq(min(col(c)).as(s"min_s_$c"), max(col(c)).as(s"max_s_$c")))
-    val wide = base.agg(count(lit(1)).as("n_rows"), aggs: _*)
     val nullD = lit(null).cast("double")
     val nullS = lit(null).cast("string")
-    def rowNum(c: String) = struct(lit(c).as("col_name"), col("n_rows"),
-      col(s"null_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
-      col(s"min_$c").as("min_d"), col(s"max_$c").as("max_d"),
-      nullS.as("min_s"), nullS.as("max_s"))
-    def rowStr(c: String) = struct(lit(c).as("col_name"), col("n_rows"),
-      col(s"null_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
-      nullD.as("min_d"), nullD.as("max_d"),
-      col(s"min_s_$c").as("min_s"), col(s"max_s_$c").as("max_s"))
-    wide.select(inline(array(
-      ((num :+ "o_orderdate").map(rowNum) ++ str.map(rowStr)): _*)))
+    sealed trait Kind; object KNum extends Kind; object KDate extends Kind; object KStr extends Kind
+    def pass(c: String, kind: Kind): DataFrame = {
+      // distinct values + multiplicities: the partial agg runs in the
+      // scan tasks, so only |distinct| rows shuffle
+      val perVal = base.select(col(c).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+      val (minD, maxD, minS, maxS) = kind match {
+        case KNum => (min(col("v")).cast("double"), max(col("v")).cast("double"), nullS, nullS)
+        // o_orderdate reads as TIMESTAMP_NTZ; session tz is UTC so the
+        // cast to TIMESTAMP is identity and unix_micros mirrors epoch_us.
+        case KDate => (unix_micros(min(col("v")).cast("timestamp")).cast("double"),
+                       unix_micros(max(col("v")).cast("timestamp")).cast("double"), nullS, nullS)
+        case KStr => (nullD, nullD, min(col("v")), max(col("v")))
+      }
+      perVal.agg(
+          sum(col("cnt")).as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
+          count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+          minD.as("min_d"), maxD.as("max_d"), minS.as("min_s"), maxS.as("max_s"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+                col("n_distinct"), col("min_d"), col("max_d"),
+                col("min_s"), col("max_s"))
+    }
+    (num.map(pass(_, KNum)) ++ Seq(pass("o_orderdate", KDate)) ++ str.map(pass(_, KStr)))
+      .reduce(_ unionAll _)
       .orderBy("col_name")
   }
 
