@@ -61,12 +61,48 @@ object Bench {
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // Per-query regression gate: diff this run against the PREVIOUS
+    // committed bench.json (before overwriting it below) and report
+    // queries >1.5× slower (and >0.25 s absolute, the noise floor) —
+    // turns the "load vs regression" judgment from archaeology into a
+    // per-run report. Written to stderr + bench_regressions.json; the
+    // stdout line keeps the driver's exact schema.
+    val regressions = try {
+      val p = java.nio.file.Paths.get("bench.json")
+      if (!java.nio.file.Files.exists(p)) Nil else {
+        val prev = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val qStart = prev.indexOf("\"queries\":{")
+        if (qStart < 0) Nil else {
+          val body = prev.substring(qStart + 11, prev.indexOf("}", qStart))
+          val re = "\"([A-Za-z0-9_]+)\":([0-9.eE+-]+)".r
+          val prevMap = re.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          ok.flatMap { case (k, v) =>
+            prevMap.get(k).filter(pv => v > pv * 1.5 && v - pv > 0.25)
+              .map(pv => (k, pv, v))
+          }.sortBy { case (_, pv, v) => -(v / pv) }
+        }
+      }
+    } catch { case _: Throwable => Nil }
+    if (regressions.isEmpty)
+      System.err.println("[bench] regression gate: no query >1.5x over previous bench.json")
+    else regressions.foreach { case (k, pv, v) =>
+      System.err.println(f"[bench] REGRESSION $k%-28s $pv%.2f -> $v%.2f s (${v / pv}%.1fx)")
+    }
+    try {
+      val rj = regressions.map { case (k, pv, v) =>
+        s"""{"query":"$k","prev":$pv,"now":$v}""" }.mkString("[", ",", "]")
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_regressions.json"),
+        (rj + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => }
     // stdout line FIRST (the driver's contract), then a durable copy:
     // the driver artifact truncates long stdout tails, and the
     // per-query map is the part a judge needs to diff rounds — so it
-    // also lands in bench.json at the repo root.
+    // also lands in bench.json at the repo root. SUBSET runs (local
+    // iteration) skip the write: a 5-query map must never clobber the
+    // committed full-suite map the regression gate diffs against.
     println(line)
-    try {
+    if (only.isEmpty) try {
       val out = java.nio.file.Paths.get("bench.json")
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
