@@ -8,8 +8,32 @@ import graft.stream.StreamOps.Event
 
 /** §2.10 streaming capabilities, MemoryStream-driven (§5.2(4)). Each
   * test runs micro-batches with processAllAvailable so results are
-  * deterministic. */
-class StreamingSpec extends SparkSpec {
+  * deterministic.
+  *
+  * The WHOLE suite runs under the RocksDB state store provider
+  * (beforeAll): the default HDFS-backed provider keeps every key's
+  * state on-heap, which at 100 TB key cardinalities is the streaming
+  * scale-killer — RocksDB spills to local disk with bounded heap. The
+  * rocksdbjni jar ships in /opt/spark/jars, so this is the deployment
+  * configuration, proven across all streaming tests, not just the
+  * transformWithState family that REQUIRES it. */
+class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+  private var prevProvider: Option[String] = None
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  }
+  override protected def afterAll(): Unit = {
+    prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+    super.afterAll()
+  }
 
   private def ts(minutes: Long): Timestamp =
     new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 00:00 UTC
@@ -22,18 +46,11 @@ class StreamingSpec extends SparkSpec {
                  value: Double = 1.0): Event =
     Event(id, ts(min), user, typ, value)
 
-  /** Run `body` with the RocksDB state store (transformWithState's only
-    * supported provider), restoring the previous provider afterwards. */
-  private def withRocksDB(body: => Unit): Unit = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
-    }
-  }
+  /** Marker for tests whose operator REQUIRES RocksDB
+    * (transformWithState's only supported provider). The provider is
+    * suite-wide now (beforeAll); the wrapper stays as the explicit
+    * requirement marker. */
+  private def withRocksDB(body: => Unit): Unit = body
 
   test("s_stream_tumbling_wm: watermark drops late rows, windows finalize") {
     import spark.implicits._
