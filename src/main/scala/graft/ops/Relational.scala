@@ -482,6 +482,27 @@ object Relational {
            sum(col("value").cast("decimal(28,2)")).cast("double").as("total"))
       .orderBy("series_id")
 
+  /** Aggregate pushdown through the DSv2 connector: an ungrouped
+    * COUNT/MIN/MAX over the generator's closed-form columns COMPLETE-
+    * pushes into the source (zero samples generated — the zone-map
+    * answer shape; PlanShapeSpec pins the aggregate's absence from the
+    * Spark plan), composed with filter pushdown: the `series_id`
+    * range narrows [lo, hi] first, and the pushed aggregate answers
+    * over the narrowed range. The oracle states the same closed forms
+    * via generate_series. */
+  def qSourceDsv2Agg(s: SparkSession, sf: String): DataFrame =
+    s.read.format("graft.sources.TelemetrySource")
+      .option("series", "64").option("samples", "100")
+      .load()
+      .where(col("series_id").between(8, 23))
+      .agg(count(lit(1)).as("n"),
+           min(col("series_id")).as("min_sid"),
+           max(col("series_id")).as("max_sid"),
+           min(col("sample_idx")).as("min_idx"),
+           max(col("sample_idx")).as("max_idx"),
+           min(col("ts_us")).as("min_ts"),
+           max(col("ts_us")).as("max_ts"))
+
   /** Sequence-continuity audit — dropped-message detection on a
     * monotonically-assigned id (the ingest invariant "no event ids
     * vanished between producer and table"): global min/max/count give

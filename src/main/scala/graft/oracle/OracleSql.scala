@@ -837,6 +837,14 @@ object OracleSql {
     FROM generate_series(8, 23) t(s), generate_series(0, 99) u(i)
     GROUP BY s ORDER BY s""")
 
+  val qSourceDsv2Agg: String = n("""
+    SELECT COUNT(*) AS n,
+      MIN(s) AS min_sid, MAX(s) AS max_sid,
+      MIN(i) AS min_idx, MAX(i) AS max_idx,
+      MIN(1704067200000000 + i * 60000000) AS min_ts,
+      MAX(1704067200000000 + i * 60000000) AS max_ts
+    FROM generate_series(8, 23) t(s), generate_series(0, 99) u(i)""")
+
   val qTsCompressGorilla: String = n("""
     WITH t AS (
       SELECT user_id, ts, event_id,

@@ -7,11 +7,14 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
 /** A from-scratch DataSource V2 connector (SURVEY §2.1 / the §7.4
   * extension-point matrix's last row): a deterministic telemetry
@@ -29,6 +32,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - **Column pruning** ([[SupportsPushDownRequiredColumns]]): the
   *    reader materializes ONLY requested columns — the columnar-scan
   *    contract.
+  *  - **Aggregate pushdown** ([[SupportsPushDownAggregates]]):
+  *    ungrouped COUNT(*)/MIN/MAX over the closed-form columns
+  *    (`series_id`, `sample_idx`, `ts_us`) COMPLETE-push to the
+  *    source, which answers from range arithmetic — zero rows
+  *    generated, the analogue of a warehouse answering MIN/MAX from
+  *    zone-map metadata. `value` min/max (no closed form) and grouped
+  *    aggregates are DECLINED, so Spark computes them from the raw
+  *    scan — the decline path is part of the contract.
+  *  - **Columnar batch reads**: the batch-path reader fills 4096-row
+  *    [[ColumnarBatch]]es of on-heap vectors instead of one
+  *    [[InternalRow]] per sample, so the scan enters WholeStageCodegen
+  *    through the same vectorized path as parquet — the 100 TB scan
+  *    shape. (The micro-batch streaming path stays row-based:
+  *    triggers poll small sample ranges.)
   *
   * Partition planning splits the (post-pushdown) series range across
   * `partitions` input splits, so a cluster reads the source in
@@ -76,12 +93,14 @@ private[sources] class TelemetryScanBuilder(nSeries: Long, nSamples: Long,
                                             nPartitions: Int,
                                             samplesPerTrigger: Long = 10L)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo: Long = 0L
   private var hi: Long = nSeries - 1
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = TelemetrySource.schema
+  private var pushedAgg: Option[Aggregation] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, rest) = filters.partition {
@@ -108,8 +127,87 @@ private[sources] class TelemetryScanBuilder(nSeries: Long, nSamples: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new TelemetryScan(lo, hi, nSamples, nPartitions, required, samplesPerTrigger)
+  // Aggregate pushdown: only what the generator can answer in CLOSED
+  // FORM over the (post-filter-pushdown) [lo, hi] × [0, nSamples)
+  // range. `value`'s min/max has no closed form — declined, Spark
+  // falls back to aggregating the raw scan.
+  private val closedForm = Set("series_id", "sample_idx", "ts_us")
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+      case _ => None
+    }
+  private def canPush(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => colOf(m.column).exists(closedForm)
+        case m: Max => colOf(m.column).exists(closedForm)
+        case _ => false
+      }
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPush(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!canPush(agg)) return false
+    pushedAgg = Some(agg)
+    true
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new TelemetryAggScan(lo, hi, nSamples, agg, colOf)
+    case None =>
+      new TelemetryScan(lo, hi, nSamples, nPartitions, required, samplesPerTrigger)
+  }
+}
+
+/** The pushed-aggregate scan: ONE row computed from range arithmetic —
+  * no sample is ever generated. Complete pushdown, so Spark consumes
+  * these values directly (no partial re-aggregation above). */
+private[sources] class TelemetryAggScan(
+    lo: Long, hi: Long, nSamples: Long, agg: Aggregation,
+    colOf: org.apache.spark.sql.connector.expressions.Expression => Option[String])
+    extends Scan with Batch {
+  import TelemetrySource.{StepUs, T0}
+  private val nRows: Long = math.max(0L, hi - lo + 1L) * math.max(0L, nSamples)
+  private def bound(c: String, isMin: Boolean): Any =
+    if (nRows == 0L) null
+    else c match {
+      case "series_id" => if (isMin) lo else hi
+      case "sample_idx" => if (isMin) 0L else nSamples - 1L
+      case "ts_us" => if (isMin) T0 else T0 + (nSamples - 1L) * StepUs
+    }
+  private val (fields, values) = agg.aggregateExpressions.zipWithIndex.map {
+    case (_: CountStar, i) =>
+      (StructField(s"count_star_$i", LongType, nullable = false), nRows: Any)
+    case (m: Min, i) =>
+      (StructField(s"min_${colOf(m.column).get}_$i", LongType), bound(colOf(m.column).get, isMin = true))
+    case (m: Max, i) =>
+      (StructField(s"max_${colOf(m.column).get}_$i", LongType), bound(colOf(m.column).get, isMin = false))
+    case (other, _) =>
+      throw new IllegalStateException(s"unpushable aggregate $other survived canPush")
+  }.unzip
+  override def readSchema(): StructType = StructType(fields)
+  override def description(): String =
+    s"TelemetryScan[series=$lo..$hi, PushedAggregates: [${agg.aggregateExpressions.mkString(", ")}]]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(TelemetryRange(0, 0, 0, 0))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val row = values
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow = {
+            val out = new GenericInternalRow(row.length)
+            var i = 0
+            while (i < row.length) { out.update(i, row(i)); i += 1 }
+            out
+          }
+          override def close(): Unit = ()
+        }
+    }
+  }
 }
 
 private[sources] class TelemetryScan(lo: Long, hi: Long, nSamples: Long,
@@ -136,8 +234,10 @@ private[sources] class TelemetryScan(lo: Long, hi: Long, nSamples: Long,
   override def planInputPartitions(): Array[InputPartition] =
     seriesSplits(0L, nSamples)
 
+  // Batch reads are COLUMNAR (4096-row on-heap vectors feeding
+  // WholeStageCodegen's vectorized input path, like parquet).
   override def createReaderFactory(): PartitionReaderFactory =
-    new TelemetryReaderFactory(required)
+    new TelemetryReaderFactory(required, columnar = true)
 
   /** The streaming face of the same connector — the collector-poll
     * model the telemetry genre is built on: the OFFSET is the global
@@ -178,7 +278,7 @@ private[sources] class TelemetryScan(lo: Long, hi: Long, nSamples: Long,
         seriesSplits(start.asInstanceOf[SampleOffset].idx, endIdx)
       }
       override def createReaderFactory(): PartitionReaderFactory =
-        new TelemetryReaderFactory(required)
+        new TelemetryReaderFactory(required, columnar = false)
       override def stop(): Unit = ()
     }
 }
@@ -192,12 +292,64 @@ private[sources] case class TelemetryRange(from: Long, to: Long,
                                            idxFrom: Long, idxTo: Long)
     extends InputPartition
 
-private[sources] class TelemetryReaderFactory(required: StructType)
+private[sources] class TelemetryReaderFactory(required: StructType,
+                                              columnar: Boolean)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val r = partition.asInstanceOf[TelemetryRange]
     new TelemetryReader(r.from, r.to, r.idxFrom, r.idxTo, required)
   }
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val r = partition.asInstanceOf[TelemetryRange]
+    new TelemetryColumnarReader(r.from, r.to, r.idxFrom, r.idxTo, required)
+  }
+}
+
+/** Vectorized batch reader: fills pruned on-heap column vectors 4096
+  * samples at a time — same per-(sid, idx) closed forms as the row
+  * reader, amortizing per-row iterator overhead and letting the
+  * downstream stage consume vectors (the parquet scan shape). */
+private[sources] class TelemetryColumnarReader(from: Long, to: Long,
+                                               idxFrom: Long, idxTo: Long,
+                                               required: StructType)
+    extends PartitionReader[ColumnarBatch] {
+  private val capacity = 4096
+  private val vectors = OnHeapColumnVector.allocateColumns(capacity, required)
+  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+  // per-column writers bound once, by ordinal
+  private val writers: Array[(Int, Long, Long) => Unit] =
+    required.fieldNames.zipWithIndex.map { case (name, ord) =>
+      val vec = vectors(ord)
+      name match {
+        case "series_id" => (row: Int, sid: Long, _: Long) => vec.putLong(row, sid)
+        case "sample_idx" => (row: Int, _: Long, idx: Long) => vec.putLong(row, idx)
+        case "ts_us" => (row: Int, _: Long, idx: Long) =>
+          vec.putLong(row, TelemetrySource.T0 + idx * TelemetrySource.StepUs)
+        case "value" => (row: Int, sid: Long, idx: Long) =>
+          vec.putDouble(row, TelemetrySource.value(sid, idx))
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+    }
+  private var sid = from
+  private var idx = idxFrom
+  private var exhausted = to < from || idxTo <= idxFrom
+  override def next(): Boolean = {
+    if (exhausted) return false
+    vectors.foreach(_.reset())
+    var n = 0
+    while (n < capacity && !exhausted) {
+      var c = 0
+      while (c < writers.length) { writers(c)(n, sid, idx); c += 1 }
+      n += 1
+      idx += 1
+      if (idx >= idxTo) { idx = idxFrom; sid += 1; if (sid > to) exhausted = true }
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = batch.close()
 }
 
 private[sources] class TelemetryReader(from: Long, to: Long,

@@ -283,6 +283,36 @@ class PlanShapeSpec extends SparkSpec {
            s"pushed filter still evaluated post-scan:\n$p")
   }
 
+  test("q_source_dsv2_agg: COUNT/MIN/MAX complete-push into the connector — no Spark-side aggregate") {
+    val df = Relational.qSourceDsv2Agg(spark, sf)
+    val row = df.collect()(0)
+    assert(row.getLong(0) == 1600L && row.getLong(1) == 8L && row.getLong(2) == 23L)
+    val p = plan(df)
+    assert(p.contains("PushedAggregates"),
+           s"scan description must show the pushed aggregates:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+           s"complete pushdown must leave no Spark-side aggregate:\n$p")
+  }
+
+  test("q_source_dsv2_agg declines unpushable aggregates (value min/max computed by Spark)") {
+    // min/max over `value` has no closed form at the source — the
+    // connector must DECLINE, and Spark aggregates the raw scan
+    val df = spark.read.format("graft.sources.TelemetrySource")
+      .option("series", "8").option("samples", "10").load()
+      .agg(org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("value")).as("mn"))
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("HashAggregate") && !p.contains("PushedAggregates"),
+           s"declined aggregate must be computed Spark-side:\n$p")
+  }
+
+  test("q_source_dsv2: batch reads are columnar (vectorized scan feeding ColumnarToRow)") {
+    val df = Relational.qSourceDsv2(spark, sf)
+    df.collect()
+    assert(plan(df).contains("ColumnarToRow"),
+           s"batch path must read ColumnarBatches:\n${plan(df)}")
+  }
+
   test("graft_bitmap_* are SQL-callable and exact") {
     val r = spark.sql(
       """SELECT graft_bitmap_count(graft_bitmap_union_agg(bm)) AS n FROM (
