@@ -24,7 +24,12 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     configure(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
+    // Driver fixture sets store ts as TIMESTAMP(NANOS) → read as raw
+    // ns longs (nanosAsLong) and µs-truncate; the locally generated
+    // sf1 set already stores TIMESTAMP(µs) (Spark can't write nanos),
+    // which reads as a timestamp directly — same values either way.
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }

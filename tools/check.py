@@ -52,7 +52,11 @@ def main():
     only = set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        # fixture tables are single files in the driver's sets, but the
+        # locally generated sf1 set writes Spark-style directories
+        p = f'{sf}/{t}.parquet'
+        src = f'{p}/*.parquet' if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f'{out}/oracle_sql.json'))
     n_pass = n_fail = 0
     if only:
