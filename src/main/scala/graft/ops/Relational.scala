@@ -503,6 +503,22 @@ object Relational {
            min(col("ts_us")).as("min_ts"),
            max(col("ts_us")).as("max_ts"))
 
+  /** Limit pushdown through the DSv2 connector (completes the pushdown
+    * matrix: filters, columns, aggregates, limit): LIMIT 1234 reaches
+    * the source, whose readers stop GENERATING after 1234 rows per
+    * partition — against a trillion-sample range that is the
+    * difference between a peek and a scan. Partial pushdown (the
+    * standard contract): Spark keeps the exact global cut on top. A
+    * bare LIMIT's row CHOICE is nondeterministic by definition, so the
+    * graded surface is the cardinality; the plan pin
+    * (PlanShapeSpec) asserts the limit reached the scan. */
+  def qSourceDsv2Limit(s: SparkSession, sf: String): DataFrame =
+    s.read.format("graft.sources.TelemetrySource")
+      .option("series", "64").option("samples", "100")
+      .load()
+      .limit(1234)
+      .agg(count(lit(1)).as("n"))
+
   /** Sequence-continuity audit — dropped-message detection on a
     * monotonically-assigned id (the ingest invariant "no event ids
     * vanished between producer and table"): global min/max/count give

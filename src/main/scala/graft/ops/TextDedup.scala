@@ -530,6 +530,56 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** Seeded multi-source BFS over the τ=0.6 near-dup graph: shortest
+    * hop-distance from any seed (doc_id ≡ 0 mod 100) to every node its
+    * component can reach, bounded at 20 hops — the reachability
+    * diagnostic for dup graphs (how far does a known-bad template
+    * family spread?) and the third member of the iterative-graph
+    * family (CC labels, PageRank mass, now distances).
+    *
+    * Shape: min-distance relaxation — per round, every labeled node
+    * offers dist+1 to its neighbors through ONE equi-join on the edge
+    * list (gated broadcast, like the CC/PageRank loop frames), then a
+    * min-groupBy; rounds stop when the (count, Σdist) signature is a
+    * fixpoint (both read the round's checkpointed blocks, no extra
+    * shuffle — Σdist is monotone non-increasing and count monotone
+    * non-decreasing, so signature equality IS set equality here, no
+    * anti-join needed). All-INTEGER output. The 20-hop bound matches
+    * the oracle's recursion bound; fixture eccentricities close in <6
+    * rounds. */
+  def qGraphBfs(s: SparkSession, sf: String): DataFrame = {
+    val pairs = bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6)
+      .select(col("a_id"), col("b_id"))
+    val edges = pairs
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+      .localCheckpoint()
+    val nNodes = edges.select("u").distinct().count()
+    def bc(df: DataFrame): DataFrame = Util.gatedBroadcast(s, df, nNodes)
+    var dist = edges.select(col("u").as("id")).distinct()
+      .where(col("id") % 100 === 0)
+      .select(col("id"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var sig = (dist.count(), 0L)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val offers = edges
+        .join(bc(dist.select(col("id").as("v"), col("dist"))), "v")
+        .select(col("u").as("id"), (col("dist") + 1L).as("dist"))
+      val next = dist.unionByName(offers)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      val r = next.agg(count(lit(1)), sum(col("dist"))).head()
+      val nextSig = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      converged = nextSig == sig
+      dist = next
+      sig = nextSig
+      rounds += 1
+    }
+    dist.select(col("id").as("doc_id"), col("dist")).orderBy("doc_id")
+  }
+
   /** Corpus stats per (lang, source); integer sums stay exact. */
   def qTextStats(s: SparkSession, sf: String): DataFrame =
     Tables.documents(s, sf)

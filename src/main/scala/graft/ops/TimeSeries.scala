@@ -1031,4 +1031,45 @@ object TimeSeries {
               col("intercept"), col("forecast_7d"))
       .orderBy("event_type")
   }
+
+  /** Holt double-exponential smoothing (level + trend) per user — the
+    * forecasting step up from `q_ts_ewma` (level only) and
+    * `q_ts_forecast_linreg` (global trend only): a COUPLED linear
+    * recursion no window frame can express, run as a per-key ORDERED
+    * FOLD — `aggregate` over the sorted event list (codegen'd HOF; the
+    * list stays inside the executor, one row out per key). α=β=1/2 so
+    * every update is an exact arithmetic shift on 1e-4 fixed-point
+    * longs (`shiftright` floors identically on both engines for
+    * negatives — unlike integer division, which Spark truncates and
+    * DuckDB floors): replay/shard-move invariant, zero float anywhere.
+    * The DuckDB twin is `list_reduce`, which seeds the accumulator
+    * with the FIRST element — mirrored here via `aggregate(slice(seq,
+    * 2, …), seq[1], …)`, making the Holt init (level₀ = x₀, trend₀ =
+    * 0) the seed element itself on both engines.
+    *
+    * Scale: one hash agg (collect per user) + map-side fold. Per-key
+    * state is the user's event list — bounded by per-key cardinality
+    * like every collect_sorted-family op; the streaming form would be
+    * an O(1) ValueState recursion (the s_stream_ewma shape). */
+  def qTsHolt(s: SparkSession, sf: String): DataFrame = {
+    Tables.events(s, sf)
+      // round-half-up to 1e-4 fixed point BEFORE any arithmetic —
+      // floor(x·1e4 + 0.5) is the cross-engine-stable rounding (§7.3)
+      .withColumn("xfp", floor(col("value") * lit(1e4) + lit(0.5)).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("xfp"))))
+        .as("seq"))
+      .withColumn("st", expr("""
+        aggregate(
+          slice(transform(seq, e -> named_struct('l', e.xfp, 't', CAST(0 AS BIGINT))),
+                2, greatest(size(seq) - 1, 0)),
+          named_struct('l', element_at(seq, 1).xfp, 't', CAST(0 AS BIGINT)),
+          (acc, e) -> named_struct(
+            'l', shiftright(e.l + acc.l + acc.t, 1),
+            't', shiftright(shiftright(e.l + acc.l + acc.t, 1) - acc.l + acc.t, 1)))"""))
+      .select(col("user_id"),
+              col("st.l").as("level_fp"), col("st.t").as("trend_fp"),
+              (col("st.l") + col("st.t")).as("forecast_fp"))
+      .orderBy("user_id")
+  }
 }

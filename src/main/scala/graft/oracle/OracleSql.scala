@@ -837,6 +837,9 @@ object OracleSql {
     FROM generate_series(8, 23) t(s), generate_series(0, 99) u(i)
     GROUP BY s ORDER BY s""")
 
+  val qSourceDsv2Limit: String = n("""
+    SELECT CAST(1234 AS BIGINT) AS n""")
+
   val qSourceDsv2Agg: String = n("""
     SELECT COUNT(*) AS n,
       MIN(s) AS min_sid, MAX(s) AS max_sid,
@@ -1240,6 +1243,31 @@ object OracleSql {
     SELECT doc_id, token, round(tf * ln(nd * 1.0 / df), 4) AS tfidf
     FROM tf JOIN df USING (token) CROSS JOIN n
     ORDER BY tfidf DESC, doc_id, token LIMIT 30""")
+
+  val qGraphBfs: String = n("""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang, n_chars,
+        list_distinct(string_split(text, ' ')) AS tk
+      FROM documents),
+    pairs AS (
+      SELECT a_id, b_id FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+        FROM toks a JOIN toks b
+          ON a.doc_id < b.doc_id AND a.lang = b.lang
+         AND abs(a.n_chars - b.n_chars) <= 25) t
+      WHERE jaccard >= 0.6),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs),
+    b(id, dist) AS (
+      SELECT DISTINCT u, CAST(0 AS BIGINT) FROM edges WHERE u % 100 = 0
+      UNION
+      SELECT e.u, b.dist + 1 FROM b JOIN edges e ON e.v = b.id
+      WHERE b.dist < 20)
+    SELECT id AS doc_id, MIN(dist) AS dist FROM b GROUP BY id
+    ORDER BY doc_id""")
 
   val qDedupCluster: String = n("""
     WITH RECURSIVE toks AS (
@@ -1938,6 +1966,30 @@ object OracleSql {
       FROM events)
     SELECT event_id, user_id, med21 FROM w
     WHERE rn >= 11 AND rn <= cnt - 10 ORDER BY event_id ASC NULLS FIRST""")
+
+  // Holt recursion stated as a RECURSIVE CTE, not list_reduce: DuckDB
+  // 1.0's list_reduce updates a struct accumulator IN PLACE field by
+  // field (the 't' lambda sees the already-updated 'l'), silently
+  // diverging from Spark's functional `aggregate` — measured on this
+  // exact recursion. The CTE's plain SELECT has no such aliasing.
+  val qTsHolt: String = n("""
+    WITH RECURSIVE e AS (
+      SELECT user_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS x
+      FROM events),
+    r AS (
+      SELECT user_id, rn, x AS l, CAST(0 AS BIGINT) AS t FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn,
+        (e.x + r.l + r.t) >> 1,
+        (((e.x + r.l + r.t) >> 1) - r.l + r.t) >> 1
+      FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+    last AS (SELECT user_id, MAX(rn) AS mx FROM e GROUP BY user_id)
+    SELECT r.user_id AS user_id, r.l AS level_fp, r.t AS trend_fp,
+      r.l + r.t AS forecast_fp
+    FROM r JOIN last ON r.user_id = last.user_id AND r.rn = last.mx
+    ORDER BY r.user_id""")
 
   val qTsEwma: String = n("""
     WITH e AS (

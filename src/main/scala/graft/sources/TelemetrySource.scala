@@ -94,13 +94,24 @@ private[sources] class TelemetryScanBuilder(nSeries: Long, nSamples: Long,
                                             samplesPerTrigger: Long = 10L)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var lo: Long = 0L
   private var hi: Long = nSeries - 1
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = TelemetrySource.schema
   private var pushedAgg: Option[Aggregation] = None
+  private var pushedLimit: Option[Int] = None
+
+  // Limit pushdown — PARTIALLY pushed: each partition reader stops
+  // generating after `limit` rows (so a LIMIT 10 against a trillion-row
+  // range generates ≤ 10·partitions rows, not the range), and Spark
+  // keeps its own global LIMIT on top for the exact cut. */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, rest) = filters.partition {
@@ -155,7 +166,8 @@ private[sources] class TelemetryScanBuilder(nSeries: Long, nSamples: Long,
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new TelemetryAggScan(lo, hi, nSamples, agg, colOf)
     case None =>
-      new TelemetryScan(lo, hi, nSamples, nPartitions, required, samplesPerTrigger)
+      new TelemetryScan(lo, hi, nSamples, nPartitions, required, samplesPerTrigger,
+                        pushedLimit)
   }
 }
 
@@ -212,11 +224,13 @@ private[sources] class TelemetryAggScan(
 
 private[sources] class TelemetryScan(lo: Long, hi: Long, nSamples: Long,
                                      nPartitions: Int, required: StructType,
-                                     samplesPerTrigger: Long)
+                                     samplesPerTrigger: Long,
+                                     limit: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"TelemetryScan[series=$lo..$hi, cols=${required.fieldNames.mkString(",")}]"
+    s"TelemetryScan[series=$lo..$hi, cols=${required.fieldNames.mkString(",")}" +
+      limit.map(l => s", limit=$l").getOrElse("") + "]"
   override def toBatch: Batch = this
 
   private def seriesSplits(idxFrom: Long, idxTo: Long): Array[InputPartition] = {
@@ -237,7 +251,8 @@ private[sources] class TelemetryScan(lo: Long, hi: Long, nSamples: Long,
   // Batch reads are COLUMNAR (4096-row on-heap vectors feeding
   // WholeStageCodegen's vectorized input path, like parquet).
   override def createReaderFactory(): PartitionReaderFactory =
-    new TelemetryReaderFactory(required, columnar = true)
+    new TelemetryReaderFactory(required, columnar = true,
+                               perPartitionCap = limit.map(_.toLong))
 
   /** The streaming face of the same connector — the collector-poll
     * model the telemetry genre is built on: the OFFSET is the global
@@ -293,16 +308,18 @@ private[sources] case class TelemetryRange(from: Long, to: Long,
     extends InputPartition
 
 private[sources] class TelemetryReaderFactory(required: StructType,
-                                              columnar: Boolean)
+                                              columnar: Boolean,
+                                              perPartitionCap: Option[Long] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val r = partition.asInstanceOf[TelemetryRange]
-    new TelemetryReader(r.from, r.to, r.idxFrom, r.idxTo, required)
+    new TelemetryReader(r.from, r.to, r.idxFrom, r.idxTo, required, perPartitionCap)
   }
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val r = partition.asInstanceOf[TelemetryRange]
-    new TelemetryColumnarReader(r.from, r.to, r.idxFrom, r.idxTo, required)
+    new TelemetryColumnarReader(r.from, r.to, r.idxFrom, r.idxTo, required,
+                                perPartitionCap)
   }
 }
 
@@ -312,8 +329,10 @@ private[sources] class TelemetryReaderFactory(required: StructType,
   * downstream stage consume vectors (the parquet scan shape). */
 private[sources] class TelemetryColumnarReader(from: Long, to: Long,
                                                idxFrom: Long, idxTo: Long,
-                                               required: StructType)
+                                               required: StructType,
+                                               cap: Option[Long] = None)
     extends PartitionReader[ColumnarBatch] {
+  private var emitted = 0L
   private val capacity = 4096
   private val vectors = OnHeapColumnVector.allocateColumns(capacity, required)
   private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
@@ -339,11 +358,15 @@ private[sources] class TelemetryColumnarReader(from: Long, to: Long,
     vectors.foreach(_.reset())
     var n = 0
     while (n < capacity && !exhausted) {
-      var c = 0
-      while (c < writers.length) { writers(c)(n, sid, idx); c += 1 }
-      n += 1
-      idx += 1
-      if (idx >= idxTo) { idx = idxFrom; sid += 1; if (sid > to) exhausted = true }
+      if (cap.exists(emitted >= _)) { exhausted = true } // pushed LIMIT
+      else {
+        var c = 0
+        while (c < writers.length) { writers(c)(n, sid, idx); c += 1 }
+        n += 1
+        emitted += 1
+        idx += 1
+        if (idx >= idxTo) { idx = idxFrom; sid += 1; if (sid > to) exhausted = true }
+      }
     }
     batch.setNumRows(n)
     n > 0
@@ -354,8 +377,10 @@ private[sources] class TelemetryColumnarReader(from: Long, to: Long,
 
 private[sources] class TelemetryReader(from: Long, to: Long,
                                        idxFrom: Long, idxTo: Long,
-                                       required: StructType)
+                                       required: StructType,
+                                       cap: Option[Long] = None)
     extends PartitionReader[InternalRow] {
+  private var emitted = 0L
   // materialize ONLY the pruned columns, by ordinal plan built once
   private val getters: Array[(Long, Long) => Any] = required.fieldNames.map {
     case "series_id" => (sid: Long, _: Long) => sid
@@ -368,6 +393,8 @@ private[sources] class TelemetryReader(from: Long, to: Long,
   private var sid = from
   private var idx = idxFrom - 1
   override def next(): Boolean = {
+    if (cap.exists(emitted >= _)) return false // pushed LIMIT: stop generating
+    emitted += 1
     idx += 1
     if (idx >= idxTo) { idx = idxFrom; sid += 1 }
     sid <= to && idxTo > idxFrom

@@ -313,6 +313,13 @@ class PlanShapeSpec extends SparkSpec {
            s"batch path must read ColumnarBatches:\n${plan(df)}")
   }
 
+  test("q_source_dsv2_limit: the LIMIT reaches the connector scan") {
+    val df = Relational.qSourceDsv2Limit(spark, sf)
+    assert(df.collect()(0).getLong(0) == 1234L)
+    assert(plan(df).contains("limit=1234"),
+           s"pushed limit must appear in the scan description:\n${plan(df)}")
+  }
+
   test("graft_bitmap_* are SQL-callable and exact") {
     val r = spark.sql(
       """SELECT graft_bitmap_count(graft_bitmap_union_agg(bm)) AS n FROM (
