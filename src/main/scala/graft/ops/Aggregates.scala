@@ -550,6 +550,26 @@ object Aggregates {
       .select(col("n_users"), col("total_events"), col("gini_ppm"))
   }
 
+  /** Herfindahl–Hirschman concentration index per event_type — the
+    * antitrust-style "is this event type driven by a handful of users"
+    * readout (`q_agg_gini`'s per-group companion; HHI is additive over
+    * squared shares so it needs no rank window at all): HHI =
+    * Σ(xᵢ/T)² = Σxᵢ² / T², kept ALL-INTEGER — Σxᵢ² and T are exact
+    * BIGINTs out of one two-level hash agg, and the only division is
+    * the final 1e6 fixed-point readout. Two map-side-combinable hash
+    * aggs, no window, no sort: the cheapest concentration metric at
+    * any scale. */
+  def qAggHhi(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("x")).as("total_events"),
+           sum(col("x") * col("x")).as("sum_sq"))
+      .withColumn("hhi_ppm",
+        expr("(1000000 * sum_sq) div (total_events * total_events)"))
+      .orderBy("event_type")
+
   /** Tukey IQR outlier fences per group — the robust outlier rule
     * dashboards use where z-scores chase their own outliers: flag
     * values above q3 + 1.5·IQR. Quartiles are interpolated from INPUT

@@ -1072,4 +1072,76 @@ object TimeSeries {
               (col("st.l") + col("st.t")).as("forecast_fp"))
       .orderBy("user_id")
   }
+
+  /** Sequential CUSUM drift accumulator per event_type — the ONLINE
+    * companion to `q_ts_changepoint` (which scores split candidates
+    * offline): Sᵢ = max(0, Sᵢ₋₁ + (xᵢ − target)) over the daily count
+    * series, the page-hinkley-style statistic that rises while traffic
+    * runs above target and floors at zero while below. Scaled
+    * ALL-INTEGER: with target = total/n_days, multiply through by
+    * n_days → devᵢ = nᵢ·n_days − total, exact BIGINTs. The max()
+    * inside the recursion breaks every window/prefix-sum rewrite, so
+    * it runs as the per-key ordered FOLD (the `q_ts_holt` shape):
+    * `aggregate` over the sorted days×types list, tracking (running S,
+    * peak, FIRST peak day — strict-greater update keeps the earliest).
+    * One hash agg + a types-row fold; the oracle states the identical
+    * recursion as a recursive CTE. */
+  def qTsCusum(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val totals = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("total"))
+    daily.join(totals, "event_type")
+      .withColumn("dev", col("n") * col("n_days") - col("total"))
+      .groupBy(col("event_type"), col("n_days"), col("total"))
+      .agg(sort_array(collect_list(struct(col("day"), col("dev")))).as("seq"))
+      .withColumn("st", expr("""
+        aggregate(seq,
+          named_struct('s', CAST(0 AS BIGINT), 'mx', CAST(0 AS BIGINT),
+                       'mxd', CAST(-1 AS BIGINT)),
+          (acc, e) -> named_struct(
+            's', greatest(acc.s + e.dev, CAST(0 AS BIGINT)),
+            'mx', greatest(acc.mx, greatest(acc.s + e.dev, CAST(0 AS BIGINT))),
+            'mxd', CASE WHEN greatest(acc.s + e.dev, CAST(0 AS BIGINT)) > acc.mx
+                        THEN e.day ELSE acc.mxd END))"""))
+      .select(col("event_type"), col("n_days"), col("total"),
+              col("st.mx").as("peak"), col("st.mxd").as("peak_day"),
+              col("st.s").as("final_s"))
+      .orderBy("event_type")
+  }
+
+  /** Burstiness coefficient per user — B = (σ−μ)/(σ+μ) over the
+    * inter-arrival gaps (Goh & Barabási): −1 = metronome, 0 = Poisson,
+    * →1 = heavy bursts; the one-number answer to "is this user's
+    * traffic schedulable or spiky", and the time-domain companion to
+    * `q_agg_gini`'s volume concentration. Determinism discipline: gaps
+    * are INTEGER SECONDS (µs div 1e6 — exact), moments (n, Σd, Σd²)
+    * are exact BIGINTs, and B reduces to (√q − Σd)/(√q + Σd) with
+    * q = n·Σd² − (Σd)² — ONE correctly-rounded IEEE sqrt of an exact
+    * integer on both engines, one mirrored division, floor(·1e4+0.5)
+    * fixed-point readout. All-same-timestamp degenerate keys (Σd = 0)
+    * yield 0 via a guarded CASE (ANSI-safe: no division reachable).
+    * One (user) window pass + one hash agg. */
+  def qTsBurstiness(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, sf)
+      .withColumn("t_s", expr("unix_micros(ts) div 1000000"))
+      .withColumn("d", col("t_s") - lag(col("t_s"), 1).over(w))
+      .where(col("d").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("d")).as("sum_s"),
+           sum(col("d") * col("d")).as("sum_s2"))
+      .where(col("n_gaps") >= 2)
+      .withColumn("burst_fp", expr("""
+        CASE WHEN sum_s = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(floor(
+               (sqrt(CAST(n_gaps * sum_s2 - sum_s * sum_s AS DOUBLE))
+                  - CAST(sum_s AS DOUBLE))
+               / (sqrt(CAST(n_gaps * sum_s2 - sum_s * sum_s AS DOUBLE))
+                  + CAST(sum_s AS DOUBLE)) * 10000 + 0.5) AS BIGINT) END"""))
+      .select(col("user_id"), col("n_gaps"), col("sum_s"), col("burst_fp"))
+      .orderBy("user_id")
+  }
 }

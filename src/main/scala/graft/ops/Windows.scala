@@ -134,6 +134,37 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** SMA crossover detection per event_type — the golden-cross /
+    * death-cross signal every monitoring dashboard (and every trading
+    * chart) derives from two moving averages: count the transitions
+    * where the fast SMA(5) crosses above (golden) or below (death) the
+    * slow SMA(20). Hash-exact without a single division: SMA5 > SMA20
+    * ⟺ 4·Σ₅ > Σ₂₀ by cross-multiplication on 1e-2 fixed-point
+    * integer sums, so the flag — and therefore every counted crossing
+    * — is pure BIGINT arithmetic. Both frames and the transition lag
+    * share ONE (event_type) window shuffle; rows before the slow
+    * frame fills (rn < 20) are excluded on both engines, and the lag
+    * runs over that same filtered set. */
+  def qWinSmaCrossover(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val filled = Tables.events(s, sf)
+      .withColumn("xfp", floor(col("value") * lit(100) + lit(0.5)).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("s5", sum(col("xfp")).over(w.rowsBetween(-4, 0)))
+      .withColumn("s20", sum(col("xfp")).over(w.rowsBetween(-19, 0)))
+      .where(col("rn") >= 20)
+      .withColumn("above", (col("s5") * 4 > col("s20")).cast("long"))
+    filled
+      .withColumn("prev", lag(col("above"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(when(col("above") === 1 && col("prev") === 0, 1L)
+             .otherwise(0L)).as("golden_crosses"),
+           sum(when(col("above") === 0 && col("prev") === 1, 1L)
+             .otherwise(0L)).as("death_crosses"))
+      .orderBy("event_type")
+  }
+
   /** Centered 21-row moving MEDIAN per user — the robust smoother a
     * spike-riddled series needs where the moving average chases
     * outliers. The frame is held to EXACTLY 21 rows (full-frame rows

@@ -1972,6 +1972,102 @@ object OracleSql {
   // field (the 't' lambda sees the already-updated 'l'), silently
   // diverging from Spark's functional `aggregate` — measured on this
   // exact recursion. The CTE's plain SELECT has no such aliasing.
+  val qAggHhi: String = n("""
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS x
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, COUNT(*) AS n_users,
+      CAST(SUM(x) AS BIGINT) AS total_events,
+      CAST(SUM(x * x) AS BIGINT) AS sum_sq,
+      (1000000 * CAST(SUM(x * x) AS BIGINT))
+        // (CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT)) AS hhi_ppm
+    FROM c GROUP BY event_type ORDER BY event_type""")
+
+  val qWinSmaCrossover: String = n("""
+    WITH b AS (
+      SELECT event_type, ts, event_id,
+        ROW_NUMBER() OVER w AS rn,
+        SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+          OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s5,
+        SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+          OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s20
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+    f AS (
+      SELECT event_type, ts, event_id,
+        CASE WHEN 4 * s5 > s20 THEN 1 ELSE 0 END AS above
+      FROM b WHERE rn >= 20),
+    g AS (
+      SELECT event_type, above,
+        LAG(above, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+      FROM f)
+    SELECT event_type, COUNT(*) AS n_rows,
+      CAST(COALESCE(SUM(CASE WHEN above = 1 AND prev = 0 THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS golden_crosses,
+      CAST(COALESCE(SUM(CASE WHEN above = 0 AND prev = 1 THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS death_crosses
+    FROM g GROUP BY event_type ORDER BY event_type""")
+
+  // CUSUM recursion as a recursive CTE (the q_ts_holt pattern: max()
+  // inside the recursion is not window-expressible on either engine).
+  val qTsCusum: String = n("""
+    WITH RECURSIVE d AS (
+      SELECT event_type,
+        epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+        COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, COUNT(*) AS n_days, CAST(SUM(n) AS BIGINT) AS total
+      FROM d GROUP BY 1),
+    e AS (
+      SELECT d.event_type, d.day,
+        CAST(d.n AS BIGINT) * t.n_days - t.total AS dev,
+        ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+      FROM d JOIN t USING (event_type)),
+    r AS (
+      SELECT event_type, rn,
+        GREATEST(dev, CAST(0 AS BIGINT)) AS s,
+        GREATEST(dev, CAST(0 AS BIGINT)) AS mx,
+        CASE WHEN GREATEST(dev, CAST(0 AS BIGINT)) > 0 THEN day
+             ELSE CAST(-1 AS BIGINT) END AS mxd
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.event_type, e.rn,
+        GREATEST(r.s + e.dev, CAST(0 AS BIGINT)),
+        GREATEST(r.mx, GREATEST(r.s + e.dev, CAST(0 AS BIGINT))),
+        CASE WHEN GREATEST(r.s + e.dev, CAST(0 AS BIGINT)) > r.mx
+             THEN e.day ELSE r.mxd END
+      FROM r JOIN e ON e.event_type = r.event_type AND e.rn = r.rn + 1),
+    lastrn AS (SELECT event_type, MAX(rn) AS mx_rn FROM e GROUP BY 1)
+    SELECT r.event_type AS event_type, t.n_days, t.total,
+      r.mx AS peak, r.mxd AS peak_day, r.s AS final_s
+    FROM r
+    JOIN lastrn ON r.event_type = lastrn.event_type AND r.rn = lastrn.mx_rn
+    JOIN t ON t.event_type = r.event_type
+    ORDER BY r.event_type""")
+
+  val qTsBurstiness: String = n("""
+    WITH g AS (
+      SELECT user_id,
+        epoch_us(ts) // 1000000
+          - LAG(epoch_us(ts) // 1000000, 1)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+      FROM events),
+    m AS (
+      SELECT user_id, COUNT(*) AS n_gaps,
+        CAST(SUM(d) AS BIGINT) AS sum_s, CAST(SUM(d * d) AS BIGINT) AS sum_s2
+      FROM g WHERE d IS NOT NULL GROUP BY user_id
+      HAVING COUNT(*) >= 2)
+    SELECT user_id, n_gaps, sum_s,
+      CASE WHEN sum_s = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(floor(
+             (sqrt(CAST(n_gaps * sum_s2 - sum_s * sum_s AS DOUBLE))
+                - CAST(sum_s AS DOUBLE))
+             / (sqrt(CAST(n_gaps * sum_s2 - sum_s * sum_s AS DOUBLE))
+                + CAST(sum_s AS DOUBLE))
+             * 10000 + 0.5) AS BIGINT) END AS burst_fp
+    FROM m ORDER BY user_id""")
+
   val qTsHolt: String = n("""
     WITH RECURSIVE e AS (
       SELECT user_id,
