@@ -164,6 +164,108 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** Decoded audio metadata — everything below comes from PARSING the
+    * WAV bytes, not from the generator. */
+  final case class DecodedAudio(doc_id: Long, sample_rate: Long,
+                                n_samples: Long, sum_amp: Long,
+                                min_amp: Long, max_amp: Long,
+                                zero_cross: Long)
+
+  /** Deterministic PCM16 WAV fixture: a real RIFF container (44-byte
+    * canonical header: RIFF/WAVE, `fmt ` chunk with PCM tag, `data`
+    * chunk) around little-endian 16-bit mono samples
+    * s(i) = ((i·(doc_id+3)) mod 2001) − 1000 at 8 kHz — integer-exact
+    * on both engines, length 256 + doc_id mod 64 samples. */
+  private[ops] def renderWav(docId: Long): Array[Byte] = {
+    val n = (256L + docId % 64L).toInt
+    val sr = 8000
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + 2 * n)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1)              // audio format: PCM
+    bb.putShort(1)              // channels: mono
+    bb.putInt(sr)               // sample rate
+    bb.putInt(sr * 2)           // byte rate
+    bb.putShort(2)              // block align
+    bb.putShort(16)             // bits per sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(2 * n)
+    var i = 0L
+    while (i < n) {
+      bb.putShort((((i * (docId + 3L)) % 2001L) - 1000L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Real WAV parse: validate the RIFF/WAVE magic, WALK the chunk list
+    * (not a fixed 44-byte offset — real WAV files carry LIST/fact
+    * chunks before data) to find `fmt ` and `data`, check PCM/mono/
+    * 16-bit, then read every little-endian sample computing count,
+    * amplitude sum/min/max and sign-boundary zero crossings. */
+  private def decodeWav(docId: Long, bytes: Array[Byte]): DecodedAudio = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", s"asset $docId: not a RIFF container")
+    bb.getInt // riff size
+    require(fourcc() == "WAVE", s"asset $docId: not a WAVE form")
+    var sr = -1L
+    var result: DecodedAudio = null
+    while (result == null && bb.remaining() >= 8) {
+      val id = fourcc()
+      val size = bb.getInt
+      id match {
+        case "fmt " =>
+          val start = bb.position()
+          require(bb.getShort == 1, s"asset $docId: not PCM")
+          require(bb.getShort == 1, s"asset $docId: not mono")
+          sr = bb.getInt.toLong
+          bb.getInt; bb.getShort // byte rate, block align
+          require(bb.getShort == 16, s"asset $docId: not 16-bit")
+          bb.position(start + size)
+        case "data" =>
+          require(sr > 0, s"asset $docId: data before fmt")
+          val n = size / 2
+          var (sum, mn, mx, zc) = (0L, Long.MaxValue, Long.MinValue, 0L)
+          var prev = 0L
+          var i = 0
+          while (i < n) {
+            val v = bb.getShort.toLong
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            if (i > 0 && ((prev < 0 && v >= 0) || (prev >= 0 && v < 0))) zc += 1
+            prev = v
+            i += 1
+          }
+          result = DecodedAudio(docId, sr, n.toLong, sum, mn, mx, zc)
+        case _ => bb.position(bb.position() + size + (size & 1))
+      }
+    }
+    require(result != null, s"asset $docId: no data chunk")
+    result
+  }
+
+  /** Audio-payload decode pipeline — the audio face of the multimodal
+    * family (PNG images already round-trip above): every document gets
+    * a REAL WAV asset (RIFF-encoded PCM16), and the decode stage walks
+    * the chunk structure and reads actual samples, so any byte-layout
+    * or endianness bug breaks the hash against the closed-form oracle.
+    * Payloads are created and parsed INSIDE one narrow stage — only
+    * ~50-byte metadata rows ever shuffle, the 100 TB-safe shape for
+    * media (the PNG decode note applies verbatim). */
+  def qMultimodalAudio(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, sf)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => decodeWav(id, renderWav(id))))
+      .toDF().orderBy("doc_id")
+  }
+
   /** Content-hash dedup over the BINARY payload — media dedup by
     * exact bytes (the first gate of any image/video curation pipeline:
     * identical files recur across crawls far more often than

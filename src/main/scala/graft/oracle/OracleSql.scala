@@ -1039,6 +1039,28 @@ object OracleSql {
   // Mirrors renderPng + 2x average pooling over the generator's grid:
   // pooled pixel (i,j) = (sum of the 2x2 block) // 4, odd edges
   // truncated; Spark computes the same off the DECODED raster.
+  val qMultimodalAudio: String = n("""
+    WITH g AS (
+      SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(0, 318) t(i)),
+    d AS (SELECT doc_id, 256 + doc_id % 64 AS n FROM documents),
+    s AS (
+      SELECT d.doc_id, d.n, g.i,
+        ((g.i * (d.doc_id + 3)) % 2001) - 1000 AS v
+      FROM d JOIN g ON g.i < d.n),
+    z AS (
+      SELECT doc_id, n, v,
+        LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM s)
+    SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+      CAST(MAX(n) AS BIGINT) AS n_samples,
+      CAST(SUM(v) AS BIGINT) AS sum_amp,
+      CAST(MIN(v) AS BIGINT) AS min_amp,
+      CAST(MAX(v) AS BIGINT) AS max_amp,
+      CAST(SUM(CASE WHEN pv IS NOT NULL
+                     AND ((pv < 0 AND v >= 0) OR (pv >= 0 AND v < 0))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+    FROM z GROUP BY doc_id ORDER BY doc_id""")
+
   val qMultimodalResize: String = n("""
     WITH dims AS (
       SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 7) % 24 AS h
