@@ -292,6 +292,59 @@ object StreamOps {
     }
   }
 
+  /** Output row of the streaming Holt smoother: level + trend +
+    * one-step forecast, 1e-4 fixed point. */
+  case class HoltOut(userId: Long, eventId: Long, levelFp: Long, trendFp: Long)
+
+  /** Keyed Holt state — the O(1) pair the batch fold carries. */
+  case class HoltState(l: Long, t: Long)
+
+  /** s_stream_holt: per-user Holt DOUBLE-exponential smoothing (level +
+    * trend) — the streaming twin of the batch `q_ts_holt` fold, with
+    * the SAME α=β=1/2 shift arithmetic on 1e-4 fixed-point longs:
+    * l′ = (x + l + t) >> 1, t′ = (l′ − l + t) >> 1 (arithmetic shift =
+    * floor, matching `shiftright` on both engines). Where q_ts_holt
+    * collects each key's history into a list and folds it, the stream
+    * keeps ONLY (l, t) per user — O(1) ValueState, unbounded series.
+    * First sample seeds l = x, t = 0 exactly like the batch seed. */
+  private class HoltProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, HoltOut] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[HoltState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[HoltState](
+        "holt_fp", E.product[HoltState], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[HoltOut] = {
+      var st = if (state.exists()) state.get() else null
+      val out = Seq.newBuilder[HoltOut]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.eventId)).foreach { e =>
+        val x = math.floor(e.value * 1e4 + 0.5).toLong
+        st =
+          if (st == null) HoltState(x, 0L) // batch-fold seed: (x₀, 0)
+          else {
+            val l2 = (x + st.l + st.t) >> 1
+            HoltState(l2, (l2 - st.l + st.t) >> 1)
+          }
+        out += HoltOut(key, e.eventId, st.l, st.t)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
+  /** Requires the RocksDB state store, like [[highWaterMarks]]. */
+  def holt(events: Dataset[Event]): Dataset[HoltOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new HoltProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Requires the RocksDB state store, like [[highWaterMarks]]. */
   def ewma(events: Dataset[Event]): Dataset[Smoothed] = {
     import events.sparkSession.implicits._

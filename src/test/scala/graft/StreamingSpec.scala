@@ -328,6 +328,38 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("s_stream_holt: level+trend shift recursion exact across batches, batch-fold parity") {
+    import spark.implicits._
+    withRocksDB {
+      val in = MemoryStream[Event](spark)
+      val q = StreamOps.holt(in.toDS())
+        .writeStream.format("memory").queryName("holt")
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(ev(1, 0, user = 1, value = 4.0),
+                   ev(2, 1, user = 1, value = 2.0))
+        q.processAllAvailable()
+        in.addData(ev(3, 2, user = 1, value = 6.0),
+                   ev(4, 3, user = 1, value = 1.5)) // x·1e4 exercises rounding
+        q.processAllAvailable()
+        // the EXACT batch-fold recursion (q_ts_holt): l'=(x+l+t)>>1,
+        // t'=(l'-l+t)>>1, seeded (x0, 0) — replicated step by step so a
+        // drifted stream implementation cannot agree with it
+        def step(st: (Long, Long), x: Long): (Long, Long) = {
+          val l2 = (x + st._1 + st._2) >> 1; (l2, (l2 - st._1 + st._2) >> 1)
+        }
+        var st = (40000L, 0L)
+        val exp = scala.collection.mutable.Map(1L -> st)
+        for ((id, x) <- Seq(2L -> 20000L, 3L -> 60000L, 4L -> 15000L)) {
+          st = step(st, x); exp(id) = st
+        }
+        val rows = spark.table("holt").collect()
+          .map(r => (r.getLong(1), (r.getLong(2), r.getLong(3)))).toMap
+        assert(rows == exp.toMap, s"got $rows expected $exp")
+      } finally q.stop()
+    }
+  }
+
   test("s_stream_ewma: fixed-point recursion is exact within and across batches") {
     import spark.implicits._
     withRocksDB {
