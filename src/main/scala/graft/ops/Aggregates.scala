@@ -359,6 +359,52 @@ object Aggregates {
       .orderBy("event_type")
   }
 
+  /** CUPED variance-reduced experiment readout — the modern
+    * experimentation step beyond the Welch t (`q_ab_test`): regress
+    * each user's post-period metric on their PRE-period covariate
+    * (θ = cov(x,y)/var(x)) and report the adjusted arm means
+    * ȳᵥ − θ·(x̄ᵥ − x̄), which strips pre-existing user-level variance
+    * out of the comparison. Period split at epoch day 19905
+    * (2024-07-01) by integer day compare; per-user (x, y) are exact
+    * 1e-2 fixed-point BIGINT sums, the five global moments (n, Σx, Σy,
+    * Σx², Σxy) are exact BIGINTs, and θ/means are doubles stated with
+    * the IDENTICAL cast-and-operate order on both engines (every
+    * operand an exactly-known integer → deterministic IEEE result).
+    * Shape: one per-user hash agg, a 1-row moment frame broadcast back
+    * (constant-size, any scale), one per-arm agg. */
+  def qAbCuped(s: SparkSession, sf: String): DataFrame = {
+    val u = Tables.events(s, sf)
+      .withColumn("isa", md5Bucket(col("user_id")) <= "7")
+      .withColumn("vfp", floor(col("value") * lit(100) + lit(0.5)).cast("long"))
+      .withColumn("pre", expr("unix_micros(ts) div 86400000000") < 19905)
+      .groupBy(col("user_id"), col("isa"))
+      .agg(sum(when(col("pre"), col("vfp")).otherwise(0L)).as("x"),
+           sum(when(!col("pre"), col("vfp")).otherwise(0L)).as("y"))
+    val g = u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+                  sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+                  sum(col("x") * col("y")).as("sxy"))
+    u.crossJoin(broadcast(g))
+      .groupBy(col("isa"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("x")).as("sxv"), sum(col("y")).as("syv"),
+           first(col("n")).as("n"), first(col("sx")).as("sx"),
+           first(col("sy")).as("sy"), first(col("sxx")).as("sxx"),
+           first(col("sxy")).as("sxy"))
+      .where(expr("(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))") > 0)
+      .withColumn("theta", expr(
+        """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""))
+      .select(
+        expr("CASE WHEN isa THEN 'A' ELSE 'B' END").as("arm"),
+        col("n_users"),
+        expr("round(CAST(syv AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0, 6)").as("mean_post"),
+        expr("round(theta, 6)").as("theta"),
+        expr("""round((CAST(syv AS DOUBLE) / CAST(n_users AS DOUBLE)
+                 - theta * (CAST(sxv AS DOUBLE) / CAST(n_users AS DOUBLE)
+                            - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0, 6)""").as("mean_adj"))
+      .orderBy("arm")
+  }
+
   def qAggCorr(s: SparkSession, sf: String): DataFrame = {
     val x = col("l_extendedprice")
     val y = col("l_quantity")

@@ -432,6 +432,39 @@ object TextDedup {
       .orderBy("degree")
   }
 
+  /** Common-neighbor link prediction over the τ=0.6 near-dup graph —
+    * "which document pairs are PROBABLY near-dups the banding missed":
+    * non-adjacent pairs at distance 2, scored by neighborhood Jaccard
+    * |N(u)∩N(w)| / |N(u)∪N(w)| = cn/(dᵤ+d𝓌−cn). The graph-structural
+    * recall check for the dedup family (a high-scoring non-edge is
+    * either a threshold near-miss or a banding false-negative).
+    * ALL-INTEGER: wedge-count cn per candidate from one mid-vertex
+    * equi-join (the `q_graph_triangles` shape, bounded by out-degree²),
+    * degrees joined in, 1e4 fixed-point score via integer div; top-30
+    * with full (score, u, w) tie order. */
+  def qGraphLinkpred(s: SparkSession, sf: String): DataFrame = {
+    val pairs = bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val edges = pairs
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val cand = edges.select(col("v").as("m"), col("u"))
+      .join(edges.select(col("u").as("m"), col("v").as("w")), "m")
+      .where(col("u") < col("w"))
+      .groupBy(col("u"), col("w")).agg(count(lit(1)).as("cn"))
+      .join(pairs.select(col("a_id").as("u"), col("b_id").as("w")),
+            Seq("u", "w"), "left_anti")
+    cand
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("w"), col("d").as("dw")), "w")
+      .withColumn("jacc_fp", expr("(10000 * cn) div (du + dw - cn)"))
+      .select(col("u"), col("w"), col("cn"), col("du"), col("dw"), col("jacc_fp"))
+      .orderBy(col("jacc_fp").desc, col("u"), col("w"))
+      .limit(30)
+  }
+
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
     * rounds (Kiveris et al., "Connected Components in MapReduce and
     * Beyond") — the at-scale CC algorithm [[qDedupCluster]]'s scaladoc

@@ -1266,6 +1266,76 @@ object OracleSql {
     FROM tf JOIN df USING (token) CROSS JOIN n
     ORDER BY tfidf DESC, doc_id, token LIMIT 30""")
 
+  val qAbCuped: String = n("""
+    WITH u AS (
+      SELECT user_id,
+        substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7' AS isa,
+        CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 < 19905
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x,
+        CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 >= 19905
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM u),
+    v AS (
+      SELECT isa, COUNT(*) AS n_users, CAST(SUM(x) AS BIGINT) AS sxv,
+        CAST(SUM(y) AS BIGINT) AS syv
+      FROM u GROUP BY 1),
+    c AS (
+      SELECT isa, n_users, sxv, syv, n, sx,
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta
+      FROM v CROSS JOIN g
+      WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0)
+    SELECT CASE WHEN isa THEN 'A' ELSE 'B' END AS arm,
+      CAST(n_users AS BIGINT) AS n_users,
+      round(CAST(syv AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0, 6) AS mean_post,
+      round(theta, 6) AS theta,
+      round((CAST(syv AS DOUBLE) / CAST(n_users AS DOUBLE)
+             - theta * (CAST(sxv AS DOUBLE) / CAST(n_users AS DOUBLE)
+                        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0, 6) AS mean_adj
+    FROM c ORDER BY arm""")
+
+  val qGraphLinkpred: String = n("""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars,
+        list_distinct(string_split(text, ' ')) AS tk
+      FROM documents),
+    pairs AS (
+      SELECT a_id, b_id FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+        FROM toks a JOIN toks b
+          ON a.doc_id < b.doc_id AND a.lang = b.lang
+         AND abs(a.n_chars - b.n_chars) <= 25) t
+      WHERE jaccard >= 0.6),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    cand AS (
+      SELECT e1.u AS u, e2.v AS w, COUNT(*) AS cn
+      FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+      WHERE e1.u < e2.v
+      GROUP BY 1, 2),
+    nonadj AS (
+      SELECT c.u, c.w, CAST(c.cn AS BIGINT) AS cn FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pairs p WHERE p.a_id = c.u AND p.b_id = c.w))
+    SELECT n.u, n.w, n.cn,
+      CAST(d1.d AS BIGINT) AS du, CAST(d2.d AS BIGINT) AS dw,
+      (10000 * n.cn) // (CAST(d1.d AS BIGINT) + CAST(d2.d AS BIGINT) - n.cn) AS jacc_fp
+    FROM nonadj n
+    JOIN deg d1 ON d1.u = n.u
+    JOIN deg d2 ON d2.u = n.w
+    ORDER BY jacc_fp DESC, n.u, n.w LIMIT 30""")
+
   val qGraphBfs: String = n("""
     WITH RECURSIVE toks AS (
       SELECT doc_id, lang, n_chars,

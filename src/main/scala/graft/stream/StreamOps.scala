@@ -292,6 +292,50 @@ object StreamOps {
     }
   }
 
+  /** Streaming CUSUM output: the running statistic + alert flag. */
+  case class CusumOut(eventType: String, eventId: Long, s: Long, alert: Boolean)
+
+  /** s_stream_cusum: per-type sequential CUSUM drift detector — the
+    * streaming twin of the `q_ts_cusum` batch fold, against a FIXED
+    * target (a stream can't know the corpus mean; the target is the
+    * SLO/expected level, which is how CUSUM is deployed online):
+    * S = max(0, S + (x − target)) on 1e-2 fixed-point longs, alert
+    * while S exceeds the drift budget. O(1) ValueState per type;
+    * exact integer arithmetic → replay/shard-move invariant. */
+  private class CusumProcessor(targetFp: Long, threshFp: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, CusumOut] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[Long](
+        "cusum_fp", E.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[CusumOut] = {
+      var s = if (state.exists()) state.get() else 0L
+      val out = Seq.newBuilder[CusumOut]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.eventId)).foreach { e =>
+        val xfp = math.floor(e.value * 100 + 0.5).toLong
+        s = math.max(0L, s + (xfp - targetFp))
+        out += CusumOut(key, e.eventId, s, s > threshFp)
+      }
+      state.update(s)
+      out.result().iterator
+    }
+  }
+
+  /** Requires the RocksDB state store, like [[highWaterMarks]]. */
+  def cusum(events: Dataset[Event], targetFp: Long = 10000L,
+            threshFp: Long = 20000L): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.eventType)
+      .transformWithState(new CusumProcessor(targetFp, threshFp),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Output row of the streaming Holt smoother: level + trend +
     * one-step forecast, 1e-4 fixed point. */
   case class HoltOut(userId: Long, eventId: Long, levelFp: Long, trendFp: Long)

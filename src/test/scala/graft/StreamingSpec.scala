@@ -328,6 +328,30 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("s_stream_cusum: drift statistic floors at zero, alerts past budget, exact across batches") {
+    import spark.implicits._
+    withRocksDB {
+      val in = MemoryStream[Event](spark)
+      // target 100.00, budget 200.00 (1e-2 fixed point)
+      val q = StreamOps.cusum(in.toDS(), targetFp = 10000L, threshFp = 20000L)
+        .writeStream.format("memory").queryName("cusum")
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(ev(1, 0, value = 50.0),   // below target: floors at 0
+                   ev(2, 1, value = 250.0))  // +150.00 -> S=15000
+        q.processAllAvailable()
+        in.addData(ev(3, 2, value = 180.0),  // +80.00 -> S=23000 (alert)
+                   ev(4, 3, value = 40.0))   // -60.00 -> S=17000 (clears)
+        q.processAllAvailable()
+        val rows = spark.table("cusum").collect()
+          .map(r => (r.getLong(1), (r.getLong(2), r.getBoolean(3)))).toMap
+        assert(rows == Map(1L -> (0L, false), 2L -> (15000L, false),
+                           3L -> (23000L, true), 4L -> (17000L, false)),
+               s"got $rows")
+      } finally q.stop()
+    }
+  }
+
   test("s_stream_holt: level+trend shift recursion exact across batches, batch-fold parity") {
     import spark.implicits._
     withRocksDB {
