@@ -405,6 +405,47 @@ object Aggregates {
       .orderBy("arm")
   }
 
+  /** Cramér's V association between event_type and day-of-week — "is
+    * the traffic mix weekday-dependent", the categorical twin of
+    * `q_agg_corr` (which needs numeric columns): χ² over the
+    * type×dow contingency table, normalized to [0,1] by n·min(r−1,c−1).
+    * Determinism: cell counts / row / column totals are exact BIGINTs;
+    * each χ² term (obs·n − rt·ct)²/(n·rt·ct) is a double over
+    * EXACTLY-representable integer operands with the identical
+    * left-associated operation order on both engines, rounded to 1e-6
+    * fixed point PER CELL before the integer sum (the §7.3 ln rule —
+    * never accumulate floats), and V takes one deterministic sqrt at
+    * the end. dow = epoch-day mod 7 (both engines' weekday functions
+    * disagree on numbering; integer day arithmetic can't). Shape: one
+    * data-sized hash agg to ≤ types×7 cells, then window totals over
+    * that constant-size frame. */
+  def qAggCramersV(s: SparkSession, sf: String): DataFrame = {
+    val cells = Tables.events(s, sf)
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("dow"))
+      .agg(count(lit(1)).as("obs"))
+    cells
+      .withColumn("rt", sum(col("obs")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("ct", sum(col("obs")).over(Window.partitionBy(col("dow"))))
+      .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
+      .withColumn("term_fp", expr(
+        """CAST(floor(
+             (CAST(obs AS DOUBLE) * CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+             * (CAST(obs AS DOUBLE) * CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT)"""))
+      .agg(first(col("n")).as("n"),
+           countDistinct(col("event_type")).as("r"),
+           countDistinct(col("dow")).as("c"),
+           sum(col("term_fp")).as("chi2_fp"))
+      .withColumn("v_fp", expr(
+        """CAST(floor(sqrt(
+             (CAST(chi2_fp AS DOUBLE) / 1000000.0)
+             / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE)))
+             * 1000000 + 0.5) AS BIGINT)"""))
+      .select(col("n"), col("r"), col("c"), col("chi2_fp"), col("v_fp"))
+  }
+
   def qAggCorr(s: SparkSession, sf: String): DataFrame = {
     val x = col("l_extendedprice")
     val y = col("l_quantity")

@@ -165,6 +165,47 @@ object Windows {
       .orderBy("event_type")
   }
 
+  /** Rolling 14-day Pearson correlation between the click and view
+    * daily-count series — "do these two metrics move together, and
+    * when did they decouple": the co-movement diagnostic behind every
+    * "metric A broke away from metric B" alert. Exact-moment
+    * discipline: the five frame moments (Σx, Σy, Σx², Σy², Σxy) are
+    * BIGINT window sums of integer daily counts, r is ONE closed-form
+    * double over exactly-known integers (n·Σxy−ΣxΣy over the √ of the
+    * two variance terms, identical operation order both engines),
+    * rounded at 6dp; zero-variance frames yield NULL via the same
+    * guarded CASE on both sides. The series frame is days-sized, so
+    * the single unpartitioned window runs on a constant-bounded frame
+    * (types×days), not data-sized rows. */
+  def qWinRollingCorr(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val x = daily.where(col("event_type") === "click")
+      .select(col("day"), col("n").as("x"))
+    val y = daily.where(col("event_type") === "view")
+      .select(col("day"), col("n").as("y"))
+    val wr = Window.orderBy(col("day"))
+    val w = wr.rowsBetween(-13, 0)
+    x.join(y, "day")
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .where(col("rn") >= 14)
+      .withColumn("corr14", expr(
+        """CASE WHEN (14 * sxx - sx * sx) > 0 AND (14 * syy - sy * sy) > 0
+                THEN round(CAST(14 * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(14 * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(14 * syy - sy * sy AS DOUBLE))), 6)
+                ELSE NULL END"""))
+      .select(col("day"), col("x"), col("y"), col("corr14"))
+      .orderBy("day")
+  }
+
   /** Centered 21-row moving MEDIAN per user — the robust smoother a
     * spike-riddled series needs where the moving average chases
     * outliers. The frame is held to EXACTLY 21 rows (full-frame rows

@@ -1266,6 +1266,66 @@ object OracleSql {
     FROM tf JOIN df USING (token) CROSS JOIN n
     ORDER BY tfidf DESC, doc_id, token LIMIT 30""")
 
+  val qAggCramersV: String = n("""
+    WITH cells AS (
+      SELECT event_type,
+        (epoch_us(ts) // 86400000000) % 7 AS dow,
+        COUNT(*) AS obs
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, dow, CAST(obs AS BIGINT) AS obs,
+        CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+        CAST(SUM(obs) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+        CAST(SUM(obs) OVER () AS BIGINT) AS n
+      FROM cells),
+    f AS (
+      SELECT n, event_type, dow,
+        CAST(floor(
+          (CAST(obs AS DOUBLE) * CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+          * (CAST(obs AS DOUBLE) * CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+          * 1000000 + 0.5) AS BIGINT) AS term_fp
+      FROM t),
+    g AS (
+      SELECT MAX(n) AS n,
+        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+        CAST(COUNT(DISTINCT dow) AS BIGINT) AS c,
+        CAST(SUM(term_fp) AS BIGINT) AS chi2_fp
+      FROM f)
+    SELECT n, r, c, chi2_fp,
+      CAST(floor(sqrt(
+        (CAST(chi2_fp AS DOUBLE) / 1000000.0)
+        / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE)))
+        * 1000000 + 0.5) AS BIGINT) AS v_fp
+    FROM g""")
+
+  val qWinRollingCorr: String = n("""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    j AS (
+      SELECT x.day, CAST(x.n AS BIGINT) AS x, CAST(y.n AS BIGINT) AS y
+      FROM (SELECT day, n FROM daily WHERE event_type = 'click') x
+      JOIN (SELECT day, n FROM daily WHERE event_type = 'view') y USING (day)),
+    m AS (
+      SELECT day, x, y,
+        ROW_NUMBER() OVER wr AS rn,
+        CAST(SUM(x) OVER w AS BIGINT) AS sx,
+        CAST(SUM(y) OVER w AS BIGINT) AS sy,
+        CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+        CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+        CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+      FROM j
+      WINDOW wr AS (ORDER BY day),
+             w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT day, x, y,
+      CASE WHEN (14 * sxx - sx * sx) > 0 AND (14 * syy - sy * sy) > 0
+           THEN round(CAST(14 * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(14 * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(14 * syy - sy * sy AS DOUBLE))), 6)
+           ELSE NULL END AS corr14
+    FROM m WHERE rn >= 14 ORDER BY day""")
+
   val qAbCuped: String = n("""
     WITH u AS (
       SELECT user_id,
