@@ -432,6 +432,48 @@ object TextDedup {
       .orderBy("degree")
   }
 
+  /** 2-core of the τ=0.6 near-dup graph by iterative degree peeling —
+    * separates DENSE duplication structure (template families, where
+    * every member has ≥2 near-dup neighbors even after pruning) from
+    * pendant/chain noise that degree-1 trimming dissolves; the
+    * standard preprocessing cut before any clique-ish analysis
+    * (triangles, community detection) on a dup graph. Each round: one
+    * degree hash-agg, two semi-join-shaped filters of the edge list
+    * against the surviving-node set (gated broadcast, the loop-frame
+    * rule), localCheckpoint per round; stops at the edge-count
+    * fixpoint (monotone decreasing — equality IS convergence, no
+    * anti-join), bounded at 10 rounds to mirror the oracle's unrolled
+    * bound (rounds past the fixpoint are identities, so the results
+    * agree whether or not the bound is hit). ALL-INTEGER output:
+    * (node, within-core degree). */
+  def qGraph2core(s: SparkSession, sf: String): DataFrame = {
+    val pairs = bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6)
+      .select(col("a_id"), col("b_id"))
+    var edges = pairs
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+      .localCheckpoint()
+    var nEdges = edges.count()
+    def bc(df: DataFrame): DataFrame = Util.gatedBroadcast(s, df, nEdges)
+    var converged = nEdges == 0
+    var rounds = 0
+    while (!converged && rounds < 10) {
+      val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .where(col("d") >= 2).select(col("u"))
+      val next = edges.join(bc(keep), "u")
+        .join(bc(keep.select(col("u").as("v"))), "v")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val n2 = next.count()
+      converged = n2 == nEdges
+      edges = next
+      nEdges = n2
+      rounds += 1
+    }
+    edges.groupBy(col("u").as("doc_id")).agg(count(lit(1)).as("core_degree"))
+      .orderBy("doc_id")
+  }
+
   /** Common-neighbor link prediction over the τ=0.6 near-dup graph —
     * "which document pairs are PROBABLY near-dups the banding missed":
     * non-adjacent pairs at distance 2, scored by neighborhood Jaccard

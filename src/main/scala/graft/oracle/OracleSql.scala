@@ -1361,6 +1361,70 @@ object OracleSql {
                         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0, 6) AS mean_adj
     FROM c ORDER BY arm""")
 
+  // 2-core peel stated as 10 UNROLLED rounds (DuckDB's recursive CTE
+  // cannot express iterative DELETION — the working table only grows);
+  // rounds past the fixpoint are identities, so bounded unrolling and
+  // Spark's early-stopping loop agree by construction.
+  val qGraph2core: String = n("""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang, n_chars,
+        list_distinct(string_split(text, ' ')) AS tk
+      FROM documents),
+    pairs AS MATERIALIZED (
+      SELECT a_id, b_id FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+        FROM toks a JOIN toks b
+          ON a.doc_id < b.doc_id AND a.lang = b.lang
+         AND abs(a.n_chars - b.n_chars) <= 25) t
+      WHERE jaccard >= 0.6),
+    e0 AS MATERIALIZED (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs),
+    k1 AS MATERIALIZED (SELECT u FROM e0 GROUP BY u HAVING COUNT(*) >= 2),
+    e1 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e0 e
+      JOIN k1 a ON e.u = a.u JOIN k1 b ON e.v = b.u),
+    k2 AS MATERIALIZED (SELECT u FROM e1 GROUP BY u HAVING COUNT(*) >= 2),
+    e2 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e1 e
+      JOIN k2 a ON e.u = a.u JOIN k2 b ON e.v = b.u),
+    k3 AS MATERIALIZED (SELECT u FROM e2 GROUP BY u HAVING COUNT(*) >= 2),
+    e3 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e2 e
+      JOIN k3 a ON e.u = a.u JOIN k3 b ON e.v = b.u),
+    k4 AS MATERIALIZED (SELECT u FROM e3 GROUP BY u HAVING COUNT(*) >= 2),
+    e4 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e3 e
+      JOIN k4 a ON e.u = a.u JOIN k4 b ON e.v = b.u),
+    k5 AS MATERIALIZED (SELECT u FROM e4 GROUP BY u HAVING COUNT(*) >= 2),
+    e5 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e4 e
+      JOIN k5 a ON e.u = a.u JOIN k5 b ON e.v = b.u),
+    k6 AS MATERIALIZED (SELECT u FROM e5 GROUP BY u HAVING COUNT(*) >= 2),
+    e6 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e5 e
+      JOIN k6 a ON e.u = a.u JOIN k6 b ON e.v = b.u),
+    k7 AS MATERIALIZED (SELECT u FROM e6 GROUP BY u HAVING COUNT(*) >= 2),
+    e7 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e6 e
+      JOIN k7 a ON e.u = a.u JOIN k7 b ON e.v = b.u),
+    k8 AS MATERIALIZED (SELECT u FROM e7 GROUP BY u HAVING COUNT(*) >= 2),
+    e8 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e7 e
+      JOIN k8 a ON e.u = a.u JOIN k8 b ON e.v = b.u),
+    k9 AS MATERIALIZED (SELECT u FROM e8 GROUP BY u HAVING COUNT(*) >= 2),
+    e9 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e8 e
+      JOIN k9 a ON e.u = a.u JOIN k9 b ON e.v = b.u),
+    k10 AS MATERIALIZED (SELECT u FROM e9 GROUP BY u HAVING COUNT(*) >= 2),
+    e10 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e9 e
+      JOIN k10 a ON e.u = a.u JOIN k10 b ON e.v = b.u)
+    SELECT u AS doc_id, COUNT(*) AS core_degree
+    FROM e10 GROUP BY u ORDER BY doc_id""")
+
   val qGraphLinkpred: String = n("""
     WITH toks AS (
       SELECT doc_id, lang, n_chars,

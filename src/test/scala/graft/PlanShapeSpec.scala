@@ -313,6 +313,19 @@ class PlanShapeSpec extends SparkSpec {
            s"batch path must read ColumnarBatches:\n${plan(df)}")
   }
 
+  test("q_agg_hhi: pure hash-agg pipeline, no window/sort shuffle") {
+    val p = plan(Aggregates.qAggHhi(spark, sf))
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+           s"HHI must not need a rank window (that is q_agg_gini's cost):\n$p")
+  }
+
+  test("q_ab_cuped: the 1-row moment frame joins by broadcast") {
+    val p = plan(Aggregates.qAbCuped(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+           s"global moments must broadcast, not shuffle the user frame:\n$p")
+  }
+
   test("q_source_dsv2_limit: the LIMIT reaches the connector scan") {
     val df = Relational.qSourceDsv2Limit(spark, sf)
     assert(df.collect()(0).getLong(0) == 1234L)
