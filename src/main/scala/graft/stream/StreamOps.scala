@@ -292,6 +292,65 @@ object StreamOps {
     }
   }
 
+  /** Streaming SMA-crossover output: per-event cross flags once the
+    * slow window is full. */
+  case class CrossOut(eventType: String, eventId: Long,
+                      golden: Boolean, death: Boolean)
+
+  /** Keyed crossover state: the last ≤20 fixed-point samples + the
+    * previous above/below-flag (−1 = not yet established). */
+  case class SmaState(buf: Seq[Long], prevAbove: Int)
+
+  /** s_stream_sma_crossover: per-type golden-cross/death-cross
+    * detection — the streaming twin of `q_win_sma_crossover`, with the
+    * SAME zero-division integer test (SMA₅>SMA₂₀ ⟺ 4·Σ₅>Σ₂₀ on 1e-2
+    * fixed point). State is a BOUNDED ring of the last 20 samples plus
+    * one flag — O(1) per key regardless of stream length, the shape
+    * that distinguishes a window-bounded streaming op from the
+    * unbounded-list anti-pattern. Flags fire exactly at the batch
+    * op's transitions (first full window establishes the side without
+    * firing, like the batch rn≥20 + lag-over-filtered-set contract). */
+  private class SmaCrossProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, CrossOut] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[SmaState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SmaState](
+        "sma_buf", E.product[SmaState], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[CrossOut] = {
+      var st = if (state.exists()) state.get() else SmaState(Vector.empty, -1)
+      val out = Seq.newBuilder[CrossOut]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.eventId)).foreach { e =>
+        val x = math.floor(e.value * 100 + 0.5).toLong
+        val buf = (st.buf :+ x).takeRight(20)
+        if (buf.size >= 20) {
+          val s5 = buf.takeRight(5).sum
+          val s20 = buf.sum
+          val above = if (4 * s5 > s20) 1 else 0
+          out += CrossOut(key, e.eventId,
+            golden = st.prevAbove == 0 && above == 1,
+            death = st.prevAbove == 1 && above == 0)
+          st = SmaState(buf, above)
+        } else st = SmaState(buf, st.prevAbove)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
+  /** Requires the RocksDB state store, like [[highWaterMarks]]. */
+  def smaCrossover(events: Dataset[Event]): Dataset[CrossOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.eventType)
+      .transformWithState(new SmaCrossProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming CUSUM output: the running statistic + alert flag. */
   case class CusumOut(eventType: String, eventId: Long, s: Long, alert: Boolean)
 

@@ -328,6 +328,45 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("s_stream_sma_crossover: bounded 20-sample state, crosses fire at exact transitions") {
+    import spark.implicits._
+    withRocksDB {
+      val in = MemoryStream[Event](spark)
+      val q = StreamOps.smaCrossover(in.toDS())
+        .writeStream.format("memory").queryName("smacross")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // 19 flat + 1 flat (window fills, establishes side, no fire),
+        // then a surge (golden), then a slump (death) — split across
+        // batches so the ring buffer must survive the state store
+        val flat = (1L to 20L).map(i => ev(i, i, value = 100.0))
+        in.addData(flat: _*)
+        q.processAllAvailable()
+        in.addData(ev(21, 21, value = 300.0), ev(22, 22, value = 300.0))
+        q.processAllAvailable()
+        in.addData((23L to 30L).map(i => ev(i, i, value = 1.0)): _*)
+        q.processAllAvailable()
+        // replicate the exact fold
+        val vals = Seq.fill(20)(10000L) ++ Seq(30000L, 30000L) ++ Seq.fill(8)(100L)
+        var buf = Vector.empty[Long]; var prev = -1
+        val exp = scala.collection.mutable.Map[Long, (Boolean, Boolean)]()
+        vals.zipWithIndex.foreach { case (x, i) =>
+          buf = (buf :+ x).takeRight(20)
+          if (buf.size >= 20) {
+            val above = if (4 * buf.takeRight(5).sum > buf.sum) 1 else 0
+            exp(i + 1L) = (prev == 0 && above == 1, prev == 1 && above == 0)
+            prev = above
+          }
+        }
+        val rows = spark.table("smacross").collect()
+          .map(r => (r.getLong(1), (r.getBoolean(2), r.getBoolean(3)))).toMap
+        assert(rows == exp.toMap, s"got $rows expected $exp")
+        assert(rows.values.count(_._1) == 1 && rows.values.count(_._2) == 1,
+               "exactly one golden and one death cross in this series")
+      } finally q.stop()
+    }
+  }
+
   test("s_stream_cusum: drift statistic floors at zero, alerts past budget, exact across batches") {
     import spark.implicits._
     withRocksDB {
