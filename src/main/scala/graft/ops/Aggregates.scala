@@ -405,6 +405,73 @@ object Aggregates {
       .orderBy("arm")
   }
 
+  /** One-way ANOVA across the five event types — "does the metric mean
+    * differ by type at all" before pairwise readouts: F = (SSB/(k−1)) /
+    * (SSW/(n−k)) plus the η² effect size. Determinism: per-group
+    * moments (n_g, Σvfp, Σvfp²) are exact BIGINTs over the 1e-2
+    * fixed-point metric; each between-group term s_g²/n_g is computed
+    * as an exact INTEGER division with the square in 38-digit decimal
+    * (BIGINT·BIGINT would overflow at Σvfp ≈ 6e9) — so SSB/SSW are
+    * exact integers in 1e-4·value² units and the only float ops are the
+    * final two divisions + rounds, identical on both engines (DuckDB
+    * mirrors the square in HUGEINT). Shape: one data-sized partial+final
+    * hash agg to k=5 rows, then a constant-size agg — nothing here
+    * grows past k rows after the first pass at any scale. */
+  def qAbAnova(s: SparkSession, sf: String): DataFrame = {
+    val g = Tables.events(s, sf)
+      .withColumn("vfp", floor(col("value") * lit(100) + lit(0.5)).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_g"), sum(col("vfp")).as("s_g"),
+           sum(col("vfp") * col("vfp")).as("ss_g"))
+      .withColumn("t_g", expr("(CAST(s_g AS DECIMAL(38,0)) * s_g) div n_g"))
+    g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          sum(col("s_g")).as("s"), sum(col("ss_g")).as("ss"),
+          sum(col("t_g")).as("t"))
+      .select(col("k"), col("n"),
+        expr("t - ((CAST(s AS DECIMAL(38,0)) * s) div n)").cast("long").as("ssb_fp"),
+        expr("ss - t").cast("long").as("ssw_fp"))
+      .withColumn("f_stat", expr(
+        """round((CAST(ssb_fp AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                 / (CAST(ssw_fp AS DOUBLE) / CAST(n - k AS DOUBLE)), 6)"""))
+      .withColumn("eta_sq", expr(
+        "round(CAST(ssb_fp AS DOUBLE) / CAST(ssb_fp + ssw_fp AS DOUBLE), 6)"))
+  }
+
+  /** Mann–Whitney U between the md5-bucket A/B arms (the same split as
+    * `q_ab_cuped`) — the nonparametric twin of the Welch `q_ab_test`:
+    * rank-sum over the pooled 1e-2 fixed-point metric with midrank tie
+    * handling and the tie-corrected normal approximation z. Exactness:
+    * ranks are computed over the ≤ 100·max(value) DISTINCT fixed-point
+    * values (domain-bounded, not data-bounded — the global window is over
+    * ≤ ~60k rows at ANY scale), midranks are kept doubled (2·rank is
+    * always integer), so U, ΣT=Σ(t³−t) and 2(U−μ) are exact BIGINTs; z
+    * is one double expression over those integers, rounded to 6dp.
+    * Shape: data-sized hash agg to the value domain, a domain-sized
+    * window, a constant-size final agg. */
+  def qAbMannwhitney(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.events(s, sf)
+      .withColumn("vfp", floor(col("value") * lit(100) + lit(0.5)).cast("long"))
+      .withColumn("isa", md5Bucket(col("user_id")) <= "7")
+      .groupBy(col("vfp"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+           count(lit(1)).as("ct"))
+    val w = Window.orderBy(col("vfp")).rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("cum", coalesce(sum(col("ct")).over(w), lit(0L)))
+      .withColumn("r2a", col("ca") * (lit(2L) * col("cum") + col("ct") + lit(1L)))
+      .agg(sum(col("ca")).as("n1"), sum(col("ct") - col("ca")).as("n2"),
+           sum(col("r2a")).as("r2"),
+           sum(col("ct") * col("ct") * col("ct") - col("ct")).as("ties"))
+      .select(col("n1"), col("n2"),
+        (col("r2") - col("n1") * (col("n1") + lit(1L))).as("u_x2"),
+        col("ties"))
+      .withColumn("z", expr(
+        """round((CAST(u_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                 / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                     * (CAST(n1 + n2 + 1 AS DOUBLE)
+                        - CAST(ties AS DOUBLE)
+                          / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))), 6)"""))
+  }
+
   /** Cramér's V association between event_type and day-of-week — "is
     * the traffic mix weekday-dependent", the categorical twin of
     * `q_agg_corr` (which needs numeric columns): χ² over the

@@ -1361,6 +1361,58 @@ object OracleSql {
                         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0, 6) AS mean_adj
     FROM c ORDER BY arm""")
 
+  val qAbAnova: String = n("""
+    WITH g AS (
+      SELECT event_type, COUNT(*) AS n_g,
+        CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s_g,
+        CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS ss_g
+      FROM events GROUP BY 1),
+    g2 AS (
+      SELECT *, CAST((CAST(s_g AS HUGEINT) * s_g) // n_g AS BIGINT) AS t_g
+      FROM g),
+    t AS (
+      SELECT COUNT(*) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+        CAST(SUM(s_g) AS BIGINT) AS s, CAST(SUM(ss_g) AS BIGINT) AS ss,
+        CAST(SUM(t_g) AS BIGINT) AS t FROM g2),
+    f AS (
+      SELECT k, n,
+        CAST(t - (CAST(s AS HUGEINT) * s) // n AS BIGINT) AS ssb_fp,
+        CAST(ss - t AS BIGINT) AS ssw_fp
+      FROM t)
+    SELECT k, n, ssb_fp, ssw_fp,
+      round((CAST(ssb_fp AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+            / (CAST(ssw_fp AS DOUBLE) / CAST(n - k AS DOUBLE)), 6) AS f_stat,
+      round(CAST(ssb_fp AS DOUBLE) / CAST(ssb_fp + ssw_fp AS DOUBLE), 6) AS eta_sq
+    FROM f""")
+
+  val qAbMannwhitney: String = n("""
+    WITH d AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS vfp,
+        CAST(SUM(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        COUNT(*) AS ct
+      FROM events GROUP BY 1),
+    c AS (
+      SELECT vfp, ca, ct,
+        COALESCE(CAST(SUM(ct) OVER (ORDER BY vfp
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+      FROM d),
+    t AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+        CAST(SUM(ct - ca) AS BIGINT) AS n2,
+        CAST(SUM(ca * (2 * cum + ct + 1)) AS BIGINT) AS r2,
+        CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS ties
+      FROM c),
+    u AS (SELECT n1, n2, r2 - n1 * (n1 + 1) AS u_x2, ties FROM t)
+    SELECT n1, n2, u_x2, ties,
+      round((CAST(u_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+            / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                * (CAST(n1 + n2 + 1 AS DOUBLE)
+                   - CAST(ties AS DOUBLE)
+                     / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))), 6) AS z
+    FROM u""")
+
   // 2-core peel stated as 10 UNROLLED rounds (DuckDB's recursive CTE
   // cannot express iterative DELETION — the working table only grows);
   // rounds past the fixpoint are identities, so bounded unrolling and
