@@ -1112,6 +1112,70 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** Theil–Sen robust trend per event type — the median of all pairwise
+    * daily-count slopes (y_j−y_i)/(j−i), the estimator that shrugs off
+    * the outlier days that wreck `q_ts_forecast_linreg`'s OLS line.
+    * Determinism: each slope is truncated toward zero into 1e-6/day
+    * fixed point with EXPLICITLY sign-split integer division (Spark
+    * `div` truncates toward zero, DuckDB `//` floors — the CASE keeps
+    * both numerators non-negative so the engines agree), and the median
+    * is selected by rank over the slope values (doubled when n is odd)
+    * so the output stays an exact BIGINT. Scale: the only data-sized
+    * pass is the (type, day) hash agg; the pair join is over the
+    * CALENDAR-bounded daily frame (≤ C(days,2) per type ≈ thousands
+    * forever), so 100× the rows changes nothing after the first agg. */
+  def qTsTheilSen(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val a = daily.select(col("event_type"), col("day").as("di"), col("y").as("yi"))
+    val b = daily.select(col("event_type").as("et"), col("day").as("dj"), col("y").as("yj"))
+    val pairs = a.join(b, a("event_type") === b("et") && col("di") < col("dj"))
+      .select(col("event_type"),
+        expr("""CASE WHEN yj >= yi THEN ((yj - yi) * 1000000) div (dj - di)
+                     ELSE -(((yi - yj) * 1000000) div (dj - di)) END""").as("slope_fp"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("slope_fp"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(first(col("np")).as("n_pairs"),
+           sum(expr("""slope_fp * (CASE WHEN rn = (np + 1) div 2 THEN 1 ELSE 0 END
+                                 + CASE WHEN rn = np div 2 + 1 THEN 1 ELSE 0 END)"""))
+             .as("slope_x2_fp"))
+      .orderBy("event_type")
+  }
+
+  /** Hampel outlier filter over the global daily event-count series —
+    * the rolling-median/MAD despiker ("which days are >3 robust sigmas
+    * off their ±3-day neighborhood") that survives the level shifts a
+    * global z-score (`q_ts_anomaly`) smears. Exactness: the window
+    * median of integer counts is .5-granular and the MAD of those
+    * deviations .25-granular, so 2·med and 4·mad are EXACT BIGINTs
+    * (Spark `percentile` and DuckDB `quantile_cont` both average the
+    * two middle values); the 3·1.4826 = 22239/5000 gate is the pure
+    * integer test 5000·|4(x−med)| > 22239·(4·mad). Scale: one
+    * data-sized day agg, then two range self-joins over the ≤365-row
+    * calendar frame — constant work at any data size. */
+  def qTsHampel(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val nb = daily.select(col("day").as("nd"), col("x").as("nx"))
+    val med = daily.join(nb, col("nd").between(col("day") - 3, col("day") + 3))
+      .groupBy(col("day"), col("x"))
+      .agg(expr("percentile(nx, 0.5)").as("med"))
+    val mad = med.join(nb, col("nd").between(col("day") - 3, col("day") + 3))
+      .groupBy(col("day"), col("x"), col("med"))
+      .agg(expr("percentile(abs(CAST(nx AS DOUBLE) - med), 0.5)").as("mad"))
+    mad.select(col("day"), col("x").as("n_events"),
+        expr("CAST(2 * med AS BIGINT)").as("med_x2"),
+        expr("CAST(4 * mad AS BIGINT)").as("mad_x4"))
+      .withColumn("is_outlier", expr(
+        "5000 * abs(4 * n_events - 2 * med_x2) > 22239 * mad_x4"))
+      .orderBy("day")
+  }
+
   /** Burstiness coefficient per user — B = (σ−μ)/(σ+μ) over the
     * inter-arrival gaps (Goh & Barabási): −1 = metronome, 0 = Poisson,
     * →1 = heavy bursts; the one-number answer to "is this user's

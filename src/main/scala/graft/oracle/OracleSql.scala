@@ -1361,6 +1361,49 @@ object OracleSql {
                         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0, 6) AS mean_adj
     FROM c ORDER BY arm""")
 
+  val qTsTheilSen: String = n("""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.event_type,
+        CASE WHEN b.y >= a.y THEN ((b.y - a.y) * 1000000) // (b.day - a.day)
+             ELSE -(((a.y - b.y) * 1000000) // (b.day - a.day)) END AS slope_fp
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day),
+    r AS (
+      SELECT event_type, slope_fp,
+        row_number() OVER (PARTITION BY event_type ORDER BY slope_fp) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM pairs)
+    SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pairs,
+      CAST(SUM(slope_fp * (CASE WHEN rn = (np + 1) // 2 THEN 1 ELSE 0 END
+                         + CASE WHEN rn = np // 2 + 1 THEN 1 ELSE 0 END)) AS BIGINT)
+        AS slope_x2_fp
+    FROM r GROUP BY event_type
+    ORDER BY event_type ASC NULLS FIRST""")
+
+  val qTsHampel: String = n("""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+      FROM events GROUP BY 1),
+    med AS (
+      SELECT d.day, d.x, quantile_cont(n.x, 0.5) AS med
+      FROM daily d JOIN daily n ON n.day BETWEEN d.day - 3 AND d.day + 3
+      GROUP BY d.day, d.x),
+    mad AS (
+      SELECT m.day, m.x, m.med,
+        quantile_cont(abs(CAST(n.x AS DOUBLE) - m.med), 0.5) AS mad
+      FROM med m JOIN daily n ON n.day BETWEEN m.day - 3 AND m.day + 3
+      GROUP BY m.day, m.x, m.med),
+    f AS (
+      SELECT day, x AS n_events, CAST(2 * med AS BIGINT) AS med_x2,
+        CAST(4 * mad AS BIGINT) AS mad_x4
+      FROM mad)
+    SELECT day, n_events, med_x2, mad_x4,
+      5000 * abs(4 * n_events - 2 * med_x2) > 22239 * mad_x4 AS is_outlier
+    FROM f ORDER BY day ASC NULLS FIRST""")
+
   val qAbAnova: String = n("""
     WITH g AS (
       SELECT event_type, COUNT(*) AS n_g,
