@@ -266,6 +266,183 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  /** Decoded video metadata — every field below is read by PARSING the
+    * AVI container (headers) and its DIB frame payloads (pixel sums),
+    * never from the generator. */
+  final case class DecodedVideo(doc_id: Long, width: Long, height: Long,
+                                n_frames: Long, n_sampled: Long, px_sum: Long)
+
+  /** Deterministic AVI fixture: a REAL RIFF('AVI ') container —
+    * LIST('hdrl') holding a 56-byte 'avih' main header and a nested
+    * LIST('strl') with 'strh' (fccType 'vids', handler 'DIB ') and
+    * 'strf' (a 40-byte BITMAPINFOHEADER + the 256-entry 8-bit
+    * palette), then LIST('movi') with one uncompressed '00db' chunk
+    * per frame. DIB quirks are reproduced faithfully: rows are
+    * 4-byte-aligned (stride = (w+3)&~3) and stored BOTTOM-UP.
+    * Pixels: px(x,y,f) = (x + 3y + 5f + doc_id) mod 251 with
+    * w = 8 + id mod 8, h = 8 + 3id mod 8, frames = 4 + id mod 12. */
+  private[ops] def renderAvi(docId: Long): Array[Byte] = {
+    val w = (8L + docId % 8L).toInt
+    val h = (8L + (docId * 3L) % 8L).toInt
+    val nf = (4L + docId % 12L).toInt
+    val stride = (w + 3) & ~3
+    val frameBytes = stride * h
+    val moviSize = 4 + nf * (8 + frameBytes)
+    val strfSize = 40 + 256 * 4
+    val strlSize = 4 + (8 + 56) + (8 + strfSize)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); bb.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(40000)            // dwMicroSecPerFrame (25 fps)
+    bb.putInt(frameBytes * 25)  // dwMaxBytesPerSec
+    bb.putInt(0)                // dwPaddingGranularity
+    bb.putInt(0x10)             // dwFlags: AVIF_HASINDEX off, WASCAPTUREFILE-ish
+    bb.putInt(nf)               // dwTotalFrames
+    bb.putInt(0)                // dwInitialFrames
+    bb.putInt(1)                // dwStreams
+    bb.putInt(frameBytes)       // dwSuggestedBufferSize
+    bb.putInt(w); bb.putInt(h)  // dwWidth, dwHeight
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    fourcc("LIST"); bb.putInt(strlSize); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    bb.putInt(0)                // dwFlags
+    bb.putInt(0)                // wPriority + wLanguage
+    bb.putInt(0)                // dwInitialFrames
+    bb.putInt(1); bb.putInt(25) // dwScale / dwRate = 25 fps
+    bb.putInt(0)                // dwStart
+    bb.putInt(nf)               // dwLength (frames)
+    bb.putInt(frameBytes)       // dwSuggestedBufferSize
+    bb.putInt(-1)               // dwQuality
+    bb.putInt(0)                // dwSampleSize
+    bb.putShort(0); bb.putShort(0) // rcFrame left/top
+    bb.putShort(w.toShort); bb.putShort(h.toShort)
+    fourcc("strf"); bb.putInt(strfSize)
+    bb.putInt(40)               // biSize
+    bb.putInt(w); bb.putInt(h)  // biWidth, biHeight (positive = bottom-up)
+    bb.putShort(1)              // biPlanes
+    bb.putShort(8)              // biBitCount
+    bb.putInt(0)                // biCompression = BI_RGB
+    bb.putInt(frameBytes)       // biSizeImage
+    bb.putInt(0); bb.putInt(0)  // pels-per-meter
+    bb.putInt(256); bb.putInt(0) // biClrUsed, biClrImportant
+    var c = 0
+    while (c < 256) { bb.putInt(c | (c << 8) | (c << 16)); c += 1 }
+    fourcc("LIST"); bb.putInt(moviSize); fourcc("movi")
+    var f = 0
+    while (f < nf) {
+      fourcc("00db"); bb.putInt(frameBytes)
+      var row = h - 1              // bottom-up: last raster row first
+      while (row >= 0) {
+        var x = 0
+        while (x < stride) {
+          val v = if (x < w) ((x + 3L * row + 5L * f + docId) % 251L).toInt else 0
+          bb.put(v.toByte)
+          x += 1
+        }
+        row -= 1
+      }
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** Real AVI parse: validate RIFF/'AVI ', walk the top-level chunk
+    * list, descend into LIST('hdrl') for 'avih' (frame count, dims)
+    * and the nested LIST('strl')'s 'strf' (8-bit uncompressed DIB +
+    * stride), then LIST('movi'), reading every '00db' frame payload
+    * bottom-up with its 4-byte row padding and summing the sampled
+    * (every 2nd) frames' visible pixels. */
+  private def decodeAvi(docId: Long, bytes: Array[Byte]): DecodedVideo = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", s"asset $docId: not RIFF")
+    bb.getInt
+    require(fourcc() == "AVI ", s"asset $docId: not AVI")
+    var (w, h, nf, stride) = (-1, -1, -1L, -1)
+    var (sampled, pxSum) = (0L, 0L)
+    while (bb.remaining() >= 8) {
+      val id = fourcc()
+      val size = bb.getInt
+      val end = bb.position() + size + (size & 1)
+      if (id == "LIST") {
+        val listType = fourcc()
+        listType match {
+          case "hdrl" | "strl" => () // descend: keep walking inside
+          case "movi" =>
+            require(w > 0 && stride > 0 && nf >= 0,
+              s"asset $docId: movi before headers")
+            var f = 0L
+            while (bb.position() < end) {
+              val cid = fourcc()
+              val csz = bb.getInt
+              if (cid == "00db") {
+                if (f % 2 == 0) {
+                  sampled += 1
+                  var row = h - 1
+                  while (row >= 0) {
+                    var x = 0
+                    while (x < stride) {
+                      val v = bb.get() & 0xff
+                      if (x < w) pxSum += v
+                      x += 1
+                    }
+                    row -= 1
+                  }
+                } else bb.position(bb.position() + csz + (csz & 1))
+                f += 1
+              } else bb.position(bb.position() + csz + (csz & 1))
+            }
+          case _ => bb.position(end)
+        }
+      } else id match {
+        case "avih" =>
+          bb.getInt; bb.getInt; bb.getInt; bb.getInt
+          nf = bb.getInt.toLong
+          bb.getInt; bb.getInt; bb.getInt
+          w = bb.getInt; h = bb.getInt
+          bb.position(end)
+        case "strf" =>
+          require(bb.getInt == 40, s"asset $docId: bad BITMAPINFOHEADER")
+          val bw = bb.getInt; val bh = bb.getInt
+          require(bw == w && bh == h, s"asset $docId: strf/avih dim mismatch")
+          bb.getShort
+          require(bb.getShort == 8, s"asset $docId: not 8-bit")
+          require(bb.getInt == 0, s"asset $docId: compressed DIB")
+          stride = (bw + 3) & ~3
+          bb.position(end)
+        case _ => bb.position(end)
+      }
+    }
+    require(nf >= 0 && sampled == (nf + 1) / 2, s"asset $docId: frame count drift")
+    DecodedVideo(docId, w.toLong, h.toLong, nf, sampled, pxSum)
+  }
+
+  /** Video-payload decode + frame-sample pipeline — the video face of
+    * the multimodal family (PNG and WAV already round-trip above):
+    * every document gets a REAL AVI container (nested RIFF LISTs,
+    * BITMAPINFOHEADER, palette, bottom-up 4-byte-padded DIB frames),
+    * and the decode stage walks that structure and reads actual frame
+    * bytes, sampling every 2nd frame — so any chunk-offset, stride or
+    * row-order bug breaks the hash against the closed-form oracle.
+    * Encode and parse run INSIDE one narrow stage; only ~50-byte
+    * metadata rows shuffle (the 100 TB media shape). */
+  def qMultimodalVideo(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, sf)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => decodeAvi(id, renderAvi(id))))
+      .toDF().orderBy("doc_id")
+  }
+
   /** Content-hash dedup over the BINARY payload — media dedup by
     * exact bytes (the first gate of any image/video curation pipeline:
     * identical files recur across crawls far more often than

@@ -1061,6 +1061,25 @@ object OracleSql {
                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
     FROM z GROUP BY doc_id ORDER BY doc_id""")
 
+  val qMultimodalVideo: String = n("""
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id * 3) % 8 AS h,
+             4 + doc_id % 12 AS nf
+      FROM documents),
+    px AS (
+      SELECT d.doc_id,
+        CAST(SUM((x.i + 3 * y.i + 5 * f.i + d.doc_id) % 251) AS BIGINT) AS px_sum
+      FROM d
+      JOIN generate_series(0, 14) f(i) ON f.i < d.nf AND f.i % 2 = 0
+      JOIN generate_series(0, 15) y(i) ON y.i < d.h
+      JOIN generate_series(0, 15) x(i) ON x.i < d.w
+      GROUP BY 1)
+    SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+      CAST(d.h AS BIGINT) AS height, CAST(d.nf AS BIGINT) AS n_frames,
+      CAST((d.nf + 1) // 2 AS BIGINT) AS n_sampled, p.px_sum
+    FROM d JOIN px p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id ASC NULLS FIRST""")
+
   val qMultimodalResize: String = n("""
     WITH dims AS (
       SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 7) % 24 AS h
