@@ -1073,6 +1073,52 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Holt–Winters additive level+trend+WEEKLY-seasonal fold over the
+    * per-type daily count series — the seasonal extension of
+    * `q_ts_holt` (α=β=γ=1/2 as arithmetic shifts, counts pre-scaled
+    * ×256 for sub-integer resolution): lᵢ = (x−s_dow+l+t)>>1,
+    * tᵢ = (lᵢ−l+t)>>1, s_dowᵢ = (x−lᵢ+s_dow)>>1, everything exact
+    * BIGINT (Spark `shiftright` ≡ DuckDB `>>`, both arithmetic).
+    * The per-step seasonal-slot update defeats every window rewrite →
+    * per-key ordered FOLD (`aggregate` HOF) with the 7-slot seasonal
+    * vector as an array the lambda updates functionally; the oracle
+    * states the identical recursion as a recursive CTE carrying
+    * s0..s6 as columns. Forecast = l + t + s[(last_day+1) mod 7].
+    * One data-sized hash agg; the fold runs over ≤ types×days rows. */
+  def qTsHoltWinters(s: SparkSession, sf: String): DataFrame = {
+    Tables.events(s, sf)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("day"))
+      .agg((count(lit(1)) * lit(256L)).as("xfp"))
+      .withColumn("dow", expr("day % 7"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+           sort_array(collect_list(struct(col("day"), col("dow"), col("xfp"))))
+             .as("seq"))
+      .withColumn("st", expr("""
+        aggregate(
+          slice(seq, 2, greatest(size(seq) - 1, 0)),
+          named_struct('l', element_at(seq, 1).xfp, 't', CAST(0 AS BIGINT),
+                       's', array_repeat(CAST(0 AS BIGINT), 7)),
+          (acc, e) -> named_struct(
+            'l', shiftright(e.xfp - element_at(acc.s, CAST(e.dow AS INT) + 1)
+                            + acc.l + acc.t, 1),
+            't', shiftright(shiftright(e.xfp - element_at(acc.s, CAST(e.dow AS INT) + 1)
+                                       + acc.l + acc.t, 1) - acc.l + acc.t, 1),
+            's', transform(acc.s, (v, k) -> CASE WHEN k = CAST(e.dow AS INT)
+                   THEN shiftright(e.xfp
+                          - shiftright(e.xfp - v + acc.l + acc.t, 1) + v, 1)
+                   ELSE v END)))"""))
+      .select(col("event_type"), col("n_days"),
+              col("st.l").as("level_fp"), col("st.t").as("trend_fp"),
+              expr("aggregate(st.s, CAST(0 AS BIGINT), (a, v) -> a + v)")
+                .as("seas_sum_fp"),
+              expr("""st.l + st.t + element_at(st.s,
+                      CAST((element_at(seq, size(seq)).day + 1) % 7 AS INT) + 1)""")
+                .as("forecast_fp"))
+      .orderBy("event_type")
+  }
+
   /** Sequential CUSUM drift accumulator per event_type — the ONLINE
     * companion to `q_ts_changepoint` (which scores split candidates
     * offline): Sᵢ = max(0, Sᵢ₋₁ + (xᵢ − target)) over the daily count

@@ -2417,6 +2417,47 @@ object OracleSql {
     FROM r JOIN last ON r.user_id = last.user_id AND r.rn = last.mx
     ORDER BY r.user_id""")
 
+  /** Holt–Winters: the recursive CTE carries the 7 seasonal slots as
+    * columns s0..s6; SD (current slot), L (new level) and the per-slot
+    * updates are generated by interpolation so the inlined integer
+    * expressions are guaranteed identical everywhere they repeat. */
+  val qTsHoltWinters: String = {
+    val SD = "(CASE e.dow WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2" +
+      " WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)"
+    val L = s"((e.x - $SD + r.l + r.t) >> 1)"
+    val sks = (0 to 6).map(k =>
+      s"CASE WHEN e.dow = $k THEN (e.x - $L + $SD) >> 1 ELSE r.s$k END").mkString(", ")
+    val zeros = (0 to 6).map(k => s"CAST(0 AS BIGINT) AS s$k").mkString(", ")
+    n(s"""
+    WITH RECURSIVE d AS (
+      SELECT event_type,
+        epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+        COUNT(*) * 256 AS x
+      FROM events GROUP BY 1, 2),
+    e AS (
+      SELECT event_type, day, day % 7 AS dow, x,
+        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM d),
+    r AS (
+      SELECT event_type, rn, x AS l, CAST(0 AS BIGINT) AS t, $zeros
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.event_type, e.rn, $L, (($L) - r.l + r.t) >> 1, $sks
+      FROM r JOIN e ON e.event_type = r.event_type AND e.rn = r.rn + 1),
+    lastd AS (
+      SELECT event_type, MAX(rn) AS mx, MAX(day) AS last_day,
+        COUNT(*) AS n_days
+      FROM e GROUP BY event_type)
+    SELECT r.event_type AS event_type, lastd.n_days AS n_days,
+      r.l AS level_fp, r.t AS trend_fp,
+      r.s0 + r.s1 + r.s2 + r.s3 + r.s4 + r.s5 + r.s6 AS seas_sum_fp,
+      r.l + r.t + (CASE (lastd.last_day + 1) % 7
+        WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3
+        WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END) AS forecast_fp
+    FROM r JOIN lastd ON r.event_type = lastd.event_type AND r.rn = lastd.mx
+    ORDER BY r.event_type ASC NULLS FIRST""")
+  }
+
   val qTsEwma: String = n("""
     WITH e AS (
       SELECT event_id, user_id, ts, CAST(floor(value * 1e6) AS BIGINT) AS xfp

@@ -439,6 +439,66 @@ object StreamOps {
     }
   }
 
+  /** Output of the streaming Holt–Winters: smoothed state after each
+    * sample, including the updated seasonal slot. */
+  case class HoltWintersOut(eventType: String, eventId: Long,
+                            levelFp: Long, trendFp: Long, seasFp: Long)
+
+  /** (level, trend, 7 weekly seasonal slots) — O(1) per key. */
+  case class HoltWintersState(l: Long, t: Long, s: Array[Long])
+
+  /** s_stream_holt_winters: the `q_ts_holt_winters` seasonal recursion
+    * as an online per-event-type fold — l′ = (x−s_dow+l+t) >> 1,
+    * t′ = (l′−l+t) >> 1, s_dow′ = (x−l′+s_dow) >> 1 on 1e-4 fixed
+    * point, dow = epoch-day mod 7 of the sample's event time. Where
+    * the batch op folds the collected daily series, the stream keeps
+    * ONLY (l, t, s[7]) per type: O(1) ValueState, unbounded series.
+    * First sample seeds l = x, t = 0, s = 0⁷ exactly like the batch
+    * seed. */
+  private class HoltWintersProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, HoltWintersOut] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[HoltWintersState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[HoltWintersState](
+        "hw_fp", E.product[HoltWintersState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[HoltWintersOut] = {
+      var st = if (state.exists()) state.get() else null
+      val out = Seq.newBuilder[HoltWintersOut]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.eventId)).foreach { e =>
+        val x = math.floor(e.value * 1e4 + 0.5).toLong
+        val dow = (Math.floorDiv(e.ts.getTime, 86400000L) % 7L).toInt
+        st =
+          if (st == null) HoltWintersState(x, 0L, Array.fill(7)(0L))
+          else {
+            val sd = st.s(dow)
+            val l2 = (x - sd + st.l + st.t) >> 1
+            val s2 = st.s.clone()
+            s2(dow) = (x - l2 + sd) >> 1
+            HoltWintersState(l2, (l2 - st.l + st.t) >> 1, s2)
+          }
+        out += HoltWintersOut(key, e.eventId, st.l, st.t, st.s(dow))
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
+  /** Requires the RocksDB state store, like [[highWaterMarks]]. */
+  def holtWinters(events: Dataset[Event]): Dataset[HoltWintersOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.eventType)
+      .transformWithState(new HoltWintersProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Requires the RocksDB state store, like [[highWaterMarks]]. */
   def holt(events: Dataset[Event]): Dataset[HoltOut] = {
     import events.sparkSession.implicits._

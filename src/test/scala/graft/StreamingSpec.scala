@@ -423,6 +423,43 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("s_stream_holt_winters: seasonal shift recursion exact across batches and dow slots") {
+    import spark.implicits._
+    withRocksDB {
+      val in = MemoryStream[Event](spark)
+      val q = StreamOps.holtWinters(in.toDS())
+        .writeStream.format("memory").queryName("hw")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // minutes chosen to span FOUR different epoch days (dow slots)
+        in.addData(ev(1, 0, value = 4.0),
+                   ev(2, 1440, value = 2.0))
+        q.processAllAvailable()
+        in.addData(ev(3, 2880, value = 6.0),
+                   ev(4, 1440 * 8, value = 1.5)) // day 8 → same dow as day 1
+        q.processAllAvailable()
+        // the EXACT q_ts_holt_winters recursion, seeded (x0, 0, 0^7)
+        val s = Array.fill(7)(0L)
+        var (l, t) = (40000L, 0L)
+        val base = Math.floorDiv(1704067200000L, 86400000L)
+        def dowOf(min: Long) = ((base + min / 1440) % 7).toInt
+        val exp = scala.collection.mutable.Map(1L -> ((l, t, s(dowOf(0)))))
+        for ((id, min, x) <- Seq((2L, 1440L, 20000L), (3L, 2880L, 60000L),
+                                 (4L, 1440L * 8, 15000L))) {
+          val dow = dowOf(min)
+          val l2 = (x - s(dow) + l + t) >> 1
+          val t2 = (l2 - l + t) >> 1
+          s(dow) = (x - l2 + s(dow)) >> 1
+          l = l2; t = t2
+          exp(id) = ((l, t, s(dow)))
+        }
+        val rows = spark.table("hw").collect()
+          .map(r => (r.getLong(1), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+        assert(rows == exp.toMap, s"got $rows expected $exp")
+      } finally q.stop()
+    }
+  }
+
   test("s_stream_ewma: fixed-point recursion is exact within and across batches") {
     import spark.implicits._
     withRocksDB {
