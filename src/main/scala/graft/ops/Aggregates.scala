@@ -472,6 +472,37 @@ object Aggregates {
                           / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))), 6)"""))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance between the md5 A/B arms'
+    * metric distributions — the distribution-shift gate (`q_ab_test`
+    * compares means; KS catches a variance or shape change with equal
+    * means). ALL-INTEGER: D = max|F₁−F₂| over the pooled distinct
+    * 1e-2 fixed-point values is cross-multiplied to
+    * max|cum₁·n₂ − cum₂·n₁| (exact BIGINTs; ≤ n₁·n₂ ≈ 2.5e9·scale —
+    * the one final division to the 6dp readout is the only float).
+    * Shape: data-sized hash agg to the domain-bounded value grid
+    * (≤ 100·max value distinct rows at ANY scale), one cumulative
+    * window over it, a constant-size max. */
+  def qAbKs(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.events(s, sf)
+      .withColumn("vfp", floor(col("value") * lit(100) + lit(0.5)).cast("long"))
+      .withColumn("isa", md5Bucket(col("user_id")) <= "7")
+      .groupBy(col("vfp"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+           sum(when(col("isa"), 0L).otherwise(1L)).as("cb"))
+    val w = Window.orderBy(col("vfp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    d.withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+      .withColumn("n1", sum(col("ca")).over(tot))
+      .withColumn("n2", sum(col("cb")).over(tot))
+      .withColumn("dnum", abs(col("cum_a") * col("n2") - col("cum_b") * col("n1")))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("dnum")).as("d_num"))
+      .withColumn("ks", expr(
+        "round(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)"))
+  }
+
   /** Cramér's V association between event_type and day-of-week — "is
     * the traffic mix weekday-dependent", the categorical twin of
     * `q_agg_corr` (which needs numeric columns): χ² over the

@@ -507,6 +507,36 @@ object TextDedup {
       .limit(30)
   }
 
+  /** Exact 2-hop neighborhood size per node of the τ=0.6 near-dup
+    * graph — "how many documents are a friend-of-a-friend but not a
+    * direct near-dup", the reach statistic behind contamination
+    * blast-radius estimates (one bad doc's 2-hop set is what a
+    * cluster-level purge would remove). ALL-INTEGER: wedges from one
+    * mid-vertex equi-join (bounded by Σdeg², the `q_graph_triangles`
+    * shape), DISTINCT endpoint per (u,w), anti-join against direct
+    * edges, self excluded, count per u; degree joined in so the row
+    * reads (node, direct neighbors, strictly-2-hop nodes). Every
+    * shuffle is keyed on node ids — no broadcast, no driver loop. */
+  def qGraph2hop(s: SparkSession, sf: String): DataFrame = {
+    val pairs = bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val edges = pairs
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val twoHop = edges.select(col("v").as("m"), col("u"))
+      .join(edges.select(col("u").as("m"), col("v").as("w")), "m")
+      .where(col("u") =!= col("w"))
+      .select(col("u"), col("w")).distinct()
+      .join(edges.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_anti")
+      .groupBy(col("u")).agg(count(lit(1)).as("n_2hop"))
+    deg.join(twoHop, Seq("u"), "left_outer")
+      .select(col("u"), col("deg"),
+              coalesce(col("n_2hop"), lit(0L)).as("n_2hop"))
+      .orderBy("u")
+  }
+
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
     * rounds (Kiveris et al., "Connected Components in MapReduce and
     * Beyond") — the at-scale CC algorithm [[qDedupCluster]]'s scaladoc

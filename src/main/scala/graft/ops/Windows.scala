@@ -206,6 +206,37 @@ object Windows {
       .orderBy("day")
   }
 
+  /** Bollinger-band breakout flags over the per-type daily metric-sum
+    * series — "which days sit more than 2 rolling sigmas off their own
+    * 14-day mean", the volatility-banded cousin of `q_win_moving_avg`.
+    * ALL-INTEGER: daily x = Σ floor(value+0.5) (exact BIGINT), frame
+    * moments S = Σx and Q = Σx² are BIGINT window sums, and the band
+    * test |x − S/n| > 2·σ is cross-multiplied by n² into
+    * (n·x − S)² > 4·(n·Q − S²) with both squares in 38-digit decimal
+    * (BIGINT² would overflow at ~sf10 daily sums) — zero floats
+    * anywhere. Per-type windows partition; the frame is the
+    * calendar-bounded daily series, not data-sized rows. */
+  def qWinBollinger(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(floor(value + 0.5) AS BIGINT)")).as("x"))
+    val wr = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val w = wr.rowsBetween(-13, 0)
+    daily
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("q", sum(col("x") * col("x")).over(w))
+      .where(col("rn") >= 14)
+      .withColumn("breakout", expr(
+        """CAST(n * x - s AS DECIMAL(38,0)) * (n * x - s)
+           > 4 * (CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s)"""))
+      .select(col("event_type"), col("day"), col("x"),
+              col("s"), col("q"), col("breakout"))
+      .orderBy("event_type", "day")
+  }
+
   /** Centered 21-row moving MEDIAN per user — the robust smoother a
     * spike-riddled series needs where the moving average chases
     * outliers. The frame is held to EXACTLY 21 rows (full-frame rows

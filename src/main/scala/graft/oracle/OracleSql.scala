@@ -1423,6 +1423,84 @@ object OracleSql {
       5000 * abs(4 * n_events - 2 * med_x2) > 22239 * mad_x4 AS is_outlier
     FROM f ORDER BY day ASC NULLS FIRST""")
 
+  val qAbKs: String = n("""
+    WITH d AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS vfp,
+        CAST(SUM(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        CAST(SUM(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+                      THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM events GROUP BY 1),
+    c AS (
+      SELECT vfp, ca, cb,
+        CAST(SUM(ca) OVER (ORDER BY vfp
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+        CAST(SUM(cb) OVER (ORDER BY vfp
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+        CAST(SUM(ca) OVER () AS BIGINT) AS n1,
+        CAST(SUM(cb) OVER () AS BIGINT) AS n2
+      FROM d),
+    m AS (
+      SELECT n1, n2,
+        MAX(abs(cum_a * n2 - cum_b * n1)) AS d_num
+      FROM c GROUP BY n1, n2)
+    SELECT n1, n2, d_num,
+      round(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks
+    FROM m""")
+
+  val qGraph2hop: String = n("""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars,
+        list_distinct(string_split(text, ' ')) AS tk
+      FROM documents),
+    pairs AS MATERIALIZED (
+      SELECT a_id, b_id FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+        FROM toks a JOIN toks b
+          ON a.doc_id < b.doc_id AND a.lang = b.lang
+         AND abs(a.n_chars - b.n_chars) <= 25) t
+      WHERE jaccard >= 0.6),
+    edges AS MATERIALIZED (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs),
+    deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+    hop2 AS (
+      SELECT DISTINCT e1.u AS u, e2.v AS w
+      FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+      WHERE e1.u <> e2.v),
+    strict2 AS (
+      SELECT h.u, COUNT(*) AS n_2hop FROM hop2 h
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.u = h.u AND e.v = h.w)
+      GROUP BY h.u)
+    SELECT d.u, CAST(d.deg AS BIGINT) AS deg,
+      CAST(COALESCE(s.n_2hop, 0) AS BIGINT) AS n_2hop
+    FROM deg d LEFT JOIN strict2 s ON d.u = s.u
+    ORDER BY d.u ASC NULLS FIRST""")
+
+  val qWinBollinger: String = n("""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        CAST(SUM(CAST(floor(value + 0.5) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, day, x,
+        row_number() OVER win AS rn,
+        CAST(COUNT(*) OVER winf AS BIGINT) AS n,
+        CAST(SUM(x) OVER winf AS BIGINT) AS s,
+        CAST(SUM(x * x) OVER winf AS BIGINT) AS q
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY day),
+             winf AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day, x, s, q,
+      CAST(n * x - s AS HUGEINT) * (n * x - s)
+        > 4 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) AS breakout
+    FROM w WHERE rn >= 14
+    ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""")
+
   val qAbAnova: String = n("""
     WITH g AS (
       SELECT event_type, COUNT(*) AS n_g,
