@@ -13,6 +13,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fixture timestamps are tz-naive (isAdjustedToUTC=false); read them
+      // as LTZ (UTC session) so unix_micros et al. see TIMESTAMP, matching
+      // the DuckDB oracle's epoch values
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
