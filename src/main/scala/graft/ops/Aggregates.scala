@@ -229,6 +229,36 @@ object Aggregates {
       .orderBy("event_type")
   }
 
+  /** Winsorized mean per event type — the robust location estimate
+    * that CLIPS (not drops) the tails to the [p05, p95] band before
+    * averaging: the standard tamed-mean for spiky telemetry where the
+    * trimmed mean throws information away and the raw mean chases one
+    * outlier. Exactness: the percentile bounds use the
+    * `percentile`↔`quantile_cont` interpolation pair [[qAggMad]]
+    * proves identical, rounded to 4dp BEFORE clipping (both engines
+    * clip against the same rounded bound); clipped values are rounded
+    * to 4dp and summed in DECIMAL(28,4) (the §7.3 no-float-accumulation
+    * rule), with ONE mirrored double division at the end. Shape: two
+    * passes on the 5-type key (bounds, then clip+sum), the bounds join
+    * a 5-row broadcast — same scale story as [[qAggMad]]. */
+  def qAggWinsorizedMean(s: SparkSession, sf: String): DataFrame = {
+    val pct = Tables.events(s, sf).groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.05)"), 4).as("p05"),
+           round(expr("percentile(value, 0.95)"), 4).as("p95"))
+    Tables.events(s, sf).join(pct, "event_type")
+      .withColumn("clipped",
+        least(greatest(col("value"), col("p05")), col("p95")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           first(col("p05")).as("p05"),
+           first(col("p95")).as("p95"),
+           sum(expr("CAST(round(clipped, 4) AS DECIMAL(28,4))")).as("csum"))
+      .withColumn("wmean", expr(
+        "round(CAST(csum AS DOUBLE) / CAST(n AS DOUBLE), 4)"))
+      .select(col("event_type"), col("n"), col("p05"), col("p95"), col("wmean"))
+      .orderBy("event_type")
+  }
+
   /** PIVOT: order-priority counts spread to columns per status — the
     * wide-matrix reporting shape. Spark's `pivot` with an EXPLICIT value
     * list compiles to one two-phase hash aggregate (no extra pass to

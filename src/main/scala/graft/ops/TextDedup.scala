@@ -537,6 +537,83 @@ object TextDedup {
       .orderBy("u")
   }
 
+  /** Local clustering coefficient per node of the τ=0.6 near-dup graph
+    * — "how clique-like is each document's near-dup neighborhood":
+    * cc(u) = 2·t(u)/(d(u)·(d(u)−1)) where t(u) counts edges among u's
+    * neighbors. Template families score ~1 (every member resembles
+    * every other); chain/drift structure scores ~0 — the per-node
+    * refinement of [[qGraphTriangles]]'s global count, and the standard
+    * "is this cluster safe to collapse to one representative" gate
+    * before dedup collapses a whole component. ALL-INTEGER: wedges
+    * centered at u from one mid-vertex equi-join (bounded by Σdeg²,
+    * the triangle shape), closed wedges kept by a semi-join against
+    * the canonical (v<w) pair list, 1e4 fixed-point cc via integer
+    * div. Every shuffle keys on node ids; no broadcast, no loop. */
+  def qGraphClustercoef(s: SparkSession, sf: String): DataFrame = {
+    val pairs = bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val edges = pairs
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val tri = edges
+      .join(edges.select(col("u"), col("v").as("w")), "u")
+      .where(col("v") < col("w"))
+      .join(pairs.select(col("a_id").as("v"), col("b_id").as("w")),
+            Seq("v", "w"), "left_semi")
+      .groupBy(col("u")).agg(count(lit(1)).as("tri"))
+    deg.join(tri, Seq("u"), "left_outer")
+      .select(col("u").as("doc_id"), col("deg"),
+              coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("cc_fp",
+        when(col("deg") >= 2,
+             expr("(20000 * tri) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy("doc_id")
+  }
+
+  /** Degree assortativity of the τ=0.6 near-dup graph — the one-number
+    * "do hubs attach to hubs" readout (Newman, "Assortative mixing in
+    * networks"): Pearson r between the endpoint degrees over every
+    * directed edge. Template-dominated corpora are strongly assortative
+    * (dense families interlink); boilerplate-hub corpora (one landing
+    * page near-dup'd by thousands of leaves) are disassortative — the
+    * sign alone picks the right dedup strategy (component collapse vs
+    * hub-and-spoke pruning). EXACT integer moments: Σx, Σxy, Σx² over
+    * the directed edge list are BIGINTs (x=source degree, y=dest
+    * degree; the directed list is symmetric so Σx=Σy, Σx²=Σy² — both
+    * moment pairs still computed, the readout uses the general
+    * formula); covariance/variance numerators cross-multiplied in
+    * DECIMAL(38,0) (the §2.13 ANOVA pattern — m·Σxy overflows BIGINT at
+    * ~1e9 edges × 1e6 max degree²), one double division + sqrt rounded
+    * to 6dp at the end. Shape: degree hash-agg, two node-keyed joins to
+    * decorate edges, constant-size final agg — one row out. */
+  def qGraphAssortativity(s: SparkSession, sf: String): DataFrame = {
+    val pairs = bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val edges = pairs
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    edges
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .agg(count(lit(1)).as("m"),
+           sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+           sum(col("du") * col("dv")).as("sxy"),
+           sum(col("du") * col("du")).as("sxx"),
+           sum(col("dv") * col("dv")).as("syy"))
+      .select(col("m"),
+        expr("CAST(CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)").as("cov_num"),
+        expr("CAST(CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)").as("var_x"),
+        expr("CAST(CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)").as("var_y"))
+      .withColumn("assort",
+        expr("round(cov_num / sqrt(var_x * var_y), 6)"))
+      .select(col("m"), col("assort"))
+  }
+
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
     * rounds (Kiveris et al., "Connected Components in MapReduce and
     * Beyond") — the at-scale CC algorithm [[qDedupCluster]]'s scaladoc

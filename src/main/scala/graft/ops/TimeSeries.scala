@@ -1192,6 +1192,47 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** Mann–Kendall trend test per event type over the daily-count
+    * series — the NONPARAMETRIC "is this metric monotonically
+    * drifting" gate ([[qTsTheilSen]] estimates the slope; MK decides
+    * whether a trend exists at all): S = Σ_{i<j} sign(y_j − y_i) over
+    * all day pairs, the tie-corrected variance
+    * 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and the
+    * continuity-corrected z = (S − sign(S))/√(Var). ALL-INTEGER S and
+    * var18 (counts and tie groups are BIGINTs); z is one double
+    * expression over exact integers, rounded to 6dp, 0-pinned when
+    * S = 0 or Var = 0. Scale: the only data-sized pass is the
+    * (type, day) hash agg; the sign-pair join and the tie grouping run
+    * over the CALENDAR-bounded daily frame (≤ C(days,2) pairs per type
+    * forever) — the [[qTsTheilSen]] shape. */
+  def qTsMkTrend(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val a = daily.select(col("event_type"), col("day").as("di"), col("y").as("yi"))
+    val b = daily.select(col("event_type").as("et"), col("day").as("dj"), col("y").as("yj"))
+    val sStat = a.join(b, a("event_type") === b("et") && col("di") < col("dj"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("yj") > col("yi"), 1L)
+                 .when(col("yj") < col("yi"), -1L).otherwise(0L)).as("s_stat"))
+    val nDays = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy(col("event_type"), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_corr"))
+    nDays.join(sStat, "event_type").join(ties, "event_type")
+      .withColumn("var18", expr(
+        "n_days * (n_days - 1) * (2 * n_days + 5) - tie_corr"))
+      .withColumn("z", expr(
+        """CASE WHEN s_stat <> 0 AND var18 > 0
+                THEN round((CAST(s_stat AS DOUBLE) - CAST(sign(s_stat) AS DOUBLE))
+                           / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+                ELSE 0.0 END"""))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+              col("var18"), col("z"))
+      .orderBy("event_type")
+  }
+
   /** Hampel outlier filter over the global daily event-count series —
     * the rolling-median/MAD despiker ("which days are >3 robust sigmas
     * off their ±3-day neighborhood") that survives the level shifts a

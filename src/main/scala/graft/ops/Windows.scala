@@ -237,6 +237,43 @@ object Windows {
       .orderBy("event_type", "day")
   }
 
+  /** Cutler's RSI (14-period, SMA variant) over the per-type daily
+    * metric-sum series — the momentum oscillator flagging overbought
+    * (>70) / oversold (<30) regimes; on telemetry it reads as "is this
+    * metric in a sustained climb or slump relative to its own recent
+    * churn". The SMA variant is chosen over Wilder's EWMA deliberately:
+    * it is frame-expressible (two conditional window sums over the
+    * lag-delta series), where the EWMA recursion would force a
+    * sequential fold. ALL-INTEGER: daily x and its lag deltas are exact
+    * BIGINTs, gain/loss are conditional BIGINT frame sums, and
+    * RSI = 100·gain/(gain+loss) lands as a 1e4 fixed-point integer
+    * `div` (flat frames — gain+loss=0 — pin to the 5000 midpoint, the
+    * standard convention). Per-type windows partition; frames span the
+    * calendar-bounded daily series. */
+  def qWinRsi(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(floor(value + 0.5) AS BIGINT)")).as("x"))
+    val wr = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wd = wr.rowsBetween(-13, 0)
+    daily
+      .withColumn("d", col("x") - lag(col("x"), 1).over(wr))
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("gain",
+        sum(when(col("d") > 0, col("d")).otherwise(lit(0L))).over(wd))
+      .withColumn("loss",
+        sum(when(col("d") < 0, -col("d")).otherwise(lit(0L))).over(wd))
+      .where(col("rn") >= 15)
+      .withColumn("rsi_fp",
+        when(col("gain") + col("loss") > 0,
+             expr("(10000 * gain) div (gain + loss)"))
+          .otherwise(lit(5000L)))
+      .select(col("event_type"), col("day"), col("x"),
+              col("gain"), col("loss"), col("rsi_fp"))
+      .orderBy("event_type", "day")
+  }
+
   /** Centered 21-row moving MEDIAN per user — the robust smoother a
     * spike-riddled series needs where the moving average chases
     * outliers. The frame is held to EXACTLY 21 rows (full-frame rows

@@ -1480,6 +1480,74 @@ object OracleSql {
     FROM deg d LEFT JOIN strict2 s ON d.u = s.u
     ORDER BY d.u ASC NULLS FIRST""")
 
+  val qGraphClustercoef: String = n("""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars,
+        list_distinct(string_split(text, ' ')) AS tk
+      FROM documents),
+    pairs AS MATERIALIZED (
+      SELECT a_id, b_id FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+        FROM toks a JOIN toks b
+          ON a.doc_id < b.doc_id AND a.lang = b.lang
+         AND abs(a.n_chars - b.n_chars) <= 25) t
+      WHERE jaccard >= 0.6),
+    edges AS MATERIALIZED (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs),
+    deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+    tri AS (
+      SELECT e1.u, COUNT(*) AS tri
+      FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+      JOIN pairs p ON p.a_id = e1.v AND p.b_id = e2.v
+      GROUP BY e1.u)
+    SELECT d.u AS doc_id, CAST(d.deg AS BIGINT) AS deg,
+      CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri,
+      CAST(CASE WHEN d.deg >= 2
+        THEN (20000 * COALESCE(t.tri, 0)) // (d.deg * (d.deg - 1))
+        ELSE 0 END AS BIGINT) AS cc_fp
+    FROM deg d LEFT JOIN tri t ON d.u = t.u
+    ORDER BY doc_id ASC NULLS FIRST""")
+
+  val qGraphAssortativity: String = n("""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars,
+        list_distinct(string_split(text, ' ')) AS tk
+      FROM documents),
+    pairs AS MATERIALIZED (
+      SELECT a_id, b_id FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+        FROM toks a JOIN toks b
+          ON a.doc_id < b.doc_id AND a.lang = b.lang
+         AND abs(a.n_chars - b.n_chars) <= 25) t
+      WHERE jaccard >= 0.6),
+    edges AS MATERIALIZED (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    dd AS (
+      SELECT du.d AS du, dv.d AS dv
+      FROM edges e
+      JOIN deg du ON e.u = du.u
+      JOIN deg dv ON e.v = dv.u),
+    mo AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        CAST(SUM(du) AS BIGINT) AS sx, CAST(SUM(dv) AS BIGINT) AS sy,
+        CAST(SUM(du * dv) AS BIGINT) AS sxy,
+        CAST(SUM(du * du) AS BIGINT) AS sxx,
+        CAST(SUM(dv * dv) AS BIGINT) AS syy
+      FROM dd)
+    SELECT m,
+      round(CAST(CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+        / sqrt(CAST(CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+             * CAST(CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)), 6)
+        AS assort
+    FROM mo""")
+
   val qWinBollinger: String = n("""
     WITH daily AS (
       SELECT event_type, epoch_us(ts) // 86400000000 AS day,
@@ -1500,6 +1568,74 @@ object OracleSql {
         > 4 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) AS breakout
     FROM w WHERE rn >= 14
     ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""")
+
+  val qWinRsi: String = n("""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        CAST(SUM(CAST(floor(value + 0.5) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT event_type, day, x,
+        x - LAG(x, 1) OVER win AS d,
+        row_number() OVER win AS rn
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY day)),
+    g AS (
+      SELECT event_type, day, x, rn,
+        CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END) OVER winf AS BIGINT) AS gain,
+        CAST(SUM(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER winf AS BIGINT) AS loss
+      FROM d
+      WINDOW winf AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day, x, gain, loss,
+      CAST(CASE WHEN gain + loss > 0 THEN (10000 * gain) // (gain + loss)
+                ELSE 5000 END AS BIGINT) AS rsi_fp
+    FROM g WHERE rn >= 15
+    ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""")
+
+  val qTsMkTrend: String = n("""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT a.event_type,
+        CAST(SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+                      ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY 1),
+    nd AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1),
+    ties AS (
+      SELECT event_type,
+        CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_corr
+      FROM (SELECT event_type, y, COUNT(*) AS t FROM daily GROUP BY 1, 2) tt
+      GROUP BY 1),
+    v AS (
+      SELECT n.event_type, n.n_days, s.s_stat,
+        n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie_corr AS var18
+      FROM nd n
+      JOIN s ON s.event_type = n.event_type
+      JOIN ties t ON t.event_type = n.event_type)
+    SELECT event_type, n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+      CASE WHEN s_stat <> 0 AND var18 > 0
+           THEN round((CAST(s_stat AS DOUBLE) - CAST(sign(s_stat) AS DOUBLE))
+                      / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+           ELSE 0.0 END AS z
+    FROM v ORDER BY event_type ASC NULLS FIRST""")
+
+  val qAggWinsorizedMean: String = n("""
+    WITH pct AS (
+      SELECT event_type, round(quantile_cont(value, 0.05), 4) AS p05,
+        round(quantile_cont(value, 0.95), 4) AS p95
+      FROM events GROUP BY 1)
+    SELECT e.event_type, COUNT(*) AS n, MAX(p.p05) AS p05, MAX(p.p95) AS p95,
+      round(CAST(SUM(CAST(round(least(greatest(e.value, p.p05), p.p95), 4)
+                     AS DECIMAL(28,4))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 4) AS wmean
+    FROM events e JOIN pct p USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type ASC NULLS FIRST""")
 
   val qAbAnova: String = n("""
     WITH g AS (
