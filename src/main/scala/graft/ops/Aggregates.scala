@@ -971,6 +971,34 @@ object Aggregates {
       .orderBy("user_id")
   }
 
+  /** Theil T inequality index of per-user activity within each event
+    * type — the decomposable cousin of [[qAggGini]] ("how concentrated
+    * is this event type on its heaviest users"): T = (1/n)Σ(xᵢ/μ)ln(xᵢ/μ)
+    * over user event counts, algebraically folded to
+    * (1/total)·Σ xᵢ·ln(xᵢ·n/total) so the weights stay integer.
+    * Determinism = the [[qAggEntropy]] recipe verbatim: the per-user
+    * `ln` is rounded at 4dp BEFORE the exact DECIMAL(18,4)·count
+    * weighted sum (1-ulp ln rule), one final mirrored double division.
+    * Two hash aggs over (type, user) cells — nothing data-sized
+    * survives the first agg. */
+  def qAggTheilIndex(s: SparkSession, sf: String): DataFrame = {
+    val cells = Tables.events(s, sf)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nu"), sum(col("c")).as("tot"))
+    cells.join(totals, "event_type")
+      .withColumn("lp", round(log(
+        col("c").cast("double") * col("nu").cast("double")
+          / col("tot").cast("double")), 4))
+      .groupBy(col("event_type"))
+      .agg(first(col("nu")).as("n_users"),
+           first(col("tot")).as("n_events"),
+           (sum(col("lp").cast("decimal(18,4)") * col("c")).cast("double")
+             / first(col("tot")).cast("double")).as("theil"))
+      .orderBy("event_type")
+  }
+
   /** Mergeable QUANTILE rollup — the percentile sibling of
     * [[aAggHllPartial]], closing the sketch family's most-used tsdb
     * gap: per-(event_type, day) GK-summary partials (graft's

@@ -407,6 +407,30 @@ object TextAnalysis {
       .orderBy("decile")
   }
 
+  /** Hapax/type-token vocabulary-richness profile per document — the
+    * doc-level lexical-diversity readout ([[qTextVocabGrowth]] is the
+    * corpus-level curve): type-token ratio flags template/repetitive
+    * docs (low TTR) and the hapax share flags gibberish/OCR noise
+    * (high share of once-only tokens). ALL-INTEGER: per-(doc, token)
+    * counts → per-doc n_tokens/n_types/n_hapax (exact BIGINTs), 1e4
+    * fixed-point ratios via integer `div`. Shape: explode → two hash
+    * aggs keyed on doc_id — the token explosion is map-side local and
+    * nothing data-sized survives the first agg. */
+  def qTextHapax(s: SparkSession, sf: String): DataFrame = {
+    Tables.documents(s, sf).repartition(32)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+           count(lit(1)).as("n_types"),
+           sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_fp", expr("(10000 * n_types) div n_tokens"))
+      .withColumn("hapax_fp", expr("(10000 * n_hapax) div n_types"))
+      .orderBy("doc_id")
+  }
+
   /** Precision / recall / F1 per language from the `q_text_langid`
     * confusion matrix — the model-evaluation readout that turns a
     * confusion matrix into the numbers a dashboard shows. ALL-INTEGER

@@ -1233,6 +1233,84 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** Wald–Wolfowitz runs test on the global daily event-count series —
+    * "is the day-to-day traffic pattern RANDOM around its median, or
+    * does it cluster" (too few runs = regime persistence / autocorr;
+    * too many = oscillation): days above/below the series median
+    * (median-equal days excluded, the standard treatment) form a ±
+    * sequence; R = run count, z from the exact run-count moments.
+    * ALL-INTEGER core: the median of integer counts is .5-granular so
+    * 2·med is an exact BIGINT and the above/below test is integer
+    * (2x <> med_x2); R, n1, n2 are BIGINTs; z is cross-multiplied by
+    * n = n1+n2 into (n·R − n − 2n1n2)/√(2n1n2(2n1n2−n)/(n−1)) — one
+    * double sqrt+division over exact integers, rounded 6dp, 0-pinned
+    * when either side is empty or the variance degenerates. Scale: one
+    * data-sized day agg; everything after runs on the calendar-bounded
+    * daily frame. */
+  def qTsRunsTest(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val med = daily.agg(expr("CAST(2 * percentile(x, 0.5) AS BIGINT)").as("med_x2"))
+    val w = Window.orderBy("day")
+    daily.crossJoin(broadcast(med))
+      .where(expr("2 * x <> med_x2"))
+      .withColumn("sgn", expr("CASE WHEN 2 * x > med_x2 THEN 1 ELSE -1 END"))
+      .withColumn("prev", lag(col("sgn"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("sgn"), 1L).otherwise(0L))
+      .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n1"),
+           sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n2"),
+           sum(col("chg")).as("runs"))
+      .withColumn("z", expr(
+        """CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+                AND 2 * n1 * n2 > n1 + n2
+                THEN round(CAST((n1 + n2) * runs - (n1 + n2) - 2 * n1 * n2 AS DOUBLE)
+                     / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                            * CAST(2 * n1 * n2 - n1 - n2 AS DOUBLE)
+                            / CAST(n1 + n2 - 1 AS DOUBLE)), 6)
+                ELSE 0.0 END"""))
+      .select(col("n1"), col("n2"), col("runs"), col("z"))
+  }
+
+  /** Lagged cross-correlation between the click and view daily-count
+    * series at lags −7…+7 — the lead/lag detector ("do views predict
+    * clicks k days out"): Pearson r between x_t and y_{t+ℓ} over the
+    * overlapping days, per lag. The argmax-|r| row is the answer; the
+    * full 15-row profile is the diagnostic. EXACT integer moments per
+    * lag (counts are BIGINTs; the lag join is an equi-join on
+    * day+ℓ after a 15-row broadcast lag table), r = one double
+    * expression over exact integers rounded 6dp, NULL-pinned when a
+    * variance degenerates. Scale: one data-sized (type, day) agg;
+    * the lag join runs on the calendar-bounded daily frames (≤365·15
+    * rows forever). */
+  def qTsCrossCorr(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val x = daily.where(col("event_type") === "click")
+      .select(col("day"), col("n").as("x"))
+    val y = daily.where(col("event_type") === "view")
+      .select(col("day").as("yday"), col("n").as("y"))
+    val lags = s.range(-7, 8).select(col("id").as("lag"))
+    x.crossJoin(broadcast(lags))
+      .join(y, col("yday") === col("day") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("m"),
+           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("y") * col("y")).as("syy"),
+           sum(col("x") * col("y")).as("sxy"))
+      .withColumn("r", expr(
+        """CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+                THEN round(CAST(m * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+                ELSE NULL END"""))
+      .select(col("lag"), col("m"), col("r"))
+      .orderBy("lag")
+  }
+
   /** Hampel outlier filter over the global daily event-count series —
     * the rolling-median/MAD despiker ("which days are >3 robust sigmas
     * off their ±3-day neighborhood") that survives the level shifts a

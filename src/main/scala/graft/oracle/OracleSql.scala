@@ -1625,6 +1625,90 @@ object OracleSql {
            ELSE 0.0 END AS z
     FROM v ORDER BY event_type ASC NULLS FIRST""")
 
+  val qTsRunsTest: String = n("""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+      FROM events GROUP BY 1),
+    med AS (
+      SELECT CAST(2 * quantile_cont(x, 0.5) AS BIGINT) AS med_x2 FROM daily),
+    s1 AS (
+      SELECT day, CASE WHEN 2 * x > med_x2 THEN 1 ELSE -1 END AS sgn
+      FROM daily, med WHERE 2 * x <> med_x2),
+    ch AS (
+      SELECT sgn,
+        CASE WHEN LAG(sgn, 1) OVER (ORDER BY day) IS NULL
+               OR LAG(sgn, 1) OVER (ORDER BY day) <> sgn
+             THEN 1 ELSE 0 END AS chg
+      FROM s1),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(chg) AS BIGINT) AS runs
+      FROM ch)
+    SELECT n1, n2, runs,
+      CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 AND 2 * n1 * n2 > n1 + n2
+           THEN round(CAST((n1 + n2) * runs - (n1 + n2) - 2 * n1 * n2 AS DOUBLE)
+                / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                       * CAST(2 * n1 * n2 - n1 - n2 AS DOUBLE)
+                       / CAST(n1 + n2 - 1 AS DOUBLE)), 6)
+           ELSE 0.0 END AS z
+    FROM agg""")
+
+  val qTsCrossCorr: String = n("""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    x AS (SELECT day, n AS x FROM daily WHERE event_type = 'click'),
+    y AS (SELECT day AS yday, n AS y FROM daily WHERE event_type = 'view'),
+    l AS (SELECT CAST(range AS BIGINT) AS lg FROM range(-7, 8)),
+    j AS (
+      SELECT l.lg, x.x, y.y
+      FROM x CROSS JOIN l JOIN y ON y.yday = x.day + l.lg),
+    mo AS (
+      SELECT lg, CAST(COUNT(*) AS BIGINT) AS m,
+        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+        CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM j GROUP BY lg)
+    SELECT lg AS "lag", m,
+      CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+           THEN round(CAST(m * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+           ELSE NULL END AS r
+    FROM mo ORDER BY lg ASC NULLS FIRST""")
+
+  val qAggTheilIndex: String = n("""
+    WITH cells AS (
+      SELECT event_type, user_id, COUNT(*) AS c FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nu,
+        CAST(SUM(c) AS BIGINT) AS tot
+      FROM cells GROUP BY 1)
+    SELECT c.event_type, MAX(t.nu) AS n_users, MAX(t.tot) AS n_events,
+      CAST(SUM(CAST(round(ln(CAST(c.c AS DOUBLE) * CAST(t.nu AS DOUBLE)
+                             / CAST(t.tot AS DOUBLE)), 4) AS DECIMAL(18,4))
+               * c.c) AS DOUBLE) / MAX(t.tot) AS theil
+    FROM cells c JOIN tot t USING (event_type)
+    GROUP BY c.event_type ORDER BY c.event_type ASC NULLS FIRST""")
+
+  val qTextHapax: String = n("""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    cnt AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM w
+      WHERE token <> '' GROUP BY 1, 2),
+    d AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS n_types,
+        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM cnt GROUP BY 1)
+    SELECT doc_id, n_tokens, n_types, n_hapax,
+      CAST((10000 * n_types) // n_tokens AS BIGINT) AS ttr_fp,
+      CAST((10000 * n_hapax) // n_types AS BIGINT) AS hapax_fp
+    FROM d ORDER BY doc_id ASC NULLS FIRST""")
+
   val qAggWinsorizedMean: String = n("""
     WITH pct AS (
       SELECT event_type, round(quantile_cont(value, 0.05), 4) AS p05,
