@@ -351,6 +351,61 @@ object StreamOps {
         OutputMode.Append())
   }
 
+  /** Streaming RSI output: 1e4 fixed-point RSI once the delta window
+    * is full. */
+  case class RsiOut(eventType: String, eventId: Long, rsiFp: Long)
+
+  /** Keyed RSI state: the last ≤15 fixed-point samples (14 deltas). */
+  case class RsiState(buf: Seq[Long])
+
+  /** s_stream_rsi: per-type Cutler RSI over the event-value stream —
+    * the streaming twin of `q_win_rsi`'s frame arithmetic (the batch
+    * op folds the daily series; the stream scores each event against
+    * its last 14 deltas, the per-sample deployment): gain/loss are
+    * conditional sums over the deltas of a BOUNDED 15-sample ring,
+    * RSI = (10000·gain) div (gain+loss) with the same 5000 flat-frame
+    * midpoint pin. O(1) state per key regardless of stream length;
+    * exact integer arithmetic → replay/shard-move invariant. */
+  private class RsiProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, RsiOut] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[RsiState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[RsiState](
+        "rsi_buf", E.product[RsiState], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[RsiOut] = {
+      var st = if (state.exists()) state.get() else RsiState(Vector.empty)
+      val out = Seq.newBuilder[RsiOut]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.eventId)).foreach { e =>
+        val x = math.floor(e.value * 100 + 0.5).toLong
+        val buf = (st.buf :+ x).takeRight(15)
+        if (buf.size >= 15) {
+          val deltas = buf.sliding(2).map(p => p(1) - p(0)).toSeq
+          val gain = deltas.filter(_ > 0).sum
+          val loss = -deltas.filter(_ < 0).sum
+          val rsi = if (gain + loss > 0) (10000L * gain) / (gain + loss) else 5000L
+          out += RsiOut(key, e.eventId, rsi)
+        }
+        st = RsiState(buf)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
+  /** Requires the RocksDB state store, like [[highWaterMarks]]. */
+  def rsi(events: Dataset[Event]): Dataset[RsiOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.eventType)
+      .transformWithState(new RsiProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming CUSUM output: the running statistic + alert flag. */
   case class CusumOut(eventType: String, eventId: Long, s: Long, alert: Boolean)
 

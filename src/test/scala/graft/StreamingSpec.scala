@@ -367,6 +367,45 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("s_stream_rsi: bounded 15-sample state, fixed-point parity with the direct fold across batches") {
+    import spark.implicits._
+    withRocksDB {
+      val in = MemoryStream[Event](spark)
+      val q = StreamOps.rsi(in.toDS())
+        .writeStream.format("memory").queryName("srsi")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // ramp up (pure gains), then a choppy stretch, split across
+        // batches so the ring must survive the state store
+        val vals = (1 to 15).map(_ * 10.0) ++
+          Seq(140.0, 160.0, 110.0, 110.5, 90.0, 200.0)
+        in.addData(vals.take(15).zipWithIndex.map { case (v, i) =>
+          ev(i + 1L, i.toLong, value = v) }: _*)
+        q.processAllAvailable()
+        in.addData(vals.drop(15).zipWithIndex.map { case (v, i) =>
+          ev(i + 16L, i + 15L, value = v) }: _*)
+        q.processAllAvailable()
+        // replicate the exact fold
+        var buf = Vector.empty[Long]
+        val exp = scala.collection.mutable.Map[Long, Long]()
+        vals.zipWithIndex.foreach { case (v, i) =>
+          buf = (buf :+ math.floor(v * 100 + 0.5).toLong).takeRight(15)
+          if (buf.size >= 15) {
+            val d = buf.sliding(2).map(p => p(1) - p(0)).toSeq
+            val g = d.filter(_ > 0).sum; val l = -d.filter(_ < 0).sum
+            exp(i + 1L) = if (g + l > 0) (10000L * g) / (g + l) else 5000L
+          }
+        }
+        val rows = spark.table("srsi").collect()
+          .map(r => (r.getLong(1), r.getLong(2))).toMap
+        assert(rows == exp.toMap, s"got $rows expected $exp")
+        assert(rows(15L) == 10000L, "a pure-gain window must read RSI=100.00")
+        assert(rows.values.exists(v => v > 0 && v < 10000L),
+               "the choppy stretch must produce an interior RSI")
+      } finally q.stop()
+    }
+  }
+
   test("s_stream_cusum: drift statistic floors at zero, alerts past budget, exact across batches") {
     import spark.implicits._
     withRocksDB {
