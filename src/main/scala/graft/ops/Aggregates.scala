@@ -971,6 +971,44 @@ object Aggregates {
       .orderBy("user_id")
   }
 
+  /** Jensen–Shannon divergence between the md5 A/B arms' event-type
+    * mixes — the SYMMETRIC, always-finite distribution-shift readout
+    * (KL blows up on a type one arm never emits; JSD is bounded by
+    * ln 2), the categorical counterpart of `q_ab_ks`'s continuous
+    * shift test. Exactness: each log argument reduces to a ratio of
+    * exact integers — p_t/m_t = 2·ca·nb/(ca·nb + cb·na) — so both
+    * engines feed `ln` the IDENTICAL double; the ln is rounded 4dp
+    * BEFORE the DECIMAL(18,4)·count weighted sum (the entropy recipe),
+    * zero-count terms drop by the 0·ln0 = 0 convention, and the two
+    * arm sums divide out in one mirrored double expression rounded
+    * 6dp. Shape: one data-sized hash agg to the ≤|types| cell frame,
+    * constant-size finish. */
+  def qAggJsd(s: SparkSession, sf: String): DataFrame = {
+    val cells = Tables.events(s, sf)
+      .withColumn("isa", md5Bucket(col("user_id")) <= "7")
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+           sum(when(col("isa"), 0L).otherwise(1L)).as("cb"))
+    val tot = Window.partitionBy()
+    cells
+      .withColumn("na", sum(col("ca")).over(tot))
+      .withColumn("nb", sum(col("cb")).over(tot))
+      .withColumn("lpa", when(col("ca") > 0, round(log(
+        expr("CAST(2 * ca * nb AS DOUBLE) / CAST(ca * nb + cb * na AS DOUBLE)")), 4))
+        .otherwise(lit(0.0)))
+      .withColumn("lpb", when(col("cb") > 0, round(log(
+        expr("CAST(2 * cb * na AS DOUBLE) / CAST(ca * nb + cb * na AS DOUBLE)")), 4))
+        .otherwise(lit(0.0)))
+      .groupBy(col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_types"),
+           sum(col("lpa").cast("decimal(18,4)") * col("ca")).as("s1"),
+           sum(col("lpb").cast("decimal(18,4)") * col("cb")).as("s2"))
+      .withColumn("jsd", expr(
+        """round(0.5 * (CAST(s1 AS DOUBLE) / CAST(na AS DOUBLE)
+                        + CAST(s2 AS DOUBLE) / CAST(nb AS DOUBLE)), 6)"""))
+      .select(col("na"), col("nb"), col("n_types"), col("jsd"))
+  }
+
   /** Theil T inequality index of per-user activity within each event
     * type — the decomposable cousin of [[qAggGini]] ("how concentrated
     * is this event type on its heaviest users"): T = (1/n)Σ(xᵢ/μ)ln(xᵢ/μ)

@@ -260,6 +260,56 @@ object Vectors {
       .orderBy("label", "rn")
   }
 
+  /** Simplified (centroid-based) silhouette per label over the
+    * embedding cloud — the cluster-quality readout on the LABELED
+    * corpus ("how separable are the domains in embedding space"):
+    * a = d² to the own-label centroid, b = min d² to any other
+    * centroid, s = (b−a)/max(a,b) ∈ [−1, 1]; the centroid variant is
+    * the at-scale form (true silhouette is all-pairs — the same
+    * quadratic wall the knn twins guard against). Determinism follows
+    * [[qEmbedOutliers]] exactly: centroids from EXACT 2³⁰ fixed-point
+    * integer sums (constant-size collect), d² via the fixed-order
+    * zip_with/aggregate fold rounded 4dp, s one mirrored double
+    * expression on the rounded operands, and the per-label mean sums
+    * 4dp-rounded s in DECIMAL(18,4) before ONE double division. Shape:
+    * k-row broadcast cross join, two hash aggs — nothing data-sized
+    * shuffles. */
+  def qEmbedSilhouette(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val cents: Map[Int, Array[Double]] = Tables.embeddings(s, sf)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+           sum(floor(col("x").cast("double") * (1L << 30))).as("c_fp"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (lab, rows) =>
+        val arr = new Array[Double](rows.length)
+        rows.foreach(r => arr(r.getInt(1)) =
+          r.getLong(3).toDouble / (r.getLong(2).toDouble * (1L << 30)))
+        lab -> arr
+      }
+    val centDf = cents.toSeq.map { case (l, a) => (l, a) }.toDF("clabel", "cvec")
+    val d2 = aggregate(
+      zip_with(transform(col("embedding"), e => e.cast("double")), col("cvec"),
+               (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    Tables.embeddings(s, sf)
+      .crossJoin(broadcast(centDf))
+      .withColumn("d2", round(d2, 4))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("clabel") === col("label"), col("d2"))).as("a"),
+           min(when(col("clabel") =!= col("label"), col("d2"))).as("b"))
+      .withColumn("sil", expr(
+        """CASE WHEN greatest(a, b) > 0 THEN round((b - a) / greatest(a, b), 4)
+                ELSE 0.0 END"""))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+           (sum(col("sil").cast("decimal(18,4)")).cast("double")
+             / count(lit(1))).as("mean_sil"))
+      .orderBy("label")
+  }
+
   /** Spherical k-means (Lloyd) over the embedding cloud — the corpus
     * STRUCTURING op a training pipeline runs between dedup and
     * sampling (domain discovery, cluster-balanced mixtures, IVF cell

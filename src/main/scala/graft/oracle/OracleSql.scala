@@ -1709,6 +1709,70 @@ object OracleSql {
       CAST((10000 * n_hapax) // n_types AS BIGINT) AS hapax_fp
     FROM d ORDER BY doc_id ASC NULLS FIRST""")
 
+  val qAggJsd: String = n("""
+    WITH cells AS (
+      SELECT event_type,
+        CAST(SUM(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        CAST(SUM(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+                      THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM events GROUP BY event_type),
+    t AS (
+      SELECT event_type, ca, cb,
+        CAST(SUM(ca) OVER () AS BIGINT) AS na,
+        CAST(SUM(cb) OVER () AS BIGINT) AS nb
+      FROM cells),
+    lp AS (
+      SELECT na, nb, ca, cb,
+        CASE WHEN ca > 0
+             THEN round(ln(CAST(2 * ca * nb AS DOUBLE)
+                           / CAST(ca * nb + cb * na AS DOUBLE)), 4)
+             ELSE 0.0 END AS lpa,
+        CASE WHEN cb > 0
+             THEN round(ln(CAST(2 * cb * na AS DOUBLE)
+                           / CAST(ca * nb + cb * na AS DOUBLE)), 4)
+             ELSE 0.0 END AS lpb
+      FROM t)
+    SELECT na, nb, COUNT(*) AS n_types,
+      round(0.5 * (CAST(SUM(CAST(lpa AS DECIMAL(18,4)) * ca) AS DOUBLE)
+                     / CAST(na AS DOUBLE)
+                   + CAST(SUM(CAST(lpb AS DECIMAL(18,4)) * cb) AS DOUBLE)
+                     / CAST(nb AS DOUBLE)), 6) AS jsd
+    FROM lp GROUP BY na, nb""")
+
+  val qEmbedSilhouette: String = n("""
+    WITH cent AS (
+      SELECT label, i - 1 AS pos, COUNT(*) AS n,
+        CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824.0)
+                 AS BIGINT)) AS BIGINT) AS c_fp
+      FROM embeddings, generate_series(1, 64) t(i)
+      GROUP BY label, i),
+    cvecs AS (
+      SELECT label AS clabel,
+        list(CAST(c_fp AS DOUBLE) / (CAST(n AS DOUBLE) * 1073741824.0)
+             ORDER BY pos) AS cvec
+      FROM cent GROUP BY label),
+    d AS (
+      SELECT e.vec_id, e.label, c.clabel,
+        round(list_reduce(list_transform(generate_series(1, 64),
+          i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+               * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])),
+          (a, b) -> a + b), 4) AS d2
+      FROM embeddings e CROSS JOIN cvecs c),
+    ab AS (
+      SELECT vec_id, label,
+        MIN(CASE WHEN clabel = label THEN d2 END) AS a,
+        MIN(CASE WHEN clabel <> label THEN d2 END) AS b
+      FROM d GROUP BY 1, 2),
+    sil AS (
+      SELECT label,
+        CASE WHEN greatest(a, b) > 0 THEN round((b - a) / greatest(a, b), 4)
+             ELSE 0.0 END AS sil
+      FROM ab)
+    SELECT label, COUNT(*) AS n,
+      CAST(SUM(CAST(sil AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_sil
+    FROM sil GROUP BY label ORDER BY label ASC NULLS FIRST""")
+
   val qAggWinsorizedMean: String = n("""
     WITH pct AS (
       SELECT event_type, round(quantile_cont(value, 0.05), 4) AS p05,
