@@ -443,6 +443,70 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  /** Per-image average-hash output: the 64-bit perceptual hash split
+    * into two unsigned 32-bit halves (bit 63 would overflow a signed
+    * BIGINT), plus the set-bit count. */
+  final case class PHashOut(doc_id: Long, w: Long, h: Long,
+                            hash_lo: Long, hash_hi: Long, n_bits: Long)
+
+  /** Perceptual average-hash (aHash) over the REAL PNG payloads — the
+    * media NEAR-dup gate ([[qMultimodalDedup]] catches byte-identical
+    * files; aHash survives re-encode/resize because it thresholds 8×8
+    * block LUMINANCE against the image mean): decode via the real
+    * ImageIO codec, partition the raster into the 8×8 block grid
+    * (block of pixel x = x·8 div w — integer, any dimensions), bit k
+    * set iff blocksum_k·(w·h) > totalsum·area_k (the mean comparison
+    * cross-multiplied to exact integers — zero floats), hash packed
+    * little-endian as two 32-bit halves. Oracle parity: the PNG is
+    * lossless over the closed-form gradient, so DuckDB rebuilds every
+    * pixel with generate_series and packs the same bits. Scale: the
+    * payload never shuffles — decode and hash are map-side; only
+    * (doc_id, 5 longs) leave the scan stage, which is the entire
+    * point at 100 TB of media. */
+  def qMultimodalPhash(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val assets: Dataset[MediaAsset] = Tables.documents(s, sf)
+      .select(col("doc_id"), col("lang"),
+              (lit(1L) + col("doc_id") % 24L).as("n_frames"))
+      .as[(Long, String, Long)]
+      .map { case (id, lang, nf) => MediaAsset(id, lang, nf, renderPng(id)) }
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.payload))
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        val bs = new Array[Long](64)
+        val ba = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val bj = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val k = bj * 8 + x * 8 / w
+            bs(k) += raster.getSample(x, y, 0)
+            ba(k) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val sTot = bs.sum
+        val aTot = w.toLong * h
+        var lo = 0L; var hi = 0L; var nb = 0L
+        var k = 0
+        while (k < 64) {
+          if (bs(k) * aTot > sTot * ba(k)) {
+            nb += 1
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        PHashOut(a.doc_id, w.toLong, h.toLong, lo, hi, nb)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   /** Content-hash dedup over the BINARY payload — media dedup by
     * exact bytes (the first gate of any image/video curation pipeline:
     * identical files recur across crawls far more often than

@@ -1311,6 +1311,47 @@ object TimeSeries {
       .orderBy("lag")
   }
 
+  /** Kendall τ-b rank correlation between the click and view daily
+    * series — the robust companion to [[qTsCrossCorr]]'s lag-0 Pearson
+    * (τ sees any monotone coupling, shrugs off spike days, and the
+    * tie correction keeps flat stretches honest) and the two-series
+    * sibling of [[qTsMkTrend]] (MK **is** Kendall vs time):
+    * over all day pairs C/D = concordant/discordant counts,
+    * τ_b = (C−D)/√((n₀−n₁)(n₀−n₂)) with n₀ = C(n,2) and n₁/n₂ the
+    * x/y tie-pair counts. ALL-INTEGER C, D, n₀, n₁, n₂ from ONE
+    * pairwise aggregation; τ is one double over exact integers
+    * rounded 6dp, NULL-pinned if either factor degenerates. Scale: one
+    * data-sized (type, day) agg; the pair join is calendar-bounded
+    * (the Theil–Sen shape). */
+  def qTsKendallTau(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val d = daily.where(col("event_type") === "click")
+      .select(col("day"), col("n").as("x"))
+      .join(daily.where(col("event_type") === "view")
+              .select(col("day").as("vday"), col("n").as("y")),
+            col("vday") === col("day"))
+      .select(col("day"), col("x"), col("y"))
+    val p = d.select(col("day").as("d1"), col("x").as("x1"), col("y").as("y1"))
+      .join(d.select(col("day").as("d2"), col("x").as("x2"), col("y").as("y2")),
+            col("d1") < col("d2"))
+    p.agg(
+        count(lit(1)).as("n0"),
+        sum(when((col("x1") - col("x2")) * (col("y1") - col("y2")) > 0, 1L)
+              .otherwise(0L)).as("nc"),
+        sum(when((col("x1") - col("x2")) * (col("y1") - col("y2")) < 0, 1L)
+              .otherwise(0L)).as("nd"),
+        sum(when(col("x1") === col("x2"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("y1") === col("y2"), 1L).otherwise(0L)).as("n2"))
+      .withColumn("tau_b", expr(
+        """CASE WHEN n0 > n1 AND n0 > n2
+                THEN round(CAST(nc - nd AS DOUBLE)
+                     / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)), 6)
+                ELSE NULL END"""))
+      .select(col("n0"), col("nc"), col("nd"), col("n1"), col("n2"), col("tau_b"))
+  }
+
   /** Hampel outlier filter over the global daily event-count series —
     * the rolling-median/MAD despiker ("which days are >3 robust sigmas
     * off their ±3-day neighborhood") that survives the level shifts a

@@ -1709,6 +1709,60 @@ object OracleSql {
       CAST((10000 * n_hapax) // n_types AS BIGINT) AS hapax_fp
     FROM d ORDER BY doc_id ASC NULLS FIRST""")
 
+  val qMultimodalPhash: String = n("""
+    WITH dims AS (
+      SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 7) % 24 AS h
+      FROM documents),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+        ((y.y * 8) // d.h) * 8 + (x.x * 8) // d.w AS k,
+        (x.x + 7 * y.y + d.doc_id) % 251 AS v
+      FROM dims d, generate_series(0, 46) x(x), generate_series(0, 38) y(y)
+      WHERE x.x < d.w AND y.y < d.h),
+    blk AS (
+      SELECT doc_id, w, h, k, CAST(SUM(v) AS BIGINT) AS s,
+        CAST(COUNT(*) AS BIGINT) AS a
+      FROM px GROUP BY 1, 2, 3, 4),
+    tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS st FROM blk GROUP BY 1),
+    bits AS (
+      SELECT b.doc_id, b.w, b.h, b.k,
+        CASE WHEN b.s * (b.w * b.h) > t.st * b.a THEN 1 ELSE 0 END AS bit
+      FROM blk b JOIN tot t USING (doc_id))
+    SELECT doc_id, CAST(MAX(w) AS BIGINT) AS w, CAST(MAX(h) AS BIGINT) AS h,
+      CAST(SUM(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k)
+               ELSE 0 END) AS BIGINT) AS hash_lo,
+      CAST(SUM(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+               ELSE 0 END) AS BIGINT) AS hash_hi,
+      CAST(SUM(bit) AS BIGINT) AS n_bits
+    FROM bits GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""")
+
+  val qTsKendallTau: String = n("""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT x.day, x.n AS x, y.n AS y
+      FROM (SELECT day, n FROM daily WHERE event_type = 'click') x
+      JOIN (SELECT day, n FROM daily WHERE event_type = 'view') y USING (day)),
+    p AS (
+      SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+      FROM d a JOIN d b ON a.day < b.day),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+        CAST(SUM(CASE WHEN (x1 - x2) * (y1 - y2) > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS nc,
+        CAST(SUM(CASE WHEN (x1 - x2) * (y1 - y2) < 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS nd,
+        CAST(SUM(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM p)
+    SELECT n0, nc, nd, n1, n2,
+      CASE WHEN n0 > n1 AND n0 > n2
+           THEN round(CAST(nc - nd AS DOUBLE)
+                / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)), 6)
+           ELSE NULL END AS tau_b
+    FROM agg""")
+
   val qAggJsd: String = n("""
     WITH cells AS (
       SELECT event_type,

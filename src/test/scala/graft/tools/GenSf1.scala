@@ -100,10 +100,15 @@ object GenSf1 {
     scale("orders", Map("o_orderkey" -> O, "o_custkey" -> C))
     scale("lineitem", Map("l_orderkey" -> O, "l_partkey" -> P, "l_suppkey" -> S),
           files = 16)
-    // ts arrives as raw ns longs (nanosAsLong) — write µs timestamps,
-    // the same div-1000 truncation Tables.events / the oracle use
+    // Older fixture sets store ts as TIMESTAMP(NANOS) → raw ns longs
+    // under nanosAsLong (µs-truncate like Tables.events); regenerated
+    // sets store TIMESTAMP(µs) already — pass through unchanged.
+    val tsIsLong =
+      ev.schema("ts").dataType == org.apache.spark.sql.types.LongType
     scale("events", Map("event_id" -> E, "user_id" -> U),
-          mutate = (d, _) => d.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+          mutate = (d, _) =>
+            if (tsIsLong) d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            else d)
     scale("documents", Map("doc_id" -> D), mutate = (d, k) =>
       if (k == 0) d else {
         val salted = d.withColumn("text",
