@@ -814,6 +814,35 @@ object TextDedup {
       .limit(30)
   }
 
+  /** Top-3 TF-IDF keywords per document — the per-doc refinement of
+    * `q_text_tfidf`'s corpus-global top list (keyword extraction is
+    * what tags/routes/indexes each doc in a curation pipeline): same
+    * tf·ln(N/df) score, same gated df broadcast (vocab-sized frame —
+    * the loop-frame rule), ranked INSIDE each doc by row_number over
+    * (score desc, token asc) — a deterministic total order because
+    * both engines compute the identical double from the identical
+    * exact-integer ratio. Shape: two hash aggs + one doc-keyed window
+    * — nothing data-sized past the (doc, token) agg. */
+  def qTextKeywordExtract(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nd = broadcast(docs.agg(count(lit(1)).as("nd")))
+    val dfGated = Util.gatedBroadcast(s, df_, estRows = docs.count() * 150)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(desc("tfidf"), asc("token"))
+    tf.join(dfGated, "token").crossJoin(nd)
+      .select(col("doc_id"), col("token"),
+              round(col("tf") * log(col("nd").cast("double") / col("df")), 4).as("tfidf"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("token"), col("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Edit-distance near-dup pairs: Levenshtein ≤ 25 on the 80-char
     * prefix, between same-lang docs with |Δchars| ≤ 5 — the
     * character-level verifier that catches small in-place edits

@@ -1311,6 +1311,44 @@ object TimeSeries {
       .orderBy("lag")
   }
 
+  /** Lo–MacKinlay variance-ratio test per event type — "is the daily
+    * series a random walk or does it mean-revert/trend":
+    * VR(5) = Var(5-day diffs)/(5·Var(1-day diffs)); ≈1 = random walk,
+    * <1 = mean reversion, >1 = momentum. Determinism: diffs are exact
+    * BIGINT lag deltas over the calendar-bounded daily frame, both
+    * variance numerators are cross-multiplied population forms
+    * m·Σd² − (Σd)² accumulated in DECIMAL(38,0) (Σd² overflows BIGINT
+    * once daily sums pass ~1e9 — the ANOVA overflow rule), and VR is
+    * ONE mirrored double expression over the exact decimals rounded
+    * 6dp, NULL-pinned on degenerate variance. Shape: one data-sized
+    * day agg, two lag windows, constant-size finish. */
+  def qTsVarianceRatio(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("d1", col("x") - lag(col("x"), 1).over(w))
+      .withColumn("d5", col("x") - lag(col("x"), 5).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(col("d1")).as("m1"),
+           sum(col("d1")).as("s1"),
+           sum(expr("CAST(d1 AS DECIMAL(38,0)) * d1")).as("q1"),
+           count(col("d5")).as("m5"),
+           sum(col("d5")).as("s5"),
+           sum(expr("CAST(d5 AS DECIMAL(38,0)) * d5")).as("q5"))
+      .withColumn("vr", expr(
+        """CASE WHEN m1 > 0 AND m5 > 0
+                AND m1 * q1 - CAST(s1 AS DECIMAL(38,0)) * s1 > 0
+                THEN round((CAST(m5 * q5 - CAST(s5 AS DECIMAL(38,0)) * s5 AS DOUBLE)
+                            * CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE))
+                     / (5.0 * CAST(m1 * q1 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+                        * CAST(m5 AS DOUBLE) * CAST(m5 AS DOUBLE)), 6)
+                ELSE NULL END"""))
+      .select(col("event_type"), col("m1"), col("m5"), col("vr"))
+      .orderBy("event_type")
+  }
+
   /** Kendall τ-b rank correlation between the click and view daily
     * series — the robust companion to [[qTsCrossCorr]]'s lag-0 Pearson
     * (τ sees any monotone coupling, shrugs off spike days, and the

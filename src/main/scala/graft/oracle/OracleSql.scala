@@ -1285,6 +1285,53 @@ object OracleSql {
     FROM tf JOIN df USING (token) CROSS JOIN n
     ORDER BY tfidf DESC, doc_id, token LIMIT 30""")
 
+  val qTextKeywordExtract: String = n("""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token <> '' GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    scored AS (
+      SELECT doc_id, token, round(tf * ln(nd * 1.0 / df), 4) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, token, tfidf,
+        CAST(row_number() OVER (PARTITION BY doc_id
+          ORDER BY tfidf DESC, token) AS INT) AS rk
+      FROM scored)
+    SELECT doc_id, rk, token, tfidf FROM ranked WHERE rk <= 3
+    ORDER BY doc_id ASC NULLS FIRST, rk ASC NULLS FIRST""")
+
+  val qTsVarianceRatio: String = n("""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT event_type, x,
+        x - LAG(x, 1) OVER win AS d1,
+        x - LAG(x, 5) OVER win AS d5
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY day)),
+    mo AS (
+      SELECT event_type,
+        CAST(COUNT(d1) AS BIGINT) AS m1, CAST(SUM(d1) AS BIGINT) AS s1,
+        CAST(SUM(CAST(d1 AS DECIMAL(38,0)) * d1) AS DECIMAL(38,0)) AS q1,
+        CAST(COUNT(d5) AS BIGINT) AS m5, CAST(SUM(d5) AS BIGINT) AS s5,
+        CAST(SUM(CAST(d5 AS DECIMAL(38,0)) * d5) AS DECIMAL(38,0)) AS q5
+      FROM d GROUP BY 1)
+    SELECT event_type, m1, m5,
+      CASE WHEN m1 > 0 AND m5 > 0
+           AND m1 * q1 - CAST(s1 AS DECIMAL(38,0)) * s1 > 0
+           THEN round((CAST(m5 * q5 - CAST(s5 AS DECIMAL(38,0)) * s5 AS DOUBLE)
+                       * CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE))
+                / (5.0 * CAST(m1 * q1 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+                   * CAST(m5 AS DOUBLE) * CAST(m5 AS DOUBLE)), 6)
+           ELSE NULL END AS vr
+    FROM mo ORDER BY event_type ASC NULLS FIRST""")
+
   val qAggCramersV: String = n("""
     WITH cells AS (
       SELECT event_type,
