@@ -507,6 +507,49 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** Near-duplicate image pairs by perceptual-hash Hamming distance —
+    * the media sibling of the text near-dup join ([[qMultimodalPhash]]
+    * gives each image a 64-bit aHash; images within Hamming 3 are
+    * "the same picture" across re-encodes): candidate pairs from
+    * 4×16-bit BAND equi-joins (pigeonhole: distance ≤ 3 across 4
+    * bands forces ≥1 identical band — the at-scale LSH shape, an
+    * equi-join on (band, value) instead of all-pairs), then the EXACT
+    * Hamming check bit_count(lo⊕lo′)+bit_count(hi⊕hi′) ≤ 3 on the
+    * deduplicated candidates. ALL-INTEGER end to end. The oracle
+    * states the same result as the all-pairs theta join — band
+    * recall is exact by pigeonhole, fixture-scale equivalence like
+    * the edit-distance band. Scale: only (id, 2×32-bit halves) ride
+    * the band shuffle; payloads never move. */
+  def qMultimodalNeardup(s: SparkSession, sf: String): DataFrame = {
+    val hashes = qMultimodalPhash(s, sf)
+      .select(col("doc_id"), col("hash_lo"), col("hash_hi"))
+      .localCheckpoint()
+    val banded = hashes.select(col("doc_id"), col("hash_lo"), col("hash_hi"),
+        explode(array(
+          struct(lit(0).as("b"), (col("hash_lo") % 65536L).as("v")),
+          struct(lit(1).as("b"), expr("(hash_lo div 65536) % 65536").as("v")),
+          struct(lit(2).as("b"), (col("hash_hi") % 65536L).as("v")),
+          struct(lit(3).as("b"), expr("(hash_hi div 65536) % 65536").as("v"))))
+          .as("band"))
+      .select(col("doc_id"), col("hash_lo"), col("hash_hi"),
+              col("band.b").as("b"), col("band.v").as("v"))
+    val cand = banded.select(col("b"), col("v"), col("doc_id").as("a_id"),
+                             col("hash_lo").as("alo"), col("hash_hi").as("ahi"))
+      .join(banded.select(col("b"), col("v"), col("doc_id").as("b_id"),
+                          col("hash_lo").as("blo"), col("hash_hi").as("bhi")),
+            Seq("b", "v"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("alo"), col("ahi"),
+              col("blo"), col("bhi"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr(
+        "bit_count(alo ^ blo) + bit_count(ahi ^ bhi)").cast("long"))
+      .where(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Content-hash dedup over the BINARY payload — media dedup by
     * exact bytes (the first gate of any image/video curation pipeline:
     * identical files recur across crawls far more often than

@@ -274,6 +274,41 @@ object Windows {
       .orderBy("event_type", "day")
   }
 
+  /** 14-day rolling OLS slope of the per-type daily series — the
+    * local-trend readout ("how fast is this metric moving RIGHT NOW")
+    * that complements the global fits (`q_ts_forecast_linreg` one
+    * line; `q_ts_theil_sen` one robust slope): slope over the frame's
+    * (day, x) points, every frame moment an exact integer window sum
+    * (Σt·x in DECIMAL(38,0) — epoch-day × a 1e9-scale daily count
+    * overflows BIGINT at ~sf100), one mirrored double division per
+    * row rounded 6dp, NULL-pinned on a degenerate frame (all one
+    * day — impossible here, but the guard mirrors cross-engine).
+    * Per-type windows partition; frames span the calendar-bounded
+    * daily series. */
+  def qWinRollingSlope(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wr = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wf = wr.rowsBetween(-13, 0)
+    daily
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wf))
+      .withColumn("st", sum(col("day")).over(wf))
+      .withColumn("sy", sum(col("x")).over(wf))
+      .withColumn("stt", sum(col("day") * col("day")).over(wf))
+      .withColumn("sty", sum(expr("CAST(day AS DECIMAL(38,0)) * x")).over(wf))
+      .where(col("rn") >= 14)
+      .withColumn("slope14", expr(
+        """CASE WHEN n * stt - st * st > 0
+                THEN round(CAST(n * sty - CAST(st AS DECIMAL(38,0)) * sy AS DOUBLE)
+                     / CAST(n * stt - st * st AS DOUBLE), 6)
+                ELSE NULL END"""))
+      .select(col("event_type"), col("day"), col("x"), col("slope14"))
+      .orderBy("event_type", "day")
+  }
+
   /** Centered 21-row moving MEDIAN per user — the robust smoother a
     * spike-riddled series needs where the moving average chases
     * outliers. The frame is held to EXACTLY 21 rows (full-frame rows

@@ -1783,6 +1783,64 @@ object OracleSql {
       CAST(SUM(bit) AS BIGINT) AS n_bits
     FROM bits GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""")
 
+  val qMultimodalNeardup: String = n("""
+    WITH dims AS (
+      SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 7) % 24 AS h
+      FROM documents),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+        ((y.y * 8) // d.h) * 8 + (x.x * 8) // d.w AS k,
+        (x.x + 7 * y.y + d.doc_id) % 251 AS v
+      FROM dims d, generate_series(0, 46) x(x), generate_series(0, 38) y(y)
+      WHERE x.x < d.w AND y.y < d.h),
+    blk AS (
+      SELECT doc_id, w, h, k, CAST(SUM(v) AS BIGINT) AS s,
+        CAST(COUNT(*) AS BIGINT) AS a
+      FROM px GROUP BY 1, 2, 3, 4),
+    tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS st FROM blk GROUP BY 1),
+    bits AS (
+      SELECT b.doc_id, b.k,
+        CASE WHEN b.s * (b.w * b.h) > t.st * b.a THEN 1 ELSE 0 END AS bit
+      FROM blk b JOIN tot t USING (doc_id)),
+    hashes AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k)
+                 ELSE 0 END) AS BIGINT) AS lo,
+        CAST(SUM(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+                 ELSE 0 END) AS BIGINT) AS hi
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+           AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST""")
+
+  val qWinRollingSlope: String = n("""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, day, x,
+        row_number() OVER win AS rn,
+        CAST(COUNT(*) OVER winf AS BIGINT) AS n,
+        CAST(SUM(day) OVER winf AS BIGINT) AS st,
+        CAST(SUM(x) OVER winf AS BIGINT) AS sy,
+        CAST(SUM(day * day) OVER winf AS BIGINT) AS stt,
+        CAST(SUM(CAST(day AS DECIMAL(38,0)) * x) OVER winf
+             AS DECIMAL(38,0)) AS sty
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY day),
+             winf AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day, x,
+      CASE WHEN n * stt - st * st > 0
+           THEN round(CAST(n * sty - CAST(st AS DECIMAL(38,0)) * sy AS DOUBLE)
+                / CAST(n * stt - st * st AS DOUBLE), 6)
+           ELSE NULL END AS slope14
+    FROM w WHERE rn >= 14
+    ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""")
+
   val qTsKendallTau: String = n("""
     WITH daily AS (
       SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
