@@ -333,6 +333,34 @@ class PlanShapeSpec extends SparkSpec {
            s"pushed limit must appear in the scan description:\n${plan(df)}")
   }
 
+  test("q_graph_clustercoef: wedge/semi-join path is node-keyed — no nested loop, no cartesian") {
+    val p = plan(TextDedup.qGraphClustercoef(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"wedge join must stay an equi-join on node ids:\n$p")
+  }
+
+  test("q_multimodal_neardup: band candidates join as an equi-join, not all-pairs") {
+    val p = plan(Multimodal.qMultimodalNeardup(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"pigeonhole banding must plan as an equi-join on (band, value):\n$p")
+  }
+
+  test("q_embed_silhouette: the k-row centroid frame broadcasts") {
+    val p = plan(Vectors.qEmbedSilhouette(spark, sf))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+           s"centroids must ride a broadcast, not shuffle the embeddings:\n$p")
+  }
+
+  test("q_win_rolling_slope: exactly the two required hash exchanges, one Window pass") {
+    val p = plan(Windows.qWinRollingSlope(spark, sf))
+    // minimal shape: one (type, day) agg exchange + one (type) window
+    // exchange — a third would mean the frame moments stopped sharing
+    // one window pass
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+           s"expected at most the agg + window shuffles, got $exchanges:\n$p")
+  }
+
   test("graft_bitmap_* are SQL-callable and exact") {
     val r = spark.sql(
       """SELECT graft_bitmap_count(graft_bitmap_union_agg(bm)) AS n FROM (
