@@ -389,6 +389,52 @@ object Aggregates {
       .orderBy("event_type")
   }
 
+  /** Required sample size per arm for the NEXT experiment — the power
+    * calculation every A/B platform runs after a test reads out
+    * (α=0.05 two-sided, 80% power, the industry default): with the
+    * observed effect δ = mean_a − mean_b as the minimum detectable
+    * effect and the pooled variance s²_p as the noise estimate,
+    * n = ⌈2·s²_p·(z₀.₀₂₅+z₀.₈)²/δ²⌉ per arm. Moments are the
+    * [[qAbTest]] fixed-point BIGINTs verbatim; every double step
+    * (means, variances, the pooled blend, the z-constant POWER, the
+    * ceil) is the identical expression on both engines, degenerate
+    * cells (an arm under 2, zero pooled variance, zero observed δ)
+    * filtered with mirrored guards. One hash agg + constant-size
+    * finish. */
+  def qAbPower(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf)
+      .withColumn("isa", md5Bucket(col("user_id")) <= "7")
+      .withColumn("vfp", floor(col("value") * lit(1e6)).cast("long"))
+      .withColumn("vvfp", floor(col("value") * col("value") * lit(1e6)).cast("long"))
+    val m = e.groupBy(col("event_type"), col("isa"))
+      .agg(count(lit(1)).as("n"), sum(col("vfp")).as("sx"), sum(col("vvfp")).as("sxx"))
+    val w = m.groupBy(col("event_type")).agg(
+      max(when(col("isa"), col("n"))).as("n_a"),
+      max(when(col("isa"), col("sx"))).as("sxa"),
+      max(when(col("isa"), col("sxx"))).as("sxxa"),
+      max(when(!col("isa"), col("n"))).as("n_b"),
+      max(when(!col("isa"), col("sx"))).as("sxb"),
+      max(when(!col("isa"), col("sxx"))).as("sxxb"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    w.withColumn("mean_a", col("sxa").cast("double") / lit(1e6) / na)
+      .withColumn("mean_b", col("sxb").cast("double") / lit(1e6) / nb)
+      .withColumn("var_a",
+        (col("sxxa").cast("double") / lit(1e6) - col("mean_a") * col("mean_a") * na) / (na - 1))
+      .withColumn("var_b",
+        (col("sxxb").cast("double") / lit(1e6) - col("mean_b") * col("mean_b") * nb) / (nb - 1))
+      .where(col("n_a") >= 2 && col("n_b") >= 2)
+      .withColumn("sp2", expr(
+        """((CAST(n_a AS DOUBLE) - 1) * var_a + (CAST(n_b AS DOUBLE) - 1) * var_b)
+           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2)"""))
+      .where(col("sp2") > 0 && col("mean_a") =!= col("mean_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("mean_a") - col("mean_b"), 6).as("delta"),
+        expr("""CAST(ceil(2.0 * sp2 * power(1.959964 + 0.841621, 2)
+                / ((mean_a - mean_b) * (mean_a - mean_b))) AS BIGINT)""")
+          .as("n_required"))
+      .orderBy("event_type")
+  }
+
   /** CUPED variance-reduced experiment readout — the modern
     * experimentation step beyond the Welch t (`q_ab_test`): regress
     * each user's post-period metric on their PRE-period covariate

@@ -2699,6 +2699,50 @@ object OracleSql {
       CAST((1000 * (stot - s1)) // n2 AS BIGINT) AS mean_after_scaled
     FROM sc WHERE rn = 1 ORDER BY event_type ASC NULLS FIRST""")
 
+  val qAbPower: String = n("""
+    WITH e AS (
+      SELECT event_type,
+        substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7' AS isa,
+        CAST(floor(value * 1e6) AS BIGINT) AS vfp,
+        CAST(floor(value * value * 1e6) AS BIGINT) AS vvfp
+      FROM events),
+    m AS (
+      SELECT event_type, isa, COUNT(*) AS n, SUM(vfp) AS sx, SUM(vvfp) AS sxx
+      FROM e GROUP BY 1, 2),
+    w AS (
+      SELECT event_type,
+        MAX(CASE WHEN isa THEN n END) AS n_a,
+        MAX(CASE WHEN isa THEN sx END) AS sxa,
+        MAX(CASE WHEN isa THEN sxx END) AS sxxa,
+        MAX(CASE WHEN NOT isa THEN n END) AS n_b,
+        MAX(CASE WHEN NOT isa THEN sx END) AS sxb,
+        MAX(CASE WHEN NOT isa THEN sxx END) AS sxxb
+      FROM m GROUP BY 1),
+    c AS (
+      SELECT event_type, n_a, n_b,
+        CAST(sxa AS DOUBLE) / 1e6 / CAST(n_a AS DOUBLE) AS mean_a,
+        CAST(sxb AS DOUBLE) / 1e6 / CAST(n_b AS DOUBLE) AS mean_b,
+        CAST(sxxa AS DOUBLE) AS sxxa_d, CAST(sxxb AS DOUBLE) AS sxxb_d
+      FROM w),
+    v AS (
+      SELECT event_type, n_a, n_b, mean_a, mean_b,
+        (sxxa_d / 1e6 - mean_a * mean_a * CAST(n_a AS DOUBLE))
+          / (CAST(n_a AS DOUBLE) - 1) AS var_a,
+        (sxxb_d / 1e6 - mean_b * mean_b * CAST(n_b AS DOUBLE))
+          / (CAST(n_b AS DOUBLE) - 1) AS var_b
+      FROM c WHERE n_a >= 2 AND n_b >= 2),
+    p AS (
+      SELECT event_type, n_a, n_b, mean_a, mean_b,
+        ((CAST(n_a AS DOUBLE) - 1) * var_a + (CAST(n_b AS DOUBLE) - 1) * var_b)
+          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2) AS sp2
+      FROM v)
+    SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      round(mean_a - mean_b, 6) AS delta,
+      CAST(ceil(2.0 * sp2 * power(1.959964 + 0.841621, 2)
+           / ((mean_a - mean_b) * (mean_a - mean_b))) AS BIGINT) AS n_required
+    FROM p WHERE sp2 > 0 AND mean_a <> mean_b
+    ORDER BY event_type ASC NULLS FIRST""")
+
   val qAbTest: String = n("""
     WITH e AS (
       SELECT event_type,
