@@ -310,6 +310,42 @@ object Vectors {
       .orderBy("label")
   }
 
+  /** Inter-centroid distance matrix over the labeled embedding cloud —
+    * the "which domains are confusable" companion to
+    * [[qEmbedSilhouette]] (silhouette says how tight each cluster is;
+    * this says which PAIRS of clusters sit close enough to blur a
+    * sampling mixture or a classifier boundary): pairwise d² between
+    * the k label centroids, canonical a<b. Determinism: centroids from
+    * the same exact 2³⁰ fixed-point integer sums (constant-size
+    * collect), d² via the fixed-order zip_with/aggregate fold rounded
+    * 4dp. The k×k frame is driver-tiny at ANY data scale — the only
+    * data-sized pass is the centroid hash agg. */
+  def qEmbedInterdist(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val cents: Map[Int, Array[Double]] = Tables.embeddings(s, sf)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+           sum(floor(col("x").cast("double") * (1L << 30))).as("c_fp"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (lab, rows) =>
+        val arr = new Array[Double](rows.length)
+        rows.foreach(r => arr(r.getInt(1)) =
+          r.getLong(3).toDouble / (r.getLong(2).toDouble * (1L << 30)))
+        lab -> arr
+      }
+    val centDf = cents.toSeq.map { case (l, a) => (l, a) }.toDF("label", "cvec")
+    val a = centDf.select(col("label").as("label_a"), col("cvec").as("va"))
+    val b = centDf.select(col("label").as("label_b"), col("cvec").as("vb"))
+    a.crossJoin(b).where(col("label_a") < col("label_b"))
+      .withColumn("d2", round(aggregate(
+        zip_with(col("va"), col("vb"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 4))
+      .select(col("label_a"), col("label_b"), col("d2"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Spherical k-means (Lloyd) over the embedding cloud — the corpus
     * STRUCTURING op a training pipeline runs between dedup and
     * sampling (domain discovery, cluster-balanced mixtures, IVF cell

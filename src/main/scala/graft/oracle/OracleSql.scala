@@ -2699,6 +2699,25 @@ object OracleSql {
       CAST((1000 * (stot - s1)) // n2 AS BIGINT) AS mean_after_scaled
     FROM sc WHERE rn = 1 ORDER BY event_type ASC NULLS FIRST""")
 
+  val qEmbedInterdist: String = n("""
+    WITH cent AS (
+      SELECT label, i - 1 AS pos, COUNT(*) AS n,
+        CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824.0)
+                 AS BIGINT)) AS BIGINT) AS c_fp
+      FROM embeddings, generate_series(1, 64) t(i)
+      GROUP BY label, i),
+    cvecs AS (
+      SELECT label,
+        list(CAST(c_fp AS DOUBLE) / (CAST(n AS DOUBLE) * 1073741824.0)
+             ORDER BY pos) AS cvec
+      FROM cent GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+      round(list_reduce(list_transform(generate_series(1, 64),
+        i -> (a.cvec[i] - b.cvec[i]) * (a.cvec[i] - b.cvec[i])),
+        (x, y) -> x + y), 4) AS d2
+    FROM cvecs a JOIN cvecs b ON a.label < b.label
+    ORDER BY label_a ASC NULLS FIRST, label_b ASC NULLS FIRST""")
+
   val qAbPower: String = n("""
     WITH e AS (
       SELECT event_type,
