@@ -229,6 +229,24 @@ object Aggregates {
       .orderBy("event_type")
   }
 
+  /** Five-point quantile bands per event type — the dashboard summary
+    * strip (p10/p25/p50/p75/p90 + IQR) that [[qAggPercentileExact]]'s
+    * single percentile doesn't give: ONE aggregation pass computes all
+    * five (Spark folds the five `percentile` calls over one sorted
+    * buffer per group; no extra shuffle per quantile), each through
+    * the proven `percentile`↔`quantile_cont` interpolation pair
+    * rounded 4dp, IQR as one subtraction of the rounded operands. */
+  def qAggQuantileBands(s: SparkSession, sf: String): DataFrame = {
+    def p(q: Double) = round(expr(s"percentile(value, $q)"), 4)
+    Tables.events(s, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           p(0.10).as("p10"), p(0.25).as("p25"), p(0.50).as("p50"),
+           p(0.75).as("p75"), p(0.90).as("p90"))
+      .withColumn("iqr", col("p75") - col("p25"))
+      .orderBy("event_type")
+  }
+
   /** Winsorized mean per event type — the robust location estimate
     * that CLIPS (not drops) the tails to the [p05, p95] band before
     * averaging: the standard tamed-mean for spiky telemetry where the

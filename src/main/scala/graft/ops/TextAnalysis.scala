@@ -431,6 +431,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document token NOVELTY against everything before it — the
+    * doc-level marginal-contribution curve (`q_text_vocab_growth` is
+    * the corpus decile view): a token "belongs" to its FIRST
+    * containing doc (min doc_id — exact, order-independent), novelty
+    * = first-seen tokens / distinct tokens per doc in 1e4 fixed
+    * point. Near-zero novelty late in the corpus = the crawl has
+    * saturated (or the doc is a dup — cross-check with the dedup
+    * family). ALL-INTEGER; explode → two hash aggs + one doc-keyed
+    * join — nothing data-sized past the (token → first doc) agg. */
+  def qTextNovelty(s: SparkSession, sf: String): DataFrame = {
+    val toks = Tables.documents(s, sf).repartition(32)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+    val firstDoc = toks.groupBy(col("token"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    toks.join(firstDoc, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_types"),
+           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+             .as("n_first_seen"))
+      .withColumn("novelty_fp", expr("(10000 * n_first_seen) div n_types"))
+      .orderBy("doc_id")
+  }
+
   /** Precision / recall / F1 per language from the `q_text_langid`
     * confusion matrix — the model-evaluation readout that turns a
     * confusion matrix into the numbers a dashboard shows. ALL-INTEGER

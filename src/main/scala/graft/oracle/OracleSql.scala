@@ -2699,6 +2699,34 @@ object OracleSql {
       CAST((1000 * (stot - s1)) // n2 AS BIGINT) AS mean_after_scaled
     FROM sc WHERE rn = 1 ORDER BY event_type ASC NULLS FIRST""")
 
+  val qAggQuantileBands: String = n("""
+    SELECT event_type, COUNT(*) AS n,
+      round(quantile_cont(value, 0.10), 4) AS p10,
+      round(quantile_cont(value, 0.25), 4) AS p25,
+      round(quantile_cont(value, 0.50), 4) AS p50,
+      round(quantile_cont(value, 0.75), 4) AS p75,
+      round(quantile_cont(value, 0.90), 4) AS p90,
+      round(quantile_cont(value, 0.75), 4)
+        - round(quantile_cont(value, 0.25), 4) AS iqr
+    FROM events GROUP BY event_type
+    ORDER BY event_type ASC NULLS FIRST""")
+
+  val qTextNovelty: String = n("""
+    WITH toks AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents) t
+      WHERE token <> '' GROUP BY 1, 2),
+    fd AS (
+      SELECT token, MIN(doc_id) AS first_doc FROM toks GROUP BY 1)
+    SELECT t.doc_id, COUNT(*) AS n_types,
+      CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_first_seen,
+      CAST((10000 * SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END))
+           // COUNT(*) AS BIGINT) AS novelty_fp
+    FROM toks t JOIN fd f USING (token)
+    GROUP BY t.doc_id ORDER BY t.doc_id ASC NULLS FIRST""")
+
   val qEmbedInterdist: String = n("""
     WITH cent AS (
       SELECT label, i - 1 AS pos, COUNT(*) AS n,
