@@ -34,6 +34,18 @@ object Tables {
     else df
   }
 
+  /** Session-scoped fixture row counts — the stand-in for catalog
+    * statistics (a real deployment reads these from the metastore, not
+    * by re-scanning). Used by the size-gated broadcast sites to derive
+    * their estRows: a parquet count() is metadata-cheap but still a
+    * job, and every gated operator re-paying it per invocation is pure
+    * overhead. Keyed by (session, sfDir, table) so a fresh session
+    * never reuses a stopped session's state. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Long]
+  def rowCount(s: SparkSession, sf: String, name: String): Long =
+    countCache.computeIfAbsent((s, sf, name), _ => table(s, sf, name).count())
+
   def lineitem(s: SparkSession, sf: String): DataFrame = table(s, sf, "lineitem")
   def orders(s: SparkSession, sf: String): DataFrame   = table(s, sf, "orders")
   def customer(s: SparkSession, sf: String): DataFrame = table(s, sf, "customer")

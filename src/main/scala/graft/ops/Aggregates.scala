@@ -100,7 +100,10 @@ object Aggregates {
   def qAggMode(s: SparkSession, sf: String): DataFrame = {
     val o = Tables.orders(s, sf)
     val c = Tables.customer(s, sf)
-    val counts = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    // customer scales with SF → size-gated broadcast (join-pruned width)
+    val counts = o.join(Util.gatedBroadcast(s, c,
+                          estRows = Tables.rowCount(s, sf, "customer"), bytesPerRow = 16),
+                        o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_nationkey"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"))
     counts

@@ -17,10 +17,20 @@ import Util._
   */
 object Joins {
 
-  /** Star join: fact orders against broadcast dims. */
+  /** Star join: fact orders against broadcast dims. nation/region are
+    * CONSTANT-size (25/5 rows at any SF) — unconditional broadcast is
+    * correct forever. customer GROWS with scale factor (~15M rows at
+    * SF100), so its hint is size-gated (Util.gatedBroadcast on a
+    * metadata-only row count × the join-pruned row width): under the
+    * gate it broadcasts exactly as before; past it the same equi-join
+    * runs as a shuffle join instead of hint-forcing a driver OOM. */
   def qJoinBroadcast(s: SparkSession, sf: String): DataFrame = {
     val o = Tables.orders(s, sf)
-    val c = broadcast(Tables.customer(s, sf))
+    val cust = Tables.customer(s, sf)
+    // column pruning reaches the exchange, so the broadcast payload is
+    // the join-pruned (c_custkey, c_nationkey) pair, not the full row
+    val c = Util.gatedBroadcast(s, cust,
+      estRows = Tables.rowCount(s, sf, "customer"), bytesPerRow = 16)
     val n = broadcast(Tables.nation(s, sf))
     val r = broadcast(Tables.region(s, sf))
     o.join(c, o("o_custkey") === c("c_custkey"))
@@ -254,13 +264,18 @@ object Joins {
     * shuffles; Catalyst folds all three joins into consecutive
     * BroadcastHashJoins inside one codegen span over the scan. At
     * 100 TB this is THE star-schema plan: zero fact movement, dim
-    * broadcast cost amortized across every executor. */
+    * broadcast cost amortized across every executor. customer is the
+    * one SF-scaling link of the chain, so its hint is size-gated
+    * (same rule as qJoinBroadcast); nation/region stay unconditional. */
   def qJoinStar(s: SparkSession, sf: String): DataFrame = {
-    val c = Tables.customer(s, sf).select(col("c_custkey"), col("c_nationkey"))
+    val cust = Tables.customer(s, sf)
+    val c = cust.select(col("c_custkey"), col("c_nationkey"))
     val n = Tables.nation(s, sf).select(col("n_nationkey"), col("n_regionkey"))
     val r = Tables.region(s, sf).select(col("r_regionkey"), col("r_name"))
     Tables.orders(s, sf)
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(Util.gatedBroadcast(s, c,
+              estRows = Tables.rowCount(s, sf, "customer"), bytesPerRow = 16),
+            col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
@@ -291,7 +306,11 @@ object Joins {
       .crossJoin(broadcast(bloom))
       .where(BloomFilter.bloomContains(col("bf"), col("o_custkey")))
       .drop("bf")
-    pruned.join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left_semi")
+    // the filtered dim key list scales with SF (~1/5 of customers), so
+    // its verify-side broadcast is size-gated like every SF-scaling dim
+    pruned.join(Util.gatedBroadcast(s, dim,
+                  estRows = Tables.rowCount(s, sf, "customer") / 5, bytesPerRow = 16),
+                col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
            dsum(col("o_totalprice")).as("total_price"))

@@ -634,7 +634,8 @@ object TextAnalysis {
     * 100 TB vocab is a data-sized side and the join shuffles on the
     * token key — each side carries (token, 8-byte payload) only). */
   def qTextUnigramLm(s: SparkSession, sf: String): DataFrame = {
-    val toks = Tables.documents(s, sf)
+    val docs = Tables.documents(s, sf)
+    val toks = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
       .where(col("token") =!= "")
     val dtf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
@@ -643,7 +644,12 @@ object TextAnalysis {
     val logp = tf.crossJoin(broadcast(nn))
       .select(col("token"),
               round(log(col("tf").cast("double") / col("nn")), 4).as("logp"))
-    dtf.join(broadcast(logp), "token")
+    // the log-prob table is VOCABULARY-sized — data-sized at web-corpus
+    // scale — so its broadcast is size-gated on the same n_docs × 150
+    // upper bound as qTextTfidf/qTextRarity; past the gate the token
+    // equi-join runs as a sort-merge join on (token, 8 B payload) rows
+    dtf.join(Util.gatedBroadcast(s, logp,
+               estRows = Tables.rowCount(s, sf, "documents") * 150), "token")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"),
            ((-sum(col("logp").cast(D) * col("c"))).cast("double")

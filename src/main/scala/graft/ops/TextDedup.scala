@@ -827,7 +827,8 @@ object TextDedup {
     val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nd = broadcast(docs.agg(count(lit(1)).as("nd")))
-    val dfGated = Util.gatedBroadcast(s, df_, estRows = docs.count() * 150)
+    val dfGated = Util.gatedBroadcast(s, df_,
+      estRows = Tables.rowCount(s, sf, "documents") * 150)
     tf.join(dfGated, "token").crossJoin(nd)
       .select(col("doc_id"), col("token"),
               round(col("tf") * log(col("nd").cast("double") / col("df")), 4).as("tfidf"))
@@ -852,7 +853,8 @@ object TextDedup {
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nd = broadcast(docs.agg(count(lit(1)).as("nd")))
-    val dfGated = Util.gatedBroadcast(s, df_, estRows = docs.count() * 150)
+    val dfGated = Util.gatedBroadcast(s, df_,
+      estRows = Tables.rowCount(s, sf, "documents") * 150)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(desc("tfidf"), asc("token"))
     tf.join(dfGated, "token").crossJoin(nd)
@@ -1004,7 +1006,8 @@ object TextDedup {
       .where(col("token") =!= "")
     val df_ = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nd = broadcast(docs.agg(count(lit(1)).as("nd")))
-    val dfGated = Util.gatedBroadcast(s, df_, estRows = docs.count() * 150)
+    val dfGated = Util.gatedBroadcast(s, df_,
+      estRows = Tables.rowCount(s, sf, "documents") * 150)
     val perDoc = toks.join(dfGated, "token").crossJoin(nd)
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_tok"),

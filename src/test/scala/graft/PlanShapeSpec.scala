@@ -221,11 +221,12 @@ class PlanShapeSpec extends SparkSpec {
     * (fixture scale), above it the token equi-join degrades to a
     * sort-merge join — the shape the same code produces on a
     * web-corpus vocabulary. Results must be identical on either path. */
-  test("q_text_tfidf + q_text_rarity gate the vocab df broadcast, shuffle fallback above") {
+  test("q_text_tfidf + q_text_rarity + q_text_unigram_lm gate the vocab df broadcast, shuffle fallback above") {
     val gateKey = "graft.loop.broadcastThreshold"
     val autoKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
                        "spark.sql.adaptive.autoBroadcastJoinThreshold")
-    for (q <- Seq(TextDedup.qTextTfidf(_, _), TextDedup.qTextRarity(_, _))) {
+    for (q <- Seq(TextDedup.qTextTfidf(_, _), TextDedup.qTextRarity(_, _),
+                  TextAnalysis.qTextUnigramLm(_, _))) {
       val hinted = q(spark, sf)
       val hintedRows = hinted.collect().map(_.toString).toSeq
       assert(plan(hinted).contains("BroadcastHashJoin"),
@@ -239,6 +240,44 @@ class PlanShapeSpec extends SparkSpec {
         val p = plan(fb)
         assert(p.contains("SortMergeJoin"),
                s"gate closed but token join did not degrade to shuffle:\n$p")
+        assert(fb.collect().map(_.toString).toSeq == hintedRows,
+               "fallback path changed the result")
+      } finally {
+        spark.conf.unset(gateKey)
+        prev.foreach { case (k, v) =>
+          v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      }
+    }
+  }
+
+  /** The SF-scaling `customer` dimension (unlike constant-size
+    * nation/region) must not be PINNED to a broadcast plan: under the
+    * size gate it broadcasts (fixture scale — the star plan), above it
+    * the custkey equi-join degrades to a shuffle join — the shape the
+    * same code produces at SF100 where customer is ~15M rows and a
+    * forced broadcast OOMs the driver. nation/region stay hinted in
+    * BOTH regimes. Results must be identical on either path. */
+  test("customer-dim joins gate the broadcast, shuffle fallback above") {
+    val gateKey = "graft.loop.broadcastThreshold"
+    val autoKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+                       "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    for (q <- Seq(Joins.qJoinBroadcast(_, _), Joins.qJoinStar(_, _),
+                  Joins.qJoinBloom(_, _), Aggregates.qAggMode(_, _))) {
+      val hinted = q(spark, sf)
+      val hintedRows = hinted.collect().map(_.toString).toSeq
+      assert(plan(hinted).contains("BroadcastHashJoin"),
+             s"gate should broadcast customer at fixture scale:\n${plan(hinted)}")
+      assert(!plan(hinted).contains("SortMergeJoin") &&
+             !plan(hinted).contains("ShuffledHashJoin"),
+             s"fixture-scale star plan must not shuffle the fact side:\n${plan(hinted)}")
+      val prev = autoKeys.map(k => k -> spark.conf.getOption(k))
+      spark.conf.set(gateKey, "0")
+      autoKeys.foreach(spark.conf.set(_, "-1"))
+      try {
+        val fb = q(spark, sf)
+        val p = plan(fb)
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+               s"gate closed but customer join did not degrade to shuffle:\n$p")
         assert(fb.collect().map(_.toString).toSeq == hintedRows,
                "fallback path changed the result")
       } finally {
