@@ -1070,9 +1070,14 @@ object Aggregates {
       .agg(count(lit(1)).as("n_types"),
            sum(col("lpa").cast("decimal(18,4)") * col("ca")).as("s1"),
            sum(col("lpb").cast("decimal(18,4)") * col("cb")).as("s2"))
+      // empty-arm guard: if the md5 split ever leaves one arm empty
+      // (na=0 or nb=0) the division is NaN on Spark but differs on
+      // DuckDB — NULL-pin the undefined divergence on both engines
       .withColumn("jsd", expr(
-        """round(0.5 * (CAST(s1 AS DOUBLE) / CAST(na AS DOUBLE)
-                        + CAST(s2 AS DOUBLE) / CAST(nb AS DOUBLE)), 6)"""))
+        """CASE WHEN na > 0 AND nb > 0 THEN
+           round(0.5 * (CAST(s1 AS DOUBLE) / CAST(na AS DOUBLE)
+                        + CAST(s2 AS DOUBLE) / CAST(nb AS DOUBLE)), 6)
+           ELSE NULL END"""))
       .select(col("na"), col("nb"), col("n_types"), col("jsd"))
   }
 

@@ -630,8 +630,13 @@ object TextDedup {
         expr("CAST(CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)").as("cov_num"),
         expr("CAST(CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)").as("var_x"),
         expr("CAST(CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)").as("var_y"))
+      // degenerate-variance guard: an all-equal-degree graph (e.g.
+      // isolated pairs only) makes var_x = var_y = 0 and 0/0 is NaN on
+      // Spark but NULL/Inf (version-dependent) on DuckDB — NULL-pin the
+      // undefined correlation on both engines instead
       .withColumn("assort",
-        expr("round(cov_num / sqrt(var_x * var_y), 6)"))
+        expr("CASE WHEN var_x > 0 AND var_y > 0 " +
+             "THEN round(cov_num / sqrt(var_x * var_y), 6) ELSE NULL END"))
       .select(col("m"), col("assort"))
   }
 
@@ -831,7 +836,7 @@ object TextDedup {
       estRows = Tables.rowCount(s, sf, "documents") * 150)
     tf.join(dfGated, "token").crossJoin(nd)
       .select(col("doc_id"), col("token"),
-              round(col("tf") * log(col("nd").cast("double") / col("df")), 4).as("tfidf"))
+              round(col("tf") * round(log(col("nd").cast("double") / col("df")), 4), 4).as("tfidf"))
       .orderBy(desc("tfidf"), asc("doc_id"), asc("token"))
       .limit(30)
   }
@@ -859,7 +864,7 @@ object TextDedup {
       .orderBy(desc("tfidf"), asc("token"))
     tf.join(dfGated, "token").crossJoin(nd)
       .select(col("doc_id"), col("token"),
-              round(col("tf") * log(col("nd").cast("double") / col("df")), 4).as("tfidf"))
+              round(col("tf") * round(log(col("nd").cast("double") / col("df")), 4), 4).as("tfidf"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("token"), col("tfidf"))

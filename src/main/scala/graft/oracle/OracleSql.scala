@@ -1281,7 +1281,7 @@ object OracleSql {
       WHERE token <> '' GROUP BY doc_id, token),
     df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
     n AS (SELECT COUNT(*) AS nd FROM documents)
-    SELECT doc_id, token, round(tf * ln(nd * 1.0 / df), 4) AS tfidf
+    SELECT doc_id, token, round(tf * round(ln(nd * 1.0 / df), 4), 4) AS tfidf
     FROM tf JOIN df USING (token) CROSS JOIN n
     ORDER BY tfidf DESC, doc_id, token LIMIT 30""")
 
@@ -1295,7 +1295,7 @@ object OracleSql {
     df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
     n AS (SELECT COUNT(*) AS nd FROM documents),
     scored AS (
-      SELECT doc_id, token, round(tf * ln(nd * 1.0 / df), 4) AS tfidf
+      SELECT doc_id, token, round(tf * round(ln(nd * 1.0 / df), 4), 4) AS tfidf
       FROM tf JOIN df USING (token) CROSS JOIN n),
     ranked AS (
       SELECT doc_id, token, tfidf,
@@ -1589,9 +1589,13 @@ object OracleSql {
         CAST(SUM(dv * dv) AS BIGINT) AS syy
       FROM dd)
     SELECT m,
+      CASE WHEN CAST(CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) > 0
+            AND CAST(CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE) > 0
+      THEN
       round(CAST(CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
         / sqrt(CAST(CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
              * CAST(CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)), 6)
+      ELSE NULL END
         AS assort
     FROM mo""")
 
@@ -1893,10 +1897,12 @@ object OracleSql {
              ELSE 0.0 END AS lpb
       FROM t)
     SELECT na, nb, COUNT(*) AS n_types,
+      CASE WHEN na > 0 AND nb > 0 THEN
       round(0.5 * (CAST(SUM(CAST(lpa AS DECIMAL(18,4)) * ca) AS DOUBLE)
                      / CAST(na AS DOUBLE)
                    + CAST(SUM(CAST(lpb AS DECIMAL(18,4)) * cb) AS DOUBLE)
-                     / CAST(nb AS DOUBLE)), 6) AS jsd
+                     / CAST(nb AS DOUBLE)), 6)
+      ELSE NULL END AS jsd
     FROM lp GROUP BY na, nb""")
 
   val qEmbedSilhouette: String = n("""
