@@ -1371,8 +1371,12 @@ object TimeSeries {
               .select(col("day").as("vday"), col("n").as("y")),
             col("vday") === col("day"))
       .select(col("day"), col("x"), col("y"))
+    // constant-size theta self-join: the joined frame is the ≤365-row
+    // calendar series at ANY data scale, so broadcast one side — a BNLJ
+    // over a calendar-bounded broadcast beats the CartesianProduct
+    // Spark picks when neither theta side is hinted
     val p = d.select(col("day").as("d1"), col("x").as("x1"), col("y").as("y1"))
-      .join(d.select(col("day").as("d2"), col("x").as("x2"), col("y").as("y2")),
+      .join(broadcast(d.select(col("day").as("d2"), col("x").as("x2"), col("y").as("y2"))),
             col("d1") < col("d2"))
     p.agg(
         count(lit(1)).as("n0"),

@@ -288,6 +288,49 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** Whole-surface plan-health tripwire: NO registered batch query may
+    * plan a CartesianProduct, and a BroadcastNestedLoopJoin is legal
+    * ONLY for (a) the two DECLARED quadratic oracle twins (fail-fast
+    * guarded at data scale) and (b) queries whose crossJoin side is a
+    * constant-size post-aggregation frame (1-row corpus totals, k-row
+    * centroid/bounds strips) — a BNLJ over a 1-row broadcast side is a
+    * map-side column append, not an all-pairs product. Each allowlisted
+    * key was individually audited (round-5 plan audit) and carries the
+    * justification at its crossJoin site. Any future query that drifts
+    * into a nested-loop or cartesian plan fails HERE, not in a
+    * 100×-scale outage. */
+  test("plan-health sweep: no cartesian/nested-loop outside declared twins + constant-side crossJoins") {
+    val quadraticTwins = Set("q_sim_knn_join", "q_dedup_embed")
+    val constSideCrossJoin = Set(
+      // 1-row corpus/global totals riding a broadcast crossJoin
+      "q_agg_benford", "q_ab_cuped", "q_audit_sequence_gaps",
+      "q_text_tfidf", "q_text_rarity", "q_text_keyword_extract",
+      "q_text_unigram_lm", "q_text_pmi", "q_join_bloom",
+      "q_ts_dod_wow", "q_ts_freshness", "q_ts_mttr",
+      "q_ts_outage_intervals", "q_ts_retention_curve",
+      "q_ts_seasonal_detrended", "q_ts_wau_rolling",
+      "q_ts_forecast_linreg", "q_ts_interpolate", "q_ts_runs_test",
+      "q_ts_cross_corr", "q_sim_search_topk",
+      // k-row / calendar-bounded broadcast strips (centroids, bounds,
+      // lag offsets, last-2-weeks, ≤365-day theta self-join)
+      "a_agg_hll_intersect", "q_embed_interdist", "q_embed_silhouette",
+      "q_ts_hampel", "q_ts_kendall_tau", "q_win_rank_change",
+      // the DECLARED cross-join op (constant-size dim × dim)
+      "q_join_cross")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if quadraticTwins(name) => None
+      case (name, fn) =>
+        val p = fn(spark, sf).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct"))
+          Some(s"$name: CartesianProduct")
+        else if (p.contains("BroadcastNestedLoopJoin") && !constSideCrossJoin(name))
+          Some(s"$name: BroadcastNestedLoopJoin")
+        else None
+    }
+    assert(offenders.isEmpty,
+           s"nested-loop/cartesian plans leaked into:\n${offenders.mkString("\n")}")
+  }
+
   test("q_dedup_cluster + q_graph_pagerank are correct on the shuffle fallback path") {
     val gateKey = "graft.loop.broadcastThreshold"
     val clusterRows = TextDedup.qDedupCluster(spark, sf).collect().map(_.toString).toSeq

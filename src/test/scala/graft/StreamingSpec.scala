@@ -912,4 +912,130 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         .sameElements(Array(1L, 2L, 3L)))
     } finally q.stop()
   }
+
+  // ---- kill-and-resume-from-checkpoint: the transformWithState fleet ----
+  //
+  // The cross-batch parity tests above prove state carries BETWEEN
+  // micro-batches of one query run; these three prove it survives a
+  // STOPPED QUERY — stop() (the planned form of an executor/driver
+  // loss), then a fresh writeStream against the same checkpoint, whose
+  // first post-restart batch can only be correct if the RocksDB state
+  // came back from the checkpoint. One test per state shape: ring
+  // buffer (RSI's last-15 samples), sketch (SpaceSaving summary),
+  // scalar recursion (CUSUM drift statistic). MemoryStream retains its
+  // data across the restart, so the recovered offset log resumes at
+  // the right batch. The sink is foreachBatch (the memory sink refuses
+  // checkpoint recovery) collecting into a per-run buffer, so the
+  // post-restart buffer holds ONLY post-restart output — exactly the
+  // rows whose correctness depends on recovered state.
+
+  /** Checkpoint-recoverable collecting sink for the restart tests. */
+  private def collectingSink[T](ds: org.apache.spark.sql.Dataset[T], ckpt: String,
+      mode: OutputMode, buf: scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]) =
+    ds.toDF().writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        { val rows = b.collect(); buf.synchronized { buf ++= rows }; () })
+      .option("checkpointLocation", ckpt).outputMode(mode).start()
+
+  test("restart: RSI ring state survives stop + resume from checkpoint") {
+    import spark.implicits._
+    withRocksDB {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_rst_rsi").toString
+      val in = MemoryStream[Event](spark)
+      val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      def start() = collectingSink(StreamOps.rsi(in.toDS()), ckpt,
+                                   OutputMode.Append, out)
+      val vals = (1 to 16).map(_ * 10.0) ++ Seq(140.0, 90.0)
+      val q1 = start()
+      try {
+        in.addData(vals.take(16).zipWithIndex.map { case (v, i) =>
+          ev(i + 1L, i.toLong, value = v) }: _*)
+        q1.processAllAvailable()
+      } finally q1.stop() // kill
+      out.clear()         // keep only post-restart output
+      val q2 = start()    // resume: the 15-sample ring must come back
+      try {
+        in.addData(vals.drop(16).zipWithIndex.map { case (v, i) =>
+          ev(i + 17L, i + 16L, value = v) }: _*)
+        q2.processAllAvailable()
+        // the direct fold over the FULL series — rows 17/18 only agree
+        // if the pre-restart ring was recovered (an empty ring would
+        // emit nothing: it needs 15 samples before the first output)
+        var buf = Vector.empty[Long]
+        val exp = scala.collection.mutable.Map[Long, Long]()
+        vals.zipWithIndex.foreach { case (v, i) =>
+          buf = (buf :+ math.floor(v * 100 + 0.5).toLong).takeRight(15)
+          if (buf.size >= 15) {
+            val d = buf.sliding(2).map(p => p(1) - p(0)).toSeq
+            val g = d.filter(_ > 0).sum; val l = -d.filter(_ < 0).sum
+            exp(i + 1L) = if (g + l > 0) (10000L * g) / (g + l) else 5000L
+          }
+        }
+        val rows = out.synchronized {
+          out.map(r => (r.getLong(1), r.getLong(2))).toMap }
+        assert(rows == Map(17L -> exp(17L), 18L -> exp(18L)),
+               s"post-restart RSI must continue the recovered ring: got $rows, " +
+               s"expected ${Map(17L -> exp(17L), 18L -> exp(18L))}")
+      } finally q2.stop()
+    }
+  }
+
+  test("restart: SpaceSaving sketch state survives stop + resume from checkpoint") {
+    import spark.implicits._
+    withRocksDB {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_rst_topk").toString
+      val in = MemoryStream[Event](spark)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      def start() = collectingSink(StreamOps.topkPerKey(in.toDS(), k = 2, capacity = 8),
+                                   ckpt, OutputMode.Update, buf)
+      val q1 = start()
+      try {
+        in.addData(ev(1, 0, user = 1), ev(2, 1, user = 1), ev(3, 2, user = 2))
+        q1.processAllAvailable()
+      } finally q1.stop() // kill
+      buf.clear()         // keep only post-restart output
+      val q2 = start()    // resume: counts must ACCUMULATE on the sketch
+      try {
+        in.addData(ev(4, 3, user = 2), ev(5, 4, user = 2), ev(6, 5, user = 3))
+        q2.processAllAvailable()
+        val latest = buf.synchronized {
+          buf.map(r => (r.getString(1), r.getLong(2))).toSet }
+        // user 2: 1 pre-restart + 2 post = 3; user 1's pre-restart 2
+        // must still outrank user 3's single post-restart hit
+        assert(latest.contains(("2", 3L)),
+               s"user 2 must show 3 cumulative (sketch recovered), got $latest")
+        assert(latest.contains(("1", 2L)),
+               s"user 1's pre-restart count must survive in the sketch, got $latest")
+      } finally q2.stop()
+    }
+  }
+
+  test("restart: CUSUM scalar state survives stop + resume from checkpoint") {
+    import spark.implicits._
+    withRocksDB {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_rst_cusum").toString
+      val in = MemoryStream[Event](spark)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      def start() = collectingSink(
+        StreamOps.cusum(in.toDS(), targetFp = 10000L, threshFp = 20000L),
+        ckpt, OutputMode.Append, buf)
+      val q1 = start()
+      try {
+        in.addData(ev(1, 0, value = 250.0)) // +150.00 -> S=15000
+        q1.processAllAvailable()
+      } finally q1.stop() // kill
+      buf.clear()         // keep only post-restart output
+      val q2 = start()    // resume: S must continue from 15000, not 0
+      try {
+        in.addData(ev(2, 1, value = 180.0), // +80.00 -> S=23000 (alert)
+                   ev(3, 2, value = 40.0))  // -60.00 -> S=17000 (clears)
+        q2.processAllAvailable()
+        val rows = buf.synchronized {
+          buf.map(r => (r.getLong(1), (r.getLong(2), r.getBoolean(3)))).toMap }
+        // a reset-to-zero S would read 8000/false then 2000/false here
+        assert(rows == Map(2L -> (23000L, true), 3L -> (17000L, false)),
+               s"post-restart CUSUM must continue the recovered drift: got $rows")
+      } finally q2.stop()
+    }
+  }
 }
