@@ -59,11 +59,15 @@ object Bench {
       }
     }
     val ok = results.collect { case (k, Some(v)) => k -> v }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // 3-decimal (ms) precision: halves the stdout line's byte count so
+    // the driver's tail capture stops truncating the JSON mid-map (the
+    // round-5 BENCH artifact parsed null for exactly that reason);
+    // bench.json at the repo root remains the durable full-precision twin
+    val qs = ok.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     // Per-query regression gate: diff this run against the PREVIOUS
     // committed bench.json (before overwriting it below) and report
     // queries >1.5× slower (and >0.25 s absolute, the noise floor) —

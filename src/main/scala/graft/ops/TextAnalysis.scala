@@ -70,16 +70,18 @@ object TextAnalysis {
         (col("n_chars") - col("n_words") + lit(1.0)) / col("n_words"))
       .withColumn("stop_ratio",
         size(filter(col("tk"), t => t === "the" || t === "a")) / col("n_words"))
-      // round at scale 6, NOT 4: quality values are exact multiples of
-      // 2.5e-5 on this formula, which sit ON the 1e-4 rounding grid's
-      // midpoints — Spark (shortest-decimal HALF_UP) and DuckDB
-      // (binary-value) break those ties differently (bit us at sf0.1).
-      // At 1e-6 every value is an even multiple of the half-step, so no
-      // tie exists on either engine.
-      .withColumn("quality", round(
+      // fixed-point at 1e-6 via floor(x*1e6 + 0.5), NOT round(x, 6):
+      // round()'s implementations diverge — Spark rounds the
+      // shortest-decimal string HALF_UP, DuckDB rounds the binary
+      // value — and on a corpus whose token-length mix makes quality a
+      // non-terminating rational (the salted sf1 set did exactly
+      // that), the two disagree in the 6th decimal. floor on a double
+      // is exact on every engine, and the /1e6 is one deterministic
+      // IEEE division of identical inputs.
+      .withColumn("quality", floor((
         lit(0.4) * col("distinct_ratio") +
         lit(0.3) * least(col("mean_wlen") / lit(8.0), lit(1.0)) +
-        lit(0.3) * (lit(1.0) - col("stop_ratio")), 6))
+        lit(0.3) * (lit(1.0) - col("stop_ratio"))) * lit(1e6) + lit(0.5)) / lit(1e6))
     d.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            (dsum(col("quality"), 6) / count(lit(1))).as("avg_quality"),

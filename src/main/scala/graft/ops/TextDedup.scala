@@ -1121,6 +1121,45 @@ object TextDedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Per-doc duplicated-SPAN fraction — the span-level dedup readout
+    * ("what share of this doc's 8-gram spans also occur in some OTHER
+    * document"), the signal span-level corpus dedup acts on. Sits
+    * between exact dedup (whole-text hash) and near-dup pairs
+    * (doc-level Jaccard): a doc can be pair-clean yet mostly quoted
+    * boilerplate — this catches it, and it is the metric the
+    * dedup-training-data literature reports. Shape: shingle window →
+    * distinct (doc, gram-md5) postings → gram doc-frequency hash agg
+    * (VOCABULARY-sized, so its join back into the postings is
+    * SIZE-GATED like the tfidf family — past the gate it is a
+    * sort-merge join on (gram, 8 B) rows) → per-doc agg. All-INTEGER
+    * scoring: dup_pm = 1000·n_dup div n_spans. */
+  def qTextDupSpans(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, sf)
+      .withColumn("tk", split(col("text"), " "))
+      .where(size(col("tk")) >= 8)
+    val shingleFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 7)
+    val grams = d
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "w")))
+      .withColumn("g8", collect_list(col("w")).over(shingleFrame))
+      .where(size(col("g8")) === 8)
+      .select(col("doc_id"), md5(concat_ws(" ", col("g8"))).as("gram"))
+      .distinct()
+      .localCheckpoint() // consumed twice (df agg + postings side)
+    // postings are distinct per doc, so count(*) per gram IS its
+    // doc-frequency
+    val df_ = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    grams
+      .join(Util.gatedBroadcast(s, df_,
+              estRows = Tables.rowCount(s, sf, "documents") * 150), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_pm", expr("1000 * n_dup_spans div n_spans"))
+      .orderBy("doc_id")
+  }
+
   /** Triangle counting over the τ=0.6 near-dup pair graph — the graph
     * metric that separates CLIQUE-like duplication (template families:
     * every pair similar → triangles everywhere) from CHAIN-like drift

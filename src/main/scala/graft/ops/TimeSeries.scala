@@ -1456,4 +1456,36 @@ object TimeSeries {
       .select(col("user_id"), col("n_gaps"), col("sum_s"), col("burst_fp"))
       .orderBy("user_id")
   }
+
+  /** Last-touch conversion attribution — the product-analytics staple
+    * over a telemetry event stream: each purchase is credited to the
+    * SAME user's latest preceding click/view within a 7-day lookback
+    * (older or absent → the 'none' bucket), rolled up to conversions +
+    * attributed revenue per channel. Shape = the q_join_asof idiom:
+    * ONE (user_id) window shuffle with two LAST-IGNORE-NULLS frames
+    * (channel + its ts — non-null on exactly the same rows, so the
+    * pair is always from one touch row), no self-join; the lookback
+    * test runs in exact integer microseconds; revenue through the
+    * order-independent decimal sum. At 100 TB this is a single
+    * hash-partitioned window pass over the fact stream — the self-join
+    * formulation it replaces shuffles the touch table a second time. */
+  def qTsAttribution(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") === "click" ||
+                     col("event_type") === "view", col("event_type"))
+    Tables.events(s, sf)
+      .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .withColumn("lt_ts",
+        last(when(touch.isNotNull, col("ts")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("lt_ts").isNotNull &&
+             unix_micros(col("ts")) - unix_micros(col("lt_ts")) <= 604800000000L,
+             col("lt")).otherwise(lit("none")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+           dsum(col("value")).as("attributed_value"))
+      .orderBy("channel")
+  }
 }

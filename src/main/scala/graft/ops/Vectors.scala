@@ -562,4 +562,75 @@ object Vectors {
     }.toSeq.toDF("coord", "loading", "eigval", "var_share")
       .orderBy("coord")
   }
+
+  /** Product quantization — the compression half of IVF-PQ, THE 100 TB
+    * ANN memory architecture: 64-dim float32 (256 B/vector) → 8
+    * subspace codes of 4 bits-worth each (8 B, 32× smaller), so a
+    * 10⁹-vector index fits executor memory instead of a disk tier.
+    * Each 8-dim subspace trains its own 16-centroid codebook (2 Lloyd
+    * rounds from the deterministic lowest-id seeds — the
+    * a_embed_kmeans discipline); vectors quantize per-subspace
+    * INDEPENDENTLY, total reconstruction error = Σ subspace errors.
+    *
+    * Distributed shape (the standard PQ-training map-reduce): one
+    * posexplode to (vec, sub, p, x) cells — localCheckpoint'd, reused
+    * every round — then per round an equi-join against the BROADCAST
+    * constant-size codebook frame (8·16·8 = 1024 rows at any data
+    * scale), a (vec, sub, code) distance hash agg, a min-struct argmin
+    * (deterministic code tiebreak), and a (sub, code, p) recenter agg
+    * whose 1024-row result is the ONLY driver traffic. No per-row
+    * 128-literal expression, no data-sized collect.
+    *
+    * No oracle (iterative float math, engine-specific reduction
+    * order); PropertySpec bounds instead: full code range, every
+    * subspace covered, and per-subspace weighted MSE strictly below
+    * the 1-centroid (global-mean) baseline — a broken codebook can't
+    * pass. Output: (sub, code, n_members, mse). */
+  def aEmbedPq(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val nSub = 8; val dSub = 8; val k = 16; val iters = 2
+    val cells = Tables.embeddings(s, sf).repartition(32)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") / dSub).cast("int").as("sub"),
+              (col("pos") % dSub).as("p"), col("x").cast("double").as("x"))
+      .localCheckpoint() // consumed every Lloyd round + final scoring
+    // seeds: the k lowest-id vectors, slice j seeding codebook j
+    var cb: Map[(Int, Int, Int), Double] = Tables.embeddings(s, sf)
+      .where(col("vec_id") < k).orderBy("vec_id")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .collect().map { r =>
+        val code = r.getLong(0).toInt; val pos = r.getInt(1)
+        ((pos / dSub, code, pos % dSub), r.getFloat(2).toDouble)
+      }.toMap
+    def cbDf: DataFrame = cb.toSeq
+      .map { case ((subI, c, p), v) => (subI, c, p, v) }
+      .toDF("sub", "code", "p", "c")
+    // nearest codebook entry per (vector, subspace): distances to all k
+    // codes ride the same hash agg; argmin via min(struct) with the
+    // code as tiebreak
+    def assigned: DataFrame = cells
+      .join(broadcast(cbDf), Seq("sub", "p"))
+      .withColumn("d2", (col("x") - col("c")) * (col("x") - col("c")))
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(sum(col("d2")).as("dist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("code"))).as("m"))
+      .select(col("vec_id"), col("sub"),
+              col("m.code").as("code"), col("m.dist").as("dist"))
+    for (_ <- 1 to iters) {
+      val upd = cells
+        .join(assigned.select(col("vec_id"), col("sub"), col("code")),
+              Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("code"), col("p"))
+        .agg(avg(col("x")).as("c"))
+        .collect() // ≤ 1024 rows — constant-size at any data scale
+      val next = upd.map(r =>
+        ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+      cb = cb.map { case (key, v) => key -> next.getOrElse(key, v) } // empty code keeps seed
+    }
+    assigned
+      .groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n_members"), round(avg(col("dist")), 6).as("mse"))
+      .orderBy("sub", "code")
+  }
 }

@@ -411,4 +411,36 @@ object Windows {
       .withColumn("gap_to_second", col("c_acctbal") - col("second_bal"))
       .orderBy("c_nationkey", "rn")
   }
+
+  /** Seasonal-naive forecast error (the MASE denominator/numerator
+    * pair) per event-type daily series — the capacity-planning sanity
+    * gate run BEFORE any model forecast ships: if "same as 7 days ago"
+    * (seasonal-naive) beats "same as yesterday" (naive-1), the series
+    * is weekly-seasonal and a non-seasonal forecaster is lying. Both
+    * error sums are EXACT integers (daily counts, abs diffs of lags
+    * over one (event_type, day) window pass); rows align on rn > 7 so
+    * both lags are defined over the identical day set; the single
+    * mirrored double division is rounded 6dp, NULL-pinned when the
+    * naive-1 denominator is 0 (a constant series has no defined
+    * ratio). mase < 1 reads "weekly seasonality dominates". */
+  def qWinSeasonalNaiveError(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .groupBy(col("event_type"),
+               expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("e1", abs(col("x") - lag(col("x"), 1).over(w)))
+      .withColumn("e7", abs(col("x") - lag(col("x"), 7).over(w)))
+      .where(col("rn") > 7)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+           sum(col("e1")).as("sae1"), sum(col("e7")).as("sae7"))
+      .withColumn("mase", expr(
+        """CASE WHEN sae1 > 0
+           THEN round(CAST(sae7 AS DOUBLE) / CAST(sae1 AS DOUBLE), 6)
+           ELSE NULL END"""))
+      .orderBy("event_type")
+  }
 }

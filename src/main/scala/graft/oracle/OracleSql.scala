@@ -676,11 +676,11 @@ object OracleSql {
   val qTextQuality: String = n("""
     WITH d AS (
       SELECT source,
-        round(
+        floor((
           0.4::DOUBLE * (len(list_distinct(tk)) / n_words) +
           0.3::DOUBLE * least(((n_chars - n_words + 1.0::DOUBLE) / n_words) / 8.0::DOUBLE, 1.0::DOUBLE) +
-          0.3::DOUBLE * (1.0::DOUBLE - (len(list_filter(tk, t -> t = 'the' OR t = 'a')) / n_words)),
-        6) AS quality
+          0.3::DOUBLE * (1.0::DOUBLE - (len(list_filter(tk, t -> t = 'the' OR t = 'a')) / n_words))
+        ) * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE AS quality
       FROM (
         SELECT source, n_chars, string_split(lower(text), ' ') AS tk,
           CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_words
@@ -4053,4 +4053,68 @@ object OracleSql {
       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
     ) t WHERE rn <= 3
     ORDER BY c_nationkey ASC NULLS FIRST, rn ASC NULLS FIRST""")
+
+  val qTextDupSpans: String = n("""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE len(string_split(text, ' ')) >= 8),
+    g0 AS (
+      SELECT doc_id,
+        list_transform(range(1, len(tk) - 6),
+                       i -> md5(array_to_string(tk[i:i+7], ' '))) AS grams
+      FROM t),
+    g AS (
+      SELECT DISTINCT doc_id, gram
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM g0) z),
+    df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+    SELECT doc_id,
+      COUNT(*) AS n_spans,
+      CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+      1000 * CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) // COUNT(*)
+        AS dup_pm
+    FROM g JOIN df USING (gram)
+    GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""")
+
+  val qTsAttribution: String = n("""
+    WITH w AS (
+      SELECT event_id, user_id, ts, event_type, value,
+        LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                        THEN event_type END IGNORE NULLS)
+          OVER win AS lt,
+        LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                        THEN ts END IGNORE NULLS)
+          OVER win AS lt_ts
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    p AS (
+      SELECT CASE WHEN lt_ts IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(lt_ts) <= 604800000000
+                  THEN lt ELSE 'none' END AS channel, value
+      FROM w WHERE event_type = 'purchase')
+    SELECT channel, COUNT(*) AS n_conversions,
+      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS attributed_value
+    FROM p GROUP BY channel ORDER BY channel ASC NULLS FIRST""")
+
+  val qWinSeasonalNaiveError: String = n("""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        COUNT(*) AS x
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT event_type, x,
+        ROW_NUMBER() OVER win AS rn,
+        abs(x - LAG(x, 1) OVER win) AS e1,
+        abs(x - LAG(x, 7) OVER win) AS e7
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY day)),
+    m AS (
+      SELECT event_type, COUNT(*) AS n_days,
+        CAST(SUM(e1) AS BIGINT) AS sae1, CAST(SUM(e7) AS BIGINT) AS sae7
+      FROM d WHERE rn > 7 GROUP BY event_type)
+    SELECT event_type, n_days, sae1, sae7,
+      CASE WHEN sae1 > 0
+           THEN round(CAST(sae7 AS DOUBLE) / CAST(sae1 AS DOUBLE), 6)
+           ELSE NULL END AS mase
+    FROM m ORDER BY event_type ASC NULLS FIRST""")
 }

@@ -300,6 +300,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("product quantization: code range, subspace coverage, beats the 1-centroid baseline") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Vectors.aEmbedPq(spark, sf).collect()
+    assert(out.nonEmpty)
+    // codes in [0, 16), all 8 subspaces present, memberships total n×8
+    out.foreach { r =>
+      assert(r.getAs[Int]("code") >= 0 && r.getAs[Int]("code") < 16)
+      assert(r.getAs[Double]("mse") >= 0.0)
+    }
+    assert(out.map(_.getAs[Int]("sub")).toSet == (0 until 8).toSet,
+           "every subspace must have at least one populated code")
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val bySub = out.groupBy(_.getAs[Int]("sub"))
+    bySub.foreach { case (sub, rows) =>
+      assert(rows.map(_.getAs[Long]("n_members")).sum == nVecs,
+             s"subspace $sub must assign every vector exactly once")
+    }
+    // 16 trained centroids must strictly beat ONE centroid (the
+    // global mean): per subspace, weighted PQ MSE < Σ_p var(x_p)
+    val varBySub = Tables.embeddings(spark, sf)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") / 8).cast("int").as("sub"), col("x").cast("double").as("x"),
+              col("pos"))
+      .groupBy(col("sub"), col("pos"))
+      .agg(variance(col("x")).as("v"))
+      .groupBy(col("sub")).agg(sum(col("v")).as("sv"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    bySub.foreach { case (sub, rows) =>
+      val n = rows.map(_.getAs[Long]("n_members")).sum.toDouble
+      val mse = rows.map(r => r.getAs[Long]("n_members") * r.getAs[Double]("mse")).sum / n
+      assert(mse < varBySub(sub),
+             s"subspace $sub: PQ MSE $mse must beat 1-centroid baseline ${varBySub(sub)}")
+    }
+  }
+
   test("quantile sketch: merged-partial estimates honor the GK rank bound; SQL surface") {
     import org.apache.spark.sql.functions._
     val eps = 0.01 // relErr used by aAggQuantilePartial
