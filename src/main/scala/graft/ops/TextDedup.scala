@@ -219,12 +219,25 @@ object TextDedup {
     // (measured 7.9 s of an 11 s query on one core)
     val d = Tables.documents(s, sf).repartition(32).select(
       col("doc_id"), col("lang"), col("n_chars"), tokens.as("tk"))
-    // minhash_i = min over tokens of an affine transform of murmur3(token)
-    val sigs: Seq[Column] = (0 until nHashes).map { i =>
+    // minhash_i = min over tokens of an affine transform of murmur3
+    // (token) — computed as ONE token explode + 32 plain min aggregates
+    // (partial+final hash agg, fully codegen'd; murmur3 hashed ONCE per
+    // token and affinely remixed per signature). The per-element
+    // transform() lambda formulation this replaces is interpreted —
+    // measured ~2/3 of the query's CPU (the bandedJaccardPairs scaladoc
+    // documents the same hazard). Duplicate tokens don't move a min, so
+    // exploding the raw split (no array_distinct) is signature-identical.
+    val tokRows = Tables.documents(s, sf).repartition(32)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+              explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", hash(col("t")).cast("long"))
+    val sigAggs: Seq[Column] = (0 until nHashes).map { i =>
       val a = 2L * i + 1; val b = 104729L * (i + 1)
-      array_min(transform(col("tk"),
-        t => pmod(hash(t).cast("long") * a + b, lit(prime))))
+      min(pmod(col("h") * a + b, lit(prime))).as(s"s$i")
     }
+    val sigRows = tokRows
+      .groupBy(col("doc_id"), col("lang"), col("n_chars"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
     // Band key: xxhash64(band-index, sig_0, sig_1) — a LONG, not a
     // concat string (8-byte shuffle keys and integer compares in the
     // sort-merge; the band index baked into the hash makes one flat key
@@ -232,7 +245,8 @@ object TextDedup {
     // and every candidate is exact-Jaccard-verified, so correctness is
     // unaffected.
     val bands: Column = array((0 until nHashes / rowsPerBand).map { j =>
-      xxhash64((lit(j) +: sigs.slice(j * rowsPerBand, (j + 1) * rowsPerBand)): _*)
+      xxhash64((lit(j) +: (j * rowsPerBand until (j + 1) * rowsPerBand)
+        .map(i => col(s"s$i"))): _*)
     }: _*)
     // Candidate generation on (lang, key, id, chars) ONLY — the token
     // arrays must not ride through the join/distinct (at scale the
@@ -243,8 +257,8 @@ object TextDedup {
     // ReuseExchange), explicitly REPARTITION_BY_NUM so AQE's input-size
     // coalescing can't collapse the band join to ~1 task (it sees only
     // the small pre-join shuffle, not the in-bucket pair blow-up).
-    val exploded = d.select(col("doc_id"), col("lang"), col("n_chars"),
-                            explode(bands).as("key"))
+    val exploded = sigRows.select(col("doc_id"), col("lang"), col("n_chars"),
+                                  explode(bands).as("key"))
       .repartition(64, col("lang"), col("key"))
     val left = exploded.select(col("lang"), col("key"),
                                col("doc_id").as("a_id"), col("n_chars").as("a_chars"))
