@@ -587,6 +587,19 @@ object Vectors {
     * the 1-centroid (global-mean) baseline — a broken codebook can't
     * pass. Output: (sub, code, n_members, mse). */
   def aEmbedPq(s: SparkSession, sf: String): DataFrame = {
+    val (_, assigned) = pqModel(s, sf)
+    assigned
+      .groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n_members"), round(avg(col("dist")), 6).as("mse"))
+      .orderBy("sub", "code")
+  }
+
+  /** Shared PQ trainer: returns (codebook, per-(vector, subspace)
+    * assignment frame with its quantization distance). One definition
+    * so the summary op ([[aEmbedPq]]) and the IVF-PQ search
+    * ([[aSimAnnIvfPq]]) can never train divergent codebooks. */
+  private[graft] def pqModel(s: SparkSession, sf: String)
+      : (Map[(Int, Int, Int), Double], DataFrame) = {
     import s.implicits._
     val nSub = 8; val dSub = 8; val k = 16; val iters = 2
     val cells = Tables.embeddings(s, sf).repartition(32)
@@ -628,9 +641,74 @@ object Vectors {
         ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
       cb = cb.map { case (key, v) => key -> next.getOrElse(key, v) } // empty code keeps seed
     }
-    assigned
-      .groupBy(col("sub"), col("code"))
-      .agg(count(lit(1)).as("n_members"), round(avg(col("dist")), 6).as("mse"))
-      .orderBy("sub", "code")
+    (cb, assigned)
+  }
+
+  /** IVF-PQ top-k search — the two halves composed into THE serving
+    * architecture for a 10⁹-vector corpus: IVF routes the query to
+    * nprobe of 128 cells (only those candidates are touched — the
+    * scan never sees the other ~92% of the corpus) and candidates are
+    * scored from their 8-byte PQ codes against a driver-computed
+    * 128-entry asymmetric distance table (query subvector ↔ codebook
+    * centroid) — NO full vector is read until the exact re-rank of the
+    * 50-candidate shortlist. At scale: codes live in memory (32×
+    * smaller than float32), full vectors page in only for the
+    * shortlist — the memory/IO shape that makes billion-scale ANN
+    * serveable. No oracle (two stacked approximations over iterative
+    * float training); PropertySpec bounds recall@10 against the exact
+    * brute-force twin (q_sim_search_topk). */
+  def aSimAnnIvfPq(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val nSub = 8; val dSub = 8
+    val kCells = 128; val nprobe = 10; val shortlist = 50
+    // --- IVF side (the aSimAnnIvf cell recipe, 1 cell per vector) ---
+    val v = normed(s, sf)
+    val cents: Array[Array[Double]] = Tables.embeddings(s, sf)
+      .where(col("vec_id") < kCells).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map { a => val n = math.sqrt(a.map(x => x * x).sum); a.map(_ / n) }
+    val cellOf = v.withColumn("cell",
+      graft.functions.VectorExpressions.ivfCells(col("dv"), cents, 1).getItem(0))
+    // query = vec 0, routed driver-side to its nprobe nearest cells
+    val q = Tables.embeddings(s, sf).where(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0)
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val qn = { val n = math.sqrt(q.map(x => x * x).sum); q.map(_ / n) }
+    val probe: Seq[Int] = cents.zipWithIndex
+      .map { case (c, i) => (c.zip(qn).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (sim, i) => (-sim, i) }.take(nprobe).map(_._2).toSeq
+    // --- PQ side: shared codebook + codes; asymmetric distance table
+    // (sub, code) -> ||q_sub - centroid||² computed driver-side (128
+    // entries, broadcast) ---
+    val (cb, codes) = pqModel(s, sf)
+    val dt = (0 until nSub).flatMap { sub =>
+      (0 until 16).flatMap { code =>
+        val cent = (0 until dSub).map(p => cb.get((sub, code, p)))
+        if (cent.exists(_.isEmpty)) None // code never materialized
+        else Some((sub, code,
+          cent.zipWithIndex.map { case (c, p) =>
+            val d = q(sub * dSub + p) - c.get; d * d }.sum))
+      }
+    }.toDF("sub", "code", "d2")
+    // candidates = probed cells minus the query itself; approximate
+    // distance = Σ_sub dtable[code] — an 8-row lookup-sum per candidate
+    val cand = cellOf.where(col("cell").isin(probe: _*))
+      .where(col("vec_id") =!= 0).select(col("vec_id"))
+    val approx = cand
+      .join(codes.select(col("vec_id"), col("sub"), col("code")), "vec_id")
+      .join(broadcast(dt), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("d2")).as("adist"))
+      .orderBy(asc("adist"), asc("vec_id"))
+      .limit(shortlist)
+    // exact cosine re-rank of the shortlist only
+    val qRow = broadcast(Tables.embeddings(s, sf).where(col("vec_id") === 0)
+      .select(col("embedding").as("query_vec")))
+    approx.join(Tables.embeddings(s, sf), "vec_id").crossJoin(qRow)
+      .select(col("vec_id"),
+              round(cosine(col("embedding"), col("query_vec")), 4).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(10)
   }
 }

@@ -1123,4 +1123,64 @@ object StreamOps {
     require(tmp.renameTo(dir), s"snapshot swap failed: $tmp -> $dir")
     rm(old) // crash here is healed by the recovery block next batch
   }
+
+  /** Output of the streaming attribution: one row per purchase with
+    * its attributed channel. */
+  case class Attributed(userId: Long, eventId: Long, channel: String,
+                        value: Double)
+
+  /** Per-user last-touch memory: channel + its event-time micros. */
+  case class TouchState(channel: String, tsMicros: Long)
+
+  /** s_stream_attribution: per-user LAST-TOUCH conversion attribution —
+    * the streaming twin of batch `q_ts_attribution`, same 7-day
+    * lookback semantics: every click/view updates an O(1) per-user
+    * ValueState (channel, event-time µs); every purchase emits the
+    * remembered channel if it is within the lookback, else 'none'.
+    * Where the batch form is a window pass over history, the stream
+    * keeps ONLY the latest touch per user — state is 2 fields forever,
+    * the shape that survives unbounded retention at 100 TB/day.
+    * Intra-batch rows are processed in (ts, event_id) order so a
+    * touch and a purchase landing in one micro-batch attribute
+    * exactly as the batch window would. */
+  private class AttributionProcessor(lookbackMicros: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Attributed] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var touch: org.apache.spark.sql.streaming.ValueState[TouchState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      touch = getHandle.getValueState[TouchState](
+        "last_touch", E.product[TouchState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Attributed] = {
+      var st = if (touch.exists()) touch.get() else null
+      val out = Seq.newBuilder[Attributed]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.eventId)).foreach { e =>
+        val tMicros = e.ts.getTime * 1000L
+        e.eventType match {
+          case "click" | "view" => st = TouchState(e.eventType, tMicros)
+          case "purchase" =>
+            val ch = if (st != null && tMicros - st.tsMicros <= lookbackMicros)
+              st.channel else "none"
+            out += Attributed(key, e.eventId, ch, e.value)
+          case _ => ()
+        }
+      }
+      if (st != null) touch.update(st)
+      out.result().iterator
+    }
+  }
+
+  /** Requires the RocksDB state store, like [[highWaterMarks]]. */
+  def attribution(events: Dataset[Event],
+                  lookbackMicros: Long = 604800000000L): Dataset[Attributed] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new AttributionProcessor(lookbackMicros),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

@@ -96,6 +96,24 @@ class PropertySpec extends SparkSpec {
     assert(ivf.except(exact).count() == 0)
   }
 
+  test("IVF-PQ top-10 recall >= 0.5 vs the exact brute-force twin; shortlist re-rank is exact") {
+    val exact = Vectors.qSimSearchTopk(spark, sf)
+      .where(org.apache.spark.sql.functions.col("vec_id") =!= 0)
+      .collect().map(_.getLong(0)).take(10).toSet
+    val got = Vectors.aSimAnnIvfPq(spark, sf).collect()
+    assert(got.length == 10, s"IVF-PQ must return exactly 10 neighbors, got ${got.length}")
+    // sims come from the EXACT re-rank, so they must be true cosines
+    // in descending order
+    val sims = got.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    val recall = got.map(_.getLong(0)).count(exact.contains).toDouble / exact.size
+    // two stacked approximations (IVF routing + PQ shortlist) on the
+    // fixture's near-random vectors — the worst case for both; the
+    // exact re-rank keeps reported sims truthful even when the
+    // shortlist misses a true neighbor
+    assert(recall >= 0.5, s"IVF-PQ recall@10 $recall < 0.5")
+  }
+
   test("dedup clusters are consistent with the pair graph") {
     // every paired doc is clustered with its partner; cluster_id is the
     // component min; sizes agree with the membership rows

@@ -913,6 +913,38 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("s_stream_attribution: last-touch channel memory across batches, lookback + none bucket") {
+    import spark.implicits._
+    withRocksDB {
+      val in = MemoryStream[Event](spark)
+      val q = StreamOps.attribution(in.toDS())
+        .writeStream.format("memory").queryName("sattr")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // batch 1: user 1 clicks then purchases (-> click); user 2
+        // purchases with NO prior touch (-> none), then clicks
+        in.addData(ev(1, 0, user = 1, typ = "click"),
+                   ev(2, 10, user = 1, typ = "purchase", value = 5.0),
+                   ev(3, 12, user = 2, typ = "purchase", value = 7.0),
+                   ev(8, 15, user = 2, typ = "click"))
+        q.processAllAvailable()
+        // batch 2: the click state must survive the batch boundary;
+        // then a view supersedes it; user 2's purchase 8 days after
+        // its remembered click is past the 7-day lookback (-> none)
+        in.addData(ev(4, 20, user = 1, typ = "purchase", value = 1.0),
+                   ev(5, 30, user = 1, typ = "view"),
+                   ev(6, 40, user = 1, typ = "purchase", value = 2.0),
+                   ev(7, 15 + 8 * 24 * 60, user = 2, typ = "purchase", value = 3.0))
+        q.processAllAvailable()
+        val rows = spark.table("sattr").collect()
+          .map(r => (r.getLong(1), r.getString(2))).toMap
+        assert(rows == Map(2L -> "click", 3L -> "none", 4L -> "click",
+                           6L -> "view", 7L -> "none"),
+               s"attribution must remember the last touch across batches: $rows")
+      } finally q.stop()
+    }
+  }
+
   // ---- kill-and-resume-from-checkpoint: the transformWithState fleet ----
   //
   // The cross-batch parity tests above prove state carries BETWEEN
