@@ -29,6 +29,26 @@ object TextDedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("keep_id")
 
+  /** Dedup economics profile — the "how much smaller does the corpus
+    * get" readout a curation run reports before committing: per
+    * exact-duplicate group size, how many groups, how many docs, and
+    * the chars RECLAIMED by keeping only the min-doc_id copy (the
+    * [[qDedupExact]] keeper rule — one shared definition, so the
+    * profile can never disagree with the dedup op it describes).
+    * ALL-INTEGER; two hash aggs, the second over ≤ max-group-size
+    * rows. At 100 TB this is the job that justifies the dedup pass:
+    * group sizes × bytes, nothing but (hash, 2 longs) shuffles. */
+  def qDedupProfile(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .groupBy(md5(norm).as("norm_hash"))
+      .agg(count(lit(1)).as("n_copies"), sum(col("n_chars")).as("tot_chars"),
+           min_by(col("n_chars"), col("doc_id")).as("keep_chars"))
+      .groupBy(col("n_copies"))
+      .agg(count(lit(1)).as("n_groups"),
+           sum(col("tot_chars")).as("sum_chars"),
+           sum(col("tot_chars") - col("keep_chars")).as("chars_saved"))
+      .orderBy("n_copies")
+
   /** Exact near-dup pairs: token-set Jaccard ≥ 0.6 between docs of the
     * same lang with |n_chars| within 25. The length band is implemented
     * as bucket-and-replicate (equi-join on (lang, bucket)), identical in

@@ -1457,6 +1457,37 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Hourly session concurrency — "how many user sessions were LIVE in
+    * each hour", the capacity/licensing readout on top of
+    * [[qTsSessionize]]'s 30-minute-gap sessions: a session [s, e]
+    * counts toward every hour bucket it overlaps. The at-scale shape
+    * is interval bucket-REPLICATION (the q_join_interval move): each
+    * session explodes to its spanned hours (fan-out bounded by
+    * duration/1h, sessions are gap-bounded so the factor is small),
+    * then one hour hash agg — NO global-order sweep window (a
+    * single-partition cumsum is the naive formulation's scale-killer;
+    * the overlap-count semantic needs only per-bucket membership).
+    * All-integer: hour indices from exact µs division. */
+  def qTsSessionConcurrency(s: SparkSession, sf: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val newSess = when(us - lag(us, 1).over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+        > 1800L * 1000000L, 1).otherwise(0)
+    val sessions = Tables.events(s, sf)
+      .withColumn("sess", sum(newSess).over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(expr("unix_micros(min(ts)) div 3600000000").as("h_lo"),
+           expr("unix_micros(max(ts)) div 3600000000").as("h_hi"))
+    sessions
+      .select(col("user_id"), explode(sequence(col("h_lo"), col("h_hi"))).as("hour"))
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).as("live_sessions"),
+           countDistinct(col("user_id")).as("live_users"))
+      .orderBy("hour")
+  }
+
   /** Last-touch conversion attribution — the product-analytics staple
     * over a telemetry event stream: each purchase is credited to the
     * SAME user's latest preceding click/view within a 7-day lookback

@@ -291,6 +291,30 @@ object OracleSql {
       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_s
     FROM sessioned GROUP BY user_id, sess ORDER BY user_id, sess""")
 
+  val qTsSessionConcurrency: String = n("""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+             THEN 1 ELSE 0 END AS newsess
+      FROM events),
+    sessioned AS (
+      SELECT user_id, ts,
+        CAST(SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS sess
+      FROM flagged),
+    sess AS (
+      SELECT user_id, sess,
+        epoch_us(MIN(ts)) // 3600000000 AS h_lo,
+        epoch_us(MAX(ts)) // 3600000000 AS h_hi
+      FROM sessioned GROUP BY user_id, sess),
+    hours AS (
+      SELECT user_id, unnest(range(h_lo, h_hi + 1)) AS hour FROM sess)
+    SELECT hour, COUNT(*) AS live_sessions,
+      COUNT(DISTINCT user_id) AS live_users
+    FROM hours GROUP BY hour ORDER BY hour ASC NULLS FIRST""")
+
   val qTsRetention: String = n("""
     WITH days AS (
       SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events)
@@ -305,6 +329,18 @@ object OracleSql {
     SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_hash,
       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
     FROM documents GROUP BY norm_hash ORDER BY keep_id""")
+
+  val qDedupProfile: String = n("""
+    WITH g AS (
+      SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h,
+        COUNT(*) AS n_copies,
+        CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
+        arg_min(n_chars, doc_id) AS keep_chars
+      FROM documents GROUP BY 1)
+    SELECT n_copies, COUNT(*) AS n_groups,
+      CAST(SUM(tot_chars) AS BIGINT) AS sum_chars,
+      CAST(SUM(tot_chars - keep_chars) AS BIGINT) AS chars_saved
+    FROM g GROUP BY n_copies ORDER BY n_copies ASC NULLS FIRST""")
 
   val qDedupJaccard: String = n("""
     WITH toks AS (
