@@ -426,6 +426,39 @@ object Vectors {
            sum(floor(col("x").cast("double") * (1L << 30))).as("c_fp"))
       .orderBy("label", "pos")
 
+  /** Per-DIMENSION embedding health stats — the "is this embedding
+    * space collapsed" audit run before any index/training consumes a
+    * vector column: per coordinate, exact-integer mean and variance
+    * plus a collapsed flag (variance below 1e-6 → the dimension
+    * carries no signal: a truncated projection head, a dead ReLU
+    * column, a bad export). Exactness: components floor-quantized to
+    * the 2⁻³⁰ grid ([[qEmbedCentroid]]'s trick) so Σx is an exact
+    * BIGINT and Σx² an exact DECIMAL(38,0) (the square of a 2³⁰-grid
+    * value × row count overflows BIGINT at ~10¹² rows — the ANOVA
+    * decimal pattern); mean/variance are short IEEE chains over those
+    * exact integers, pinned to the 1e-6 grid via floor(x·1e6 + 0.5)
+    * (the round() cross-engine hazard, §7.3(8)). Shape: one
+    * posexplode + one 64-cell hash agg — map-side partials, constant
+    * output at any corpus size. */
+  def qEmbedDimStats(s: SparkSession, sf: String): DataFrame =
+    Tables.embeddings(s, sf).repartition(32)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("xfp", floor(col("x").cast("double") * (1L << 30)).cast("long"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("xfp")).as("s_fp"),
+           sum(col("xfp").cast(org.apache.spark.sql.types.DataTypes
+             .createDecimalType(38, 0)) * col("xfp")).as("q_fp"))
+      .select(col("pos"), col("n"),
+        expr("""floor((CAST(s_fp AS DOUBLE) / (CAST(n AS DOUBLE) * 1073741824.0D))
+                * 1e6 + 0.5D) / 1e6""").as("mean"),
+        expr("""floor(((CAST(q_fp AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s_fp AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s_fp AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / (1073741824.0D * 1073741824.0D))
+                * 1e6 + 0.5D) / 1e6""").as("variance"))
+      .withColumn("collapsed", col("variance") < 0.000001)
+      .orderBy("pos")
+
   /** Symmetric int8 embedding quantization + reconstruction-error audit
     * — the storage/serving compression step for a 100 TB vector corpus
     * (4× smaller than float32, 8× than float64). Per vector: scale =

@@ -1941,6 +1941,28 @@ object OracleSql {
       ELSE NULL END AS jsd
     FROM lp GROUP BY na, nb""")
 
+  val qEmbedDimStats: String = n("""
+    WITH c AS (
+      SELECT i - 1 AS pos,
+        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824.0) AS BIGINT) AS xfp
+      FROM embeddings, generate_series(1, 64) t(i)),
+    m AS (
+      SELECT pos, COUNT(*) AS n, CAST(SUM(xfp) AS BIGINT) AS s_fp,
+        SUM(CAST(xfp AS HUGEINT) * CAST(xfp AS HUGEINT)) AS q_fp
+      FROM c GROUP BY pos),
+    r AS (
+      SELECT pos, n,
+        floor((CAST(s_fp AS DOUBLE) / (CAST(n AS DOUBLE) * 1073741824.0))
+              * 1000000.0 + 0.5) / 1000000.0 AS mean,
+        floor(((CAST(q_fp AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s_fp AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s_fp AS DOUBLE) / CAST(n AS DOUBLE)))
+                / (1073741824.0::DOUBLE * 1073741824.0::DOUBLE))
+              * 1000000.0 + 0.5) / 1000000.0 AS variance
+      FROM m)
+    SELECT pos, n, mean, variance, variance < 0.000001 AS collapsed
+    FROM r ORDER BY pos ASC NULLS FIRST""")
+
   val qEmbedSilhouette: String = n("""
     WITH cent AS (
       SELECT label, i - 1 AS pos, COUNT(*) AS n,
