@@ -1244,6 +1244,47 @@ object Aggregates {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""")
   }
+
+  /** Difference-in-differences readout — the quasi-experimental
+    * estimator for a launch without a holdout: arm = the [[Util.md5Bucket]]
+    * 50/50 user split (the q_ab_test assignment verbatim), period =
+    * pre/post the fixture midpoint day (derived by exact integer
+    * arithmetic from the global day range), and per event_type
+    * DiD = (B_post − B_pre) − (A_post − A_pre) on mean value. All four
+    * cell sums ride the exact decimal path; each mean is one
+    * decimal→double cast / count division and the DiD combine is the
+    * identical double expression on both engines, rounded 6dp once.
+    * Cells with an empty arm-period NULL-pin the estimate (mirrored).
+    * Shape: one data-sized hash agg to ≤|types|·4 cells + a constant
+    * reshape; the day-range lookup is a 1-row broadcast. */
+  def qAbDiffInDiff(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("isa", md5Bucket(col("user_id")) <= "7")
+    val cut = e.agg(expr("(min(day) + max(day) + 1) div 2").as("cut"))
+    val cells = e.crossJoin(broadcast(cut))
+      .withColumn("post", col("day") >= col("cut"))
+      .groupBy(col("event_type"), col("isa"), col("post"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 4))).as("sv"))
+    def cell(a: Boolean, p: Boolean, c: String) =
+      max(when(col("isa") === a && col("post") === p, col(c)))
+    val g = cells.groupBy(col("event_type")).agg(
+      cell(true, false, "n").as("n_a_pre"), cell(true, false, "sv").as("s_a_pre"),
+      cell(true, true, "n").as("n_a_post"), cell(true, true, "sv").as("s_a_post"),
+      cell(false, false, "n").as("n_b_pre"), cell(false, false, "sv").as("s_b_pre"),
+      cell(false, true, "n").as("n_b_post"), cell(false, true, "sv").as("s_b_post"))
+    def mean(sc: String, nc: String) = col(sc).cast("double") / col(nc)
+    g.withColumn("did",
+        when(col("n_a_pre") > 0 && col("n_a_post") > 0 &&
+             col("n_b_pre") > 0 && col("n_b_post") > 0,
+          round((mean("s_b_post", "n_b_post") - mean("s_b_pre", "n_b_pre")) -
+                (mean("s_a_post", "n_a_post") - mean("s_a_pre", "n_a_pre")), 6)))
+      .select(col("event_type"),
+              col("n_a_pre"), col("n_a_post"), col("n_b_pre"), col("n_b_post"),
+              col("did"))
+      .orderBy("event_type")
+  }
 }
 
 /** Buffer for [[Aggregates.qAggTypedSummary]]'s typed Aggregator —

@@ -357,6 +357,41 @@ object Relational {
       .orderBy("status")
   }
 
+  /** SCD Type-2 history build from a change stream — the dimension-
+    * maintenance staple: per user, consecutive runs of the same state
+    * (event_type as the tracked attribute) compress to one versioned
+    * row with `valid_from_us` / `valid_to_us` (next version's start;
+    * NULL = current row, the open interval). The gaps-and-islands
+    * recipe in its scale-safe form: ONE (user_id) window shuffle
+    * computes the change flag and the running version number, a hash
+    * agg folds runs, and the `valid_to` back-fill is a second window
+    * over the already-compressed run table (≈#changes rows, strictly
+    * smaller than the input). Timestamps surface as exact integer
+    * epoch-µs — no timestamp-precision cross-engine hazard. At 100 TB
+    * this is the standard CDC-compaction shape: everything is keyed by
+    * the entity id, so the whole history build is one hash-partitioned
+    * pass with per-key sorted windows. */
+  def qCdcScd2(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("event_type"), 1).over(w)
+    val chg = when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L)
+    val runs = Tables.events(s, sf)
+      .withColumn("version", sum(chg).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("state"),
+           expr("unix_micros(min(ts))").as("valid_from_us"),
+           count(lit(1)).as("n_events"))
+    val byVersion = Window.partitionBy("user_id").orderBy(col("version"))
+    runs
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byVersion))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("user_id"), col("version"), col("state"),
+              col("valid_from_us"), col("valid_to_us"),
+              col("n_events"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   /** Column profiler — the ANALYZE/data-quality audit every ingest runs
     * before a table goes live: per column, row count, NULL count, exact
     * distinct count, and min/max (numerics + timestamps as DOUBLE —

@@ -273,6 +273,31 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Class-balanced downsample — equalize the language mix by keeping
+    * exactly k = min-class-size docs per language, chosen by md5-hash
+    * rank (the [[qSampleStratified]] determinism: reproducible across
+    * shards, partitionings, and engines — no RNG). The move a
+    * multilingual training run makes when one language dominates the
+    * crawl and the mixture must be flattened without upsampling.
+    * Emits the kept (doc_id, lang, rk) membership so downstream stages
+    * join against it. Shape: one (lang)-partitioned window for the
+    * rank (low-cardinality strata, range-distributed within the
+    * window's partitioning at scale) + a constant 1-row quota frame
+    * from per-class counts (catalog statistics in a real deployment)
+    * broadcast into a map-side filter. */
+  def qSampleBalanced(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(s, sf)
+    val rk = row_number().over(Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+    val quota = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("k"))
+    d.withColumn("rk", rk.cast("long"))
+      .crossJoin(broadcast(quota))
+      .where(col("rk") <= col("k"))
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
   /** Gopher-style rule-based quality filter: word-count bounds, mean
     * word length band, distinct-token (repetition) ratio — each rule in
     * INTEGER arithmetic (mean word length as `10·Σlen vs bounds·wc`), so

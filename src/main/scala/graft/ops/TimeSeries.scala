@@ -1519,4 +1519,37 @@ object TimeSeries {
            dsum(col("value")).as("attributed_value"))
       .orderBy("channel")
   }
+
+  /** RFM segmentation — the classic customer-value grid (recency /
+    * frequency / monetary quintiles over purchase activity), the
+    * readout behind "champions / at-risk / hibernating" lifecycle
+    * marketing. Per purchasing user: last purchase day, purchase
+    * count, exact-decimal revenue; each metric scored 1–5 by NTILE(5)
+    * with ties broken on user_id (deterministic across engines and
+    * partitionings), then rolled up to the populated (r,f,m) cells
+    * with user counts + segment revenue. Scale shape follows
+    * [[Aggregates.qAggLtvDeciles]]: the NTILE windows run over the
+    * per-USER aggregate — 3–4 orders smaller than the fact stream —
+    * after one data-sized hash agg; the fact table itself is never
+    * globally sorted. Revenue ordering keys are exact decimals, so
+    * quintile boundaries can never straddle engines. */
+  def qTsRfm(s: SparkSession, sf: String): DataFrame = {
+    val users = Tables.events(s, sf)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(expr("unix_micros(max(ts)) div 86400000000").as("last_day"),
+           count(lit(1)).as("f"),
+           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 4))).as("m"))
+    val scored = users
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("last_day"), col("user_id"))).cast("long"))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("f"), col("user_id"))).cast("long"))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("m"), col("user_id"))).cast("long"))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("m")).cast("double").as("segment_value"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
 }

@@ -4175,4 +4175,95 @@ object OracleSql {
            THEN round(CAST(sae7 AS DOUBLE) / CAST(sae1 AS DOUBLE), 6)
            ELSE NULL END AS mase
     FROM m ORDER BY event_type ASC NULLS FIRST""")
+
+  val qTsRfm: String = n("""
+    WITH p AS (
+      SELECT user_id,
+        epoch_us(max(ts)) // 86400000000 AS last_day,
+        COUNT(*) AS f,
+        SUM(CAST(value AS DECIMAL(28,4))) AS m
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    sc AS (
+      SELECT m,
+        NTILE(5) OVER (ORDER BY last_day, user_id) AS r_score,
+        NTILE(5) OVER (ORDER BY f, user_id) AS f_score,
+        NTILE(5) OVER (ORDER BY m, user_id) AS m_score
+      FROM p)
+    SELECT r_score, f_score, m_score,
+      COUNT(*) AS n_users,
+      CAST(SUM(m) AS DOUBLE) AS segment_value
+    FROM sc GROUP BY 1, 2, 3
+    ORDER BY r_score ASC NULLS FIRST, f_score ASC NULLS FIRST,
+             m_score ASC NULLS FIRST""")
+
+  val qCdcScd2: String = n("""
+    WITH w AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN LAG(event_type) OVER win IS DISTINCT FROM event_type
+             THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (
+      SELECT user_id, event_type, ts,
+        CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS version
+      FROM w),
+    g AS (
+      SELECT user_id, version, MIN(event_type) AS state,
+        epoch_us(MIN(ts)) AS valid_from_us, COUNT(*) AS n_events
+      FROM r GROUP BY user_id, version)
+    SELECT user_id, version, state, valid_from_us,
+      LEAD(valid_from_us) OVER win2 AS valid_to_us,
+      n_events,
+      LEAD(valid_from_us) OVER win2 IS NULL AS is_current
+    FROM g
+    WINDOW win2 AS (PARTITION BY user_id ORDER BY version)
+    ORDER BY user_id ASC NULLS FIRST, version ASC NULLS FIRST""")
+
+  val qAbDiffInDiff: String = n("""
+    WITH e AS (
+      SELECT event_type, value,
+        epoch_us(ts) // 86400000000 AS day,
+        substring(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7' AS isa
+      FROM events),
+    c AS (SELECT (min(day) + max(day) + 1) // 2 AS cut FROM e),
+    cells AS (
+      SELECT event_type, isa, day >= cut AS post,
+        COUNT(*) AS n, SUM(CAST(value AS DECIMAL(28,4))) AS sv
+      FROM e, c GROUP BY 1, 2, 3),
+    g AS (
+      SELECT event_type,
+        MAX(CASE WHEN isa AND NOT post THEN n END) AS n_a_pre,
+        MAX(CASE WHEN isa AND NOT post THEN sv END) AS s_a_pre,
+        MAX(CASE WHEN isa AND post THEN n END) AS n_a_post,
+        MAX(CASE WHEN isa AND post THEN sv END) AS s_a_post,
+        MAX(CASE WHEN NOT isa AND NOT post THEN n END) AS n_b_pre,
+        MAX(CASE WHEN NOT isa AND NOT post THEN sv END) AS s_b_pre,
+        MAX(CASE WHEN NOT isa AND post THEN n END) AS n_b_post,
+        MAX(CASE WHEN NOT isa AND post THEN sv END) AS s_b_post
+      FROM cells GROUP BY event_type)
+    SELECT event_type, n_a_pre, n_a_post, n_b_pre, n_b_post,
+      CASE WHEN n_a_pre > 0 AND n_a_post > 0 AND n_b_pre > 0 AND n_b_post > 0
+           THEN round(
+             (CAST(s_b_post AS DOUBLE) / n_b_post
+                - CAST(s_b_pre AS DOUBLE) / n_b_pre)
+             - (CAST(s_a_post AS DOUBLE) / n_a_post
+                - CAST(s_a_pre AS DOUBLE) / n_a_pre), 6)
+           ELSE NULL END AS did
+    FROM g ORDER BY event_type ASC NULLS FIRST""")
+
+  val qSampleBalanced: String = n("""
+    WITH d AS (
+      SELECT doc_id, lang,
+        ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+          AS rk
+      FROM documents),
+    k AS (
+      SELECT MIN(n) AS k
+      FROM (SELECT COUNT(*) AS n FROM documents GROUP BY lang) z)
+    SELECT doc_id, lang, rk
+    FROM d, k WHERE rk <= k
+    ORDER BY lang ASC NULLS FIRST, rk ASC NULLS FIRST""")
 }
