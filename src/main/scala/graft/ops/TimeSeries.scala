@@ -1552,4 +1552,60 @@ object TimeSeries {
            sum(col("m")).cast("double").as("segment_value"))
       .orderBy("r_score", "f_score", "m_score")
   }
+
+  /** Growth accounting — the DAU decomposition every growth team runs:
+    * per day, actives split into NEW (first-ever day), RETAINED
+    * (also active yesterday), RESURRECTED (returning after a gap),
+    * plus CHURNED = yesterday's actives who didn't return
+    * (active(d−1) − retained(d), NULL-pinned when the daily frame has
+    * a calendar gap — both engines). All counts are exact integers
+    * over the distinct (user, day) activity frame. Shape: one distinct
+    * hash agg to (user, day), one (user)-partitioned window for
+    * first-day + previous-day, a day-level hash agg, and a final lag
+    * over the ≤#days frame — the fact stream shuffles once on user_id
+    * and once on day, both bounded. */
+  def qTsGrowthAccounting(s: SparkSession, sf: String): DataFrame = {
+    val ud = Tables.events(s, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val wu = Window.partitionBy("user_id").orderBy("day")
+    val tagged = ud
+      .withColumn("first_day", min(col("day")).over(Window.partitionBy("user_id")))
+      .withColumn("prev_day", lag(col("day"), 1).over(wu))
+    val daily = tagged.groupBy(col("day")).agg(
+      count(lit(1)).as("active"),
+      sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev_day") === col("day") - 1, 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("prev_day").isNotNull && col("prev_day") < col("day") - 1, 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    val wd = Window.orderBy("day")
+    daily.withColumn("n_churned",
+        when(lag(col("day"), 1).over(wd) === col("day") - 1,
+          lag(col("active"), 1).over(wd) - col("n_retained")))
+      .orderBy("day")
+  }
+
+  /** Daily p95 trend with week-over-week ratio — the latency-SLO
+    * drilldown ("which day did p95 start degrading, and is it worse
+    * than the same weekday last week"): exact interpolated p95 per
+    * (event_type, day) rounded 4dp (the q_agg_percentile_exact
+    * cross-engine recipe — both engines interpolate the identical
+    * sorted doubles), then WoW = p95 / lag(p95, 7) over each type's
+    * daily series, one mirrored division rounded 6dp, NULL-pinned on
+    * a missing or zero prior week. The exact percentile buffers each
+    * (type, day) slice — fine wherever a day×type slice fits an
+    * executor; at 100 TB/day the drop-in form is the
+    * a_agg_percentile_approx sketch with this same trend frame. */
+  def qTsP95Trend(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(round(expr("percentile(value, 0.95)"), 4).as("p95"),
+           count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily.withColumn("p95_wow",
+        when(lag(col("p95"), 7).over(w) > 0,
+          round(col("p95") / lag(col("p95"), 7).over(w), 6)))
+      .orderBy("event_type", "day")
+  }
 }

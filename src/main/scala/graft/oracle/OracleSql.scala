@@ -4266,4 +4266,39 @@ object OracleSql {
     SELECT doc_id, lang, rk
     FROM d, k WHERE rk <= k
     ORDER BY lang ASC NULLS FIRST, rk ASC NULLS FIRST""")
+
+  val qTsGrowthAccounting: String = n("""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events),
+    t AS (
+      SELECT user_id, day,
+        MIN(day) OVER (PARTITION BY user_id) AS first_day,
+        LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+      FROM ud),
+    d AS (
+      SELECT day, COUNT(*) AS active,
+        CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_new,
+        CAST(SUM(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_retained,
+        CAST(SUM(CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM t GROUP BY day)
+    SELECT day, active, n_new, n_retained, n_resurrected,
+      CASE WHEN LAG(day) OVER w = day - 1
+           THEN LAG(active) OVER w - n_retained END AS n_churned
+    FROM d WINDOW w AS (ORDER BY day)
+    ORDER BY day ASC NULLS FIRST""")
+
+  val qTsP95Trend: String = n("""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        round(quantile_cont(value, 0.95), 4) AS p95, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day, p95, n,
+      CASE WHEN LAG(p95, 7) OVER w > 0
+           THEN round(p95 / LAG(p95, 7) OVER w, 6) END AS p95_wow
+    FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""")
 }

@@ -1183,4 +1183,64 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** A CLOSED SCD2 version row: the run's state, its validity interval,
+    * and how many events it compressed. */
+  case class Scd2Closed(userId: Long, version: Long, state: String,
+                        validFromUs: Long, validToUs: Long, nEvents: Long)
+
+  /** The open run per user: O(1) state forever, like [[TouchState]]. */
+  case class RunState(state: String, validFromUs: Long, version: Long,
+                      nEvents: Long)
+
+  /** s_stream_scd2: streaming SCD Type-2 history maintenance — the
+    * streaming twin of batch `q_cdc_scd2`, same run-compression
+    * semantics: per user, consecutive events with the same state
+    * (event_type) extend the OPEN version held in a 4-field ValueState;
+    * a state change CLOSES the version (emits it with
+    * `valid_to_us` = the new state's start) and opens the next. Append
+    * mode emits exactly the closed versions — the rows batch qCdcScd2
+    * produces with a non-NULL `valid_to_us`; the open version is the
+    * state itself, never re-emitted (exactly-once per version across
+    * retries). Intra-batch rows replay in (ts, event_id) order so a
+    * multi-change batch closes the same versions the batch window
+    * would. State is O(1) per user regardless of history length — the
+    * shape that survives unbounded retention. */
+  private class Scd2Processor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Scd2Closed] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var run: org.apache.spark.sql.streaming.ValueState[RunState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      run = getHandle.getValueState[RunState](
+        "open_run", E.product[RunState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Scd2Closed] = {
+      var st = if (run.exists()) run.get() else null
+      val out = Seq.newBuilder[Scd2Closed]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.eventId)).foreach { e =>
+        val t = e.ts.getTime * 1000L
+        if (st == null) st = RunState(e.eventType, t, 1L, 1L)
+        else if (st.state == e.eventType) st = st.copy(nEvents = st.nEvents + 1)
+        else {
+          out += Scd2Closed(key, st.version, st.state, st.validFromUs, t, st.nEvents)
+          st = RunState(e.eventType, t, st.version + 1, 1L)
+        }
+      }
+      if (st != null) run.update(st)
+      out.result().iterator
+    }
+  }
+
+  /** Requires the RocksDB state store, like [[highWaterMarks]]. */
+  def scd2(events: Dataset[Event]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new Scd2Processor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

@@ -945,6 +945,43 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("s_stream_scd2: state changes close versions across batches; same-state runs stay open") {
+    import spark.implicits._
+    withRocksDB {
+      val in = MemoryStream[Event](spark)
+      val q = StreamOps.scd2(in.toDS())
+        .writeStream.format("memory").queryName("sscd2")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // batch 1: user 1 runs click,click,view -> closes v1 (click,
+        // n=2); user 2 stays in one state -> nothing emitted yet
+        in.addData(ev(1, 0, user = 1, typ = "click"),
+                   ev(2, 5, user = 1, typ = "click"),
+                   ev(3, 9, user = 1, typ = "view"),
+                   ev(4, 1, user = 2, typ = "error"),
+                   ev(5, 6, user = 2, typ = "error"))
+        q.processAllAvailable()
+        // batch 2: user 1 EXTENDS the open view run then flips to error
+        // -> closes v2 with n=2 spanning the batch boundary (only
+        // correct if the open run survived in state); user 2 flips ->
+        // closes its v1 whose count also straddles the boundary
+        in.addData(ev(6, 15, user = 1, typ = "view"),
+                   ev(7, 20, user = 1, typ = "error"),
+                   ev(8, 30, user = 2, typ = "view"))
+        q.processAllAvailable()
+        def us(min: Long) = ts(min).getTime * 1000L
+        val rows = spark.table("sscd2").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+                ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+        assert(rows == Map(
+          (1L, 1L) -> (("click", us(0), us(9), 2L)),
+          (1L, 2L) -> (("view", us(9), us(20), 2L)),
+          (2L, 1L) -> (("error", us(1), us(30), 2L))),
+          s"closed SCD2 versions must match the batch run-compression: $rows")
+      } finally q.stop()
+    }
+  }
+
   // ---- kill-and-resume-from-checkpoint: the transformWithState fleet ----
   //
   // The cross-batch parity tests above prove state carries BETWEEN
