@@ -135,4 +135,21 @@ object SqlSurface {
         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
       ORDER BY c.c_custkey, o.o_orderkey""")
   }
+
+  /** `GROUP BY ALL` — the modern analytics-SQL convenience (every
+    * non-aggregate select item becomes a grouping key; both engines
+    * support it natively) resolving to the exact two-key hash
+    * aggregate `q_agg_groupby` builds explicitly. The point of the
+    * test: the resolver sugar must not change the plan — same
+    * partial+final hash agg, same exchange. */
+  def qSqlGroupbyAll(s: SparkSession, sf: String): DataFrame = {
+    Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY ALL
+      ORDER BY l_returnflag, l_linestatus""")
+  }
 }

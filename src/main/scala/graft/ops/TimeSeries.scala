@@ -1608,4 +1608,50 @@ object TimeSeries {
           round(col("p95") / lag(col("p95"), 7).over(w), 6)))
       .orderBy("event_type", "day")
   }
+
+  /** Daily top talkers — the "who is hammering the system today"
+    * telemetry staple (rate-limiting, abuse triage, noisy-neighbor
+    * hunts all start here): top-3 users by event count per day, ranked
+    * with a (count DESC, user_id) tie-break so the cut is
+    * deterministic. Shape: one (day, user) hash agg shrinks the stream
+    * to the per-day activity frame, then a (day)-partitioned
+    * row_number keeps 3 — at scale the window distributes by day and
+    * each partition ranks only its own users (a per-partition top-k +
+    * merge under AQE; never a global sort of the fact table). */
+  def qTsTopTalkers(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("day").orderBy(desc("n_events"), asc("user_id"))
+    daily.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("day"), col("rk"), col("user_id"), col("n_events"))
+      .orderBy("day", "rk")
+  }
+
+  /** Alert suppression / flap dedup — the paging-hygiene readout every
+    * on-call rotation runs: an error event FIRES a page only when the
+    * same user's previous error is more than 30 minutes old (the
+    * quiet-period rule); closer repeats are suppressed as flaps of the
+    * same incident. Per day: raw error volume, pages actually fired,
+    * and the suppression rate in 1e-3 fixed point — the "how much
+    * noise does the cooldown absorb" number. One (user)-partitioned
+    * lag over the error substream (the filter rides the scan), then a
+    * day-level hash agg; exact integer µs gap test, ALL-INTEGER
+    * output. */
+  def qTsAlertSuppress(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+    Tables.events(s, sf)
+      .where(col("event_type") === "error")
+      .withColumn("fired",
+        when(gapUs.isNull || gapUs > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_raw"), sum(col("fired")).as("n_fired"))
+      .withColumn("suppressed_pm",
+        expr("1000 * (n_raw - n_fired) div n_raw"))
+      .orderBy("day")
+  }
 }

@@ -459,6 +459,37 @@ object Vectors {
       .withColumn("collapsed", col("variance") < 0.000001)
       .orderBy("pos")
 
+  /** Unit-norm drift audit — the second index-health check (after
+    * [[qEmbedDimStats]]'s per-dimension screen): a cosine/IP index
+    * assumes unit-normalized vectors, and a partially un-normalized
+    * export (a skipped normalize step, a float16 round-trip, a
+    * mixed-model backfill) silently corrupts ranking. Per vector the
+    * squared norm accumulates as Σ floor(x²·2⁴⁰) — x² is one
+    * deterministic IEEE multiply on the float→double-cast value,
+    * scaling by 2⁴⁰ is exact, floor is exact, and the 64-term long sum
+    * is far below overflow — then the deviation |norm²−1| surfaces in
+    * parts-per-billion by pure integer division, histogrammed in
+    * 25-ppb buckets (clamped to 16). A healthy normalized corpus sits
+    * entirely under ~250 ppb (float32 round-off); any mass in the
+    * clamp bucket is an export bug. Engine-straddle-proof integer
+    * edges throughout. Shape: map-side per-row fold + one ≤16-row
+    * hash agg. */
+  def qEmbedNormDrift(s: SparkSession, sf: String): DataFrame =
+    Tables.embeddings(s, sf)
+      .withColumn("sq_fp",
+        aggregate(col("embedding"),
+          lit(0L),
+          (a, e) => a + floor(e.cast("double") * e.cast("double")
+                              * lit(1099511627776.0d)).cast("long")))
+      .withColumn("ppb",
+        expr("1000000000L * abs(sq_fp - 1099511627776L) div 1099511627776L"))
+      .withColumn("bucket", least(expr("ppb div 25"), lit(15L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+           min(col("ppb")).as("min_ppb"),
+           max(col("ppb")).as("max_ppb"))
+      .orderBy("bucket")
+
   /** Symmetric int8 embedding quantization + reconstruction-error audit
     * — the storage/serving compression step for a 100 TB vector corpus
     * (4× smaller than float32, 8× than float64). Per vector: scale =

@@ -4301,4 +4301,58 @@ object OracleSql {
            THEN round(p95 / LAG(p95, 7) OVER w, 6) END AS p95_wow
     FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
     ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""")
+
+  val qSqlGroupbyAll: String = n("""
+    SELECT l_returnflag, l_linestatus,
+      COUNT(*) AS n_rows,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+
+  val qTsTopTalkers: String = n("""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+        COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT day, user_id, n_events,
+        ROW_NUMBER() OVER (PARTITION BY day
+                           ORDER BY n_events DESC, user_id) AS rk
+      FROM daily)
+    SELECT day, rk, user_id, n_events FROM r WHERE rk <= 3
+    ORDER BY day ASC NULLS FIRST, rk ASC NULLS FIRST""")
+
+  val qTsAlertSuppress: String = n("""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+        epoch_us(ts) - LAG(epoch_us(ts))
+          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events WHERE event_type = 'error'),
+    d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+        COUNT(*) AS n_raw,
+        CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_fired
+      FROM e GROUP BY 1)
+    SELECT day, n_raw, n_fired,
+      1000 * (n_raw - n_fired) // n_raw AS suppressed_pm
+    FROM d ORDER BY day ASC NULLS FIRST""")
+
+  val qEmbedNormDrift: String = n("""
+    WITH x AS (
+      SELECT vec_id, unnest(embedding) AS e FROM embeddings),
+    sq AS (
+      SELECT vec_id,
+        CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+                            * 1099511627776.0) AS BIGINT)) AS BIGINT) AS sq_fp
+      FROM x GROUP BY vec_id),
+    b AS (
+      SELECT LEAST((1000000000 * abs(sq_fp - 1099511627776))
+                     // 1099511627776 // 25, 15) AS bucket,
+        (1000000000 * abs(sq_fp - 1099511627776)) // 1099511627776 AS ppb
+      FROM sq)
+    SELECT bucket, COUNT(*) AS n_vecs,
+      MIN(ppb) AS min_ppb, MAX(ppb) AS max_ppb
+    FROM b GROUP BY bucket ORDER BY bucket ASC NULLS FIRST""")
 }
