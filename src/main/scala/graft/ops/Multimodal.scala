@@ -569,4 +569,43 @@ object Multimodal {
            first(col("n_bytes")).as("n_bytes"),
            sum(col("n_bytes")).as("total_bytes"))
       .orderBy("keep_id")
+
+  /** Structural container-integrity audit — the FAST pre-decode gate a
+    * 100 TB media pipeline runs before spending codec CPU: pure
+    * byte-level checks (PNG magic, IHDR tag at offset 13, IEND+CRC
+    * trailer in the final 8 bytes) over the payload column, NO decode.
+    * The fixture has no corrupt assets, so the op DECLARES a
+    * deterministic corruption (the q_text_urls injection discipline):
+    * docs in md5 bucket '0' are truncated to half length — the
+    * magic+IHDR prefix survives and the trailer is destroyed, exactly
+    * a killed upload. The checks are codegen'd binary
+    * substr/hex expressions (map-side, no UDF; payloads never
+    * shuffle), and only (lang, 4 longs) rows reach the aggregate. The
+    * oracle predicts every count in closed form from the same md5
+    * rule, so a broken byte-offset on the Spark side hash-fails. */
+  def qMultimodalIntegrity(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, sf)
+      .select(col("doc_id"), col("lang"))
+      .as[(Long, String)]
+      .map { case (id, lang) => (id, lang, renderPng(id)) }
+      .toDF("doc_id", "lang", "payload")
+    val p = when(Util.md5Bucket(col("doc_id")) === "0",
+        expr("substr(payload, 1, CAST(length(payload) div 2 AS INT))"))
+      .otherwise(col("payload"))
+    assets.withColumn("p", p)
+      .withColumn("magic_ok",
+        expr("hex(substr(p, 1, 8))") === "89504E470D0A1A0A")
+      .withColumn("ihdr_ok", expr("hex(substr(p, 13, 4))") === "49484452")
+      .withColumn("trailer_ok",
+        expr("hex(substr(p, -8, 8))") === "49454E44AE426082")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_assets"),
+           sum(when(col("magic_ok"), 1L).otherwise(0L)).as("n_magic_ok"),
+           sum(when(col("ihdr_ok"), 1L).otherwise(0L)).as("n_ihdr_ok"),
+           sum(when(col("trailer_ok"), 1L).otherwise(0L)).as("n_trailer_ok"))
+      .withColumn("corrupt_pm",
+        expr("1000 * (n_assets - n_trailer_ok) div n_assets"))
+      .orderBy("lang")
+  }
 }

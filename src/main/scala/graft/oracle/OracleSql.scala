@@ -4355,4 +4355,18 @@ object OracleSql {
     SELECT bucket, COUNT(*) AS n_vecs,
       MIN(ppb) AS min_ppb, MAX(ppb) AS max_ppb
     FROM b GROUP BY bucket ORDER BY bucket ASC NULLS FIRST""")
+
+  val qMultimodalIntegrity: String = n("""
+    WITH a AS (
+      SELECT lang,
+        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS corrupt
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_assets,
+      COUNT(*) AS n_magic_ok,
+      COUNT(*) AS n_ihdr_ok,
+      CAST(SUM(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_trailer_ok,
+      1000 * CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+        // COUNT(*) AS corrupt_pm
+    FROM a GROUP BY lang ORDER BY lang ASC NULLS FIRST""")
 }

@@ -1107,4 +1107,36 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       } finally q2.stop()
     }
   }
+
+  test("restart: SCD2 open-run state survives stop + resume from checkpoint") {
+    import spark.implicits._
+    withRocksDB {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_rst_scd2").toString
+      val in = MemoryStream[Event](spark)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      def start() = collectingSink(StreamOps.scd2(in.toDS()), ckpt,
+                                   OutputMode.Append, buf)
+      val q1 = start()
+      try {
+        // opens run v1 (click, 2 events) — nothing emitted yet
+        in.addData(ev(1, 0, typ = "click"), ev(2, 5, typ = "click"))
+        q1.processAllAvailable()
+      } finally q1.stop() // kill with the run still open
+      buf.clear()         // keep only post-restart output
+      val q2 = start()    // resume: the open run must come back
+      try {
+        // extend the recovered run, then flip: the closed version must
+        // span the restart (valid_from from BEFORE the kill, n=3)
+        in.addData(ev(3, 9, typ = "click"), ev(4, 12, typ = "view"))
+        q2.processAllAvailable()
+        def us(min: Long) = ts(min).getTime * 1000L
+        val rows = buf.synchronized {
+          buf.map(r => (r.getLong(0), r.getLong(1)) ->
+            ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap }
+        // a lost run would instead close (click, from t9, n=1) as v1
+        assert(rows == Map((1L, 1L) -> (("click", us(0), us(12), 3L))),
+          s"post-restart SCD2 must close the run recovered from state: $rows")
+      } finally q2.stop()
+    }
+  }
 }
