@@ -599,6 +599,38 @@ object Relational {
       .orderBy("disposition")
   }
 
+  /** Shuffle-key skew audit — the capacity-planning readout a 100 TB
+    * deployment runs BEFORE picking join/agg keys: for each candidate
+    * shuffle key of the fact stream (user_id, event_type, day), the
+    * distinct-key count, the heaviest key's row share (the straggler
+    * predictor: one key's share IS the lower bound on that shuffle's
+    * critical path), and the Herfindahl concentration of the key
+    * distribution — both in 1e-6 fixed point by pure integer/decimal
+    * arithmetic (Σn² exact in DECIMAL(38,0), one `div`). Shape: one
+    * hash agg per candidate key over the key's own cardinality, folded
+    * to a 1-row profile each, 3-row union — the per-key passes share
+    * the scan the same way q_profile_columns' per-column passes do. */
+  def qAuditKeySkew(s: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(s, sf)
+    def profile(keyName: String, key: org.apache.spark.sql.Column): DataFrame =
+      e.groupBy(key.cast("string").as("k")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"),
+             sum(col("n")).as("n_rows"),
+             max(col("n")).as("max_key_rows"),
+             sum(col("n").cast(org.apache.spark.sql.types.DataTypes
+               .createDecimalType(38, 0)) * col("n")).as("sum_sq"))
+        .select(lit(keyName).as("key_col"), col("n_keys"), col("n_rows"),
+                col("max_key_rows"),
+                expr("1000000 * max_key_rows div n_rows").as("max_share_ppm"),
+                expr("""CAST(1000000 * sum_sq
+                        div (CAST(n_rows AS DECIMAL(38,0)) * n_rows)
+                        AS BIGINT)""").as("hhi_ppm"))
+    profile("user_id", col("user_id"))
+      .unionByName(profile("event_type", col("event_type")))
+      .unionByName(profile("day", expr("unix_micros(ts) div 86400000000")))
+      .orderBy("key_col")
+  }
+
   /** `binaryFile` source — how raw media assets actually enter a
     * multimodal pipeline: one opaque file per asset on the lake, read
     * as (path, length, content) rows. One blob per document is written

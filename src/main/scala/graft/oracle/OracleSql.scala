@@ -4369,4 +4369,27 @@ object OracleSql {
       1000 * CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
         // COUNT(*) AS corrupt_pm
     FROM a GROUP BY lang ORDER BY lang ASC NULLS FIRST""")
+
+  val qAuditKeySkew: String = n("""
+    WITH ks AS (
+      SELECT 'user_id' AS key_col, CAST(user_id AS VARCHAR) AS k
+      FROM events
+      UNION ALL
+      SELECT 'event_type', event_type FROM events
+      UNION ALL
+      SELECT 'day', CAST(epoch_us(ts) // 86400000000 AS VARCHAR)
+      FROM events),
+    c AS (
+      SELECT key_col, k, COUNT(*) AS n FROM ks GROUP BY key_col, k),
+    p AS (
+      SELECT key_col, COUNT(*) AS n_keys,
+        CAST(SUM(n) AS BIGINT) AS n_rows,
+        CAST(MAX(n) AS BIGINT) AS max_key_rows,
+        SUM(CAST(n AS HUGEINT) * n) AS sum_sq
+      FROM c GROUP BY key_col)
+    SELECT key_col, n_keys, n_rows, max_key_rows,
+      1000000 * max_key_rows // n_rows AS max_share_ppm,
+      CAST(1000000 * sum_sq // (CAST(n_rows AS HUGEINT) * n_rows)
+           AS BIGINT) AS hhi_ppm
+    FROM p ORDER BY key_col ASC NULLS FIRST""")
 }

@@ -1235,6 +1235,57 @@ object StreamOps {
     }
   }
 
+  /** One alert-routing decision: fired=true pages, fired=false was
+    * suppressed as a flap of the running incident. */
+  case class AlertDecision(userId: Long, eventId: Long, fired: Boolean)
+
+  /** s_stream_alert_suppress: streaming quiet-period alert dedup — the
+    * twin of batch `q_ts_alert_suppress`, same rule: an error pages
+    * only when the same user's previous error is more than
+    * `quietMicros` old; closer repeats are suppressed. The state is
+    * ONE long per user (last error µs) — where the batch form lags
+    * over history, the stream keeps only the newest timestamp, the
+    * O(1)-forever shape. Intra-batch rows replay in (ts, event_id)
+    * order so a burst landing in one micro-batch suppresses exactly as
+    * the batch window would. */
+  private class AlertSuppressProcessor(quietMicros: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, AlertDecision] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var lastUs: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      lastUs = getHandle.getValueState[Long](
+        "last_error_us", E.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[AlertDecision] = {
+      var prev = if (lastUs.exists()) Some(lastUs.get()) else None
+      val out = Seq.newBuilder[AlertDecision]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.eventId)).foreach { e =>
+        if (e.eventType == "error") {
+          val t = e.ts.getTime * 1000L
+          out += AlertDecision(key, e.eventId,
+            prev.forall(p => t - p > quietMicros))
+          prev = Some(t)
+        }
+      }
+      prev.foreach(lastUs.update)
+      out.result().iterator
+    }
+  }
+
+  /** Requires the RocksDB state store, like [[highWaterMarks]]. */
+  def alertSuppress(events: Dataset[Event],
+                    quietMicros: Long = 1800L * 1000000L): Dataset[AlertDecision] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new AlertSuppressProcessor(quietMicros),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Requires the RocksDB state store, like [[highWaterMarks]]. */
   def scd2(events: Dataset[Event]): Dataset[Scd2Closed] = {
     import events.sparkSession.implicits._

@@ -982,6 +982,36 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("s_stream_alert_suppress: quiet-period memory spans batches; non-errors pass through silently") {
+    import spark.implicits._
+    withRocksDB {
+      val in = MemoryStream[Event](spark)
+      val q = StreamOps.alertSuppress(in.toDS())
+        .writeStream.format("memory").queryName("salert")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // batch 1: user 1 first error fires, a 10-min repeat is
+        // suppressed; a click is not an alert at all
+        in.addData(ev(1, 0, user = 1, typ = "error"),
+                   ev(2, 10, user = 1, typ = "error"),
+                   ev(3, 12, user = 1, typ = "click"))
+        q.processAllAvailable()
+        // batch 2: a 20-min-later repeat is STILL inside the 30-min
+        // quiet window measured from the batch-1 error (state memory);
+        // user 2's first-ever error fires; 40 min later user 1 re-arms
+        in.addData(ev(4, 30, user = 1, typ = "error"),
+                   ev(5, 31, user = 2, typ = "error"),
+                   ev(6, 70, user = 1, typ = "error"))
+        q.processAllAvailable()
+        val rows = spark.table("salert").collect()
+          .map(r => r.getLong(1) -> r.getBoolean(2)).toMap
+        assert(rows == Map(1L -> true, 2L -> false, 4L -> false,
+                           5L -> true, 6L -> true),
+               s"suppression must measure from the remembered last error: $rows")
+      } finally q.stop()
+    }
+  }
+
   // ---- kill-and-resume-from-checkpoint: the transformWithState fleet ----
   //
   // The cross-batch parity tests above prove state carries BETWEEN
