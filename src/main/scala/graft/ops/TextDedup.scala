@@ -77,6 +77,49 @@ object TextDedup {
     pairGraphCache.computeIfAbsent((s, sf), _ =>
       bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6).localCheckpoint())
 
+  /** Incremental ingest dedup — the PRODUCTION dedup shape: a new
+    * batch is checked against the existing corpus, never the corpus
+    * against itself (nobody re-deduplicates 100 TB per ingest). The
+    * incoming delta is DECLARED as md5 bucket 'f' (1/16 of docs, the
+    * [[Util.md5Bucket]] membership rule — a pure function of doc_id,
+    * evaluable on either side of any join with no extra shuffle); the
+    * rest is the standing corpus. Per incoming doc, the disposition:
+    * `exact_dup` (its [[norm]]-hash — the qDedupExact rule verbatim,
+    * one shared definition — exists in the corpus), else `near_dup`
+    * (the materialized τ=0.6 pair graph contains an incoming↔corpus
+    * edge for it: the standing near-dup INDEX is exactly what an
+    * incremental pipeline maintains, and this op reads it instead of
+    * re-deriving pairs), else `novel`. Shapes: one (hash)-key semi
+    * join + one pass over the O(pairs) materialization — the delta's
+    * cost, not the corpus'. */
+  def qDedupIncremental(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(s, sf)
+    val isInc = (c: org.apache.spark.sql.Column) => Util.md5Bucket(c) === "f"
+    val inc = d.where(isInc(col("doc_id")))
+      .select(col("doc_id"), col("lang"), md5(norm).as("h"))
+    val corpusHashes = d.where(!isInc(col("doc_id")))
+      .select(md5(norm).as("h")).distinct()
+    val exactIds = inc.join(corpusHashes, Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(true))
+    val pairs = nearDupPairGraph(s, sf)
+    val nearIds = pairs
+      .select(explode(array(
+        when(isInc(col("a_id")) && !isInc(col("b_id")), col("a_id")),
+        when(isInc(col("b_id")) && !isInc(col("a_id")), col("b_id"))))
+        .as("doc_id"))
+      .where(col("doc_id").isNotNull)
+      .distinct().withColumn("is_near", lit(true))
+    inc.select(col("doc_id"), col("lang"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .withColumn("disposition",
+        when(col("is_exact"), "exact_dup")
+          .when(col("is_near"), "near_dup")
+          .otherwise("novel"))
+      .select(col("doc_id"), col("lang"), col("disposition"))
+      .orderBy("doc_id")
+  }
+
   /** Shared exact-Jaccard pair join used by the token-set and n-gram
     * variants: canonicalize → dedup → pair the distinct sets → expand.
     *

@@ -1654,4 +1654,28 @@ object TimeSeries {
         expr("1000 * (n_raw - n_fired) div n_raw"))
       .orderBy("day")
   }
+
+  /** Inter-arrival profile — the heartbeat-health readout (a climbing
+    * p95 gap is the earliest signal of a dying producer, long before
+    * volume alarms fire): per event_type, the exact p50/p95/max of the
+    * per-user inter-arrival gaps in integer microseconds. Gaps are
+    * measured within each user's own stream (mixing users' arrivals
+    * measures fan-in, not producer health). One (user, type) window
+    * pass for the lag gaps, then a per-type percentile agg — exact
+    * interpolated percentiles over integer µs (the
+    * q_agg_percentile_exact recipe), 4dp-rounded. */
+  def qTsInterarrival(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+    Tables.events(s, sf)
+      .withColumn("gap_us", gap)
+      .where(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+           round(expr("percentile(gap_us, 0.5)"), 4).as("p50_us"),
+           round(expr("percentile(gap_us, 0.95)"), 4).as("p95_us"),
+           max(col("gap_us")).as("max_us"))
+      .orderBy("event_type")
+  }
 }

@@ -4392,4 +4392,52 @@ object OracleSql {
       CAST(1000000 * sum_sq // (CAST(n_rows AS HUGEINT) * n_rows)
            AS BIGINT) AS hhi_ppm
     FROM p ORDER BY key_col ASC NULLS FIRST""")
+
+  val qDedupIncremental: String = n("""
+    WITH inc AS (
+      SELECT doc_id, lang, n_chars, text,
+        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+      FROM documents
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'),
+    cor AS (
+      SELECT doc_id, lang, n_chars, text,
+        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+      FROM documents
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'),
+    ex AS (
+      SELECT DISTINCT i.doc_id FROM inc i JOIN cor c ON i.h = c.h),
+    it AS (
+      SELECT doc_id, lang, n_chars,
+        list_distinct(string_split(text, ' ')) AS tk FROM inc),
+    ct AS (
+      SELECT doc_id, lang, n_chars,
+        list_distinct(string_split(text, ' ')) AS tk FROM cor),
+    nr AS (
+      SELECT DISTINCT i.doc_id
+      FROM it i JOIN ct c
+        ON i.lang = c.lang AND abs(i.n_chars - c.n_chars) <= 25
+      WHERE round(CAST(len(list_intersect(i.tk, c.tk)) AS DOUBLE)
+                  / len(list_distinct(list_concat(i.tk, c.tk))), 4) >= 0.6)
+    SELECT i.doc_id, i.lang,
+      CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+           WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+           ELSE 'novel' END AS disposition
+    FROM inc i
+    LEFT JOIN ex ON i.doc_id = ex.doc_id
+    LEFT JOIN nr ON i.doc_id = nr.doc_id
+    ORDER BY i.doc_id ASC NULLS FIRST""")
+
+  val qTsInterarrival: String = n("""
+    WITH g AS (
+      SELECT event_type,
+        epoch_us(ts) - LAG(epoch_us(ts))
+          OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+          AS gap_us
+      FROM events)
+    SELECT event_type, COUNT(*) AS n_gaps,
+      round(quantile_cont(gap_us, 0.5), 4) AS p50_us,
+      round(quantile_cont(gap_us, 0.95), 4) AS p95_us,
+      MAX(gap_us) AS max_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""")
 }
