@@ -92,6 +92,49 @@ object TextDedup {
     * re-deriving pairs), else `novel`. Shapes: one (hash)-key semi
     * join + one pass over the O(pairs) materialization — the delta's
     * cost, not the corpus'. */
+  /** Bloom-filter contamination screen — the map-side 100 TB form of
+    * [[qTextContamination]]'s exact join: the TRAIN split's distinct
+    * 8-gram keys fold into ONE mergeable Bloom buffer
+    * (`graft_bloom_agg`, a partial+final TypedImperativeAggregate),
+    * which broadcasts as a single binary cell; every TEST gram then
+    * probes it with the codegen'd `graft_bloom_contains` — NO join, no
+    * shuffle of gram postings, the probe rides the scan. A Bloom has
+    * no false negatives, so the screen's per-doc flagged count UPPER-
+    * BOUNDS the exact shared-gram count: it routes suspicious docs to
+    * the exact checker and can never wave a contaminated doc past it —
+    * exactly how a decontamination pass screens 100 TB before paying
+    * the exact-join cost on the survivors. PropertySpec pins both
+    * directions (no false negatives; FP mass bounded by the sized-for
+    * rate). */
+  def aDedupBloomContam(s: SparkSession, sf: String): DataFrame = {
+    import graft.functions.BloomFilter
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, sf)
+      .withColumn("b", Util.md5Bucket(col("doc_id")))
+      .withColumn("tk", split(col("text"), " "))
+      .where(size(col("tk")) >= 8)
+    val shingleFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 7)
+    val grams = d
+      .select(col("doc_id"), col("b"), posexplode(col("tk")).as(Seq("pos", "w")))
+      .withColumn("g8", collect_list(col("w")).over(shingleFrame))
+      .where(size(col("g8")) === 8)
+      .select(col("doc_id"), col("b"), md5(concat_ws(" ", col("g8"))).as("gram"))
+    val bloom = grams.where(col("b") <= "b")
+      .select(xxhash64(col("gram")).as("k")).distinct()
+      .agg(BloomFilter.bloomAgg(col("k"), 1 << 20, 5).as("bf"))
+    grams.where(col("b") > "d")
+      .select(col("doc_id"), col("gram")).distinct()
+      .crossJoin(broadcast(bloom))
+      .withColumn("hit",
+        BloomFilter.bloomContains(col("bf"), xxhash64(col("gram"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_test_grams"),
+           sum(when(col("hit"), 1L).otherwise(0L)).as("n_flagged"))
+      .where(col("n_flagged") > 0)
+      .orderBy("doc_id")
+  }
+
   def qDedupIncremental(s: SparkSession, sf: String): DataFrame = {
     val d = Tables.documents(s, sf)
     val isInc = (c: org.apache.spark.sql.Column) => Util.md5Bucket(c) === "f"

@@ -73,6 +73,31 @@ class PropertySpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 ($nFound/$nExact)")
   }
 
+  test("bloom contamination screen: no false negatives vs the exact join; FP mass bounded") {
+    // Bloom guarantee direction 1: every exact-contaminated test doc
+    // appears in the screen with flagged >= its exact shared-gram
+    // count (a Bloom can only ADD hits, never drop one).
+    val exact = TextDedup.qTextContamination(spark, sf)
+      .select(col("doc_id"), col("n_shared_grams"))
+    val screen = TextDedup.aDedupBloomContam(spark, sf)
+    val missed = exact.join(screen.select(col("doc_id"), col("n_flagged")),
+        Seq("doc_id"), "left")
+      .where(col("n_flagged").isNull || col("n_flagged") < col("n_shared_grams"))
+      .count()
+    assert(missed == 0, s"$missed exact-contaminated docs under-flagged by the screen")
+    // Direction 2: the FP surplus stays within the sized-for rate —
+    // 2^20 bits / 5 hashes over the fixture's train-gram cardinality
+    // gives a sub-1% per-probe FP probability; allow 1% of all probes.
+    val agg = screen.join(exact, Seq("doc_id"), "left")
+      .agg(sum(col("n_flagged")).as("flagged"),
+           sum(coalesce(col("n_shared_grams"), lit(0L))).as("shared"))
+      .head()
+    val totalProbes = screen.agg(sum(col("n_test_grams"))).head().getLong(0)
+    val surplus = agg.getLong(0) - agg.getLong(1)
+    assert(surplus <= totalProbes / 100 + 1,
+      s"bloom FP surplus $surplus exceeds 1% of $totalProbes probes")
+  }
+
   test("SRP-ANN recall >= 0.8 against the exact embed-dedup twin") {
     val exact = Vectors.qDedupEmbed(spark, sf).select("a_id", "b_id")
     val ann = Vectors.aSimAnnLsh(spark, sf).select("a_id", "b_id")
