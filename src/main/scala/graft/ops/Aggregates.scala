@@ -1133,6 +1133,33 @@ object Aggregates {
       .orderBy("event_type")
   }
 
+  /** Rolling 7-day distinct users from MERGED daily HLL sketches — the
+    * sketch-re-aggregation architecture for sliding distinct counts at
+    * 100 TB: the exact form ([[TimeSeries.qTsWauRolling]], this op's
+    * property-test twin) must replicate every (user, day) pair into
+    * all 7 windows it serves — a ×7 data-sized shuffle — while the
+    * sketch form replicates only #days fixed-size sketches and unions
+    * them per window. One daily sketch build (partial+final, map-side
+    * combine), then a constant-size ×7 fan-out; adding a day to the
+    * series touches one new sketch, never the history — the
+    * incremental-dashboard property exact distinct cannot have.
+    * lgK=12 ⇒ ~1.6% RSE; PropertySpec pins ≤5% vs the exact twin on
+    * every window day. */
+  def aAggHllRolling(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(s, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val bounds = daily.agg(max(col("day")).as("maxd"))
+    daily.withColumn("o", explode(sequence(lit(0L), lit(6L))))
+      .withColumn("window_day", col("day") + col("o"))
+      .crossJoin(broadcast(bounds))
+      .where(col("window_day") <= col("maxd"))
+      .groupBy(col("window_day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_est"))
+      .orderBy("window_day")
+  }
+
   def aAggHllPartial(s: SparkSession, sf: String): DataFrame = {
     val daily = Tables.events(s, sf)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))

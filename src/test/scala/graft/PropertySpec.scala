@@ -98,6 +98,19 @@ class PropertySpec extends SparkSpec {
       s"bloom FP surplus $surplus exceeds 1% of $totalProbes probes")
   }
 
+  test("HLL rolling WAU within 5% of the exact rolling-distinct twin on every day") {
+    val exact = TimeSeries.qTsWauRolling(spark, sf)
+    val est = Aggregates.aAggHllRolling(spark, sf)
+    val joined = exact.join(est, "window_day")
+    assert(joined.count() == exact.count(),
+      "sketch series must cover every exact window day")
+    val bad = joined
+      .where(abs(col("wau_est").cast("double") - col("wau")) >
+             col("wau").cast("double") * 0.05)
+      .count()
+    assert(bad == 0, s"$bad window days beyond 5% HLL error")
+  }
+
   test("SRP-ANN recall >= 0.8 against the exact embed-dedup twin") {
     val exact = Vectors.qDedupEmbed(spark, sf).select("a_id", "b_id")
     val ann = Vectors.aSimAnnLsh(spark, sf).select("a_id", "b_id")
