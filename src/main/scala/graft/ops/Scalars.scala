@@ -186,4 +186,22 @@ object Scalars {
               to_json(struct(col("event_type"), col("k"))).as("json_out"))
       .orderBy("event_id")
   }
+
+  /** Spark 4 VARIANT — the semi-structured fast path: `parse_json`
+    * decodes the props string ONCE into the binary variant encoding
+    * and every `variant_get` is a typed offset read, where the
+    * `get_json_object` form re-parses the text per extraction (and
+    * `from_json` needs the schema up front — variant doesn't). The op
+    * parses, extracts a typed field, and folds to a per-decile
+    * distribution with exact integer sums; the scan, the parse, and
+    * the extraction all ride one codegen span. The oracle reads the
+    * same field through DuckDB's JSON path — identical values, so the
+    * variant round-trip is verified against an independent decoder. */
+  def qFnVariant(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .select(expr("CAST(variant_get(parse_json(props), '$.k', 'int') AS BIGINT)")
+        .as("k"))
+      .groupBy(expr("k div 10").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("bucket")
 }

@@ -4427,6 +4427,14 @@ object OracleSql {
     LEFT JOIN nr ON i.doc_id = nr.doc_id
     ORDER BY i.doc_id ASC NULLS FIRST""")
 
+  val qFnVariant: String = n("""
+    WITH k AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+    SELECT k // 10 AS bucket, COUNT(*) AS n,
+      CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM k GROUP BY 1 ORDER BY bucket ASC NULLS FIRST""")
+
   val qTsInterarrival: String = n("""
     WITH g AS (
       SELECT event_type,
