@@ -298,6 +298,51 @@ object TextAnalysis {
       .orderBy("lang", "rk")
   }
 
+  /** Per-source language-mix drift — the ingest-monitoring readout: the
+    * Jensen–Shannon divergence between each source's language
+    * distribution and the REST of the corpus (excluding the source
+    * itself, so a large source can't mask its own drift), flagging a
+    * feed whose mix silently shifted (a crawler that lost a locale, a
+    * mislabeled pipeline). The [[Aggregates.qAggJsd]] determinism
+    * recipe verbatim, per source: every `ln` argument reduces to a
+    * ratio of exact integers so both engines feed `ln` the identical
+    * double, 4dp-rounded before the exact DECIMAL(18,4) weighted sums,
+    * 0·ln0 = 0, empty-side NULL-pin. The (source × lang) grid is
+    * completed before the windows so an absent language's corpus mass
+    * is never dropped from the source's complement. Shape: two tiny
+    * hash aggs + a ≤|sources|·|langs|-row broadcast grid join. */
+  def qTextMixDrift(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(s, sf)
+    val langTot = d.groupBy(col("lang")).agg(count(lit(1)).as("cl"))
+    val grid = d.select(col("source")).distinct()
+      .crossJoin(broadcast(langTot))
+    val counts = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source"))
+    grid.join(counts, Seq("source", "lang"), "left")
+      .withColumn("ca", coalesce(col("n"), lit(0L)))
+      .withColumn("cb", col("cl") - col("ca"))
+      .withColumn("na", sum(col("ca")).over(w))
+      .withColumn("nb", sum(col("cb")).over(w))
+      .withColumn("lpa", when(col("ca") > 0, round(log(
+        expr("CAST(2 * ca * nb AS DOUBLE) / CAST(ca * nb + cb * na AS DOUBLE)")), 4))
+        .otherwise(lit(0.0)))
+      .withColumn("lpb", when(col("cb") > 0, round(log(
+        expr("CAST(2 * cb * na AS DOUBLE) / CAST(ca * nb + cb * na AS DOUBLE)")), 4))
+        .otherwise(lit(0.0)))
+      .groupBy(col("source"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_langs"),
+           sum(col("lpa").cast("decimal(18,4)") * col("ca")).as("s1"),
+           sum(col("lpb").cast("decimal(18,4)") * col("cb")).as("s2"))
+      .withColumn("jsd", expr(
+        """CASE WHEN na > 0 AND nb > 0 THEN
+           round(0.5 * (CAST(s1 AS DOUBLE) / CAST(na AS DOUBLE)
+                        + CAST(s2 AS DOUBLE) / CAST(nb AS DOUBLE)), 6)
+           ELSE NULL END"""))
+      .select(col("source"), col("na").as("n_docs"), col("n_langs"), col("jsd"))
+      .orderBy("source")
+  }
+
   /** Gopher-style rule-based quality filter: word-count bounds, mean
     * word length band, distinct-token (repetition) ratio — each rule in
     * INTEGER arithmetic (mean word length as `10·Σlen vs bounds·wc`), so

@@ -4427,6 +4427,45 @@ object OracleSql {
     LEFT JOIN nr ON i.doc_id = nr.doc_id
     ORDER BY i.doc_id ASC NULLS FIRST""")
 
+  val qTextMixDrift: String = n("""
+    WITH lt AS (SELECT lang, COUNT(*) AS cl FROM documents GROUP BY lang),
+    grid AS (
+      SELECT s.source, lt.lang, lt.cl
+      FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN lt),
+    cnt AS (
+      SELECT source, lang, COUNT(*) AS n
+      FROM documents GROUP BY source, lang),
+    cells AS (
+      SELECT g.source, g.lang,
+        COALESCE(c.n, 0) AS ca, g.cl - COALESCE(c.n, 0) AS cb
+      FROM grid g LEFT JOIN cnt c
+        ON g.source = c.source AND g.lang = c.lang),
+    wn AS (
+      SELECT source, lang, ca, cb,
+        SUM(ca) OVER (PARTITION BY source) AS na,
+        SUM(cb) OVER (PARTITION BY source) AS nb
+      FROM cells),
+    lp AS (
+      SELECT source, na, nb, ca, cb,
+        CASE WHEN ca > 0 THEN round(ln(
+          CAST(2 * ca * nb AS DOUBLE) / CAST(ca * nb + cb * na AS DOUBLE)), 4)
+          ELSE 0.0 END AS lpa,
+        CASE WHEN cb > 0 THEN round(ln(
+          CAST(2 * cb * na AS DOUBLE) / CAST(ca * nb + cb * na AS DOUBLE)), 4)
+          ELSE 0.0 END AS lpb
+      FROM wn),
+    agg AS (
+      SELECT source, na, nb, COUNT(*) AS n_langs,
+        SUM(CAST(lpa AS DECIMAL(18,4)) * ca) AS s1,
+        SUM(CAST(lpb AS DECIMAL(18,4)) * cb) AS s2
+      FROM lp GROUP BY source, na, nb)
+    SELECT source, CAST(na AS BIGINT) AS n_docs, n_langs,
+      CASE WHEN na > 0 AND nb > 0 THEN
+        round(0.5 * (CAST(s1 AS DOUBLE) / CAST(na AS DOUBLE)
+                     + CAST(s2 AS DOUBLE) / CAST(nb AS DOUBLE)), 6)
+        ELSE NULL END AS jsd
+    FROM agg ORDER BY source ASC NULLS FIRST""")
+
   val qFnVariant: String = n("""
     WITH k AS (
       SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -313,7 +313,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_ts_cross_corr", "q_sim_search_topk", "a_sim_ann_ivfpq",
       // round-6 additions: 1-row midpoint-day / min-quota frames
       "q_ab_diff_in_diff", "q_sample_balanced",
-      "a_dedup_bloom_contam", "a_agg_hll_rolling",
+      "a_dedup_bloom_contam", "a_agg_hll_rolling", "q_text_mix_drift",
       // k-row / calendar-bounded broadcast strips (centroids, bounds,
       // lag offsets, last-2-weeks, ≤365-day theta self-join)
       "a_agg_hll_intersect", "q_embed_interdist", "q_embed_silhouette",
