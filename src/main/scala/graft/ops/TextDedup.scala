@@ -106,20 +106,34 @@ object TextDedup {
     * the exact-join cost on the survivors. PropertySpec pins both
     * directions (no false negatives; FP mass bounded by the sized-for
     * rate). */
+  /** Session-scoped shared (doc_id, md5-bucket, 8-gram-md5) shingle
+    * frame — the third shared materialization (pair graph, bigram
+    * frame, now the contamination shingles): `q_text_contamination`
+    * and `a_dedup_bloom_contam` are the exact and screening halves of
+    * ONE decontamination pass and read identical shingles; a real
+    * pipeline shingles the corpus once. localCheckpoint pins the
+    * fixed-width (id, 1 char, 32-char hash) rows. */
+  private val gram8Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private[ops] def docGrams8(s: SparkSession, sf: String): DataFrame =
+    gram8Cache.computeIfAbsent((s, sf), _ => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, sf)
+        .withColumn("b", Util.md5Bucket(col("doc_id")))
+        .withColumn("tk", split(col("text"), " "))
+        .where(size(col("tk")) >= 8)
+      val shingleFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, 7)
+      d.select(col("doc_id"), col("b"), posexplode(col("tk")).as(Seq("pos", "w")))
+        .withColumn("g8", collect_list(col("w")).over(shingleFrame))
+        .where(size(col("g8")) === 8)
+        .select(col("doc_id"), col("b"), md5(concat_ws(" ", col("g8"))).as("gram"))
+        .localCheckpoint()
+    })
+
   def aDedupBloomContam(s: SparkSession, sf: String): DataFrame = {
     import graft.functions.BloomFilter
-    import org.apache.spark.sql.expressions.Window
-    val d = Tables.documents(s, sf)
-      .withColumn("b", Util.md5Bucket(col("doc_id")))
-      .withColumn("tk", split(col("text"), " "))
-      .where(size(col("tk")) >= 8)
-    val shingleFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, 7)
-    val grams = d
-      .select(col("doc_id"), col("b"), posexplode(col("tk")).as(Seq("pos", "w")))
-      .withColumn("g8", collect_list(col("w")).over(shingleFrame))
-      .where(size(col("g8")) === 8)
-      .select(col("doc_id"), col("b"), md5(concat_ws(" ", col("g8"))).as("gram"))
+    val grams = docGrams8(s, sf)
     val bloom = grams.where(col("b") <= "b")
       .select(xxhash64(col("gram")).as("k")).distinct()
       .agg(BloomFilter.bloomAgg(col("k"), 1 << 20, 5).as("bf"))
@@ -1165,17 +1179,9 @@ object TextDedup {
     * bounded by the dedup'd postings, and no payload rides the join. */
   def qTextContamination(s: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = Tables.documents(s, sf)
-      .withColumn("b", Util.md5Bucket(col("doc_id")))
-      .withColumn("tk", split(col("text"), " "))
-      .where(size(col("tk")) >= 8)
-    val shingleFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, 7)
-    val grams = d
-      .select(col("doc_id"), col("b"), posexplode(col("tk")).as(Seq("pos", "w")))
-      .withColumn("g8", collect_list(col("w")).over(shingleFrame))
-      .where(size(col("g8")) === 8)
-      .select(col("doc_id"), col("b"), md5(concat_ws(" ", col("g8"))).as("gram"))
+    // shared shingle materialization — see docGrams8: the exact join
+    // and the Bloom screen read the same frame
+    val grams = docGrams8(s, sf)
     val train = grams.where(col("b") <= "b")
       .select(col("doc_id").as("train_id"), col("gram")).distinct()
     val test = grams.where(col("b") > "d")
