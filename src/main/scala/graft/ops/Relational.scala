@@ -599,6 +599,60 @@ object Relational {
       .orderBy("disposition")
   }
 
+  /** Versioned-snapshot time travel on plain parquet — the poor-man's
+    * form of the lakehouse feature this environment can't ship
+    * (no Delta/Iceberg jars offline; SURVEY §6): every publish writes
+    * a NEW immutable `v=N` directory and flips a tiny manifest file,
+    * so readers pin any historical version by path and a crashed
+    * publish can never corrupt a served snapshot (the qUpsertSnapshot
+    * swap discipline, generalized to retained history). The op
+    * publishes v1 (the raw status rollup), publishes v2 (the rollup
+    * after the deterministic qUpsertSnapshot update batch), then
+    * TIME-TRAVEL READS both through the manifest and emits the
+    * version diff — the "what changed between yesterday's snapshot
+    * and today's" audit. Counts exact, money on the decimal path;
+    * the diff joins two ≤|status|-row frames. */
+  def qSinkTimetravel(s: SparkSession, sf: String): DataFrame = {
+    val base = "/tmp/graft_sink/orders_tt"
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("price")).as("total_price"))
+    val orders = Tables.orders(s, sf)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+              col("o_totalprice").as("price"))
+    val updates = orders.where(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("u_key"), lit("X").as("u_status"),
+              (col("price") * lit(1.1)).as("u_price"))
+    val v2src = orders.join(updates, col("o_orderkey") === col("u_key"), "left")
+      .select(coalesce(col("u_status"), col("status")).as("status"),
+              coalesce(col("u_price"), col("price")).as("price"))
+    rollup(orders).write.mode("overwrite").parquet(s"$base/v=1")
+    rollup(v2src).write.mode("overwrite").parquet(s"$base/v=2")
+    // manifest flip is the LAST step of a publish: readers resolve
+    // versions only through it, so a crash before this line leaves
+    // the previous manifest (and every version it names) intact
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/MANIFEST"),
+      "current=2\nversions=1,2\n".getBytes("UTF-8"))
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/MANIFEST")), "UTF-8")
+    val cur = manifest.linesIterator.find(_.startsWith("current="))
+      .map(_.stripPrefix("current=").trim.toInt)
+      .getOrElse(sys.error("manifest missing current version"))
+    val curDf = s.read.parquet(s"$base/v=$cur")
+      .select(col("status"), col("n_orders").as("n_cur"),
+              col("total_price").as("total_cur"))
+    val prevDf = s.read.parquet(s"$base/v=${cur - 1}")
+      .select(col("status"), col("n_orders").as("n_prev"),
+              col("total_price").as("total_prev"))
+    prevDf.join(curDf, Seq("status"), "full_outer")
+      .select(col("status"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        (coalesce(col("n_cur"), lit(0L)) - coalesce(col("n_prev"), lit(0L)))
+          .as("delta_n"))
+      .orderBy("status")
+  }
+
   /** Shuffle-key skew audit — the capacity-planning readout a 100 TB
     * deployment runs BEFORE picking join/agg keys: for each candidate
     * shuffle key of the fact stream (user_id, event_type, day), the

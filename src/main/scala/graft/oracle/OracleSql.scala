@@ -4466,6 +4466,22 @@ object OracleSql {
         ELSE NULL END AS jsd
     FROM agg ORDER BY source ASC NULLS FIRST""")
 
+  val qSinkTimetravel: String = n("""
+    WITH v1 AS (
+      SELECT o_orderstatus AS status, COUNT(*) AS n
+      FROM orders GROUP BY 1),
+    m AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END AS status
+      FROM orders),
+    v2 AS (SELECT status, COUNT(*) AS n FROM m GROUP BY 1)
+    SELECT COALESCE(v1.status, v2.status) AS status,
+      CAST(COALESCE(v1.n, 0) AS BIGINT) AS n_prev,
+      CAST(COALESCE(v2.n, 0) AS BIGINT) AS n_cur,
+      CAST(COALESCE(v2.n, 0) - COALESCE(v1.n, 0) AS BIGINT) AS delta_n
+    FROM v1 FULL OUTER JOIN v2 ON v1.status = v2.status
+    ORDER BY status ASC NULLS FIRST""")
+
   val qFnVariant: String = n("""
     WITH k AS (
       SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
