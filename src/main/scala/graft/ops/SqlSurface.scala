@@ -152,4 +152,23 @@ object SqlSurface {
       GROUP BY ALL
       ORDER BY l_returnflag, l_linestatus""")
   }
+
+  /** SQL `UNPIVOT` clause — the wide→long resolver sugar
+    * (`q_agg_unpivot` reaches the same Expand through the DataFrame
+    * API): three measure columns melt to (metric, val) rows, then a
+    * two-key hash aggregate with the decimal-exact sum. The Expand
+    * triples the row count BEFORE the partial aggregate absorbs it
+    * map-side — at scale the shuffle still carries only
+    * |groups|×|metrics| rows. */
+  def qSqlUnpivot(s: SparkSession, sf: String): DataFrame = {
+    Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT l_returnflag, metric, COUNT(*) AS n,
+             CAST(SUM(CAST(val AS DECIMAL(28,4))) AS DOUBLE) AS total
+      FROM lineitem
+      UNPIVOT (val FOR metric IN (
+        l_quantity AS qty, l_extendedprice AS price, l_discount AS disc))
+      GROUP BY l_returnflag, metric
+      ORDER BY l_returnflag, metric""")
+  }
 }

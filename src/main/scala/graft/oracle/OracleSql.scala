@@ -4482,6 +4482,18 @@ object OracleSql {
     FROM v1 FULL OUTER JOIN v2 ON v1.status = v2.status
     ORDER BY status ASC NULLS FIRST""")
 
+  val qSqlUnpivot: String = n("""
+    WITH u AS (
+      SELECT l_returnflag, 'qty' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'disc', l_discount FROM lineitem)
+    SELECT l_returnflag, metric, COUNT(*) AS n,
+      CAST(SUM(CAST(val AS DECIMAL(28,4))) AS DOUBLE) AS total
+    FROM u GROUP BY l_returnflag, metric
+    ORDER BY l_returnflag ASC NULLS FIRST, metric ASC NULLS FIRST""")
+
   val qFnVariant: String = n("""
     WITH k AS (
       SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
