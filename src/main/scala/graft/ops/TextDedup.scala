@@ -149,6 +149,32 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** Shard-local vs global dedup audit — the planning readout for THE
+    * 100 TB dedup question: "can each shard dedup independently, or do
+    * duplicates span shards?" Per exact-dup group (the [[norm]]-hash
+    * rule), how many md5 shards its copies land in; the summary then
+    * quantifies exactly what shard-local dedup leaves behind: a group
+    * spanning k shards keeps k survivors instead of 1, so
+    * `dups_leaked` = Σ (k−1) over cross-shard groups — the cost of
+    * avoiding the global shuffle, measured before committing to
+    * either architecture. ALL-INTEGER; two hash aggs (the second over
+    * group rows), 1-row output. */
+  def qDedupShardAudit(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .groupBy(md5(norm).as("h"))
+      .agg(count(lit(1)).as("n_copies"),
+           countDistinct(Util.md5Bucket(col("doc_id"))).as("n_shards"))
+      .agg(count(lit(1)).as("n_groups"),
+           sum(when(col("n_shards") === 1, 1L).otherwise(0L))
+             .as("n_single_shard_groups"),
+           sum(when(col("n_shards") > 1, 1L).otherwise(0L))
+             .as("n_cross_shard_groups"),
+           sum(col("n_copies") - 1).as("dups_removed_global"),
+           sum(col("n_copies") - col("n_shards"))
+             .as("dups_removed_shard_local"),
+           sum(when(col("n_shards") > 1, col("n_shards") - 1).otherwise(0L))
+             .as("dups_leaked"))
+
   def qDedupIncremental(s: SparkSession, sf: String): DataFrame = {
     val d = Tables.documents(s, sf)
     val isInc = (c: org.apache.spark.sql.Column) => Util.md5Bucket(c) === "f"

@@ -4494,6 +4494,24 @@ object OracleSql {
     FROM u GROUP BY l_returnflag, metric
     ORDER BY l_returnflag ASC NULLS FIRST, metric ASC NULLS FIRST""")
 
+  val qDedupShardAudit: String = n("""
+    WITH g AS (
+      SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h,
+        COUNT(*) AS n_copies,
+        COUNT(DISTINCT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+          AS n_shards
+      FROM documents GROUP BY h)
+    SELECT COUNT(*) AS n_groups,
+      CAST(SUM(CASE WHEN n_shards = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_single_shard_groups,
+      CAST(SUM(CASE WHEN n_shards > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_cross_shard_groups,
+      CAST(SUM(n_copies - 1) AS BIGINT) AS dups_removed_global,
+      CAST(SUM(n_copies - n_shards) AS BIGINT) AS dups_removed_shard_local,
+      CAST(SUM(CASE WHEN n_shards > 1 THEN n_shards - 1 ELSE 0 END) AS BIGINT)
+        AS dups_leaked
+    FROM g""")
+
   val qFnVariant: String = n("""
     WITH k AS (
       SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
