@@ -266,6 +266,66 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  /** Per-doc voice-activity summary: full 64-sample frames, a frame is
+    * "speech" when its Σ|amplitude| exceeds 64·500 (mean |amp| > 500 —
+    * half the fixture's 1000 peak). */
+  final case class VadAudio(doc_id: Long, n_frames: Long, n_speech: Long,
+                            speech_pm: Long, max_frame_abs: Long)
+
+  /** Energy-threshold voice-activity detection over the REAL PCM16
+    * payload — the segment-level audio feature a speech-training
+    * pipeline extracts right after decode (silence trimming, speech
+    * ratio quotas, VAD-gated transcription all start here): walk the
+    * RIFF chunks, frame the decoded samples (64-sample frames, full
+    * frames only), per-frame integer Σ|amp| against a mean-|amp|>500
+    * threshold, per-doc speech ratio in 1e-3 fixed point. ALL-INTEGER
+    * end to end; the oracle recomputes every frame energy in
+    * closed-form SQL from the generator, so the decode→frame→energy
+    * arithmetic is verified on real bytes. Same per-partition decode
+    * batching as the other media ops; payloads never shuffle. */
+  def qMultimodalVad(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    def vad(docId: Long, bytes: Array[Byte]): VadAudio = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      require(fourcc() == "RIFF" && { bb.getInt; fourcc() == "WAVE" },
+        s"asset $docId: not RIFF/WAVE")
+      var result: VadAudio = null
+      while (result == null && bb.remaining() >= 8) {
+        val id = fourcc()
+        val size = bb.getInt
+        id match {
+          case "data" =>
+            val n = size / 2
+            val full = n / 64
+            var (frames, speech, maxAbs) = (0L, 0L, 0L)
+            var f = 0
+            while (f < full) {
+              var sumAbs = 0L
+              var i = 0
+              while (i < 64) { sumAbs += math.abs(bb.getShort.toLong); i += 1 }
+              frames += 1
+              if (sumAbs > 64L * 500L) speech += 1
+              if (sumAbs > maxAbs) maxAbs = sumAbs
+              f += 1
+            }
+            result = VadAudio(docId, frames, speech,
+              if (frames > 0) 1000L * speech / frames else 0L, maxAbs)
+          case _ => bb.position(bb.position() + size + (size & 1))
+        }
+      }
+      require(result != null, s"asset $docId: no data chunk")
+      result
+    }
+    Tables.documents(s, sf)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => vad(id, renderWav(id))))
+      .toDF().orderBy("doc_id")
+  }
+
   /** Decoded video metadata — every field below is read by PARSING the
     * AVI container (headers) and its DIB frame payloads (pixel sums),
     * never from the generator. */

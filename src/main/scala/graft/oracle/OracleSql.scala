@@ -4512,6 +4512,26 @@ object OracleSql {
         AS dups_leaked
     FROM g""")
 
+  val qMultimodalVad: String = n("""
+    WITH d AS (SELECT doc_id, 256 + doc_id % 64 AS n FROM documents),
+    smp AS (
+      SELECT d.doc_id, g.i AS i,
+        abs(((g.i * (d.doc_id + 3)) % 2001) - 1000) AS av
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 318)) AS i) g
+      WHERE g.i < 64 * (d.n // 64)),
+    fr AS (
+      SELECT doc_id, i // 64 AS f, SUM(av) AS e
+      FROM smp GROUP BY doc_id, i // 64),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_frames,
+        CAST(SUM(CASE WHEN e > 32000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_speech,
+        CAST(MAX(e) AS BIGINT) AS max_frame_abs
+      FROM fr GROUP BY doc_id)
+    SELECT doc_id, n_frames, n_speech,
+      1000 * n_speech // n_frames AS speech_pm, max_frame_abs
+    FROM agg ORDER BY doc_id ASC NULLS FIRST""")
+
   val qFnVariant: String = n("""
     WITH k AS (
       SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
