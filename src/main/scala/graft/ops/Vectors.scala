@@ -229,7 +229,21 @@ object Vectors {
     * `aggregate` HOF — FIXED fold order, so no shuffle-order float
     * hazard — and the oracle's `list_reduce` folds the same way.
     * Ranking cuts on round(d², 4) with vec_id tiebreak. */
-  def qEmbedOutliers(s: SparkSession, sf: String): DataFrame = {
+  def qEmbedOutliers(s: SparkSession, sf: String): DataFrame =
+    rankByCentroidDist(s, sf, farthest = true)
+
+  /** Prototype selection — the coreset twin of [[qEmbedOutliers]]: the
+    * 5 vectors CLOSEST to their label centroid, i.e. the exemplars a
+    * labeling/QA pass reviews first and the seed set a
+    * prototype-based classifier or active-learning loop starts from.
+    * Identical fixed-point centroid derivation and exact distance
+    * frame; only the rank direction flips — one shared implementation
+    * so the two readouts can never disagree about the geometry. */
+  def qEmbedPrototypes(s: SparkSession, sf: String): DataFrame =
+    rankByCentroidDist(s, sf, farthest = false)
+
+  private def rankByCentroidDist(s: SparkSession, sf: String,
+                                 farthest: Boolean): DataFrame = {
     import s.implicits._
     val cents: Map[Int, Array[Double]] = Tables.embeddings(s, sf)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -250,7 +264,7 @@ object Vectors {
                (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
     val w = Window.partitionBy(col("label"))
-      .orderBy(col("d2").desc, col("vec_id"))
+      .orderBy(if (farthest) col("d2").desc else col("d2").asc, col("vec_id"))
     Tables.embeddings(s, sf)
       .join(broadcast(centDf), "label")
       .withColumn("d2", round(d2, 4))

@@ -945,6 +945,31 @@ object OracleSql {
       FROM d)
     SELECT label, rn, vec_id, d2 FROM r WHERE rn <= 5 ORDER BY label, rn""")
 
+  val qEmbedPrototypes: String = n("""
+    WITH cent AS (
+      SELECT label, i - 1 AS pos, COUNT(*) AS n,
+        CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824.0)
+                 AS BIGINT)) AS BIGINT) AS c_fp
+      FROM embeddings, generate_series(1, 64) t(i)
+      GROUP BY label, i),
+    cvecs AS (
+      SELECT label,
+        list(CAST(c_fp AS DOUBLE) / (CAST(n AS DOUBLE) * 1073741824.0)
+             ORDER BY pos) AS cvec
+      FROM cent GROUP BY label),
+    d AS (
+      SELECT e.label, e.vec_id,
+        round(list_reduce(list_transform(generate_series(1, 64),
+          i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+               * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])),
+          (a, b) -> a + b), 4) AS d2
+      FROM embeddings e JOIN cvecs c USING (label)),
+    r AS (
+      SELECT label, vec_id, d2,
+        ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2 ASC, vec_id) AS rn
+      FROM d)
+    SELECT label, rn, vec_id, d2 FROM r WHERE rn <= 5 ORDER BY label, rn""")
+
   val qAggEntropy: String = n("""
     WITH cells AS (
       SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
