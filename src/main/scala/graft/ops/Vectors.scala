@@ -675,8 +675,22 @@ object Vectors {
   /** Shared PQ trainer: returns (codebook, per-(vector, subspace)
     * assignment frame with its quantization distance). One definition
     * so the summary op ([[aEmbedPq]]) and the IVF-PQ search
-    * ([[aSimAnnIvfPq]]) can never train divergent codebooks. */
+    * ([[aSimAnnIvfPq]]) can never train divergent codebooks — and one
+    * session-scoped TRAINING (the pair-graph discipline): a real
+    * deployment trains the PQ model once and every consumer (index
+    * build, serving, audits) loads the artifact; the cache is that
+    * artifact in session form, with the assignment frame
+    * localCheckpoint-pinned so both consumers read the same blocks. */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Map[(Int, Int, Int), Double], DataFrame)]
   private[graft] def pqModel(s: SparkSession, sf: String)
+      : (Map[(Int, Int, Int), Double], DataFrame) =
+    pqCache.computeIfAbsent((s, sf), _ => {
+      val (cb, assigned) = trainPq(s, sf)
+      (cb, assigned.localCheckpoint())
+    })
+
+  private def trainPq(s: SparkSession, sf: String)
       : (Map[(Int, Int, Int), Double], DataFrame) = {
     import s.implicits._
     val nSub = 8; val dSub = 8; val k = 16; val iters = 2
