@@ -1276,6 +1276,56 @@ object StreamOps {
     }
   }
 
+  /** One observed inter-arrival gap on a (user, type) stream;
+    * `overdue` flags a gap past the watchdog threshold. */
+  case class GapObs(userId: Long, eventType: String, eventId: Long,
+                    gapUs: Long, overdue: Boolean)
+
+  /** s_stream_interarrival: per-(user, type) inter-arrival watchdog —
+    * the streaming side of batch `q_ts_interarrival`: each arrival
+    * after a stream's first emits the exact integer-µs gap from the
+    * previous arrival, flagged `overdue` past the threshold (the
+    * dying-producer early signal, live instead of retrospective).
+    * State is ONE long per (user, type) stream — the newest arrival
+    * µs — forever. The composite key rides the groupByKey tuple, so
+    * per-user streams of different types never cross. */
+  private class InterarrivalProcessor(thresholdMicros: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, String), Event, GapObs] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var lastUs: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      lastUs = getHandle.getValueState[Long](
+        "last_arrival_us", E.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[GapObs] = {
+      var prev = if (lastUs.exists()) Some(lastUs.get()) else None
+      val out = Seq.newBuilder[GapObs]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.eventId)).foreach { e =>
+        val t = e.ts.getTime * 1000L
+        prev.foreach { p =>
+          out += GapObs(key._1, key._2, e.eventId, t - p, t - p > thresholdMicros)
+        }
+        prev = Some(t)
+      }
+      prev.foreach(lastUs.update)
+      out.result().iterator
+    }
+  }
+
+  /** Requires the RocksDB state store, like [[highWaterMarks]]. */
+  def interarrival(events: Dataset[Event],
+                   thresholdMicros: Long = 1800L * 1000000L): Dataset[GapObs] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.userId, e.eventType))
+      .transformWithState(new InterarrivalProcessor(thresholdMicros),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Requires the RocksDB state store, like [[highWaterMarks]]. */
   def alertSuppress(events: Dataset[Event],
                     quietMicros: Long = 1800L * 1000000L): Dataset[AlertDecision] = {

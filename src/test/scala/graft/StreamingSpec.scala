@@ -1012,6 +1012,35 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("s_stream_interarrival: per-(user,type) gaps span batches; streams never cross") {
+    import spark.implicits._
+    withRocksDB {
+      val in = MemoryStream[Event](spark)
+      val q = StreamOps.interarrival(in.toDS())
+        .writeStream.format("memory").queryName("sgap")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // batch 1: user 1 clicks at t0/t10 (one 10-min gap); the view
+        // at t5 is a DIFFERENT stream — no cross-type gap may appear
+        in.addData(ev(1, 0, user = 1, typ = "click"),
+                   ev(2, 10, user = 1, typ = "click"),
+                   ev(3, 5, user = 1, typ = "view"))
+        q.processAllAvailable()
+        // batch 2: the click at t50 measures 40 min from the REMEMBERED
+        // t10 (state across the boundary, overdue at >30 min); user 2's
+        // first click emits nothing
+        in.addData(ev(4, 50, user = 1, typ = "click"),
+                   ev(5, 55, user = 2, typ = "click"))
+        q.processAllAvailable()
+        val rows = spark.table("sgap").collect()
+          .map(r => r.getLong(2) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+        assert(rows == Map(2L -> ((600000000L, false)),
+                           4L -> ((2400000000L, true))),
+               s"gaps must come from the per-stream remembered arrival: $rows")
+      } finally q.stop()
+    }
+  }
+
   // ---- kill-and-resume-from-checkpoint: the transformWithState fleet ----
   //
   // The cross-batch parity tests above prove state carries BETWEEN
