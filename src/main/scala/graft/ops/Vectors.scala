@@ -473,6 +473,39 @@ object Vectors {
       .withColumn("collapsed", col("variance") < 0.000001)
       .orderBy("pos")
 
+  /** Train/val/test covariate-shift audit — did the md5 split leave
+    * the embedding distribution balanced, or does val/test drift from
+    * train (a leakage/shift screen run before any eval is trusted)?
+    * Per split and dimension, the exact fixed-point mean (the
+    * [[qEmbedDimStats]] recipe); per non-train split, the per-dim
+    * |mean − train mean| quantized to a 1e-9 integer grid, then the
+    * summed square and max — ALL-INTEGER outputs, no float summation
+    * order anywhere. A random split should show only √n noise; a
+    * sorted-ingest or time-correlated split shows up as a fat
+    * `sum_sq_fp`. Shape: one posexplode hash agg to 3·64 cells + a
+    * 64-row broadcast join. */
+  def qEmbedSplitDrift(s: SparkSession, sf: String): DataFrame = {
+    val means = Tables.embeddings(s, sf)
+      .withColumn("split", Util.trainValTest(col("vec_id")))
+      .select(col("split"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("xfp", floor(col("x").cast("double") * (1L << 30)).cast("long"))
+      .groupBy(col("split"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("xfp")).as("s_fp"))
+      .withColumn("mean", col("s_fp").cast("double")
+        / (col("n").cast("double") * lit(1073741824.0d)))
+    val train = means.where(col("split") === "train")
+      .select(col("pos"), col("mean").as("m_train"))
+    means.where(col("split") =!= "train")
+      .join(broadcast(train), "pos")
+      .withColumn("dfp",
+        floor(abs(col("mean") - col("m_train")) * lit(1e9)).cast("long"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_dims"),
+           sum(col("dfp") * col("dfp")).as("sum_sq_fp"),
+           max(col("dfp")).as("max_fp"))
+      .orderBy("split")
+  }
+
   /** Unit-norm drift audit — the second index-health check (after
     * [[qEmbedDimStats]]'s per-dimension screen): a cosine/IP index
     * assumes unit-normalized vectors, and a partially un-normalized

@@ -4557,6 +4557,36 @@ object OracleSql {
       1000 * n_speech // n_frames AS speech_pm, max_frame_abs
     FROM agg ORDER BY doc_id ASC NULLS FIRST""")
 
+  val qEmbedSplitDrift: String = n("""
+    WITH e AS (
+      SELECT vec_id, embedding,
+        CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) <= 'b'
+               THEN 'train'
+             WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) <= 'd'
+               THEN 'val'
+             ELSE 'test' END AS split
+      FROM embeddings),
+    m AS (
+      SELECT split, i - 1 AS pos, COUNT(*) AS n,
+        CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824.0)
+                 AS BIGINT)) AS BIGINT) AS s_fp
+      FROM e, generate_series(1, 64) t(i)
+      GROUP BY split, i),
+    mm AS (
+      SELECT split, pos,
+        CAST(s_fp AS DOUBLE) / (CAST(n AS DOUBLE) * 1073741824.0) AS mean
+      FROM m),
+    d AS (
+      SELECT o.split,
+        CAST(floor(abs(o.mean - t.mean) * 1e9) AS BIGINT) AS dfp
+      FROM mm o JOIN (SELECT pos, mean FROM mm WHERE split = 'train') t
+        USING (pos)
+      WHERE o.split <> 'train')
+    SELECT split, COUNT(*) AS n_dims,
+      CAST(SUM(dfp * dfp) AS BIGINT) AS sum_sq_fp,
+      MAX(dfp) AS max_fp
+    FROM d GROUP BY split ORDER BY split ASC NULLS FIRST""")
+
   val qFnVariant: String = n("""
     WITH k AS (
       SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
