@@ -1272,6 +1272,20 @@ object Aggregates {
       ORDER BY o_orderpriority""")
   }
 
+  /** Power-user curve — the engagement-depth histogram (the classic
+    * growth chart): users bucketed by how many distinct days they were
+    * active in the fixture window; a smile-shaped curve (mass at both
+    * ends) reads "habit product", monotone decay reads "drive-by
+    * traffic". Exact integers end to end: distinct (user, day) hash
+    * agg → per-user day count → ≤#days-row histogram. */
+  def qAggPowerCurve(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("active_days"))
+      .groupBy(col("active_days")).agg(count(lit(1)).as("n_users"))
+      .orderBy("active_days")
+
   /** Difference-in-differences readout — the quasi-experimental
     * estimator for a launch without a holdout: arm = the [[Util.md5Bucket]]
     * 50/50 user split (the q_ab_test assignment verbatim), period =

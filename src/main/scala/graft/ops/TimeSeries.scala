@@ -1655,6 +1655,31 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Funnel time-to-convert — the second half of the funnel readout
+    * ([[qTsFunnel]] counts who converts; this measures HOW LONG):
+    * for each user whose first purchase follows their first signup,
+    * the exact integer-µs latency between the two, summarized as
+    * n_converted + exact interpolated p50/p95/max (the
+    * q_agg_percentile_exact recipe, 4dp). The activation-latency
+    * number every growth team tracks. One (user) window pass marks
+    * the signup anchor, a filtered hash agg takes the first
+    * qualifying purchase — no self-join of the fact stream. */
+  def qTsFunnelTime(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val sUs = min(when(col("event_type") === "signup",
+      unix_micros(col("ts")))).over(w)
+    Tables.events(s, sf)
+      .withColumn("s_us", sUs)
+      .where(col("event_type") === "purchase" &&
+             unix_micros(col("ts")) > col("s_us"))
+      .groupBy(col("user_id"))
+      .agg((min(unix_micros(col("ts"))) - min(col("s_us"))).as("t2c_us"))
+      .agg(count(lit(1)).as("n_converted"),
+           round(expr("percentile(t2c_us, 0.5)"), 4).as("p50_us"),
+           round(expr("percentile(t2c_us, 0.95)"), 4).as("p95_us"),
+           max(col("t2c_us")).as("max_us"))
+  }
+
   /** Inter-arrival profile — the heartbeat-health readout (a climbing
     * p95 gap is the earliest signal of a dying producer, long before
     * volume alarms fire): per event_type, the exact p50/p95/max of the

@@ -4587,6 +4587,31 @@ object OracleSql {
       MAX(dfp) AS max_fp
     FROM d GROUP BY split ORDER BY split ASC NULLS FIRST""")
 
+  val qTsFunnelTime: String = n("""
+    WITH w AS (
+      SELECT user_id, ts, event_type,
+        MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+          OVER (PARTITION BY user_id) AS s_us
+      FROM events),
+    c AS (
+      SELECT user_id, MIN(epoch_us(ts)) - MIN(s_us) AS t2c_us
+      FROM w
+      WHERE event_type = 'purchase' AND epoch_us(ts) > s_us
+      GROUP BY user_id)
+    SELECT COUNT(*) AS n_converted,
+      round(quantile_cont(t2c_us, 0.5), 4) AS p50_us,
+      round(quantile_cont(t2c_us, 0.95), 4) AS p95_us,
+      CAST(MAX(t2c_us) AS BIGINT) AS max_us
+    FROM c""")
+
+  val qAggPowerCurve: String = n("""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events),
+    u AS (SELECT user_id, COUNT(*) AS active_days FROM ud GROUP BY user_id)
+    SELECT active_days, COUNT(*) AS n_users
+    FROM u GROUP BY active_days ORDER BY active_days ASC NULLS FIRST""")
+
   val qFnVariant: String = n("""
     WITH k AS (
       SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
