@@ -1167,6 +1167,36 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("restart: tuple-keyed interarrival state survives stop + resume from checkpoint") {
+    import spark.implicits._
+    withRocksDB {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_rst_gap").toString
+      val in = MemoryStream[Event](spark)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      def start() = collectingSink(StreamOps.interarrival(in.toDS()), ckpt,
+                                   OutputMode.Append, buf)
+      val q1 = start()
+      try {
+        // seed two DIFFERENT composite-keyed streams: (1, click), (1, view)
+        in.addData(ev(1, 0, user = 1, typ = "click"),
+                   ev(2, 3, user = 1, typ = "view"))
+        q1.processAllAvailable()
+      } finally q1.stop() // kill with both last-arrival marks in state
+      buf.clear()
+      val q2 = start()    // resume: the (Long, String) keyed state must
+      try {               // decode back to the RIGHT streams
+        in.addData(ev(3, 20, user = 1, typ = "click"),
+                   ev(4, 40, user = 1, typ = "view"))
+        q2.processAllAvailable()
+        val rows = buf.synchronized {
+          buf.map(r => r.getLong(2) -> r.getLong(3)).toMap }
+        // lost/crossed state would emit nothing or wrong gaps
+        assert(rows == Map(3L -> 1200000000L, 4L -> 2220000000L),
+          s"post-restart gaps must come from the recovered per-stream marks: $rows")
+      } finally q2.stop()
+    }
+  }
+
   test("restart: SCD2 open-run state survives stop + resume from checkpoint") {
     import spark.implicits._
     withRocksDB {
