@@ -599,6 +599,50 @@ object Relational {
       .orderBy("disposition")
   }
 
+  /** Temporal join against an SCD2 history — the dimensional-modeling
+    * query an SCD2 table exists to serve: the dimension is the user's
+    * CHANNEL state (runs of click/view touches compressed by the
+    * [[qCdcScd2]] gaps-and-islands rule over the touch substream), and
+    * every OUTCOME fact (purchase/error/signup) joins the version that
+    * was current at its event time (`valid_from ≤ t < valid_to`,
+    * half-open on integer µs; NULL `valid_to` = the open current
+    * version) — "which channel state were users in when they
+    * purchased/errored". Outcomes before any touch have no version
+    * and drop (mirrored inner-join rule). The at-scale shape is what
+    * makes SCD2 work on a 100 TB fact stream: the join key IS the
+    * entity id, so facts and history co-partition on user_id and the
+    * interval test is a post-join FILTER over that user's own few
+    * versions — no bucket replication, no range explosion. */
+  def qJoinScd2AsOf(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val touches = Tables.events(s, sf)
+      .where(col("event_type").isin("click", "view"))
+    val prev = lag(col("event_type"), 1).over(w)
+    val chg = when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L)
+    val hist = touches
+      .withColumn("version", sum(chg).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("state"),
+           expr("unix_micros(min(ts))").as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(
+        Window.partitionBy("user_id").orderBy(col("version"))))
+      .select(col("user_id"), col("state"),
+              col("valid_from_us"), col("valid_to_us"))
+    val facts = Tables.events(s, sf)
+      .where(col("event_type").isin("purchase", "error", "signup"))
+      .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("us"))
+    facts.join(hist,
+        facts("user_id") === hist("user_id") &&
+        col("us") >= col("valid_from_us") &&
+        (col("valid_to_us").isNull || col("us") < col("valid_to_us")))
+      .groupBy(col("state"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(facts("user_id")).as("n_users"))
+      .orderBy("state", "event_type")
+  }
+
   /** Versioned-snapshot time travel on plain parquet — the poor-man's
     * form of the lakehouse feature this environment can't ship
     * (no Delta/Iceberg jars offline; SURVEY §6): every publish writes

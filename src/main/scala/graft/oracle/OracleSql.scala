@@ -4612,6 +4612,43 @@ object OracleSql {
     SELECT active_days, COUNT(*) AS n_users
     FROM u GROUP BY active_days ORDER BY active_days ASC NULLS FIRST""")
 
+  val qJoinScd2AsOf: String = n("""
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events WHERE event_type IN ('click', 'view')),
+    w AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN LAG(event_type) OVER win IS DISTINCT FROM event_type
+             THEN 1 ELSE 0 END AS chg
+      FROM t
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (
+      SELECT user_id, event_type, ts,
+        CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS version
+      FROM w),
+    g AS (
+      SELECT user_id, version, MIN(event_type) AS state,
+        epoch_us(MIN(ts)) AS valid_from_us
+      FROM r GROUP BY user_id, version),
+    h AS (
+      SELECT user_id, state, valid_from_us,
+        LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+          AS valid_to_us
+      FROM g),
+    f AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us
+      FROM events WHERE event_type IN ('purchase', 'error', 'signup'))
+    SELECT h.state, f.event_type, COUNT(*) AS n_events,
+      COUNT(DISTINCT f.user_id) AS n_users
+    FROM f JOIN h
+      ON f.user_id = h.user_id
+     AND f.us >= h.valid_from_us
+     AND (h.valid_to_us IS NULL OR f.us < h.valid_to_us)
+    GROUP BY h.state, f.event_type
+    ORDER BY state ASC NULLS FIRST, event_type ASC NULLS FIRST""")
+
   val qFnVariant: String = n("""
     WITH k AS (
       SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
