@@ -1272,6 +1272,27 @@ object Aggregates {
       ORDER BY o_orderpriority""")
   }
 
+  /** Round-number forensics — [[qAggBenford]]'s sibling screen:
+    * organic monetary amounts rarely land exactly on whole currency
+    * units or multiples of ten, so an elevated round-value share flags
+    * a fabricated, clipped, or default-filled feed. The value is
+    * recovered to its exact integer cent grid (`floor(v·100 + 0.5)` —
+    * fixture money is scale-2 exact, so this is lossless on both
+    * engines), then pure modular tests; shares in 1e-3 fixed point.
+    * One map-side projection + |types|-row hash agg. */
+  def qAggRoundValues(s: SparkSession, sf: String): DataFrame = {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    Tables.events(s, sf)
+      .select(col("event_type"), cents.as("c100"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("c100") % 100 === 0, 1L).otherwise(0L)).as("n_whole"),
+           sum(when(col("c100") % 1000 === 0, 1L).otherwise(0L)).as("n_tens"))
+      .withColumn("whole_pm", expr("1000 * n_whole div n"))
+      .withColumn("tens_pm", expr("1000 * n_tens div n"))
+      .orderBy("event_type")
+  }
+
   /** Power-user curve — the engagement-depth histogram (the classic
     * growth chart): users bucketed by how many distinct days they were
     * active in the fixture window; a smile-shaped curve (mass at both

@@ -298,6 +298,26 @@ object TextAnalysis {
       .orderBy("lang", "rk")
   }
 
+  /** Token-length distribution per language — the tokenizer-health
+    * histogram (wrong-locale splitting, double-encoding, or a
+    * whitespace-normalization bug all shift it instantly, before any
+    * downstream metric moves): per (lang, token length) counts with a
+    * per-lang 1e-3 share, lengths clamped at 15+ into one tail bucket
+    * so the frame is bounded at any corpus size. ALL-INTEGER. One
+    * token explode + one bounded hash agg + a per-lang window over the
+    * ≤16-row strips. */
+  def qTextTokenLenDist(s: SparkSession, sf: String): DataFrame = {
+    val lenB = least(length(col("token")), lit(15))
+    Tables.documents(s, sf)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("lang"), lenB.as("token_len"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_pm", expr(
+        "1000 * n div sum(n) OVER (PARTITION BY lang)"))
+      .orderBy("lang", "token_len")
+  }
+
   /** Per-source language-mix drift — the ingest-monitoring readout: the
     * Jensen–Shannon divergence between each source's language
     * distribution and the REST of the corpus (excluding the source

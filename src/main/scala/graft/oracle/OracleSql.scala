@@ -4649,6 +4649,35 @@ object OracleSql {
     GROUP BY h.state, f.event_type
     ORDER BY state ASC NULLS FIRST, event_type ASC NULLS FIRST""")
 
+  val qTextTokenLenDist: String = n("""
+    WITH t AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    c AS (
+      SELECT lang, LEAST(length(token), 15) AS token_len, COUNT(*) AS n
+      FROM t WHERE token <> '' GROUP BY 1, 2)
+    SELECT lang, token_len, n,
+      CAST(1000 * n // SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+        AS share_pm
+    FROM c
+    ORDER BY lang ASC NULLS FIRST, token_len ASC NULLS FIRST""")
+
+  val qAggRoundValues: String = n("""
+    WITH c AS (
+      SELECT event_type,
+        CAST(floor(value * 100 + 0.5) AS BIGINT) AS c100
+      FROM events)
+    SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CASE WHEN c100 % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_whole,
+      CAST(SUM(CASE WHEN c100 % 1000 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_tens,
+      1000 * CAST(SUM(CASE WHEN c100 % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        // COUNT(*) AS whole_pm,
+      1000 * CAST(SUM(CASE WHEN c100 % 1000 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        // COUNT(*) AS tens_pm
+    FROM c GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""")
+
   val qFnVariant: String = n("""
     WITH k AS (
       SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
