@@ -657,7 +657,12 @@ object Relational {
     * and today's" audit. Counts exact, money on the decimal path;
     * the diff joins two ≤|status|-row frames. */
   def qSinkTimetravel(s: SparkSession, sf: String): DataFrame = {
-    val base = "/tmp/graft_sink/orders_tt"
+    // per-sf base (the qScanDpp suffix discipline): the multi-file
+    // manifest protocol makes a cross-sf race SILENT — a MANIFEST from
+    // one run resolving v= dirs from another yields a wrong-but-
+    // plausible diff, not a failure — so the path must never be shared
+    val base = "/tmp/graft_sink/orders_tt_" +
+      sf.replaceAll("[^a-zA-Z0-9.]", "_")
     def rollup(df: DataFrame): DataFrame =
       df.groupBy(col("status"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("price")).as("total_price"))

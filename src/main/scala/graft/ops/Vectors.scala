@@ -528,8 +528,15 @@ object Vectors {
           lit(0L),
           (a, e) => a + floor(e.cast("double") * e.cast("double")
                               * lit(1099511627776.0d)).cast("long")))
+      // the ×1e9 product overflows BIGINT once sq_fp reaches ~9.2e9×2⁴⁰
+      // (badly non-normalized vectors — exactly what the op exists to
+      // flag) and Spark would WRAP silently while the oracle doesn't;
+      // widen to DECIMAL(38,0) (the qAuditKeySkew sum_sq discipline),
+      // integer-divide there, and come back to BIGINT for the ppb value
       .withColumn("ppb",
-        expr("1000000000L * abs(sq_fp - 1099511627776L) div 1099511627776L"))
+        expr("""cast(cast(1000000000 as decimal(38,0))
+                    * abs(cast(sq_fp as decimal(38,0)) - 1099511627776)
+                    div 1099511627776 as bigint)"""))
       .withColumn("bucket", least(expr("ppb div 25"), lit(15L)))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"),

@@ -3,7 +3,7 @@ package graft.oracle
 /** DuckDB oracle SQL, one val per q_* key (SURVEY.md §2 / §7.3).
   *
   * Discipline shared with the Spark side:
-  *  - money sums:   CAST(SUM(CAST(expr AS DECIMAL(28,s))) AS DOUBLE) with
+  *  - money sums:   CAST(CAST(SUM(CAST(expr AS DECIMAL(28,s))) AS VARCHAR) AS DOUBLE) with
   *    cast scale s ≥ the expression's true decimal scale (see ops/Util)
   *  - averages:     decimal-sum→double / COUNT(*)
   *  - every query ends in a total ORDER BY over a provably unique key
@@ -19,13 +19,13 @@ object OracleSql {
 
   val qAggGroupby: String = n("""
     SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_price,
-      CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -36,7 +36,7 @@ object OracleSql {
 
   val qAggGlobal: String = n("""
     SELECT COUNT(*) AS n,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
       MIN(l_extendedprice) AS min_price,
       MAX(l_extendedprice) AS max_price,
       COUNT(DISTINCT l_suppkey) AS n_supp
@@ -53,14 +53,14 @@ object OracleSql {
 
   val qAggHaving: String = n("""
     SELECT o_custkey, COUNT(*) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM orders GROUP BY o_custkey
     HAVING COUNT(*) >= 15 ORDER BY o_custkey""")
 
   val qAggStats: String = n("""
     SELECT event_type, COUNT(*) AS n,
       MIN(value) AS min_value, MAX(value) AS max_value,
-      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_value,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_value,
       round(stddev_samp(value), 4) AS std_value,
       round(var_samp(value), 4) AS var_value
     FROM events GROUP BY event_type ORDER BY event_type""")
@@ -83,7 +83,7 @@ object OracleSql {
 
   val qAggRollup: String = n("""
     SELECT r_name, n_name, COUNT(*) AS n_cust,
-      CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+      CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -92,7 +92,7 @@ object OracleSql {
 
   val qAggCube: String = n("""
     SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
       COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -167,7 +167,7 @@ object OracleSql {
   val qFnCast: String = n("""
     SELECT o_orderkey,
       CAST(o_orderkey AS VARCHAR) AS key_str,
-      CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price_dec,
+      CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS price_dec,
       CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
       CAST(o_orderdate AS VARCHAR) AS date_str,
       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS date_only,
@@ -213,7 +213,7 @@ object OracleSql {
 
   val qTsTumbling: String = n("""
     SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS n,
-      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
       MIN(value) AS min_value, MAX(value) AS max_value
     FROM events GROUP BY bucket, event_type
     ORDER BY bucket, event_type""")
@@ -248,11 +248,11 @@ object OracleSql {
       FROM (
         SELECT event_id, user_id, value,
           COUNT(value) OVER f AS n20,
-          CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER f AS DOUBLE)
+          CAST(CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER f AS VARCHAR) AS DOUBLE)
             / COUNT(value) OVER f AS mu,
-          sqrt(greatest((CAST(SUM(CAST(value * value AS DECIMAL(28,4))) OVER f AS DOUBLE)
-                - CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER f AS DOUBLE)
-                  * CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER f AS DOUBLE)
+          sqrt(greatest((CAST(CAST(SUM(CAST(value * value AS DECIMAL(28,4))) OVER f AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER f AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER f AS VARCHAR) AS DOUBLE)
                   / COUNT(value) OVER f)
                / (COUNT(value) OVER f - 1), 0.0)) AS sd
         FROM events
@@ -404,7 +404,7 @@ object OracleSql {
       FROM documents JOIN embeddings ON doc_id = vec_id
       WHERE label < 5)
     SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-      CAST(SUM(CAST(norm_sq AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_norm
+      CAST(CAST(SUM(CAST(norm_sq AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_norm
     FROM j GROUP BY lang ORDER BY lang""")
 
   // ---- §2.5 windows ----
@@ -431,7 +431,7 @@ object OracleSql {
 
   val qWinMovingAvg: String = n("""
     SELECT event_id, user_id,
-      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE)
         / COUNT(*) OVER w AS ma5
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -440,7 +440,7 @@ object OracleSql {
 
   val qWinRangeFrame: String = n("""
     SELECT event_id, user_id,
-      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS trailing_sum
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) AS trailing_sum
     FROM (SELECT *, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s FROM events) t
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
@@ -524,7 +524,7 @@ object OracleSql {
 
   val qJoinBroadcast: String = n("""
     SELECT r_name, n_name,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_price,
       COUNT(*) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -540,7 +540,7 @@ object OracleSql {
 
   val qJoinLeftOuter: String = n("""
     SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey ORDER BY c_custkey""")
 
@@ -650,18 +650,18 @@ object OracleSql {
   // roundtrip exactly through Spark's shortest-representation text form
   val qSourceCsv: String = n("""
     SELECT s_nationkey, COUNT(*) AS n_supp,
-      CAST(SUM(CAST(s_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+      CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_bal
     FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")
 
   val qSourceJsonl: String = n("""
     SELECT c_nationkey, COUNT(*) AS n_cust,
-      CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+      CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_bal
     FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")
 
   // bucketed layout is an execution detail; values match the plain join
   val qJoinBucketed: String = n("""
     SELECT o_orderkey, COUNT(*) AS n_lines,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+      CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderkey ORDER BY o_orderkey""")
 
@@ -669,7 +669,7 @@ object OracleSql {
   // detail; the oracle runs the unsalted SQL)
   val qJoinSkewSalted: String = n("""
     SELECT o_orderpriority, COUNT(*) AS n_lines,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+      CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS FIRST""")
 
@@ -677,7 +677,7 @@ object OracleSql {
   // straight filtered aggregate
   val qSinkPartitioned: String = n("""
     SELECT o_orderstatus, COUNT(*) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM orders WHERE o_orderstatus <> 'P'
     GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS FIRST""")
 
@@ -722,7 +722,7 @@ object OracleSql {
           CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_words
         FROM documents) t)
     SELECT source, COUNT(*) AS n_docs,
-      CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_quality,
+      CAST(CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_quality,
       CAST(SUM(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
     FROM d GROUP BY source ORDER BY source ASC NULLS FIRST""")
 
@@ -807,7 +807,7 @@ object OracleSql {
       FROM events),
     p AS (
       SELECT user_id, seg,
-        floor(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+        floor(CAST(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)
               * 10000 + 0.5) / 10000.0 AS m
       FROM t GROUP BY user_id, seg),
     l AS (
@@ -827,7 +827,7 @@ object OracleSql {
         NTILE(8) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg
       FROM events)
     SELECT user_id, seg, COUNT(*) AS n,
-      floor(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+      floor(CAST(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)
             * 10000 + 0.5) / 10000.0 AS seg_mean
     FROM t GROUP BY user_id, seg ORDER BY user_id, seg""")
 
@@ -868,8 +868,8 @@ object OracleSql {
   // Mirrors graft.sources.TelemetrySource's pure-integer generator.
   val qSourceDsv2: String = n("""
     SELECT s AS series_id, COUNT(*) AS n,
-      CAST(SUM(CAST(CAST((s * 131 + i * 7) % 10000 AS DOUBLE) / 100.0
-               AS DECIMAL(28,2))) AS DOUBLE) AS total
+      CAST(CAST(SUM(CAST(CAST((s * 131 + i * 7) % 10000 AS DOUBLE) / 100.0
+               AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) AS total
     FROM generate_series(8, 23) t(s), generate_series(0, 99) u(i)
     GROUP BY s ORDER BY s""")
 
@@ -975,8 +975,8 @@ object OracleSql {
       SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
     tot AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1)
     SELECT c.user_id, MAX(t.n) AS n_events,
-      CAST(-SUM(CAST(round(ln(CAST(c.c AS DOUBLE) / t.n), 4) AS DECIMAL(18,4))
-                * c.c) AS DOUBLE) / MAX(t.n) AS entropy
+      CAST(CAST(-SUM(CAST(round(ln(CAST(c.c AS DOUBLE) / t.n), 4) AS DECIMAL(18,4))
+                * c.c) AS VARCHAR) AS DOUBLE) / MAX(t.n) AS entropy
     FROM cells c JOIN tot t USING (user_id)
     GROUP BY c.user_id ORDER BY c.user_id""")
 
@@ -1042,7 +1042,7 @@ object OracleSql {
       SELECT bg, round(ln(CAST(bf.bf AS DOUBLE) / cf.cf), 4) AS logp
       FROM bf JOIN cf ON split_part(bf.bg, ' ', 1) = cf.w1)
     SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_bigrams,
-      CAST(-SUM(CAST(lp.logp AS DECIMAL(18,4)) * d.c) AS DOUBLE)
+      CAST(CAST(-SUM(CAST(lp.logp AS DECIMAL(18,4)) * d.c) AS VARCHAR) AS DOUBLE)
         / SUM(d.c) AS xent2
     FROM dbc d JOIN lp USING (bg)
     GROUP BY d.doc_id ORDER BY d.doc_id ASC NULLS FIRST""")
@@ -1226,8 +1226,8 @@ object OracleSql {
   val qAggUnpivot: String = n("""
     WITH w AS (
       SELECT l_returnflag,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_price
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM w
     UNION ALL
@@ -1237,11 +1237,11 @@ object OracleSql {
   val qAggCorr: String = n("""
     WITH m AS (
       SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sx,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sy,
-        CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
-        CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
-        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS syy
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sx,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sy,
+        CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+        CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+        CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS syy
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
       round((n * sxy - sx * sy)
@@ -1260,7 +1260,7 @@ object OracleSql {
         COALESCE(u.u_price, o.o_totalprice) AS price
       FROM orders o FULL OUTER JOIN updates u ON o.o_orderkey = u.u_key)
     SELECT status, COUNT(*) AS n_orders,
-      CAST(SUM(CAST(price AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+      CAST(CAST(SUM(CAST(price AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM merged GROUP BY status ORDER BY status""")
 
   val qFnRegex: String = n("""
@@ -1273,7 +1273,7 @@ object OracleSql {
   val qTsInterpolate: String = n("""
     WITH hourly AS (
       SELECT user_id, date_trunc('hour', ts) AS bucket,
-        CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS v
+        CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS v
       FROM events GROUP BY 1, 2),
     bounds AS (
       SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
@@ -1310,14 +1310,14 @@ object OracleSql {
   val qSqlScalarSubquery: String = n("""
     SELECT l_returnflag, COUNT(*) AS n_above
     FROM lineitem
-    WHERE l_quantity > (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+    WHERE l_quantity > (SELECT CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE)
                                / COUNT(*) FROM lineitem)
     GROUP BY l_returnflag ORDER BY l_returnflag""")
 
   val qSqlCorrelated: String = n("""
     SELECT c_custkey, c_nationkey, c_acctbal
     FROM customer c
-    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+    WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE)
                               / COUNT(*)
                        FROM customer c2
                        WHERE c2.c_nationkey = c.c_nationkey)
@@ -1386,9 +1386,9 @@ object OracleSql {
     SELECT event_type, m1, m5,
       CASE WHEN m1 > 0 AND m5 > 0
            AND m1 * q1 - CAST(s1 AS DECIMAL(38,0)) * s1 > 0
-           THEN round((CAST(m5 * q5 - CAST(s5 AS DECIMAL(38,0)) * s5 AS DOUBLE)
+           THEN round((CAST(CAST(m5 * q5 - CAST(s5 AS DECIMAL(38,0)) * s5 AS VARCHAR) AS DOUBLE)
                        * CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE))
-                / (5.0 * CAST(m1 * q1 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+                / (5.0 * CAST(CAST(m1 * q1 - CAST(s1 AS DECIMAL(38,0)) * s1 AS VARCHAR) AS DOUBLE)
                    * CAST(m5 AS DOUBLE) * CAST(m5 AS DOUBLE)), 6)
            ELSE NULL END AS vr
     FROM mo ORDER BY event_type ASC NULLS FIRST""")
@@ -1650,12 +1650,12 @@ object OracleSql {
         CAST(SUM(dv * dv) AS BIGINT) AS syy
       FROM dd)
     SELECT m,
-      CASE WHEN CAST(CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) > 0
-            AND CAST(CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE) > 0
+      CASE WHEN CAST(CAST(CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS VARCHAR) AS DOUBLE) > 0
+            AND CAST(CAST(CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS VARCHAR) AS DOUBLE) > 0
       THEN
-      round(CAST(CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
-        / sqrt(CAST(CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
-             * CAST(CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)), 6)
+      round(CAST(CAST(CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS VARCHAR) AS DOUBLE)
+        / sqrt(CAST(CAST(CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS VARCHAR) AS DOUBLE)
+             * CAST(CAST(CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS VARCHAR) AS DOUBLE)), 6)
       ELSE NULL END
         AS assort
     FROM mo""")
@@ -1798,9 +1798,9 @@ object OracleSql {
         CAST(SUM(c) AS BIGINT) AS tot
       FROM cells GROUP BY 1)
     SELECT c.event_type, MAX(t.nu) AS n_users, MAX(t.tot) AS n_events,
-      CAST(SUM(CAST(round(ln(CAST(c.c AS DOUBLE) * CAST(t.nu AS DOUBLE)
+      CAST(CAST(SUM(CAST(round(ln(CAST(c.c AS DOUBLE) * CAST(t.nu AS DOUBLE)
                              / CAST(t.tot AS DOUBLE)), 4) AS DECIMAL(18,4))
-               * c.c) AS DOUBLE) / MAX(t.tot) AS theil
+               * c.c) AS VARCHAR) AS DOUBLE) / MAX(t.tot) AS theil
     FROM cells c JOIN tot t USING (event_type)
     GROUP BY c.event_type ORDER BY c.event_type ASC NULLS FIRST""")
 
@@ -1900,7 +1900,7 @@ object OracleSql {
                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
     SELECT event_type, day, x,
       CASE WHEN n * stt - st * st > 0
-           THEN round(CAST(n * sty - CAST(st AS DECIMAL(38,0)) * sy AS DOUBLE)
+           THEN round(CAST(CAST(n * sty - CAST(st AS DECIMAL(38,0)) * sy AS VARCHAR) AS DOUBLE)
                 / CAST(n * stt - st * st AS DOUBLE), 6)
            ELSE NULL END AS slope14
     FROM w WHERE rn >= 14
@@ -1959,9 +1959,9 @@ object OracleSql {
       FROM t)
     SELECT na, nb, COUNT(*) AS n_types,
       CASE WHEN na > 0 AND nb > 0 THEN
-      round(0.5 * (CAST(SUM(CAST(lpa AS DECIMAL(18,4)) * ca) AS DOUBLE)
+      round(0.5 * (CAST(CAST(SUM(CAST(lpa AS DECIMAL(18,4)) * ca) AS VARCHAR) AS DOUBLE)
                      / CAST(na AS DOUBLE)
-                   + CAST(SUM(CAST(lpb AS DECIMAL(18,4)) * cb) AS DOUBLE)
+                   + CAST(CAST(SUM(CAST(lpb AS DECIMAL(18,4)) * cb) AS VARCHAR) AS DOUBLE)
                      / CAST(nb AS DOUBLE)), 6)
       ELSE NULL END AS jsd
     FROM lp GROUP BY na, nb""")
@@ -2018,7 +2018,7 @@ object OracleSql {
              ELSE 0.0 END AS sil
       FROM ab)
     SELECT label, COUNT(*) AS n,
-      CAST(SUM(CAST(sil AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_sil
+      CAST(CAST(SUM(CAST(sil AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_sil
     FROM sil GROUP BY label ORDER BY label ASC NULLS FIRST""")
 
   val qAggWinsorizedMean: String = n("""
@@ -2027,8 +2027,8 @@ object OracleSql {
         round(quantile_cont(value, 0.95), 4) AS p95
       FROM events GROUP BY 1)
     SELECT e.event_type, COUNT(*) AS n, MAX(p.p05) AS p05, MAX(p.p95) AS p95,
-      round(CAST(SUM(CAST(round(least(greatest(e.value, p.p05), p.p95), 4)
-                     AS DECIMAL(28,4))) AS DOUBLE)
+      round(CAST(CAST(SUM(CAST(round(least(greatest(e.value, p.p05), p.p95), 4)
+                     AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE)
             / CAST(COUNT(*) AS DOUBLE), 4) AS wmean
     FROM events e JOIN pct p USING (event_type)
     GROUP BY e.event_type ORDER BY e.event_type ASC NULLS FIRST""")
@@ -2262,7 +2262,7 @@ object OracleSql {
 
   val qSinkCompact: String = n("""
     SELECT event_type, COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
       CAST(64 AS BIGINT) AS n_files_before,
       CAST(1 AS BIGINT) AS compaction_ok
     FROM events GROUP BY event_type
@@ -2270,7 +2270,7 @@ object OracleSql {
 
   val qScanDpp: String = n("""
     SELECT o_orderstatus, COUNT(*) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM orders
     WHERE o_orderstatus IN (
       SELECT DISTINCT o_orderstatus FROM orders WHERE o_totalprice > 400000.0)
@@ -2316,16 +2316,16 @@ object OracleSql {
 
   val qAggWeightedAvg: String = n("""
     SELECT l_returnflag, COUNT(*) AS n,
-      CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
-        / CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS wavg_price
+      CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS wavg_price
     FROM lineitem GROUP BY l_returnflag
     ORDER BY l_returnflag ASC NULLS FIRST""")
 
   val qWinCumsum: String = n("""
     SELECT event_id, user_id,
-      CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER (
+      CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
         AS running_total
     FROM events
     ORDER BY event_id ASC NULLS FIRST""")
@@ -2333,7 +2333,7 @@ object OracleSql {
   val qAggReagg: String = n("""
     SELECT event_type,
       COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
       MIN(value) AS min_value,
       MAX(value) AS max_value,
       COUNT(DISTINCT date_trunc('day', ts)) AS n_days
@@ -2436,13 +2436,13 @@ object OracleSql {
     SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
       CAST(hour(ts) AS BIGINT) AS hod,
       COUNT(*) AS n,
-      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_value
+      CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_value
     FROM events GROUP BY 1, 2
     ORDER BY dow ASC NULLS FIRST, hod ASC NULLS FIRST""")
 
   val qTsSeasonality: String = n("""
     SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, COUNT(*) AS n,
-      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_value
+      CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_value
     FROM events GROUP BY 1, 2
     ORDER BY event_type ASC NULLS FIRST, hod ASC NULLS FIRST""")
 
@@ -2600,7 +2600,7 @@ object OracleSql {
       SELECT event_type,
         least(CAST(floor(value) AS BIGINT) // 50, 9) AS bucket,
         COUNT(*) AS n_events,
-        CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2)
     SELECT event_type, bucket, bucket * 50 AS lo, n_events, sum_value,
       CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY bucket
@@ -2636,19 +2636,19 @@ object OracleSql {
       FROM events e JOIN s3 p ON e.user_id = p.user_id
       WHERE e.event_type = 'purchase' AND e.ts >= p.tk GROUP BY e.user_id)
     SELECT '1_signup' AS stage, COUNT(*) AS n_users,
-      CAST(SUM(CAST((epoch_us(tk) - epoch_us(t1)) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
+      CAST(CAST(SUM(CAST((epoch_us(tk) - epoch_us(t1)) / 1000000.0 AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
         / COUNT(*) / 3600.0 AS avg_hours FROM s1
     UNION ALL
     SELECT '2_view', COUNT(*),
-      CAST(SUM(CAST((epoch_us(tk) - epoch_us(t1)) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
+      CAST(CAST(SUM(CAST((epoch_us(tk) - epoch_us(t1)) / 1000000.0 AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
         / COUNT(*) / 3600.0 FROM s2
     UNION ALL
     SELECT '3_click', COUNT(*),
-      CAST(SUM(CAST((epoch_us(tk) - epoch_us(t1)) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
+      CAST(CAST(SUM(CAST((epoch_us(tk) - epoch_us(t1)) / 1000000.0 AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
         / COUNT(*) / 3600.0 FROM s3
     UNION ALL
     SELECT '4_purchase', COUNT(*),
-      CAST(SUM(CAST((epoch_us(tk) - epoch_us(t1)) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
+      CAST(CAST(SUM(CAST((epoch_us(tk) - epoch_us(t1)) / 1000000.0 AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
         / COUNT(*) / 3600.0 FROM s4
     ORDER BY stage ASC NULLS FIRST""")
 
@@ -2756,7 +2756,7 @@ object OracleSql {
 
   val qJoinBloom: String = n("""
     SELECT o_orderpriority, COUNT(*) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM orders
     WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
     GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS FIRST""")
@@ -3189,7 +3189,7 @@ object OracleSql {
 
   val qJoinStar: String = n("""
     SELECT r_name, COUNT(*) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -3255,7 +3255,7 @@ object OracleSql {
     * the same rows from the parquet fixture directly. */
   val qSourceOrc: String = n("""
     SELECT p_brand, COUNT(*) AS n_parts,
-      CAST(SUM(CAST(p_retailprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+      CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM part WHERE p_size >= 10
     GROUP BY p_brand ORDER BY p_brand ASC NULLS FIRST""")
 
@@ -3263,8 +3263,8 @@ object OracleSql {
   val qAggFiltered: String = n("""
     SELECT o_orderpriority, COUNT(*) AS n_orders,
       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
-      CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
-                    FILTER (WHERE o_totalprice > 100000), 0) AS DOUBLE) AS high_value_total
+      CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                    FILTER (WHERE o_totalprice > 100000), 0) AS VARCHAR) AS DOUBLE) AS high_value_total
     FROM orders GROUP BY o_orderpriority
     ORDER BY o_orderpriority ASC NULLS FIRST""")
 
@@ -3315,7 +3315,7 @@ object OracleSql {
       SELECT token, round(ln(CAST(tf AS DOUBLE) / nn), 4) AS logp
       FROM tf CROSS JOIN nn)
     SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_tokens,
-      CAST(-SUM(CAST(lp.logp AS DECIMAL(18,4)) * d.c) AS DOUBLE)
+      CAST(CAST(-SUM(CAST(lp.logp AS DECIMAL(18,4)) * d.c) AS VARCHAR) AS DOUBLE)
         / SUM(d.c) AS xent
     FROM dtf d JOIN lp USING (token)
     GROUP BY d.doc_id ORDER BY d.doc_id ASC NULLS FIRST""")
@@ -3334,7 +3334,7 @@ object OracleSql {
   val qSinkZorder: String = n("""
     SELECT event_type, COUNT(*) AS n_events,
       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+      CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'
     GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""")
@@ -3390,10 +3390,10 @@ object OracleSql {
   val qAggSkewKurt: String = n("""
     WITH s AS (
       SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s1,
-        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s2,
-        CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS s3,
-        CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS s4
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS s1,
+        CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS s2,
+        CAST(CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS s3,
+        CAST(CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS s4
       FROM lineitem GROUP BY l_returnflag),
     k AS (SELECT l_returnflag, n, s1, s2, s3, s4, s1 / n AS mean FROM s),
     c AS (
@@ -3661,7 +3661,7 @@ object OracleSql {
   /** The bound parameters inlined — binding must be invisible. */
   val qSqlParameterized: String = n("""
     SELECT o_orderpriority, COUNT(*) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM orders
     WHERE o_orderstatus = 'O' AND o_totalprice > 50000
     GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS FIRST""")
@@ -3670,7 +3670,7 @@ object OracleSql {
     * incremental rollup (same statement as qAggReagg's). */
   val qRollupIncremental: String = n("""
     SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+      CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""")
 
@@ -3707,7 +3707,7 @@ object OracleSql {
       FROM t WHERE next_us IS NOT NULL)
     SELECT user_id, COUNT(*) AS n_holds,
       CAST(SUM(hold_s) AS BIGINT) AS span_s,
-      CAST(SUM(CAST(value AS DECIMAL(18,4)) * hold_s) AS DOUBLE)
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)) * hold_s) AS VARCHAR) AS DOUBLE)
         / CAST(SUM(hold_s) AS BIGINT) AS twap
     FROM h GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""")
 
@@ -3762,7 +3762,7 @@ object OracleSql {
 
   val qSqlBroadcastHint: String = n("""
     SELECT n.n_name, COUNT(*) AS n_cust,
-      CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+      CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_bal
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name ORDER BY n.n_name ASC NULLS FIRST""")
 
@@ -3782,8 +3782,8 @@ object OracleSql {
     * any double), every other partition untouched. */
   val qSinkDynamicOverwrite: String = n("""
     SELECT o_orderstatus, COUNT(*) AS n_orders,
-      CAST(SUM(CAST(o_totalprice * (CASE WHEN o_orderstatus = 'P' THEN 2 ELSE 1 END)
-                    AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+      CAST(CAST(SUM(CAST(o_totalprice * (CASE WHEN o_orderstatus = 'P' THEN 2 ELSE 1 END)
+                    AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM orders GROUP BY o_orderstatus
     ORDER BY o_orderstatus ASC NULLS FIRST""")
 
@@ -3818,10 +3818,10 @@ object OracleSql {
       WHERE r <= 1000),
     m AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-        CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE) AS sx,
-        CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE) AS sy,
-        CAST(SUM(CAST(x * y AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
-        CAST(SUM(CAST(x * x AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+        CAST(CAST(SUM(CAST(x AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sx,
+        CAST(CAST(SUM(CAST(y AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sy,
+        CAST(CAST(SUM(CAST(x * y AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sxy,
+        CAST(CAST(SUM(CAST(x * x AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sxx
       FROM ranked)
     SELECT CAST(n AS BIGINT) AS n_tokens_fit,
       round(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 4) AS zipf_s
@@ -4176,7 +4176,7 @@ object OracleSql {
                   THEN lt ELSE 'none' END AS channel, value
       FROM w WHERE event_type = 'purchase')
     SELECT channel, COUNT(*) AS n_conversions,
-      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS attributed_value
+      CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS attributed_value
     FROM p GROUP BY channel ORDER BY channel ASC NULLS FIRST""")
 
   val qWinSeasonalNaiveError: String = n("""
@@ -4330,7 +4330,7 @@ object OracleSql {
   val qSqlGroupbyAll: String = n("""
     SELECT l_returnflag, l_linestatus,
       COUNT(*) AS n_rows,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY ALL
     ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
@@ -4372,11 +4372,13 @@ object OracleSql {
         CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
                             * 1099511627776.0) AS BIGINT)) AS BIGINT) AS sq_fp
       FROM x GROUP BY vec_id),
+    p AS (
+      SELECT CAST((CAST(1000000000 AS HUGEINT)
+                     * abs(CAST(sq_fp AS HUGEINT) - 1099511627776))
+                    // 1099511627776 AS BIGINT) AS ppb
+      FROM sq),
     b AS (
-      SELECT LEAST((1000000000 * abs(sq_fp - 1099511627776))
-                     // 1099511627776 // 25, 15) AS bucket,
-        (1000000000 * abs(sq_fp - 1099511627776)) // 1099511627776 AS ppb
-      FROM sq)
+      SELECT LEAST(ppb // 25, 15) AS bucket, ppb FROM p)
     SELECT bucket, COUNT(*) AS n_vecs,
       MIN(ppb) AS min_ppb, MAX(ppb) AS max_ppb
     FROM b GROUP BY bucket ORDER BY bucket ASC NULLS FIRST""")
@@ -4515,7 +4517,7 @@ object OracleSql {
       UNION ALL
       SELECT l_returnflag, 'disc', l_discount FROM lineitem)
     SELECT l_returnflag, metric, COUNT(*) AS n,
-      CAST(SUM(CAST(val AS DECIMAL(28,4))) AS DOUBLE) AS total
+      CAST(CAST(SUM(CAST(val AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total
     FROM u GROUP BY l_returnflag, metric
     ORDER BY l_returnflag ASC NULLS FIRST, metric ASC NULLS FIRST""")
 

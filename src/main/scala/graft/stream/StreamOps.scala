@@ -30,6 +30,14 @@ object StreamOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
+  /** Exact epoch-µs from a java.sql.Timestamp. getTime truncates to ms
+    * (it already carries the ms part of nanos); getNanos restores the
+    * sub-ms µs so stateful processors emit the same integer micros as
+    * their batch twins' unix_micros — parity would otherwise silently
+    * break on sub-ms event times. */
+  def toMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
   /** s_stream_file_source: micro-batch ingest of event parquet files (the
     * collector poll-loop analogue). */
   def fileSource(spark: SparkSession, dir: String): DataFrame =
@@ -884,7 +892,7 @@ object StreamOps {
       var prev: Option[(Long, Double)] = if (last.exists()) Some(last.get()) else None
       val out = Seq.newBuilder[RateOut]
       rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
-        val us = e.ts.getTime * 1000L
+        val us = toMicros(e.ts)
         prev match {
           case Some((pUs, pV)) =>
             if (us > pUs) {
@@ -1159,7 +1167,7 @@ object StreamOps {
       var st = if (touch.exists()) touch.get() else null
       val out = Seq.newBuilder[Attributed]
       rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.eventId)).foreach { e =>
-        val tMicros = e.ts.getTime * 1000L
+        val tMicros = toMicros(e.ts)
         e.eventType match {
           case "click" | "view" => st = TouchState(e.eventType, tMicros)
           case "purchase" =>
@@ -1222,7 +1230,7 @@ object StreamOps {
       var st = if (run.exists()) run.get() else null
       val out = Seq.newBuilder[Scd2Closed]
       rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.eventId)).foreach { e =>
-        val t = e.ts.getTime * 1000L
+        val t = toMicros(e.ts)
         if (st == null) st = RunState(e.eventType, t, 1L, 1L)
         else if (st.state == e.eventType) st = st.copy(nEvents = st.nEvents + 1)
         else {
@@ -1265,7 +1273,7 @@ object StreamOps {
       val out = Seq.newBuilder[AlertDecision]
       rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.eventId)).foreach { e =>
         if (e.eventType == "error") {
-          val t = e.ts.getTime * 1000L
+          val t = toMicros(e.ts)
           out += AlertDecision(key, e.eventId,
             prev.forall(p => t - p > quietMicros))
           prev = Some(t)
@@ -1305,7 +1313,7 @@ object StreamOps {
       var prev = if (lastUs.exists()) Some(lastUs.get()) else None
       val out = Seq.newBuilder[GapObs]
       rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.eventId)).foreach { e =>
-        val t = e.ts.getTime * 1000L
+        val t = toMicros(e.ts)
         prev.foreach { p =>
           out += GapObs(key._1, key._2, e.eventId, t - p, t - p > thresholdMicros)
         }
