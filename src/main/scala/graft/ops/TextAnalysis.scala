@@ -20,6 +20,31 @@ object TextAnalysis {
 
   private def toks: Column = split(lower(col("text")), " ")
 
+  /** Session-scoped shared (doc_id, source, token, c) token-count frame
+    * — the fourth shared materialization (pair graph, bigram frame,
+    * 8-gram shingles, now the unigram counts; §7.7 carry-forward #3).
+    * Seven readouts re-derived this identical frame from raw text —
+    * q_text_unigram_lm / q_text_tfidf / q_text_rarity /
+    * q_text_keyword_extract / q_text_tf / q_text_zipf / q_text_hapax —
+    * each paying its own corpus explode + (doc, token) hash agg. A
+    * 100 TB pipeline tokenizes and counts ONCE and fans every
+    * LM/ranking/rarity readout off the materialization; the exploded
+    * token stream never replays per query. localCheckpoint pins the
+    * fixed-width rows (ids + one token + a count) and truncates
+    * lineage so downstream plans stay flat. `source` rides along
+    * (functionally dependent on doc_id — the group key is effectively
+    * (doc_id, token)) so q_text_rarity needs no extra doc join. */
+  private val tokenCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private[ops] def docTokenCounts(s: SparkSession, sf: String): DataFrame =
+    tokenCountCache.computeIfAbsent((s, sf), _ =>
+      Tables.documents(s, sf).repartition(32)
+        .select(col("doc_id"), col("source"), explode(toks).as("token"))
+        .where(col("token") =!= "")
+        .groupBy(col("doc_id"), col("source"), col("token"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint())
+
   /** Deterministic per-language marker-token profiles. On real corpora
     * these would be the top character n-grams / function words per
     * language; the mechanism (profile hit-count → argmax with a stable
@@ -509,11 +534,7 @@ object TextAnalysis {
     * aggs keyed on doc_id — the token explosion is map-side local and
     * nothing data-sized survives the first agg. */
   def qTextHapax(s: SparkSession, sf: String): DataFrame = {
-    Tables.documents(s, sf).repartition(32)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
-      .where(col("token") =!= "")
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("c"))
+    docTokenCounts(s, sf)
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"),
            count(lit(1)).as("n_types"),
@@ -708,10 +729,8 @@ object TextAnalysis {
     * slope/intercept chain mirrors `q_ts_forecast_linreg`. The token
     * count is data-sized; everything after runs on 1000 rows. */
   def qTextZipf(s: SparkSession, sf: String): DataFrame = {
-    val counts = Tables.documents(s, sf)
-      .select(explode(split(lower(col("text")), " ")).as("token"))
-      .where(col("token") =!= "")
-      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val counts = docTokenCounts(s, sf)
+      .groupBy(col("token")).agg(sum(col("c")).as("c"))
     val ranked = counts
       .withColumn("r", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("token"))))
@@ -743,11 +762,7 @@ object TextAnalysis {
     * 100 TB vocab is a data-sized side and the join shuffles on the
     * token key — each side carries (token, 8-byte payload) only). */
   def qTextUnigramLm(s: SparkSession, sf: String): DataFrame = {
-    val docs = Tables.documents(s, sf)
-    val toks = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
-      .where(col("token") =!= "")
-    val dtf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+    val dtf = docTokenCounts(s, sf).select(col("doc_id"), col("token"), col("c"))
     val tf = dtf.groupBy(col("token")).agg(sum(col("c")).as("tf"))
     val nn = tf.agg(sum(col("tf")).as("nn"))
     val logp = tf.crossJoin(broadcast(nn))

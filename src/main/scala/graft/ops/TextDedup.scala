@@ -673,8 +673,13 @@ object TextDedup {
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    val cand = edges.select(col("v").as("m"), col("u"))
-      .join(edges.select(col("u").as("m"), col("v").as("w")), "m")
+    // distance-2 candidates need ALL wedges (no orientation shortcut),
+    // so the skew guard is the hub-salted layout: a hub mid-vertex's
+    // deg² pairs spread over the salt buckets instead of one reducer,
+    // output multiset unchanged (Util.hubSaltedWedges)
+    val nAdj = 2L * pairs.count()
+    val cand = Util.hubSaltedWedges(s,
+        edges.select(col("u").as("m"), col("v").as("e")), nAdj)
       .where(col("u") < col("w"))
       .groupBy(col("u"), col("w")).agg(count(lit(1)).as("cn"))
       .join(pairs.select(col("a_id").as("u"), col("b_id").as("w")),
@@ -706,8 +711,12 @@ object TextDedup {
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val twoHop = edges.select(col("v").as("m"), col("u"))
-      .join(edges.select(col("u").as("m"), col("v").as("w")), "m")
+    // all-wedges enumeration is inherent to exact 2-hop reach; the
+    // hub-salted layout spreads a hub mid-vertex's deg² rows across
+    // salt buckets (output multiset identical — Util.hubSaltedWedges)
+    val nAdj = 2L * pairs.count()
+    val twoHop = Util.hubSaltedWedges(s,
+        edges.select(col("u").as("m"), col("v").as("e")), nAdj)
       .where(col("u") =!= col("w"))
       .select(col("u"), col("w")).distinct()
       .join(edges.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_anti")
@@ -738,11 +747,12 @@ object TextDedup {
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val tri = edges
-      .join(edges.select(col("u"), col("v").as("w")), "u")
-      .where(col("v") < col("w"))
-      .join(pairs.select(col("a_id").as("v"), col("b_id").as("w")),
-            Seq("v", "w"), "left_semi")
+    // t(u) from the SHARED degree-oriented triangle frame (each
+    // triangle once, credit all three corners) — replaces the per-node
+    // wedge self-join whose deg(u)² work piled onto hub reducers; see
+    // [[orientedTriangleTriples]] for the hub-immunity argument
+    val tri = orientedTriangleTriples(s, sf)
+      .select(explode(array(col("x"), col("y"), col("z"))).as("u"))
       .groupBy(col("u")).agg(count(lit(1)).as("tri"))
     deg.join(tri, Seq("u"), "left_outer")
       .select(col("u").as("doc_id"), col("deg"),
@@ -960,11 +970,9 @@ object TextDedup {
 
   /** Top-50 term frequencies (word-count over the corpus). */
   def qTextTf(s: SparkSession, sf: String): DataFrame =
-    Tables.documents(s, sf)
-      .select(explode(split(lower(col("text")), " ")).as("token"))
-      .where(col("token") =!= "")
+    TextAnalysis.docTokenCounts(s, sf)
       .groupBy(col("token"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("c")).as("n"))
       .orderBy(desc("n"), asc("token"))
       .limit(50)
 
@@ -986,10 +994,8 @@ object TextDedup {
     * the cut deterministic across engines' last-ulp `ln` differences. */
   def qTextTfidf(s: SparkSession, sf: String): DataFrame = {
     val docs = Tables.documents(s, sf)
-    val tokens = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
-      .where(col("token") =!= "")
-    val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val tf = TextAnalysis.docTokenCounts(s, sf)
+      .select(col("doc_id"), col("token"), col("c").as("tf"))
     val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nd = broadcast(docs.agg(count(lit(1)).as("nd")))
     val dfGated = Util.gatedBroadcast(s, df_,
@@ -1012,10 +1018,8 @@ object TextDedup {
     * — nothing data-sized past the (doc, token) agg. */
   def qTextKeywordExtract(s: SparkSession, sf: String): DataFrame = {
     val docs = Tables.documents(s, sf)
-    val toks = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
-      .where(col("token") =!= "")
-    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val tf = TextAnalysis.docTokenCounts(s, sf)
+      .select(col("doc_id"), col("token"), col("c").as("tf"))
     val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nd = broadcast(docs.agg(count(lit(1)).as("nd")))
     val dfGated = Util.gatedBroadcast(s, df_,
@@ -1165,10 +1169,10 @@ object TextDedup {
     * rides a 1-row broadcast. */
   def qTextRarity(s: SparkSession, sf: String): DataFrame = {
     val docs = Tables.documents(s, sf)
-    val toks = docs
-      .select(col("doc_id"), col("source"),
-              explode(array_distinct(split(lower(col("text")), " "))).as("token"))
-      .where(col("token") =!= "")
+    // the shared frame is one row per (doc, token) — exactly the
+    // array_distinct explode this op used to pay for separately
+    val toks = TextAnalysis.docTokenCounts(s, sf)
+      .select(col("doc_id"), col("source"), col("token"))
     val df_ = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nd = broadcast(docs.agg(count(lit(1)).as("nd")))
     val dfGated = Util.gatedBroadcast(s, df_,
@@ -1324,26 +1328,69 @@ object TextDedup {
     * orientation bounds wedges by per-node out-degree² (the standard
     * degree-orientation trick, exact here since ids are the order).
     * Per-node participation counts are ALL-INTEGER. */
-  def qGraphTriangles(s: SparkSession, sf: String): DataFrame = {
-    val pairs = nearDupPairGraph(s, sf)
-      .select(col("a_id"), col("b_id")).localCheckpoint() // consumed 3×
-    val e1 = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
-    val e2 = pairs.select(col("a_id").as("y"), col("b_id").as("z"))
-    val closing = pairs.select(col("a_id").as("x"), col("b_id").as("z"))
-    // the FILTERED pair list (τ=0.6 survivors) is orders of magnitude
-    // smaller than the corpus — broadcast it for both wedge-side joins
-    // (zero shuffles at fixture scale), but only under the size gate:
-    // past broadcast budget the same equi-joins run as shuffles
-    // unchanged (Util.gatedBroadcast; count reads checkpointed blocks)
+  /** Session-scoped triangle-triple frame: every triangle (x,y,z) of
+    * the τ=0.6 near-dup graph, each exactly once, enumerated with the
+    * degree-ordered "forward" orientation (Suri & Vassilvitskii,
+    * "Counting Triangles and the Curse of the Last Reducer", WWW'11;
+    * also Schank/Wagner's forward algorithm). Every edge is directed
+    * from its lower-(degree, id)-ranked endpoint to the higher; wedges
+    * form ONLY at a triangle's lowest-ranked vertex over its
+    * out-neighbors, and close via the (v,w) arc. Σ outdeg² = O(|E|^1.5)
+    * REGARDLESS of the degree distribution — a degree-10⁶ hub ranks
+    * highest, so its edges point INTO it and it forms no wedges: the
+    * id-ordered wedge join this replaces did deg(hub)² work on one
+    * reducer; this shape is hub-immune by construction, with no salting
+    * and exact counts. Shared by [[qGraphTriangles]] (global per-node
+    * counts) and [[qGraphClustercoef]] (t(u) in the cc formula) — one
+    * enumeration, two readouts. */
+  private val triangleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def orientedTriangleTriples(s: SparkSession, sf: String): DataFrame =
+    triangleCache.computeIfAbsent((s, sf), _ =>
+      orientTriangles(s,
+        nearDupPairGraph(s, sf).select(col("a_id"), col("b_id")).localCheckpoint())
+        .localCheckpoint())
+
+  /** The forward-orientation enumeration itself, over any canonical
+    * (a_id < b_id) undirected pair list — separated from the cache so
+    * PropertySpec can drive it with a synthetic hub graph. */
+  private[graft] def orientTriangles(s: SparkSession, pairs: DataFrame): DataFrame = {
     val nPairs = pairs.count()
     def bc(df: DataFrame): DataFrame = Util.gatedBroadcast(s, df, nPairs)
-    e1.join(bc(e2), "y")
-      .join(bc(closing), Seq("x", "z"), "left_semi")
+    val edges = pairs
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    // decorate both endpoints, orient low rank → high rank; rank =
+    // (degree, id) — a strict total order, so each undirected edge
+    // yields exactly one arc and each triangle exactly one wedge
+    val dec = pairs
+      .join(bc(deg.select(col("u").as("a_id"), col("d").as("da"))), "a_id")
+      .join(bc(deg.select(col("u").as("b_id"), col("d").as("db"))), "b_id")
+    val aLow = col("da") < col("db") ||
+      (col("da") === col("db") && col("a_id") < col("b_id"))
+    val arcs = dec.select(
+        when(aLow, col("a_id")).otherwise(col("b_id")).as("src"),
+        when(aLow, col("b_id")).otherwise(col("a_id")).as("dst"),
+        when(aLow, col("db")).otherwise(col("da")).as("ddst"))
+      .localCheckpoint()
+    // wedges at the lowest-ranked vertex: ordered out-neighbor pairs
+    val w1 = arcs.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
+    val w2 = arcs.select(col("src"), col("dst").as("w"), col("ddst").as("dw"))
+    w1.join(bc(w2), "src")
+      .where(col("dv") < col("dw") ||
+             (col("dv") === col("dw") && col("v") < col("w")))
+      .join(bc(arcs.select(col("src").as("v"), col("dst").as("w"))),
+            Seq("v", "w"), "left_semi")
+      .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
+  }
+
+  def qGraphTriangles(s: SparkSession, sf: String): DataFrame =
+    orientedTriangleTriples(s, sf)
       .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy("doc_id")
-  }
 
   /** PageRank over the near-dup pair graph — graph analytics on the
     * corpus: rank ∝ how centrally a doc sits in its duplication

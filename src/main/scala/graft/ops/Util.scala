@@ -86,6 +86,59 @@ object Util {
     if (estRows * bytesPerRow <= thr) broadcast(df) else df
   }
 
+  /** Exact hub-salted wedge self-join — the skew guard for the graph
+    * family's distance-2 enumerations (q_graph_2hop, q_graph_linkpred).
+    *
+    * A wedge join `adj(m,u) ⋈ adj(m,w)` keyed on the mid-vertex emits
+    * deg(m)² rows per mid-vertex AND lands every one of a hub's rows on
+    * ONE reducer (the key is m) — on a power-law graph a degree-10⁶ hub
+    * makes 10¹² rows in a single task ("the curse of the last reducer",
+    * Suri & Vassilvitskii WWW'11). The enumeration itself is inherent
+    * (distance-2 readouts need all wedges); the single-reducer pile-up
+    * is not. For mid-vertices with degree > `cap`, the left leg salts
+    * by `hash(endpoint) % buckets` and the right leg replicates into
+    * all `buckets` salts, so the join key becomes (m, salt) and the
+    * hub's deg² work spreads over `buckets` reducers; each (u,w) pair
+    * still joins exactly once (at salt hash(u)%buckets), so the output
+    * multiset is IDENTICAL to the unsalted join — results stay
+    * hash-exact, only the shuffle layout changes. Non-hub rows carry
+    * salt 0 and are not replicated: the guard costs nothing when no
+    * hub exists (the fixture near-dup graph), and `buckets`× right-leg
+    * replication only on hub adjacency when one does.
+    *
+    * `adj` must have columns (m, e): mid-vertex and endpoint. Returns
+    * (m, u, w) = every ordered endpoint pair per mid-vertex; callers
+    * apply their own u<w / u≠w / closing filters downstream, exactly
+    * as with the plain self-join. `cap` defaults to √(2|adj|) (hub ⇔
+    * degree above the Σdeg²-balancing point), floor 64 so tiny graphs
+    * never salt. */
+  def hubSaltedWedges(s: SparkSession, adj: DataFrame, nAdj: Long,
+                      buckets: Int = 8, cap0: Long = 0L): DataFrame = {
+    val cap = if (cap0 > 0) cap0
+              else math.max(64L, math.ceil(math.sqrt(2.0 * math.max(nAdj, 1L))).toLong)
+    val hubs = adj.groupBy(col("m")).agg(count(lit(1)).as("_dm"))
+      .where(col("_dm") > cap)
+      .select(col("m"), lit(1).as("_hub"))
+    // ≤ nAdj/cap rows by construction — always broadcastable relative
+    // to the adjacency it came from, but gate anyway (loop-frame rule)
+    def withHub(df: DataFrame): DataFrame =
+      df.join(gatedBroadcast(s, hubs, nAdj / math.max(cap, 1L) + 1L),
+              Seq("m"), "left")
+    val left = withHub(adj)
+      .withColumn("_wsalt",
+        when(col("_hub").isNotNull, pmod(hash(col("e")), lit(buckets)))
+          .otherwise(lit(0)))
+      .select(col("m"), col("e").as("u"), col("_wsalt"))
+    val right = withHub(adj)
+      .withColumn("_salts",
+        when(col("_hub").isNotNull,
+             sequence(lit(0), lit(buckets - 1)))
+          .otherwise(array(lit(0))))
+      .select(col("m"), col("e").as("w"), explode(col("_salts")).as("_wsalt"))
+    left.join(right, Seq("m", "_wsalt"))
+      .select(col("m"), col("u"), col("w"))
+  }
+
   /** Deterministic hex bucket of an id — the shared basis for every
     * hash-sampling / split / generation-membership op (q_sample_hash,
     * q_sample_split, q_pipeline_curate, q_scan_merge_schema,

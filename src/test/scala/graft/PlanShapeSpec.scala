@@ -424,6 +424,19 @@ class PlanShapeSpec extends SparkSpec {
            s"wedge join must stay an equi-join on node ids:\n$p")
   }
 
+  test("q_graph_2hop/linkpred: wedge joins carry the hub-salt key (skew guard wired)") {
+    // the salt column rides the join key unconditionally (0 for
+    // non-hubs), so its presence in the optimized plan proves the
+    // guarded layout is what actually runs — not a code path that
+    // only exists when a hub is detected
+    for (q <- Seq(TextDedup.qGraph2hop(_, _), TextDedup.qGraphLinkpred(_, _))) {
+      val p = plan(q(spark, sf))
+      assert(p.contains("_wsalt"),
+             s"hub-salt key missing from the wedge join plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"wedge join degenerated:\n$p")
+    }
+  }
+
   test("q_multimodal_neardup: band candidates join as an equi-join, not all-pairs") {
     val p = plan(Multimodal.qMultimodalNeardup(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
