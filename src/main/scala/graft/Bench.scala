@@ -20,6 +20,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // start shuffles WIDE and let AQE coalesce down to the advisory
+      // target: with shuffle.partitions pinned to the core count, a
+      // 100×-scale input hands each task a partition too big for its
+      // 1/32 share of execution memory (the sf10 ladder OOM'd the
+      // triangle agg exactly this way); 256 initial partitions give
+      // AQE room in both directions — small stages coalesce to the
+      // same few tasks as before, big stages keep per-task state
+      // inside its memory share. This is the multi-executor posture:
+      // a real cluster never runs one-partition-per-core shuffles.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // tz-naive fixture timestamps read as LTZ (UTC session), matching

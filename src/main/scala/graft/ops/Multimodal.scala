@@ -584,30 +584,56 @@ object Multimodal {
     val hashes = qMultimodalPhash(s, sf)
       .select(col("doc_id"), col("hash_lo"), col("hash_hi"))
       .localCheckpoint()
-    val banded = hashes.select(col("doc_id"), col("hash_lo"), col("hash_hi"),
+    // ROUND 7 restructure (sf10 ladder finding): low-entropy media
+    // collapses to few distinct signatures (sf1: 50k docs → 2,246
+    // hashes, top group 1,586 members), so banding the DOC list makes
+    // the candidate join quadratic in group size. The production media
+    // pipeline collapses identical signatures FIRST: candidates are
+    // generated over DISTINCT hashes (pigeonhole band join, same
+    // recall proof), and doc pairs only materialize in the final
+    // expansion — which is sized by the ANSWER (the pair list is
+    // genuinely quadratic in identical-image group size; no layout
+    // avoids emitting it), never by an intermediate.
+    val dh = hashes.select(col("hash_lo"), col("hash_hi")).distinct()
+      .localCheckpoint()
+    val banded = dh.select(col("hash_lo"), col("hash_hi"),
         explode(array(
           struct(lit(0).as("b"), (col("hash_lo") % 65536L).as("v")),
           struct(lit(1).as("b"), expr("(hash_lo div 65536) % 65536").as("v")),
           struct(lit(2).as("b"), (col("hash_hi") % 65536L).as("v")),
           struct(lit(3).as("b"), expr("(hash_hi div 65536) % 65536").as("v"))))
           .as("band"))
-      .select(col("doc_id"), col("hash_lo"), col("hash_hi"),
+      .select(col("hash_lo"), col("hash_hi"),
               col("band.b").as("b"), col("band.v").as("v"))
-    val cand = banded.select(col("b"), col("v"), col("doc_id").as("a_id"),
-                             col("hash_lo").as("alo"), col("hash_hi").as("ahi"))
-      .join(banded.select(col("b"), col("v"), col("doc_id").as("b_id"),
-                          col("hash_lo").as("blo"), col("hash_hi").as("bhi")),
-            Seq("b", "v"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("alo"), col("ahi"),
-              col("blo"), col("bhi"))
-      .distinct()
-    cand
+    // candidate SIGNATURE pairs (canonical (lo,hi) lexicographic order)
+    val hpairs = banded.select(col("b"), col("v"),
+        col("hash_lo").as("alo"), col("hash_hi").as("ahi"))
+      .join(banded.select(col("b"), col("v"),
+        col("hash_lo").as("blo"), col("hash_hi").as("bhi")), Seq("b", "v"))
+      .where(col("alo") < col("blo") ||
+             (col("alo") === col("blo") && col("ahi") < col("bhi")))
+      .select("alo", "ahi", "blo", "bhi").distinct()
       .withColumn("hamming", expr(
         "bit_count(alo ^ blo) + bit_count(ahi ^ bhi)").cast("long"))
       .where(col("hamming") <= 3)
-      .select(col("a_id"), col("b_id"), col("hamming"))
-      .orderBy("a_id", "b_id")
+    // expansion 1: identical-signature doc pairs (hamming 0)
+    val within = hashes
+      .select(col("hash_lo"), col("hash_hi"), col("doc_id").as("a_id"))
+      .join(hashes.select(col("hash_lo"), col("hash_hi"),
+                          col("doc_id").as("b_id")), Seq("hash_lo", "hash_hi"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(0L).as("hamming"))
+    // expansion 2: cross-signature doc pairs — each unordered signature
+    // pair appears exactly once above, so least/greatest emits each
+    // doc pair exactly once
+    val cross = hpairs
+      .join(hashes.select(col("hash_lo").as("alo"), col("hash_hi").as("ahi"),
+                          col("doc_id").as("x")), Seq("alo", "ahi"))
+      .join(hashes.select(col("hash_lo").as("blo"), col("hash_hi").as("bhi"),
+                          col("doc_id").as("y")), Seq("blo", "bhi"))
+      .select(least(col("x"), col("y")).as("a_id"),
+              greatest(col("x"), col("y")).as("b_id"), col("hamming"))
+    within.unionByName(cross).orderBy("a_id", "b_id")
   }
 
   /** Content-hash dedup over the BINARY payload — media dedup by

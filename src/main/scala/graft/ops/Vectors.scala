@@ -112,18 +112,33 @@ object Vectors {
     * of `q_dedup_embed` (no oracle: the hyperplane set is
     * implementation-specific).
     *
-    * 48 fixed Gaussian hyperplanes (seeded, embedded as literals) give a
-    * 48-bit SRP signature; banded 16 × 3 bits. For a pair at cosine
-    * 0.4 (angle 66°, per-bit agreement 0.63) band collision is
-    * 1-(1-0.63³)^16 ≈ 0.99, so recall vs the exact twin is high while
-    * candidates shrink ~8× — the honest SRP trade-off on near-random
-    * vectors; clustered real embeddings bucket far better. Signatures
-    * (16 small ints) ride the join; vectors re-join only for candidate
-    * verification. */
+    * ADAPTIVE banding (round 7 — the sf10 ladder caught the fixed
+    * 16×3-bit scheme going quadratic: 3 bits = 8 buckets per band, so
+    * in-bucket pairs grow as (n/8)² and the sf1 run went 2.7 s →
+    * 70.5 s at 10× rows). Bits per band now grow with the metadata
+    * row count so EXPECTED BUCKET OCCUPANCY stays ≤ ~64 regardless of
+    * n — candidate volume per band is then ≤ n·64/2, i.e. LINEAR in n
+    * by construction. Band count grows to hold the design recall:
+    * per-bit agreement at the sim-0.7 near-dup design point is
+    * p = 1 − acos(0.7)/π ≈ 0.747, and L = ⌈ln(0.05)/ln(1−p^bits)⌉
+    * bands keeps P(≥1 band collision) ≥ 0.95 there (floor 16 = the
+    * historical fixture layout, cap 64 planes-budget; past the cap
+    * recall degrades gracefully and is documented, never the shuffle).
+    * At the fixture scales n ≤ 500 keeps bits = 3 / L = 16 — the
+    * exact historical behavior the sf0.001 recall property (≥0.8 vs
+    * the τ=0.4 exact twin) is pinned against. Signatures (L small
+    * ints) ride the join; vectors re-join only for verification. */
   def aSimAnnLsh(s: SparkSession, sf: String): DataFrame = {
-    val nPlanes = 48
-    val bitsPerBand = 3
     val dim = 64
+    val n = Tables.rowCount(s, sf, "embeddings")
+    val targetBucket = 64L
+    val bitsPerBand = math.max(3,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+    val pDesign = 1.0 - math.acos(0.7) / math.Pi
+    val pBand = math.pow(pDesign, bitsPerBand)
+    val nBands = math.min(64,
+      math.max(16, math.ceil(math.log(0.05) / math.log(1.0 - pBand)).toInt))
+    val nPlanes = nBands * bitsPerBand
     val rnd = new scala.util.Random(42)
     val planes: Array[Array[Double]] =
       Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
@@ -184,25 +199,70 @@ object Vectors {
     // space; the LSH twin prunes harder on this data, which is WHY both
     // architectures are here. On clustered real embeddings the IVF
     // trade flips (cells align with the clusters, np/k shrinks).
-    val k = 128
-    val nprobe = 10
+    // k now follows the IVF √n rule past the fixture floor (round-7
+    // ladder): with k fixed, per-cell occupancy n·np/k is linear in n
+    // and the in-cell pair join quadratic; k = 2^⌈log2 √n⌉ bounds the
+    // candidate volume to O(n^1.5·np²) — the documented IVF growth —
+    // and keeps the centroid collect at O(√n) rows (constant-size
+    // model state, never data-sized). Fixture scales (n ≤ 2000) stay
+    // at the historical k=128 the recall property is pinned against.
+    // ROUND-7 ladder finding: a flat coarse quantizer has no good
+    // operating point on a large UNCLUSTERED corpus — map cost is n·k
+    // dots while candidate volume is n²·np²/k, so any k trades one
+    // wall for the other (the 200k-vector sf10 run OOM'd the context).
+    // Past `flatMax` vectors the coarse index becomes a PRODUCT
+    // quantizer over the two 32-dim halves (the inverted multi-index,
+    // Babenko & Lempitsky CVPR'12): two 128-cell codebooks give
+    // 128² = 16,384 effective cells for only 256 dot products per
+    // vector, and 3×3 product probes bound expected occupancy to
+    // n·9/16384 — candidate volume stays linear in n. Fixture scales
+    // and sf1 keep the flat √n-rule index the recall property is
+    // pinned against.
+    val nVec = Tables.rowCount(s, sf, "embeddings")
+    val flatMax = 32768L
     val v = normed(s, sf)
-    val cents: Array[Array[Double]] = Tables.embeddings(s, sf)
+    def centroidRows(k: Int): Array[Array[Double]] = Tables.embeddings(s, sf)
       .where(col("vec_id") < k).orderBy("vec_id")
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      .map { a =>
-        val n = math.sqrt(a.map(x => x * x).sum)
-        a.map(_ / n)
+    def unit(a: Array[Double]): Array[Double] = {
+      val n = math.max(math.sqrt(a.map(x => x * x).sum), 1e-12)
+      a.map(_ / n)
+    }
+    val exploded =
+      if (nVec <= flatMax) {
+        val k = math.max(128,
+          1 << math.ceil(math.log(math.sqrt(nVec.toDouble)) / math.log(2.0)).toInt)
+        val nprobe = 10
+        val cents = centroidRows(k).map(unit)
+        val assigned = v.withColumn("cells",
+          graft.functions.VectorExpressions.ivfCells(col("dv"), cents,
+            math.min(nprobe, cents.length)))
+        // shared cell exchange, REPARTITION_BY_NUM so AQE's input-size
+        // coalescing can't serialize the in-cell pair join (same
+        // rationale as the LSH banding join)
+        assigned.select(col("vec_id"), explode(col("cells")).as("cell"))
+          .repartition(64, col("cell"))
+      } else {
+        val kHalf = 128; val npHalf = 3
+        val base = centroidRows(kHalf)
+        // IvfCells dots over min(centroid.length, vec.length) leading
+        // dims: a 32-dim codebook reads the FIRST half of dv; a 64-dim
+        // codebook whose first 32 entries are zero reads the SECOND
+        val cents1 = base.map(a => unit(a.take(32)))
+        val cents2 = base.map(a => Array.fill(32)(0.0) ++ unit(a.drop(32)))
+        val assigned = v
+          .withColumn("c1s", graft.functions.VectorExpressions.ivfCells(
+            col("dv"), cents1, npHalf))
+          .withColumn("c2s", graft.functions.VectorExpressions.ivfCells(
+            col("dv"), cents2, npHalf))
+        assigned
+          .select(col("vec_id"), explode(col("c1s")).as("c1"), col("c2s"))
+          .select(col("vec_id"), col("c1"), explode(col("c2s")).as("c2"))
+          .select(col("vec_id"),
+                  (col("c1") * lit(kHalf) + col("c2")).as("cell"))
+          .repartition(64, col("cell"))
       }
-    val assigned = v.withColumn("cells",
-      graft.functions.VectorExpressions.ivfCells(col("dv"), cents,
-        math.min(nprobe, cents.length)))
-    // shared cell exchange, REPARTITION_BY_NUM so AQE's input-size
-    // coalescing can't serialize the in-cell pair join (same rationale
-    // as the LSH banding join)
-    val exploded = assigned.select(col("vec_id"), explode(col("cells")).as("cell"))
-      .repartition(64, col("cell"))
     val cand = exploded.select(col("cell"), col("vec_id").as("a_id"))
       .join(exploded.select(col("cell"), col("vec_id").as("b_id")), Seq("cell"))
       .where(col("a_id") < col("b_id"))

@@ -49,7 +49,7 @@ class ContractSpec extends SparkSpec {
       try src.mkString finally src.close()
     }
     val survey = slurp("SURVEY.md")
-    val declared = "`(q_[a-z0-9_]+|a_(?:agg|dedup|sim|embed)_[a-z0-9_]+|s_stream_[a-z0-9_]+)`".r
+    val declared = "`(q_[a-z0-9_]+|a_(?:agg|dedup|sim|embed|text)_[a-z0-9_]+|s_stream_[a-z0-9_]+)`".r
       .findAllMatchIn(survey).map(_.group(1)).toSet
     val streaming = slurp("src/test/scala/graft/StreamingSpec.scala")
     val registered = SparkEntry.queries.keySet ++

@@ -188,12 +188,19 @@ class PlanShapeSpec extends SparkSpec {
     * the same equi-joins run as shuffle joins. Both branches pinned
     * here; results must be identical on either path. */
   test("graph-loop broadcast gate: hinted under threshold, shuffle fallback above") {
+    // driven through the UNCACHED enumeration: qGraphTriangles reads a
+    // session-cached localCheckpoint materialization now, so the gated
+    // wedge joins only appear in orientTriangles' own plan
+    import spark.implicits._
+    val pairs = ((1 to 200).map(i => (0L, i.toLong)) ++
+                 (1 to 50).map(i => (i.toLong, (i + 1).toLong)))
+      .distinct.toDF("a_id", "b_id")
     val gateKey = "graft.loop.broadcastThreshold"
     val autoKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
                        "spark.sql.adaptive.autoBroadcastJoinThreshold")
-    // default path: gate open at fixture scale → broadcast wedge joins
-    val hinted = TextDedup.qGraphTriangles(spark, sf)
-    val hintedRows = hinted.collect().map(_.toString).toSeq
+    // default path: gate open at this scale → broadcast wedge joins
+    val hinted = TextDedup.orientTriangles(spark, pairs)
+    val hintedRows = hinted.collect().map(_.toString).sorted.toSeq
     assert(plan(hinted).contains("BroadcastHashJoin"),
            s"gate should broadcast at fixture scale:\n${plan(hinted)}")
     // fallback path: gate closed (threshold 0) + Spark's own auto
@@ -203,8 +210,8 @@ class PlanShapeSpec extends SparkSpec {
     spark.conf.set(gateKey, "0")
     autoKeys.foreach(spark.conf.set(_, "-1"))
     try {
-      val fb = TextDedup.qGraphTriangles(spark, sf)
-      val fbRows = fb.collect().map(_.toString).toSeq
+      val fb = TextDedup.orientTriangles(spark, pairs)
+      val fbRows = fb.collect().map(_.toString).sorted.toSeq
       val p = plan(fb)
       assert(!p.contains("BroadcastExchange"),
              s"gate closed but plan still broadcasts:\n$p")

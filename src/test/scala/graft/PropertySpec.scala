@@ -703,4 +703,34 @@ class PropertySpec extends SparkSpec {
     // would sit as mid-vertex for ~300² wedges.)
     assert(expect(0L) == tri.getOrElse(0L, 0L))
   }
+
+  test("a_text_bpe: piece bounds, deterministic encode, merge-count monotonicity") {
+    val merges = TextAnalysis.bpeMerges(spark, sf)
+    assert(merges.nonEmpty && merges.distinct.size == merges.size,
+           "merge table must be non-empty with unique pairs")
+    val rankFull = merges.zipWithIndex.toMap
+    val rankHalf = merges.take(merges.size / 2).zipWithIndex.toMap
+    val vocab = TextAnalysis.docTokenCounts(spark, sf)
+      .select(col("token")).distinct().collect().map(_.getString(0))
+    vocab.foreach { t =>
+      val p = TextAnalysis.bpeEncode(t, rankFull)
+      assert(p >= 1 && p <= t.length,
+             s"pieces($t)=$p outside [1, ${t.length}]")
+      assert(p == TextAnalysis.bpeEncode(t, rankFull),
+             s"re-encode of $t diverged — encode is not deterministic")
+      // lowest-rank-first greedy with a PREFIX of the merge list ends
+      // exactly where the prefix-encode ends before the extra merges
+      // apply, so more merges can never INCREASE the piece count
+      assert(p <= TextAnalysis.bpeEncode(t, rankHalf),
+             s"$t: full merge table produced MORE pieces than half table")
+    }
+    // the aggregate readout is consistent with the invariants
+    val rows = TextAnalysis.aTextBpe(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ws = r.getAs[Long]("n_ws_tokens"); val bp = r.getAs[Long]("n_bpe_pieces")
+      assert(bp >= ws, "every token is at least one piece")
+      assert(r.getAs[Long]("pieces_per_token_fp") >= 10000L)
+    }
+  }
 }

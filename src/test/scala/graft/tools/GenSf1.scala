@@ -43,6 +43,9 @@ object GenSf1 {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: regenerate only the listed tables
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSet) else None
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -61,6 +64,7 @@ object GenSf1 {
     def scale(name: String, shift: Map[String, Long],
               files: Int = 8,
               mutate: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      if (only.exists(!_.contains(name))) return
       val base = spark.read.parquet(s"$src/$name.parquet")
       val unioned = (0 until copies).map { k =>
         val shifted = shift.foldLeft(base) { case (d, (c, span)) =>
@@ -73,6 +77,7 @@ object GenSf1 {
     }
 
     def copyAsIs(name: String): Unit = {
+      if (only.exists(!_.contains(name))) return
       spark.read.parquet(s"$src/$name.parquet").coalesce(1)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[gen_sf1] $name copied")
@@ -116,13 +121,21 @@ object GenSf1 {
             t => concat(lit(s"k$k"), t)), " "))
         salted.withColumn("n_chars", length(col("text")).cast("long"))
       })
-    scale("embeddings", Map("vec_id" -> V), files = 2, mutate = (d, k) =>
-      if (k == 0) d else {
-        val dim = 64
-        d.withColumn("embedding",
-          concat(slice(col("embedding"), k + 1, dim - k),
-                 slice(col("embedding"), 1, k)))
-      })
+    scale("embeddings", Map("vec_id" -> V), files = 2, mutate = (d, k) => {
+      // rotate by k mod dim (slice args must stay in-range — k ≥ dim
+      // crashed the 100-copy sf10 build); past one full cycle negate
+      // the vector so copies 64.. aren't bit-identical rotations of
+      // copies 0..: negation preserves norms and within-copy geometry
+      // while flipping every SRP hyperplane sign cross-copy
+      val dim = 64
+      val r = k % dim
+      val rotated = if (r == 0) d else d.withColumn("embedding",
+        concat(slice(col("embedding"), r + 1, dim - r),
+               slice(col("embedding"), 1, r)))
+      if (k < dim) rotated
+      else rotated.withColumn("embedding",
+        transform(col("embedding"), x => -x))
+    })
     spark.stop()
   }
 }
