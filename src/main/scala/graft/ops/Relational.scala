@@ -46,7 +46,7 @@ object Relational {
     * oracle aggregates the original table (the format is an execution
     * detail). */
   def qSourceCsv(s: SparkSession, sf: String): DataFrame = {
-    val dir = Util.sinkDir("supplier_csv")
+    val dir = Util.sinkDir("supplier_csv", sf)
     Tables.supplier(s, sf)
       .select("s_suppkey", "s_nationkey", "s_acctbal")
       .write.mode("overwrite").option("header", "true").csv(dir)
@@ -63,7 +63,7 @@ object Relational {
     * as CSV; a malformed line lands in the PERMISSIVE null row rather
     * than failing the scan). */
   def qSourceJsonl(s: SparkSession, sf: String): DataFrame = {
-    val dir = Util.sinkDir("customer_jsonl")
+    val dir = Util.sinkDir("customer_jsonl", sf)
     Tables.customer(s, sf)
       .select("c_custkey", "c_nationkey", "c_acctbal")
       .write.mode("overwrite").json(dir)
@@ -77,7 +77,7 @@ object Relational {
 
   /** Sink roundtrip: write a table to parquet, read it back. */
   def qSinkParquet(s: SparkSession, sf: String): DataFrame = {
-    val dir = Util.sinkDir("nation")
+    val dir = Util.sinkDir("nation", sf)
     Tables.nation(s, sf).write.mode("overwrite").parquet(dir)
     s.read.parquet(dir).orderBy("n_nationkey")
   }
@@ -87,7 +87,7 @@ object Relational {
     * filter afterwards prunes whole directories — `PartitionFilters`
     * in the scan, zero data files touched for excluded statuses). */
   def qSinkPartitioned(s: SparkSession, sf: String): DataFrame = {
-    val dir = Util.sinkDir("orders_by_status")
+    val dir = Util.sinkDir("orders_by_status", sf)
     Tables.orders(s, sf)
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
@@ -108,7 +108,7 @@ object Relational {
     * (≤ '7' → old writer), so the oracle can state the same result
     * directly from the fixture. */
   def qScanMergeSchema(s: SparkSession, sf: String): DataFrame = {
-    val dir = Util.sinkDir("docs_evolving")
+    val dir = Util.sinkDir("docs_evolving", sf)
     val bucket = Util.md5Bucket(col("doc_id"))
     val d = Tables.documents(s, sf)
     d.where(bucket <= "7").select("doc_id", "lang")
@@ -468,7 +468,7 @@ object Relational {
     * query is the read-back day-window aggregate — layout must not
     * change results, only which files a scan touches. */
   def qSinkZorder(s: SparkSession, sf: String): DataFrame = {
-    val dir = Util.sinkDir("events_zorder")
+    val dir = Util.sinkDir("events_zorder", sf)
     val ev = Tables.events(s, sf)
     // morton interleaves LOW 16 bits only — min/max-scale both
     // dimensions into the 2^16 domain first, or a user_id past 65535
@@ -746,7 +746,7 @@ object Relational {
     * same bytes straight from the fixture — the file round-trip must
     * be lossless. Content column is pruned by the scan when unused. */
   def qSourceBinaryfile(s: SparkSession, sf: String): DataFrame = {
-    val dir = Util.sinkDir("doc_blobs")
+    val dir = Util.sinkDir("doc_blobs", sf)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
       f.delete()
@@ -777,7 +777,7 @@ object Relational {
     * proves the other partitions survived byte-identical, which is
     * precisely what the oracle's CASE states. */
   def qSinkDynamicOverwrite(s: SparkSession, sf: String): DataFrame = {
-    val dir = Util.sinkDir("orders_dyn")
+    val dir = Util.sinkDir("orders_dyn", sf)
     val base = Tables.orders(s, sf)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
               col("o_orderstatus"))
@@ -809,7 +809,7 @@ object Relational {
     * in-query for determinism: build the rollup from days < max(day),
     * then merge day max(day)'s partial and read the result back. */
   def qRollupIncremental(s: SparkSession, sf: String): DataFrame = {
-    val dir = Util.sinkDir("rollup_incr")
+    val dir = Util.sinkDir("rollup_incr", sf)
     val e = Tables.events(s, sf)
       .withColumn("day", date_trunc("day", col("ts")))
     val maxDay = e.agg(max(col("day")).as("maxd"))
@@ -839,7 +839,7 @@ object Relational {
     * object must not kill a fleet-wide scan). The aggregate must equal
     * the fixture's — the corrupt file contributes nothing. */
   def qScanCorrupt(s: SparkSession, sf: String): DataFrame = {
-    val dir = Util.sinkDir("nation_corrupt")
+    val dir = Util.sinkDir("nation_corrupt", sf)
     Tables.nation(s, sf).write.mode("overwrite").parquet(dir)
     val junk = new java.io.FileOutputStream(s"$dir/part-junk.parquet")
     try junk.write("NOT A PARQUET FILE".getBytes("UTF-8")) finally junk.close()
@@ -850,7 +850,7 @@ object Relational {
   }
 
   def qSourceOrc(s: SparkSession, sf: String): DataFrame = {
-    val dir = Util.sinkDir("part_orc")
+    val dir = Util.sinkDir("part_orc", sf)
     Tables.part(s, sf)
       .select("p_partkey", "p_brand", "p_size", "p_retailprice")
       .write.mode("overwrite").orc(dir)

@@ -157,6 +157,14 @@ object Util {
   }
   def sinkDir(sub: String): String = s"$scratchRoot/$sub"
 
+  /** Per-sf scratch dir: a fixed shared path lets two JVMs running at
+    * DIFFERENT scale factors (a sweep + the test suite) interleave
+    * overwrite-writes and read each other's half-written layouts — the
+    * exact race the round-7 sf1 sweep hit on docs_evolving. Same
+    * suffix discipline as qScanDpp / the qSinkTimetravel fix. */
+  def sinkDir(sub: String, sf: String): String =
+    s"$scratchRoot/${sub}_" + sf.replaceAll("[^a-zA-Z0-9.]", "_")
+
   /** Deterministic hex bucket of an id — the shared basis for every
     * hash-sampling / split / generation-membership op (q_sample_hash,
     * q_sample_split, q_pipeline_curate, q_scan_merge_schema,
