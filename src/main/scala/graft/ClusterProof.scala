@@ -65,13 +65,23 @@ object ClusterProof {
     "q_text_contamination",   // shared 8-gram shingle frame
     "q_text_bigram_lm",       // shared bigram frame
     "q_text_pmi",
-    "q_ts_compress_gorilla")  // bit-packing arithmetic across partitions
+    "q_ts_compress_gorilla",  // bit-packing arithmetic across partitions
+    // round-7 surfaces: the new shared/salted/oriented shapes must
+    // also be process-boundary-exact
+    "q_graph_triangles",      // degree-oriented forward enumeration
+    "q_graph_clustercoef",    // shared triangle frame consumer
+    "q_graph_2hop",           // hub-salted wedge join
+    "q_graph_linkpred",
+    "q_text_tfidf",           // shared token-count frame
+    "q_text_unigram_lm")
 
   /** Sketch keys: run-clean + row-count equality across masters. */
   val sketchKeys: Seq[String] = Seq(
     "a_agg_quantile_partial", "a_agg_topk_sketch", "a_agg_cms",
     "a_agg_hll_partial", "a_dedup_bloom_contam", "a_dedup_minhash",
-    "a_sim_ann_ivf", "a_embed_pq")
+    "a_sim_ann_ivf", "a_embed_pq",
+    // round 7: adaptive-banding LSH + the vocab-trained BPE artifact
+    "a_sim_ann_lsh", "a_text_bpe")
 
   /** Canonical driver-side hash: rows rendered with bit-exact numeric
     * encodings, sorted, md5'd — row order normalized so partition

@@ -219,7 +219,11 @@ object Vectors {
     // and sf1 keep the flat √n-rule index the recall property is
     // pinned against.
     val nVec = Tables.rowCount(s, sf, "embeddings")
-    val flatMax = 32768L
+    // conf-overridable so PropertySpec can force the product-quantizer
+    // branch onto the fixture (it otherwise only runs at ≥sf10 scale
+    // and would ship untested)
+    val flatMax = s.conf.getOption("graft.ivf.flatMax")
+      .map(_.toLong).getOrElse(32768L)
     val v = normed(s, sf)
     def centroidRows(k: Int): Array[Array[Double]] = Tables.embeddings(s, sf)
       .where(col("vec_id") < k).orderBy("vec_id")

@@ -134,6 +134,26 @@ class PropertySpec extends SparkSpec {
     assert(ivf.except(exact).count() == 0)
   }
 
+  test("IVF product-quantizer branch (forced onto the fixture): precision 1.0, candidates sane") {
+    // the inverted-multi-index branch only engages above 32k vectors in
+    // production — force it here so the ≥sf10 code path is tested at
+    // fixture scale. With 500 vectors over 16,384 product cells the
+    // occupancy is ~0 so recall is NOT asserted (that regime belongs to
+    // the flat index, which the gate keeps at this n); the invariants
+    // that must hold on ANY input: every emitted pair really clears
+    // τ=0.4 (exact verification — precision 1.0) and the op runs clean
+    // end to end.
+    spark.conf.set("graft.ivf.flatMax", "100")
+    try {
+      val exact = Vectors.qDedupEmbed(spark, sf).select("a_id", "b_id")
+      val imi = Vectors.aSimAnnIvf(spark, sf).select("a_id", "b_id")
+      assert(imi.except(exact).count() == 0,
+             "product-quantizer path emitted a pair the exact twin rejects")
+    } finally spark.conf.unset("graft.ivf.flatMax")
+    // and with the gate back at its default the flat path still plans
+    assert(Vectors.aSimAnnIvf(spark, sf).limit(1).count() >= 0)
+  }
+
   test("IVF-PQ top-10 recall >= 0.5 vs the exact brute-force twin; shortlist re-rank is exact") {
     val exact = Vectors.qSimSearchTopk(spark, sf)
       .where(org.apache.spark.sql.functions.col("vec_id") =!= 0)
