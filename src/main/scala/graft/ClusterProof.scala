@@ -88,17 +88,19 @@ object ClusterProof {
     * arrival nondeterminism can't flip the hash. */
   def resultHash(df: DataFrame): (Long, String) = {
     val rows = df.collect()
+    def render(v: Any): String =
+      if (v == null) "\u0000null" else v match {
+        case d: java.lang.Double => java.lang.Double.doubleToLongBits(d).toString
+        case f: java.lang.Float  => java.lang.Float.floatToIntBits(f).toString
+        // recurse: Double/Float ELEMENTS inside array columns are
+        // bit-encoded too, not toString'd (round-7 ADVICE — toString
+        // inside Seq weakened the strict-equality proof)
+        case a: Seq[_]           => a.map(render).mkString("[", ",", "]")
+        case b: Array[Byte]      => b.map("%02x".format(_)).mkString
+        case other               => other.toString
+      }
     val rendered = rows.map { r =>
-      (0 until r.length).map { i =>
-        val v = r.get(i)
-        if (v == null) "\u0000null" else v match {
-          case d: java.lang.Double => java.lang.Double.doubleToLongBits(d).toString
-          case f: java.lang.Float  => java.lang.Float.floatToIntBits(f).toString
-          case a: Seq[_]           => a.mkString("[", ",", "]")
-          case b: Array[Byte]      => b.map("%02x".format(_)).mkString
-          case other               => other.toString
-        }
-      }.mkString("")
+      (0 until r.length).map(i => render(r.get(i))).mkString("")
     }.sorted
     val md = java.security.MessageDigest.getInstance("MD5")
     rendered.foreach(s => md.update(s.getBytes("UTF-8")))

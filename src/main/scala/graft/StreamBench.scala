@@ -78,7 +78,11 @@ object StreamBench {
       val t0 = System.nanoTime()
       val per = (n - 1000) / chunks
       (0 until chunks).foreach { c =>
-        in.addData(events.slice(1000 + c * per, 1000 + (c + 1) * per): _*)
+        // last chunk slices to n: integer division would otherwise
+        // silently drop (n-1000) % chunks rows while rows_per_s still
+        // divided by the full n-1000 (round-7 ADVICE)
+        val hi = if (c == chunks - 1) n else 1000 + (c + 1) * per
+        in.addData(events.slice(1000 + c * per, hi): _*)
         q.processAllAvailable() // barrier per chunk: state commits per batch
       }
       val dt = (System.nanoTime() - t0) / 1e9

