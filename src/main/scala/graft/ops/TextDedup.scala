@@ -77,6 +77,11 @@ object TextDedup {
     Util.purged(pairGraphCache).computeIfAbsent((s, sf), _ =>
       bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6).localCheckpoint())
 
+  /** The τ=0.6 pair graph for the cross-algorithm diagnostics
+    * (graft.tools.CrossCheck) — same frame the graph family reads. */
+  private[graft] def nearDupPairs(s: SparkSession, sf: String): DataFrame =
+    nearDupPairGraph(s, sf)
+
   /** Incremental ingest dedup — the PRODUCTION dedup shape: a new
     * batch is checked against the existing corpus, never the corpus
     * against itself (nobody re-deduplicates 100 TB per ingest). The
