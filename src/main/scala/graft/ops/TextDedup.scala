@@ -525,6 +525,13 @@ object TextDedup {
   def qDedupCluster(s: SparkSession, sf: String): DataFrame = {
     val pairs = nearDupPairGraph(s, sf)
       .select(col("a_id"), col("b_id"))
+    // loop-frame partition count sized from the measured edge count
+    // (the qGraphCcStar rule: ~250k edges per partition, clamped
+    // 8..4096) — round-8 fix of the last static repartition literal in
+    // the tree; at fixture scale this stays 8 (measured noise), at
+    // 100× it widens with the data instead of pinning
+    val nPairs = pairs.count()
+    val parts = math.max(8, math.min(4096, (2L * nPairs / 250000L).toInt))
     // localCheckpoint (NOT persist) on every loop-carried DataFrame:
     // persist caches partitions but the LOGICAL plan still nests the
     // full history — `labels` appears twice per round, so the analyzed
@@ -533,11 +540,11 @@ object TextDedup {
     // keeping every round's plan constant-size.
     val edges = pairs
       .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .repartition(8, col("b_id"))
+      .repartition(parts, col("b_id"))
       .localCheckpoint()
     var labels = edges.select(col("a_id").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
-      .repartition(8, col("id"))
+      .repartition(parts, col("id"))
       .localCheckpoint()
     // Every loop-carried frame below is ≤ |V| rows of two longs; gate
     // the broadcast hint on that size ONCE (|V| is loop-invariant —
@@ -583,7 +590,7 @@ object TextDedup {
               Seq("lab1"), "left")
         .select(col("id"), col("old"),
                 least(col("lab1"), coalesce(col("lab2"), col("lab1"))).as("lab"))
-        .repartition(8, col("id"))
+        .repartition(parts, col("id"))
         .localCheckpoint() // ONE materializing action per round; the change count below reads its blocks
       val nChanged = next.where(col("lab") < col("old")).count()
       labels = next.select(col("id"), col("lab"))
