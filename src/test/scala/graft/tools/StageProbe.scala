@@ -17,7 +17,7 @@ object StageProbe {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 2
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -50,12 +50,23 @@ object StageProbe {
       (1 to runs).foreach { r =>
         stages.clear()
         val t0 = System.nanoTime()
-        val cnt = fn(spark, sfDir).count()
+        val cnt = try fn(spark, sfDir).count() catch { case e: Throwable =>
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"== run $r: $q FAILED after $dt%.2f s: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)} ==")
+          stages.toSeq.sortBy(-_._2.run).take(10).foreach { case (id, st) =>
+            println(f"  stage $id%4d tasks=${st.n}%3d totalRun=${st.run / 1000.0}%8.1f s " +
+                    f"maxTask=${st.mx / 1000.0}%7.1f s gc=${st.gc / 1000.0}%6.1f s  ${st.name}")
+          }
+          -1L
+        }
+        if (cnt < 0) ()
+        else {
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"== run $r: $q -> $cnt rows in $dt%.2f s ==")
         stages.toSeq.sortBy(-_._2.run).take(10).foreach { case (id, s) =>
           println(f"  stage $id%4d tasks=${s.n}%3d totalRun=${s.run / 1000.0}%8.1f s " +
                   f"maxTask=${s.mx / 1000.0}%7.1f s gc=${s.gc / 1000.0}%6.1f s  ${s.name}")
+        }
         }
       }
     }
