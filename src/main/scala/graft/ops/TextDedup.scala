@@ -560,6 +560,15 @@ object TextDedup {
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqePrev = s.conf.getOption(aqeKey)
     s.conf.set(aqeKey, "false")
+    // With AQE off, the loop's IMPLICIT shuffles (nbrMin groupBy, the
+    // label joins) fall back to spark.sql.shuffle.partitions — a
+    // core-count constant that hands each reducer |E|/cores rows at
+    // 100×: the sf100 rung heap-OOM'd exactly there (round 8). Pin the
+    // session default to the same data-sized `parts` for the loop's
+    // duration so every loop shuffle scales together; restored below.
+    val spKey = "spark.sql.shuffle.partitions"
+    val spPrev = s.conf.getOption(spKey)
+    s.conf.set(spKey, parts.toString)
     var converged = false
     var rounds = 0
     // Wall time here is per-round PLANNING cost × rounds, not data:
@@ -600,6 +609,10 @@ object TextDedup {
     aqePrev match {
       case Some(v) => s.conf.set(aqeKey, v)
       case None => s.conf.unset(aqeKey)
+    }
+    spPrev match {
+      case Some(v) => s.conf.set(spKey, v)
+      case None => s.conf.unset(spKey)
     }
     val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lab")
