@@ -269,7 +269,15 @@ object ClusterProof {
       } else (strictKeys, sketchKeys)
     val clusterMaster = args.lift(2).getOrElse(
       if (mode == "full") "local-cluster[4,2,4096]" else "local-cluster[2,2,2048]")
-    val nWorkers = clusterMaster.split("[\\[,]")(1).toInt
+    // The executor-count assertion below only makes sense for a
+    // local-cluster master (round-8 ADVICE: a plain local[n] used to
+    // throw NumberFormatException before any proof ran).
+    val nWorkers = "local-cluster\\[(\\d+)".r.findFirstMatchIn(clusterMaster) match {
+      case Some(m) => m.group(1).toInt
+      case None => sys.error(
+        s"ClusterProof requires a local-cluster[n,cores,mem] master (got '$clusterMaster'): " +
+        "the proof is about separate executor JVMs")
+    }
     val allKeys = strict ++ sketch
     println(s"[cluster-proof] phase 1: local[8] baseline over ${allKeys.size} keys")
     val (localRes, _) = runPhase("local[8]", sfDir, allKeys)

@@ -367,20 +367,24 @@ object TextDedup {
     val prime = 2147483647L
     // repartition(32): the fixture table is one parquet file; without
     // this the 32-hash signature computation runs as a single task
-    // (measured 7.9 s of an 11 s query on one core)
-    val d = Tables.documents(s, sf).repartition(32).select(
-      col("doc_id"), col("lang"), col("n_chars"), tokens.as("tk"))
+    // (measured 7.9 s of an 11 s query on one core). ONE scan+tokenize
+    // pass serves the signature explode AND both verify-join sides
+    // (round-8 verdict footnote: the op read `documents` twice) —
+    // serialized checkpoint, the loop-frame storage discipline.
+    val d = Util.serCheckpoint(Tables.documents(s, sf).repartition(32).select(
+      col("doc_id"), col("lang"), col("n_chars"), tokens.as("tk")))
     // minhash_i = min over tokens of an affine transform of murmur3
     // (token) — computed as ONE token explode + 32 plain min aggregates
     // (partial+final hash agg, fully codegen'd; murmur3 hashed ONCE per
     // token and affinely remixed per signature). The per-element
     // transform() lambda formulation this replaces is interpreted —
     // measured ~2/3 of the query's CPU (the bandedJaccardPairs scaladoc
-    // documents the same hazard). Duplicate tokens don't move a min, so
-    // exploding the raw split (no array_distinct) is signature-identical.
-    val tokRows = Tables.documents(s, sf).repartition(32)
+    // documents the same hazard). min over the DISTINCT token set equals
+    // min over the raw multiset, so exploding `tk` is
+    // signature-identical to exploding the raw split.
+    val tokRows = d
       .select(col("doc_id"), col("lang"), col("n_chars"),
-              explode(split(col("text"), " ")).as("t"))
+              explode(col("tk")).as("t"))
       .withColumn("h", hash(col("t")).cast("long"))
     val sigAggs: Seq[Column] = (0 until nHashes).map { i =>
       val a = 2L * i + 1; val b = 104729L * (i + 1)
@@ -537,15 +541,21 @@ object TextDedup {
     // full history — `labels` appears twice per round, so the analyzed
     // tree doubles every iteration and Catalyst OOMs near round ~15.
     // Local checkpointing truncates lineage to the materialized blocks,
-    // keeping every round's plan constant-size.
-    val edges = pairs
+    // keeping every round's plan constant-size. SERIALIZED blocks
+    // (Util.serCheckpoint): the round-8 sf100 rung showed the
+    // deserialized edge frame (~86M row objects) alone heap-OOMs a
+    // 16 GiB JVM — as compact bytes the same frame is ~1.4 GB and
+    // spills past that, so storage memory scales with data bytes, not
+    // object count.
+    val edges = Util.serCheckpoint(pairs
       .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .repartition(parts, col("b_id"))
-      .localCheckpoint()
-    var labels = edges.select(col("a_id").as("id")).distinct()
+      .repartition(parts, col("b_id")))
+    def pids: Set[Int] = s.sparkContext.getPersistentRDDs.keySet.toSet
+    val preLabelIds = pids
+    var labels = Util.serCheckpoint(edges.select(col("a_id").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
-      .repartition(parts, col("id"))
-      .localCheckpoint()
+      .repartition(parts, col("id")))
+    var prevIds = pids -- preLabelIds // the current `labels` round's block ids
     // Every loop-carried frame below is ≤ |V| rows of two longs; gate
     // the broadcast hint on that size ONCE (|V| is loop-invariant —
     // labels only relabel, never grow). count() reads the checkpointed
@@ -569,50 +579,65 @@ object TextDedup {
     val spKey = "spark.sql.shuffle.partitions"
     val spPrev = s.conf.getOption(spKey)
     s.conf.set(spKey, parts.toString)
-    var converged = false
-    var rounds = 0
-    // Wall time here is per-round PLANNING cost × rounds, not data:
-    // re-measured this session — loop frames at 8 vs 32 partitions are
-    // within noise (11.2 vs 11.4 s), and a double pointer-jump per
-    // round DOUBLES the time (24 s): the second jump's un-checkpointed
-    // input appears twice in the plan, so Catalyst re-plans (and the
-    // executor re-computes) the whole first jump. One jump + one
-    // localCheckpoint per round is the minimum-plan shape.
-    while (!converged && rounds < 50) { // runaway guard; pointer jumping closes in O(log diameter)
-      // step 1 — neighbor min: each node takes the min label in its
-      // closed neighborhood (one hop per round on its own — near-dup
-      // chains across the length band made that ~20 rounds at sf0.1)
-      val nbrMin = edges
-        .join(bc(labels.select(col("id").as("b_id"), col("lab"))), "b_id")
-        .groupBy(col("a_id")).agg(min(col("lab")).as("nlab"))
-        .select(col("a_id").as("id"), col("nlab"))
-      val cand = labels.join(bc(nbrMin), Seq("id"), "left")
-        .select(col("id"), col("lab").as("old"),
-                least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab1"))
-      // step 2 — pointer jump (hash-to-min): adopt your label's label.
-      // Labels only decrease and always name a node of the same
-      // component, so the jump preserves the fixpoint (= component
-      // min) while squaring the propagation distance per round:
-      // convergence in O(log diameter) rounds instead of O(diameter).
-      val next = cand
-        .join(bc(cand.select(col("id").as("lab1"), col("lab1").as("lab2"))),
-              Seq("lab1"), "left")
-        .select(col("id"), col("old"),
-                least(col("lab1"), coalesce(col("lab2"), col("lab1"))).as("lab"))
-        .repartition(parts, col("id"))
-        .localCheckpoint() // ONE materializing action per round; the change count below reads its blocks
-      val nChanged = next.where(col("lab") < col("old")).count()
-      labels = next.select(col("id"), col("lab"))
-      converged = nChanged == 0
-      rounds += 1
-    }
-    aqePrev match {
-      case Some(v) => s.conf.set(aqeKey, v)
-      case None => s.conf.unset(aqeKey)
-    }
-    spPrev match {
-      case Some(v) => s.conf.set(spKey, v)
-      case None => s.conf.unset(spKey)
+    // try/finally (round-8 ADVICE): ClusterProof/StageProbe catch
+    // per-key failures and keep running MORE keys on the same session —
+    // a mid-loop OOM must not leak loop-sized shuffle partitions and
+    // AQE=off into every subsequent query.
+    try {
+      var converged = false
+      var rounds = 0
+      // Wall time here is per-round PLANNING cost × rounds, not data:
+      // re-measured this session — loop frames at 8 vs 32 partitions are
+      // within noise (11.2 vs 11.4 s), and a double pointer-jump per
+      // round DOUBLES the time (24 s): the second jump's un-checkpointed
+      // input appears twice in the plan, so Catalyst re-plans (and the
+      // executor re-computes) the whole first jump. One jump + one
+      // localCheckpoint per round is the minimum-plan shape.
+      while (!converged && rounds < 50) { // runaway guard; pointer jumping closes in O(log diameter)
+        // step 1 — neighbor min: each node takes the min label in its
+        // closed neighborhood (one hop per round on its own — near-dup
+        // chains across the length band made that ~20 rounds at sf0.1)
+        val nbrMin = edges
+          .join(bc(labels.select(col("id").as("b_id"), col("lab"))), "b_id")
+          .groupBy(col("a_id")).agg(min(col("lab")).as("nlab"))
+          .select(col("a_id").as("id"), col("nlab"))
+        val cand = labels.join(bc(nbrMin), Seq("id"), "left")
+          .select(col("id"), col("lab").as("old"),
+                  least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab1"))
+        // step 2 — pointer jump (hash-to-min): adopt your label's label.
+        // Labels only decrease and always name a node of the same
+        // component, so the jump preserves the fixpoint (= component
+        // min) while squaring the propagation distance per round:
+        // convergence in O(log diameter) rounds instead of O(diameter).
+        val preIds = pids
+        val next = Util.serCheckpoint(cand
+          .join(bc(cand.select(col("id").as("lab1"), col("lab1").as("lab2"))),
+                Seq("lab1"), "left")
+          .select(col("id"), col("old"),
+                  least(col("lab1"), coalesce(col("lab2"), col("lab1"))).as("lab"))
+          .repartition(parts, col("id"))) // ONE materializing action per round; the change count below reads its blocks
+        val nChanged = next.where(col("lab") < col("old")).count()
+        // previous round's label blocks are dead once `next` is
+        // materialized (eager checkpoint, truncated lineage). Dropping
+        // them here — Dataset.unpersist can't (cache-manager path), and
+        // waiting for the ContextCleaner means O(rounds) storage — keeps
+        // loop storage at O(edges + 1 round of labels).
+        val rdds = s.sparkContext.getPersistentRDDs
+        prevIds.foreach(id => rdds.get(id).foreach(_.unpersist(blocking = false)))
+        prevIds = pids -- preIds
+        labels = next.select(col("id"), col("lab"))
+        converged = nChanged == 0
+        rounds += 1
+      }
+    } finally {
+      aqePrev match {
+        case Some(v) => s.conf.set(aqeKey, v)
+        case None => s.conf.unset(aqeKey)
+      }
+      spPrev match {
+        case Some(v) => s.conf.set(spKey, v)
+        case None => s.conf.unset(spKey)
+      }
     }
     val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lab")
@@ -1082,10 +1107,13 @@ object TextDedup {
     // prefix — and a pigeonhole gate runs before the DP: 25 edits
     // cannot dirty all 27 aligned chunks, so any true pair whose edits
     // are SUBSTITUTIONS shares ≥1 aligned chunk (no false negatives),
-    // while unrelated same-block texts pass only at the ~27·|Σ|⁻³
+    // while unrelated same-block texts pass only at the ~81·|Σ|⁻³
     // chunk-collision rate (~10⁻³ measured). Indel-shifted pairs are
-    // caught via chunks before the first indel — the DECLARED
-    // fixture-scale band, verified lossless against the ungated DP at
+    // caught via chunks before the first indel, plus (round-9, the
+    // round-8 ADVICE) the gate's ±1-INDEX acceptance covers net shifts
+    // of exactly ±3 chars at any untouched chunk; other net shifts
+    // remain the DECLARED fixture-scale band, verified lossless
+    // against the ungated DP at
     // sf0.01/sf0.1 (oracle, every round) and at sf1 (cross-checked
     // this round: 180,160 pairs, identical). The DP then runs on
     // survivors only — at sf10 that is ~the answer itself, which is

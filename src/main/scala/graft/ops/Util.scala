@@ -22,6 +22,19 @@ import org.apache.spark.sql.types.DecimalType
 object Util {
   val D: DecimalType = DecimalType(18, 4)
 
+  /** Serialized local checkpoint for DATA-SIZED loop-carried frames
+    * (the iterative graph/dedup family). Plain `localCheckpoint()`
+    * stores deserialized row objects — at sf100 the q_dedup_cluster
+    * edge frame (~86M rows of two longs) pins tens of GiB of object
+    * headers and OOMs a 16 GiB JVM before the fixpoint (round-8 rung).
+    * MEMORY_AND_DISK_SER stores the same blocks as compact serialized
+    * bytes (~16 B/row here) and spills what doesn't fit; lineage
+    * truncation — the reason these loops checkpoint at all — is
+    * identical. Fixture-scale cost is one codegen'd (de)serialize pass
+    * per consume, noise next to per-round planning. */
+  def serCheckpoint(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** Order-independent exact sum of a double expression, output as double.
     *
     * `scale` must be ≥ the true decimal scale of the expression (fixture
@@ -198,7 +211,12 @@ object Util {
       .foreach { d =>
         val dead = d.getName match {
           case pidPat(pid) => !new java.io.File(s"/proc/$pid").exists()
-          case _           => true // legacy per-invocation temp dir
+          // Legacy random-suffix dirs carry no pid, so liveness is
+          // unknowable — age-gate them (round-8 ADVICE): a concurrent
+          // JVM built from an older revision may be mid-query in a
+          // fresh one, but nothing legitimately holds scratch for
+          // hours.
+          case _ => System.currentTimeMillis() - d.lastModified() > 3L * 3600 * 1000
         }
         if (dead) deleteRecursive(d)
       }

@@ -169,8 +169,13 @@ object Vectors {
       .map(_.toDouble).getOrElse(0.95)
     val planeBudget = s.conf.getOption("graft.lsh.planeBudget")
       .map(_.toInt).getOrElse(512)
-    val nBands = math.max(16, math.min(planeBudget / bitsPerBand, math.min(64,
-      math.ceil(math.log(1.0 - recallTarget) / math.log(1.0 - pBand)).toInt)))
+    // Budget OUTERMOST (round-8 ADVICE): the recall-driven band count
+    // has a 16-band floor, but the plane budget must win even against
+    // the floor — a user-set small graft.lsh.planeBudget is a hard cap,
+    // not a suggestion (min 1 band so the op stays well-formed).
+    val nBands = math.max(1, math.min(planeBudget / bitsPerBand,
+      math.max(16, math.min(64,
+        math.ceil(math.log(1.0 - recallTarget) / math.log(1.0 - pBand)).toInt))))
     val nPlanes = nBands * bitsPerBand
     val v = normed(s, sf)
     // sign bits packed into an int per band — ONE native expression
@@ -204,8 +209,11 @@ object Vectors {
       .select("a_id", "b_id")
     val bcastBytes = s.conf.getOption("graft.lsh.verifyBroadcastBytes")
       .map(_.toLong).getOrElse(128L << 20)
+    // 2× the per-side estimate (round-8 ADVICE): the verify plan holds
+    // BOTH the a-side and b-side broadcasts live at once, so the gate
+    // must bound their sum, not one side.
     val verified =
-      if (n * (16L + 8L * dim) <= bcastBytes)
+      if (2L * n * (16L + 8L * dim) <= bcastBytes)
         cand.join(broadcast(aSide(v)), "a_id").join(broadcast(bSide(v)), "b_id")
       else
         cand.repartition(64, col("a_id")).join(aSide(v), "a_id")

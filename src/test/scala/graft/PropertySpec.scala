@@ -753,4 +753,56 @@ class PropertySpec extends SparkSpec {
       assert(r.getAs[Long]("pieces_per_token_fp") >= 10000L)
     }
   }
+
+  test("editdist pigeonhole gate: substitutions complete, ±3-char shifts covered, 1-char-indel residue pinned") {
+    // Adversarial fixtures for q_dedup_editdist's chunk-fingerprint gate
+    // (round-8 ADVICE): the gate's coverage claims are enforced here,
+    // and its DECLARED residue — indel net-shifts that are not a
+    // multiple of the 3-char chunk width — is pinned as a visible test,
+    // not a comment.
+    // 81 DISTINCT printable chars: every 3-gram is unique, so no chunk
+    // equality can arise by content coincidence — only by true alignment.
+    val base = (33 until 114).map(_.toChar).mkString
+    def gateHolds(a: String, b: String): Boolean = {
+      val df = spark.range(1).select(lit(a).as("a_pfx"), lit(b).as("b_pfx"))
+        .withColumn("a_sig", expr(
+          "transform(sequence(0, 26), c -> hash(substring(a_pfx, c * 3 + 1, 3)))"))
+        .withColumn("b_sig", expr(
+          "transform(sequence(0, 26), c -> hash(substring(b_pfx, c * 3 + 1, 3)))"))
+      df.select(graft.functions.StringFilters
+          .anyAlignedEqual(col("a_sig"), col("b_sig")).as("g"))
+        .head.getBoolean(0)
+    }
+    def lev(a: String, b: String): Long =
+      spark.range(1).select(levenshtein(lit(a), lit(b)).cast("long")).head.getLong(0)
+    val a80 = base.take(80)
+    // (1) SUBSTITUTIONS are pigeonhole-complete: 25 edits dirty at most
+    // 25 of 27 chunks — adversarial one-per-chunk spread AND 20 seeded
+    // random 25-subsets must all pass.
+    def subst(s: String, ps: Seq[Int]): String =
+      ps.foldLeft(s)((acc, p) => acc.updated(p, 'þ'))
+    assert(gateHolds(a80, subst(a80, 0 until 75 by 3)),
+           "one-substitution-per-chunk spread must leave >=2 clean chunks")
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { i =>
+      val ps = rnd.shuffle((0 until 80).toList).take(25)
+      assert(gateHolds(a80, subst(a80, ps)), s"random substitution set $i dropped a true pair")
+    }
+    // (2) ±3-char net shifts are covered by the ±1-index acceptance
+    // (this round's widening): a 3-char leading cut/paste realigns every
+    // later chunk one index over.
+    assert(gateHolds(a80, base.drop(3).take(80)), "3-char leading deletion must pass (b_sig[c]==a_sig[c+1])")
+    assert(gateHolds(a80, ("úûü" + base).take(80)), "3-char leading insertion must pass")
+    // (3) THE DECLARED RESIDUE: a 1-char leading indel (net shift not a
+    // multiple of 3) dirties every aligned AND ±1-shifted chunk of this
+    // all-distinct string — a true lev<=25 pair the gate drops. This is
+    // the op's documented fixture-scale band (verified absent from the
+    // fixture corpus by the ungated-DP oracle at sf0.01/sf0.1/sf1); if
+    // this assertion ever flips, the gate grew real indel coverage and
+    // the op's scaladoc band should be re-stated.
+    val ins1 = ("ú" + base).take(80)
+    assert(lev(a80, ins1) <= 25, "fixture must be a true pair for the residue pin to mean anything")
+    assert(!gateHolds(a80, ins1),
+           "1-char-indel pair unexpectedly PASSED: the declared band has changed — update the scaladoc")
+  }
 }
