@@ -1285,6 +1285,27 @@ object OracleSql {
       CAST(CAST(SUM(CAST(price AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM merged GROUP BY status ORDER BY status""")
 
+  // MERGE INTO's full-outer-coalesce twin: matched keys (every 97th
+  // order) take the update, the negative-keyed insert batch lands as
+  // new rows, everything else carries over — exactly the table image
+  // the group-based ReplaceData publishes.
+  val qSqlMergeInto: String = n("""
+    WITH upd AS (
+      SELECT o_orderkey AS u_key, 'X' AS u_status,
+        o_totalprice * 1.1 AS u_price
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT -o_orderkey - 1, 'N', o_totalprice
+      FROM orders WHERE o_orderkey % 103 = 0),
+    merged AS (
+      SELECT COALESCE(o.o_orderkey, u.u_key) AS okey,
+        COALESCE(u.u_status, o.o_orderstatus) AS status,
+        COALESCE(u.u_price, o.o_totalprice) AS price
+      FROM orders o FULL OUTER JOIN upd u ON o.o_orderkey = u.u_key)
+    SELECT status, COUNT(*) AS n_rows,
+      CAST(CAST(SUM(CAST(price AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_price
+    FROM merged GROUP BY status ORDER BY status""")
+
   val qFnRegex: String = n("""
     SELECT doc_id,
       regexp_extract(text, '^([a-z]+)', 1) AS first_word,

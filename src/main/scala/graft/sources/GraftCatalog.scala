@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRowLevelOperations, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A minimal V2 [[TableCatalog]] over the in-memory telemetry store —
+  * the last NON-environment-blocked SQL-surface gap (round-8 verdict
+  * "What's missing" #1): Spark only plans `MERGE INTO` against a table
+  * resolved through a V2 catalog whose table implements
+  * [[SupportsRowLevelOperations]]. The round-8 DSv2 WRITE path built
+  * the commit machinery; this supplies the catalog resolution + the
+  * row-level-operation hook so the SQL statement itself — the
+  * warehouse-upsert spelling every lakehouse user types — analyzes,
+  * optimizes (RewriteMergeIntoTable → MergeRows + ReplaceData) and
+  * executes in-tree.
+  *
+  * Registration is per-session conf (`spark.sql.catalog.graft` →
+  * this class); tables live in [[TelemetryStore]] keyed by the
+  * dot-joined identifier, so catalog tables and `option("store", …)`
+  * writer tables share one storage/commit path.
+  *
+  * Scale posture: identical to the store itself — targets are
+  * dimension-sized snapshots (the declared driver-memory envelope);
+  * the catalog layer adds resolution only. A deployment points the
+  * same interfaces at a warehouse and keeps the MERGE plan shape. */
+class GraftCatalog extends TableCatalog {
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  private def key(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val prefix = namespace.mkString("", ".", ".")
+    val ks = TelemetryStore.tables.keySet()
+    val out = Vector.newBuilder[Identifier]
+    ks.forEach { k =>
+      if (k.startsWith(prefix) && !k.substring(prefix.length).contains("."))
+        out += Identifier.of(namespace, k.substring(prefix.length))
+    }
+    out.result().toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val k = key(ident)
+    TelemetryStore.tables.get(k) match {
+      case null => throw new NoSuchTableException(ident)
+      case (schema, _) => new MergeableStoreTable(k, schema)
+    }
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    TelemetryStore.tables.containsKey(key(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty, "telemetry_store tables are unpartitioned")
+    val k = key(ident)
+    val prev = TelemetryStore.tables.putIfAbsent(k, (schema, Vector.empty))
+    if (prev != null) throw new TableAlreadyExistsException(ident)
+    new MergeableStoreTable(k, schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("telemetry_store: ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean =
+    TelemetryStore.tables.remove(key(ident)) != null
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("telemetry_store: RENAME TABLE not supported")
+}
+
+/** The store table + [[SupportsRowLevelOperations]]: MERGE/UPDATE/DELETE
+  * plan GROUP-BASED (copy-on-write) — the unpartitioned store is ONE
+  * group, so the operation's scan reads the current snapshot, MergeRows
+  * computes the post-merge image (carry-over rows included), and the
+  * replacement write publishes through the existing
+  * [[StoreBatchWrite]] as a truncate+append — the same atomic swap
+  * `q_source_dsv2_write`'s overwrite path proved, now driven by the
+  * SQL MERGE plan instead of `mode("overwrite")`.
+  *
+  * The `_shard` METADATA column (constant 0 — one group) exists because
+  * the operation must declare a required metadata attribute for Spark
+  * to take the PROJECTING write path (DataAndMetadataWritingSparkTask):
+  * MergeRows emits `[__row_operation, data…]` rows, and only that task
+  * strips the operation column / routes op codes before the connector's
+  * DataWriter — the plain task hands the raw merge rows to the sink.
+  * This mirrors how real lakehouse connectors surface `_file`/
+  * `_partition` for the same purpose. */
+private[sources] class MergeableStoreTable(storeKey: String, schema0: StructType)
+    extends TelemetryStoreTable(storeKey, schema0)
+    with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  import org.apache.spark.sql.connector.catalog.MetadataColumn
+  import org.apache.spark.sql.connector.expressions.Expressions
+
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_shard"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "row-level-operation group id (the unpartitioned store is one group)"
+    })
+
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command()
+        override def description(): String =
+          s"telemetry_store.rowlevel($storeKey, ${info.command()})"
+        override def requiredMetadataAttributes()
+            : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+          Array(Expressions.column("_shard"))
+        // read half: the table's own pruned V2 scan (the whole table is
+        // the single affected group; `_shard` resolves to constant 0)
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+          MergeableStoreTable.this.newScanBuilder(options)
+        // write half: ReplaceData hands us the FULL post-operation
+        // group image → truncate+append publish (atomic in
+        // StoreBatchWrite.commit)
+        override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
+          new WriteBuilder {
+            override def build(): Write = new Write {
+              override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+                new StoreBatchWrite(storeKey, lwi.schema(), truncateFirst = true)
+            }
+          }
+      }
+    }
+}

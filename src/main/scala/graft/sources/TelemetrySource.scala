@@ -469,8 +469,12 @@ private[sources] class TelemetryStoreTable(key: String, schema0: StructType)
         override def toBatch: Batch = this
         override def planInputPartitions(): Array[InputPartition] = {
           val all = TelemetryStore.rows(key)
-          // ordinals of the pruned columns in the stored row layout
-          val ords = required.fieldNames.map(schema0.fieldIndex)
+          // ordinals of the pruned columns in the stored row layout;
+          // the `_shard` METADATA column (row-level-operation group id,
+          // MergeableStoreTable) is not stored — ordinal -1 emits the
+          // constant 0: the unpartitioned store is one group
+          val ords = required.fieldNames.map(f =>
+            if (f == "_shard") -1 else schema0.fieldIndex(f))
           if (all.isEmpty) Array(StoreSlice(Array.empty, ords))
           else {
             val nSplits = math.min(8, all.size)
@@ -490,10 +494,13 @@ private[sources] class TelemetryStoreTable(key: String, schema0: StructType)
                   val out = new GenericInternalRow(slice.ordinals.length)
                   var c = 0
                   while (c < slice.ordinals.length) {
-                    out.update(c, src(slice.ordinals(c)) match {
-                      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
-                      case v => v
-                    })
+                    val ord = slice.ordinals(c)
+                    out.update(c,
+                      if (ord < 0) 0 // _shard metadata column: single group
+                      else src(ord) match {
+                        case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+                        case v => v
+                      })
                     c += 1
                   }
                   out
@@ -585,6 +592,12 @@ private[sources] class StoreWriterFactory(schema: StructType)
         while (c < gets.length) { out(c) = gets(c)(r); c += 1 }
         buf += out
       }
+      // metadata+data variant (DataWriter's two-arg default throws):
+      // row-level-operation writes arrive here when the operation
+      // declared metadata attributes — the store has no physical
+      // metadata, so only the data row lands
+      override def write(metadata: InternalRow, record: InternalRow): Unit =
+        write(record)
       override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
         StoreCommit(partitionId, buf.result())
       override def abort(): Unit = ()

@@ -466,6 +466,38 @@ class PlanShapeSpec extends SparkSpec {
            s"expected at most the agg + window shuffles, got $exchanges:\n$p")
   }
 
+  test("MERGE INTO plans group-based ReplaceData + MergeRows and publishes truncate+append") {
+    import graft.sources.TelemetryStore
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"merge_pin_p${ProcessHandle.current().pid()}"
+    val ident = s"graft.store.$tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $ident")
+    spark.sql(s"CREATE TABLE $ident (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $ident VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("SELECT * FROM VALUES (2L, 'B'), (9L, 'Z') AS u(uk, uv)")
+      .createOrReplaceTempView("merge_pin_src")
+    val mergeSql = s"""
+      MERGE INTO $ident t USING merge_pin_src u ON t.k = u.uk
+      WHEN MATCHED THEN UPDATE SET v = u.uv
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (u.uk, u.uv)"""
+    // plan pin: the SQL statement must rewrite to the group-based
+    // row-level plan (MergeRows over the full-outer join, published via
+    // ReplaceData) — not fail analysis, not fall to some V1 path
+    val p = spark.sql(s"EXPLAIN $mergeSql").collect().map(_.getString(0)).mkString
+    assert(p.contains("ReplaceData"), s"MERGE did not plan ReplaceData:\n$p")
+    assert(p.contains("MergeRows"), s"MERGE did not plan MergeRows:\n$p")
+    // execution: post-merge image is the full-outer-coalesce result,
+    // and the store saw it as ONE atomic truncate+append publish
+    spark.sql(mergeSql)
+    val rows = spark.sql(s"SELECT k, v FROM $ident ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "Z")),
+           s"post-merge content wrong: $rows")
+    assert(TelemetryStore.lastCommit.get(s"store.$tbl") == "truncate+append",
+           "row-level publish must be the atomic truncate+append swap")
+    spark.sql(s"DROP TABLE $ident")
+  }
+
   test("graft_bitmap_* are SQL-callable and exact") {
     val r = spark.sql(
       """SELECT graft_bitmap_count(graft_bitmap_union_agg(bm)) AS n FROM (
