@@ -45,6 +45,7 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     val nKeys = args.lift(1).map(_.toInt).getOrElse(1000)
+    if (args.lift(2).contains("cluster-kill")) { clusterKill(n, nKeys); return }
     val chunks = 10
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -162,6 +163,90 @@ object StreamBench {
         f"[stream-bench] recovery: state=$sRows keys, build=$buildS%.1f s, restart->first-emit=$recoveryS%.2f s")
       println(s"""{"metric":"stream_recovery","rows":$n,"keys":$nKeys,"state_rows":$sRows,"recovery_s":${f"$recoveryS%.2f"}}""")
     }
+    spark.stop()
+  }
+
+  /** EXECUTOR-JVM-loss recovery (round-9; round-8 measured QUERY-restart
+    * recovery — this is the harder operational event): a keyed RocksDB
+    * stream runs under `local-cluster[2,1,2048]` (two real executor
+    * JVMs forked as child processes), state is built across both, then
+    * ONE executor is SIGKILLed mid-stream — the query itself never
+    * stops. The measured window is kill → the next micro-batch fully
+    * processed: task-loss detection, re-schedule onto the survivor (or
+    * the standalone master's relaunched executor), RocksDB state
+    * reload from the CHECKPOINT (the dead JVM's local store is gone),
+    * and one emit. A per-batch baseline on the same stream right
+    * before the kill gives the overhead factor.
+    *
+    * Usage: graft.StreamBench <nRows> <nKeys> cluster-kill */
+  private def clusterKill(n: Int, nKeys: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,1,2048]")
+      .appName("graft-stream-kill")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      // executors need the repo classes (Event, StreamOps codegen refs)
+      // + the module opens Spark's launcher doesn't add itself (the
+      // ClusterProof config; run with SPARK_HOME=/opt/spark)
+      .config("spark.executor.extraClassPath",
+        sys.env.getOrElse("GRAFT_CLASSES", "/root/repo/target/scala-2.13/classes"))
+      .config("spark.executor.extraJavaOptions",
+        "--add-opens=java.base/java.nio=ALL-UNNAMED " +
+        "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED " +
+        "--add-opens=java.base/java.util=ALL-UNNAMED " +
+        "--add-opens=java.base/java.lang=ALL-UNNAMED " +
+        "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val events = mkEvents(n, nKeys)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sbench_kill").toString
+    val in = MemoryStream[Event](spark)
+    @volatile var outRows = 0L
+    val q = StreamOps.interarrival(in.toDS()).toDF().writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        { outRows += b.count(); () })
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    // build keyed state across both executors (4 committed batches)
+    val quarter = math.max(1, n / 4)
+    val tb0 = System.nanoTime()
+    events.take(3 * quarter).grouped(quarter).foreach { c =>
+      in.addData(c: _*); q.processAllAvailable()
+    }
+    val buildS = (System.nanoTime() - tb0) / 1e9
+    // per-batch baseline with both executors alive
+    val tbl0 = System.nanoTime()
+    in.addData(events.slice(3 * quarter, 3 * quarter + quarter / 2): _*)
+    q.processAllAvailable()
+    val baselineS = (System.nanoTime() - tbl0) / 1e9
+    val sRows = Option(q.lastProgress).filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    // the executor JVMs are direct children of this process
+    // (local-cluster Workers run in-process and fork
+    // CoarseGrainedExecutorBackend JVMs)
+    import scala.jdk.CollectionConverters._
+    val backends = ProcessHandle.current().children().iterator().asScala
+      .filter(_.info().commandLine().map[Boolean](
+        (c: String) => c.contains("ExecutorBackend")).orElse(false))
+      .toVector
+    require(backends.nonEmpty, "no executor JVM children found to kill")
+    val victim = backends.head
+    System.err.println(
+      s"[stream-kill] killing executor JVM pid=${victim.pid()} of ${backends.size}")
+    val t0 = System.nanoTime()
+    victim.destroyForcibly()
+    in.addData(events.slice(3 * quarter + quarter / 2, n): _*)
+    q.processAllAvailable() // blocks until the post-kill batch fully commits
+    val recoveryS = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    System.err.println(
+      f"[stream-kill] state=$sRows rows, build=$buildS%.1f s, baseline batch=$baselineS%.2f s, kill->batch-committed=$recoveryS%.2f s, out=$outRows")
+    println(s"""{"metric":"stream_executor_kill","rows":$n,"keys":$nKeys,"state_rows":$sRows,"baseline_batch_s":${f"$baselineS%.2f"},"kill_recovery_s":${f"$recoveryS%.2f"}}""")
     spark.stop()
   }
 }
