@@ -83,6 +83,23 @@ object ClusterProof {
     // round 7: adaptive-banding LSH + the vocab-trained BPE artifact
     "a_sim_ann_lsh", "a_text_bpe")
 
+  /** "heavy" mode (round-9, round-8 verdict ask #8): the ~20 most
+    * expensive keys by the committed bench — the iterative graph /
+    * banded dedup / shared-frame family whose shuffles are real at sf1
+    * (the full-surface proof ran at sf0.1, where most exchanges fit in
+    * one block). Strict-hash under real executor JVMs at the scale
+    * where partition traffic actually crosses the wire. */
+  val heavyStrictKeys: Seq[String] = Seq(
+    "q_sql_recursive", "q_graph_cc_star", "q_dedup_cluster",
+    "q_graph_linkpred", "q_graph_bfs", "q_dedup_ngram",
+    "q_text_fingerprint", "q_graph_2core", "q_multimodal_neardup",
+    "q_text_containment", "q_join_skew_salted", "q_text_dup_spans",
+    "q_ts_anomaly", "q_graph_pagerank", "q_graph_triangles",
+    "q_dedup_editdist", "q_dedup_jaccard", "q_sink_zorder")
+  val heavySketchKeys: Seq[String] = Seq(
+    "a_dedup_minhash", "a_sim_ann_ivf", "a_dedup_bloom_contam",
+    "a_embed_kmeans", "a_dedup_simhash", "a_sim_ann_lsh")
+
   /** Canonical driver-side hash: rows rendered with bit-exact numeric
     * encodings, sorted, md5'd — row order normalized so partition
     * arrival nondeterminism can't flip the hash. */
@@ -266,9 +283,11 @@ object ClusterProof {
       if (mode == "full") {
         val all = SparkEntry.queries.keys.toSeq.sorted
         (all.filter(_.startsWith("q_")), all.filter(_.startsWith("a_")))
-      } else (strictKeys, sketchKeys)
+      } else if (mode == "heavy") (heavyStrictKeys, heavySketchKeys)
+      else (strictKeys, sketchKeys)
     val clusterMaster = args.lift(2).getOrElse(
-      if (mode == "full") "local-cluster[4,2,4096]" else "local-cluster[2,2,2048]")
+      if (mode == "full" || mode == "heavy") "local-cluster[4,2,4096]"
+      else "local-cluster[2,2,2048]")
     // The executor-count assertion below only makes sense for a
     // local-cluster master (round-8 ADVICE: a plain local[n] used to
     // throw NumberFormatException before any proof ran).

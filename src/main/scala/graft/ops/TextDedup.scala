@@ -75,7 +75,7 @@ object TextDedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def nearDupPairGraph(s: SparkSession, sf: String): DataFrame =
     Util.purged(pairGraphCache).computeIfAbsent((s, sf), _ =>
-      bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6).localCheckpoint())
+      bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
 
   /** The τ=0.6 pair graph for the cross-algorithm diagnostics
     * (graft.tools.CrossCheck) — same frame the graph family reads. */
@@ -133,7 +133,7 @@ object TextDedup {
         .withColumn("g8", collect_list(col("w")).over(shingleFrame))
         .where(size(col("g8")) === 8)
         .select(col("doc_id"), col("b"), md5(concat_ws(" ", col("g8"))).as("gram"))
-        .localCheckpoint()
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     })
 
   def aDedupBloomContam(s: SparkSession, sf: String): DataFrame = {
@@ -683,7 +683,7 @@ object TextDedup {
     var edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var nEdges = edges.count()
     def bc(df: DataFrame): DataFrame = Util.gatedBroadcast(s, df, nEdges)
     var converged = nEdges == 0
@@ -694,7 +694,7 @@ object TextDedup {
       val next = edges.join(bc(keep), "u")
         .join(bc(keep.select(col("u").as("v"))), "v")
         .select(col("u"), col("v"))
-        .localCheckpoint()
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val n2 = next.count()
       converged = n2 == nEdges
       edges = next
@@ -718,7 +718,7 @@ object TextDedup {
   def qGraphLinkpred(s: SparkSession, sf: String): DataFrame = {
     val pairs = nearDupPairGraph(s, sf)
       .select(col("a_id"), col("b_id"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
@@ -756,7 +756,7 @@ object TextDedup {
   def qGraph2hop(s: SparkSession, sf: String): DataFrame = {
     val pairs = nearDupPairGraph(s, sf)
       .select(col("a_id"), col("b_id"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
@@ -792,7 +792,7 @@ object TextDedup {
   def qGraphClustercoef(s: SparkSession, sf: String): DataFrame = {
     val pairs = nearDupPairGraph(s, sf)
       .select(col("a_id"), col("b_id"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
@@ -833,7 +833,7 @@ object TextDedup {
   def qGraphAssortativity(s: SparkSession, sf: String): DataFrame = {
     val pairs = nearDupPairGraph(s, sf)
       .select(col("a_id"), col("b_id"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
@@ -900,7 +900,7 @@ object TextDedup {
     // orient u > v (canonical pairs have a_id < b_id)
     var edges = pairs.select(col("b_id").as("u"), col("a_id").as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // one shuffle-free scan: edge count (sizes the loop partitions) +
     // the set's xor-folded hash (the convergence screen; XOR is
     // order-independent and can't overflow under ANSI, unlike sum)
@@ -910,7 +910,7 @@ object TextDedup {
     }
     var (nEdges, hEdges) = sig(edges)
     val parts = math.max(8L, math.min(4096L, nEdges / 250000L + 1L)).toInt
-    edges = edges.repartition(parts, col("u")).localCheckpoint()
+    edges = edges.repartition(parts, col("u")).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     def largeStar(e: DataFrame): DataFrame = {
       val nb = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val m = nb.groupBy("u").agg(min(col("v")).as("mn"))
@@ -921,7 +921,7 @@ object TextDedup {
         .where(col("u") =!= col("v")) // root self-loops carry no info
         .distinct()
         .repartition(parts, col("u"))
-        .localCheckpoint()
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
     def smallStar(e: DataFrame): DataFrame = {
       // input orientation u > v holds by construction (see callers)
@@ -931,7 +931,7 @@ object TextDedup {
         .unionAll(m.select(col("u"), col("m").as("v")))
         .distinct()
         .repartition(parts, col("u"))
-        .localCheckpoint()
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
     var converged = false
     var rounds = 0
@@ -981,13 +981,13 @@ object TextDedup {
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val nNodes = edges.select("u").distinct().count()
     def bc(df: DataFrame): DataFrame = Util.gatedBroadcast(s, df, nNodes)
     var dist = edges.select(col("u").as("id")).distinct()
       .where(col("id") % 100 === 0)
       .select(col("id"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var sig = (dist.count(), 0L)
     var converged = false
     var rounds = 0
@@ -997,7 +997,7 @@ object TextDedup {
         .select(col("u").as("id"), (col("dist") + 1L).as("dist"))
       val next = dist.unionByName(offers)
         .groupBy("id").agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val r = next.agg(count(lit(1)), sum(col("dist"))).head()
       val nextSig = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
       converged = nextSig == sig
@@ -1316,7 +1316,7 @@ object TextDedup {
     // per invocation — per-invocation materialization, unlike persist,
     // can't leak this run's cache into a later identical plan (bench
     // min-of-2 would otherwise measure a cache read on run 2)
-    val hits = test.join(train, "gram").localCheckpoint()
+    val hits = test.join(train, "gram").localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val pairs = hits.groupBy(col("test_id"), col("train_id"))
       .agg(count(lit(1)).as("shared"))
     val worstW = Window.partitionBy(col("test_id"))
@@ -1358,7 +1358,7 @@ object TextDedup {
       .where(size(col("g8")) === 8)
       .select(col("doc_id"), md5(concat_ws(" ", col("g8"))).as("gram"))
       .distinct()
-      .localCheckpoint() // consumed 3× (sizes + both join sides)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER) // consumed 3× (sizes + both join sides)
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     val a = grams.select(col("doc_id").as("a_id"), col("gram"))
     val b = grams.select(col("doc_id").as("b_id"), col("gram"))
@@ -1397,7 +1397,7 @@ object TextDedup {
       .where(size(col("g8")) === 8)
       .select(col("doc_id"), md5(concat_ws(" ", col("g8"))).as("gram"))
       .distinct()
-      .localCheckpoint() // consumed twice (df agg + postings side)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER) // consumed twice (df agg + postings side)
     // postings are distinct per doc, so count(*) per gram IS its
     // doc-frequency
     val df_ = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
@@ -1443,8 +1443,8 @@ object TextDedup {
   private def orientedTriangleTriples(s: SparkSession, sf: String): DataFrame =
     Util.purged(triangleCache).computeIfAbsent((s, sf), _ =>
       orientTriangles(s,
-        nearDupPairGraph(s, sf).select(col("a_id"), col("b_id")).localCheckpoint())
-        .localCheckpoint())
+        nearDupPairGraph(s, sf).select(col("a_id"), col("b_id")).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
 
   /** The forward-orientation enumeration itself, over any canonical
     * (a_id < b_id) undirected pair list — separated from the cache so
@@ -1468,7 +1468,7 @@ object TextDedup {
         when(aLow, col("a_id")).otherwise(col("b_id")).as("src"),
         when(aLow, col("b_id")).otherwise(col("a_id")).as("dst"),
         when(aLow, col("db")).otherwise(col("da")).as("ddst"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // wedges at the lowest-ranked vertex: ordered out-neighbor pairs
     val w1 = arcs.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
     val w2 = arcs.select(col("src"), col("dst").as("w"), col("ddst").as("dw"))
@@ -1505,9 +1505,9 @@ object TextDedup {
     val pairs = qDedupJaccard(s, sf).select(col("a_id"), col("b_id"))
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val degs = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // rank and degree frames are |V| rows — broadcast both (so each
     // round's only shuffle is the groupBy(v) message aggregation, the
     // distributed-PageRank minimum) but only under the size gate: at a
@@ -1524,7 +1524,7 @@ object TextDedup {
         .agg(sum(expr("r div d")).as("m"))
         .select(col("v").as("id"),
           expr("150000 + (850000 * m) div 1000000").as("r"))
-        .localCheckpoint()
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
     r.select(col("id").as("doc_id"), col("r").as("rank_fp"))
       .orderBy("doc_id")

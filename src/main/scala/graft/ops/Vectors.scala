@@ -192,7 +192,7 @@ object Vectors {
       v.withColumn("bands",
           graft.functions.VectorExpressions.srpSignature(col("dv"), planes, bitsPerBand))
         .select("vec_id", "bands")
-        .localCheckpoint()
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     })
     // shared banded exchange, REPARTITION_BY_NUM so AQE's input-size
     // coalescing can't serialize the in-bucket pair join (it sees only
@@ -848,7 +848,7 @@ object Vectors {
       : (Map[(Int, Int, Int), Double], DataFrame) =
     Util.purged(pqCache).computeIfAbsent((s, sf), _ => {
       val (cb, assigned) = trainPq(s, sf)
-      (cb, assigned.localCheckpoint())
+      (cb, assigned.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     })
 
   private def trainPq(s: SparkSession, sf: String)
@@ -859,7 +859,7 @@ object Vectors {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("vec_id"), (col("pos") / dSub).cast("int").as("sub"),
               (col("pos") % dSub).as("p"), col("x").cast("double").as("x"))
-      .localCheckpoint() // consumed every Lloyd round + final scoring
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER) // consumed every Lloyd round + final scoring
     // seeds: the k lowest-id vectors, slice j seeding codebook j
     var cb: Map[(Int, Int, Int), Double] = Tables.embeddings(s, sf)
       .where(col("vec_id") < k).orderBy("vec_id")
