@@ -535,6 +535,27 @@ object TextDedup {
     // the tree; at fixture scale this stays 8 (measured noise), at
     // 100× it widens with the data instead of pinning
     val nPairs = pairs.count()
+    // SCALE GATE (round 9, closing the round-8 sf100 cliff): past
+    // `graft.cc.pointerJumpMaxEdges` both-direction edges (default
+    // 64M), the pointer-jump shape's standing frames — the 2|pairs|
+    // edge checkpoint plus a label side-car per round — exceed a
+    // bounded 16 GiB executor (measured: sf100's 232M-edge graph OOMs
+    // even with serialized blocks), so the op switches to the
+    // large/small-star fixpoint ([[starLabels]]), which runs sf100 in
+    // the same envelope and is BIT-EQUAL by the CrossCheck proof + the
+    // forced-path PropertySpec. Same gated-branch discipline as
+    // `a_sim_ann_ivf`'s flat-vs-IMI switch: the scale path is
+    // conf-forceable onto the fixture so it is tested, not assumed.
+    val starGate = s.conf.getOption("graft.cc.pointerJumpMaxEdges")
+      .map(_.toLong).getOrElse(64000000L)
+    if (2L * nPairs > starGate) {
+      val labels = starLabels(pairs)
+      val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
+      return labels.join(sizes, "lab")
+        .select(col("id").as("doc_id"), col("lab").as("cluster_id"),
+                col("cluster_size"))
+        .orderBy("doc_id")
+    }
     val parts = math.max(8, math.min(4096, (2L * nPairs / 250000L).toInt))
     // localCheckpoint (NOT persist) on every loop-carried DataFrame:
     // persist caches partitions but the LOGICAL plan still nests the
@@ -895,8 +916,26 @@ object TextDedup {
     * not a fixture constant. localCheckpoint per stage keeps plans
     * constant-size (§7.3 loop discipline). */
   def qGraphCcStar(s: SparkSession, sf: String): DataFrame = {
-    val pairs = nearDupPairGraph(s, sf)
-      .select(col("a_id"), col("b_id"))
+    val labels = starLabels(nearDupPairGraph(s, sf).select(col("a_id"), col("b_id")))
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lab")
+      .select(col("id").as("doc_id"), col("lab").as("cluster_id"),
+              col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** The large/small-star fixpoint on a canonical (a_id < b_id) pair
+    * list → (id, lab = component min) labels — the AT-SCALE CC
+    * algorithm, shared by [[qGraphCcStar]] (its native form) and
+    * [[qDedupCluster]] (its past-threshold scale path; the two
+    * algorithms are bit-equal by the round-8 CrossCheck proof and the
+    * round-9 forced-path spec). Proven at sf100 (round 8: full 5M-doc
+    * pair graph + fixpoint, 1,023 s, zero OOM in the 16 GiB rung
+    * protocol) — the decisive structural property vs pointer-jumping
+    * is that NO both-directions edge materialization or label side-car
+    * frame ever exists: each round maps the oriented edge set to at
+    * most one output edge per input edge. */
+  private def starLabels(pairs: DataFrame): DataFrame = {
     // orient u > v (canonical pairs have a_id < b_id)
     var edges = pairs.select(col("b_id").as("u"), col("a_id").as("v"))
       .distinct()
@@ -948,14 +987,9 @@ object TextDedup {
       rounds += 1
     }
     // fixpoint = stars: every non-root points straight at its root
-    val labels = edges.select(col("u").as("id"), col("v").as("lab"))
+    edges.select(col("u").as("id"), col("v").as("lab"))
       .unionAll(edges.select(col("v").as("id"), col("v").as("lab")))
       .groupBy("id").agg(min(col("lab")).as("lab"))
-    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "lab")
-      .select(col("id").as("doc_id"), col("lab").as("cluster_id"),
-              col("cluster_size"))
-      .orderBy("doc_id")
   }
 
   /** Seeded multi-source BFS over the τ=0.6 near-dup graph: shortest

@@ -754,6 +754,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_cluster scale path (forced star fixpoint) is row-identical to pointer-jump") {
+    // The past-threshold branch must be TESTED on the fixture, not
+    // assumed (the a_sim_ann_ivf forced-IMI discipline): force the
+    // star gate to 0 so the fixture takes the sf100 path, and compare
+    // against the default pointer-jump result row-for-row.
+    val key = "graft.cc.pointerJumpMaxEdges"
+    val default = TextDedup.qDedupCluster(spark, sf).collect().toSeq
+    spark.conf.set(key, "0")
+    try {
+      val starred = TextDedup.qDedupCluster(spark, sf).collect().toSeq
+      assert(starred == default,
+             "star fixpoint and pointer-jump disagree on the same pair graph")
+    } finally spark.conf.unset(key)
+  }
+
   test("editdist pigeonhole gate: substitutions complete, ±3-char shifts covered, 1-char-indel residue pinned") {
     // Adversarial fixtures for q_dedup_editdist's chunk-fingerprint gate
     // (round-8 ADVICE): the gate's coverage claims are enforced here,
