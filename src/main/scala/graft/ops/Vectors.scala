@@ -194,11 +194,18 @@ object Vectors {
         .select("vec_id", "bands")
         .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     })
-    // shared banded exchange, REPARTITION_BY_NUM so AQE's input-size
-    // coalescing can't serialize the in-bucket pair join (it sees only
-    // the small signature shuffle, not the pair blow-up)
+    // DATA-SIZED exchange widths (round-9 — the sf100 rung's kernel-OOM
+    // catch): the candidate stream is ≈ L·n·occupancy/2 pairs (2.1B at
+    // sf100's 2M vectors), and the fixture literal 64 put 33M rows +
+    // 512 MiB sort pages on every task. Partitions now grow with the
+    // EXPECTED stream so a partition stays ~4M pairs regardless of n;
+    // REPARTITION_BY_NUM still pins the width against AQE's input-size
+    // coalescing (which sees only the small signature shuffle, not the
+    // in-bucket pair blow-up).
+    val candEst = nBands.toLong * n * targetBucket / 2
+    val candParts = math.max(64, math.min(4096, (candEst / 4000000L).toInt))
     val exploded = sigs.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bv")))
-      .repartition(64, col("band"), col("bv"))
+      .repartition(candParts, col("band"), col("bv"))
     // NO pre-verify distinct: a multi-band collision just re-verifies a
     // pair (≈1.1× duplication measured) — cheaper than shuffling the
     // full candidate stream once to dedup it
@@ -207,17 +214,18 @@ object Vectors {
             Seq("band", "bv"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
+    // 256 MiB default under the round-8-ADVICE 2×-both-sides
+    // accounting — the same effective boundary as the historical
+    // 128 MiB per-side gate, so the sf10 broadcast-verify posture is
+    // unchanged.
     val bcastBytes = s.conf.getOption("graft.lsh.verifyBroadcastBytes")
-      .map(_.toLong).getOrElse(128L << 20)
-    // 2× the per-side estimate (round-8 ADVICE): the verify plan holds
-    // BOTH the a-side and b-side broadcasts live at once, so the gate
-    // must bound their sum, not one side.
+      .map(_.toLong).getOrElse(256L << 20)
     val verified =
       if (2L * n * (16L + 8L * dim) <= bcastBytes)
         cand.join(broadcast(aSide(v)), "a_id").join(broadcast(bSide(v)), "b_id")
       else
-        cand.repartition(64, col("a_id")).join(aSide(v), "a_id")
-          .repartition(64, col("b_id")).join(bSide(v), "b_id")
+        cand.repartition(candParts, col("a_id")).join(aSide(v), "a_id")
+          .repartition(candParts, col("b_id")).join(bSide(v), "b_id")
     verified
       .withColumn("sim", pairSim)
       .where(col("sim") >= 0.4)
@@ -290,6 +298,17 @@ object Vectors {
       val n = math.max(math.sqrt(a.map(x => x * x).sum), 1e-12)
       a.map(_ / n)
     }
+    // data-sized exchange widths (round-9, the LSH sizing rule): the
+    // in-cell pair stream is ≈ n·np·occupancy/2 — the fixture literal
+    // 64 starves it at sf100 (33M+ rows per task)
+    def candWidth(candEst: Long): Int =
+      math.max(64, math.min(4096, (candEst / 4000000L).toInt))
+    val candParts =
+      if (nVec <= flatMax) {
+        val k = math.max(128L,
+          1L << math.ceil(math.log(math.sqrt(nVec.toDouble)) / math.log(2.0)).toInt)
+        candWidth(nVec * 10 * math.max(1L, nVec * 10 / k) / 2)
+      } else candWidth(nVec * 9 * math.max(1L, nVec * 9 / 16384) / 2)
     val exploded =
       if (nVec <= flatMax) {
         val k = math.max(128,
@@ -303,7 +322,7 @@ object Vectors {
         // coalescing can't serialize the in-cell pair join (same
         // rationale as the LSH banding join)
         assigned.select(col("vec_id"), explode(col("cells")).as("cell"))
-          .repartition(64, col("cell"))
+          .repartition(candParts, col("cell"))
       } else {
         val kHalf = 128; val npHalf = 3
         val base = centroidRows(kHalf)
@@ -322,15 +341,15 @@ object Vectors {
           .select(col("vec_id"), col("c1"), explode(col("c2s")).as("c2"))
           .select(col("vec_id"),
                   (col("c1") * lit(kHalf) + col("c2")).as("cell"))
-          .repartition(64, col("cell"))
+          .repartition(candParts, col("cell"))
       }
     val cand = exploded.select(col("cell"), col("vec_id").as("a_id"))
       .join(exploded.select(col("cell"), col("vec_id").as("b_id")), Seq("cell"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    cand.repartition(64, col("a_id"))
+    cand.repartition(candParts, col("a_id"))
       .join(aSide(v), "a_id")
-      .repartition(64, col("b_id"))
+      .repartition(candParts, col("b_id"))
       .join(bSide(v), "b_id")
       .withColumn("sim", pairSim)
       .where(col("sim") >= 0.4)
