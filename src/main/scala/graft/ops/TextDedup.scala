@@ -1486,6 +1486,16 @@ object TextDedup {
   private[graft] def orientTriangles(s: SparkSession, pairs: DataFrame): DataFrame = {
     val nPairs = pairs.count()
     def bc(df: DataFrame): DataFrame = Util.gatedBroadcast(s, df, nPairs)
+    // Past the broadcast gate every join exchange here defaults to the
+    // session shuffle width (core count) — at sf100's 116M-edge graph
+    // that leaves the arc/triple checkpoints as 32 ~240 MB serialized
+    // blocks, and BlockManager.maybeCacheDiskBytesInMemory re-reads a
+    // disk-evicted block as ONE buffer of that size per task (16
+    // concurrent ⇒ heap OOM, the round-9 sf100 slot failure). Data-size
+    // the arc and wedge exchanges instead; fixture..sf1 plans are
+    // untouched (gate > 4M edges).
+    val wide = nPairs > 4000000L
+    val wideParts = math.max(64, math.min(8192, (nPairs / 500000L).toInt))
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
@@ -1498,17 +1508,26 @@ object TextDedup {
       .join(bc(deg.select(col("u").as("b_id"), col("d").as("db"))), "b_id")
     val aLow = col("da") < col("db") ||
       (col("da") === col("db") && col("a_id") < col("b_id"))
-    val arcs = dec.select(
+    val arcsBase = dec.select(
         when(aLow, col("a_id")).otherwise(col("b_id")).as("src"),
         when(aLow, col("b_id")).otherwise(col("a_id")).as("dst"),
         when(aLow, col("db")).otherwise(col("da")).as("ddst"))
+    // wide: pre-hash arcs on src so the wedge self-join below reuses
+    // the partitioning (both sides arcs-derived — zero extra exchange)
+    // and checkpoint blocks stay ≤ ~20 MB
+    val arcs = (if (wide) arcsBase.repartition(wideParts, col("src")) else arcsBase)
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // wedges at the lowest-ranked vertex: ordered out-neighbor pairs
     val w1 = arcs.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
     val w2 = arcs.select(col("src"), col("dst").as("w"), col("ddst").as("dw"))
-    w1.join(bc(w2), "src")
+    val wedges = w1.join(bc(w2), "src")
       .where(col("dv") < col("dw") ||
              (col("dv") === col("dw") && col("v") < col("w")))
+    // wide: size the closing-edge semi-join exchange by data, not core
+    // count — the wedge stream is the big side (Σ outdeg², O(|E|^1.5))
+    val wedgesW =
+      if (wide) wedges.repartition(wideParts, col("v"), col("w")) else wedges
+    wedgesW
       .join(bc(arcs.select(col("src").as("v"), col("dst").as("w"))),
             Seq("v", "w"), "left_semi")
       .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))

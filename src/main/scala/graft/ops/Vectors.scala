@@ -203,7 +203,7 @@ object Vectors {
     // coalescing (which sees only the small signature shuffle, not the
     // in-bucket pair blow-up).
     val candEst = nBands.toLong * n * targetBucket / 2
-    val candParts = math.max(64, math.min(4096, (candEst / 4000000L).toInt))
+    val candParts = math.max(64, math.min(8192, (candEst / 2000000L).toInt))
     val exploded = sigs.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bv")))
       .repartition(candParts, col("band"), col("bv"))
     // NO pre-verify distinct: a multi-band collision just re-verifies a
@@ -224,8 +224,16 @@ object Vectors {
       if (2L * n * (16L + 8L * dim) <= bcastBytes)
         cand.join(broadcast(aSide(v)), "a_id").join(broadcast(bSide(v)), "b_id")
       else
-        cand.repartition(candParts, col("a_id")).join(aSide(v), "a_id")
-          .repartition(candParts, col("b_id")).join(bSide(v), "b_id")
+        // SHUFFLE_HASH on the vector side (round-9 — the sf100 slot's
+        // UNABLE_TO_ACQUIRE_MEMORY catch): planned as SMJ, each verify
+        // task SORTS its multi-million-pair candidate slice (unbounded
+        // pointer-array growth under 16 concurrent tasks); hash-building
+        // the n/candParts-row vector slice (~2 MiB) instead streams the
+        // candidate side with zero per-pair memory.
+        cand.repartition(candParts, col("a_id"))
+          .join(aSide(v).hint("shuffle_hash"), "a_id")
+          .repartition(candParts, col("b_id"))
+          .join(bSide(v).hint("shuffle_hash"), "b_id")
     verified
       .withColumn("sim", pairSim)
       .where(col("sim") >= 0.4)
@@ -302,7 +310,7 @@ object Vectors {
     // in-cell pair stream is ≈ n·np·occupancy/2 — the fixture literal
     // 64 starves it at sf100 (33M+ rows per task)
     def candWidth(candEst: Long): Int =
-      math.max(64, math.min(4096, (candEst / 4000000L).toInt))
+      math.max(64, math.min(8192, (candEst / 2000000L).toInt))
     val candParts =
       if (nVec <= flatMax) {
         val k = math.max(128L,
@@ -343,17 +351,26 @@ object Vectors {
                   (col("c1") * lit(kHalf) + col("c2")).as("cell"))
           .repartition(candParts, col("cell"))
       }
+    // NO pre-verify distinct (round-9, the LSH decision applied here):
+    // deduping the in-cell pair stream — np² ≤ 9 duplication — shuffled
+    // the whole multi-billion-row stream once before verification; a
+    // duplicate pair now just re-verifies (codegen dots, the cheap part)
+    // and the distinct runs on the ~1000×-smaller verified output.
+    // SHUFFLE_HASH verify joins, same rationale as the LSH path: no
+    // per-task sort of the candidate slice, hash-build the ~2 MiB
+    // vector slice instead.
     val cand = exploded.select(col("cell"), col("vec_id").as("a_id"))
       .join(exploded.select(col("cell"), col("vec_id").as("b_id")), Seq("cell"))
       .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id")
     cand.repartition(candParts, col("a_id"))
-      .join(aSide(v), "a_id")
+      .join(aSide(v).hint("shuffle_hash"), "a_id")
       .repartition(candParts, col("b_id"))
-      .join(bSide(v), "b_id")
+      .join(bSide(v).hint("shuffle_hash"), "b_id")
       .withColumn("sim", pairSim)
       .where(col("sim") >= 0.4)
       .select("a_id", "b_id", "sim")
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 
