@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native codegen vector kernels (SURVEY.md §2.11 similarity ops).
   *
@@ -279,6 +279,84 @@ case class IvfCells(child: Expression, cents: Array[Array[Double]],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Float-packed vector store for the ANN verify paths: ids sorted for
+  * binary search, vectors flattened row-major into ONE float[] (the
+  * fixture embeddings are float32, so packing is LOSSLESS — the cosine
+  * below widens each element to double exactly like [[DotProduct]]'s
+  * kernel does on an array<float> column, giving bit-identical sims to
+  * the join-based verify), norms precomputed as sqrt(Σ(double)f²) — the
+  * same value the `nrm` column carries. ~(8+4·dim) bytes per vector:
+  * 2M 64-d vectors ≈ 530 MB, a routine torrent broadcast per executor
+  * where the join-based verify would shuffle the multi-billion-row
+  * candidate stream CARRYING vectors (~600 GB at sf100). */
+final class PackedVecs(val ids: Array[Long], val flat: Array[Float],
+                       val nrm: Array[Double], val dim: Int)
+    extends Serializable {
+  def indexOf(id: Long): Int = java.util.Arrays.binarySearch(ids, id)
+  def cosine(ia: Int, ib: Int): Double = {
+    var s = 0.0; var d = 0; val ba = ia * dim; val bb = ib * dim
+    while (d < dim) {
+      s += flat(ba + d).toDouble * flat(bb + d).toDouble; d += 1
+    }
+    s / (nrm(ia) * nrm(ib))
+  }
+}
+
+/** cosine(lookup(aId), lookup(bId)) against a broadcast [[PackedVecs]] —
+  * the ANN verify as a SCALAR lookup instead of two joins: the candidate
+  * pair stream (the only super-linear frame in the ANN ops) flows
+  * map-side from the banding/cell join through this expression and the
+  * sim filter without ever shuffling. The broadcast HANDLE rides the
+  * plan (bytes ship torrent, once per executor, not per task — an
+  * addReferenceObj of the matrix itself would Java-serialize it into
+  * every stage's task binary). NULL for an id absent from the store
+  * (cannot happen when candidates and store derive from one table). */
+case class PackedCosine(left: Expression, right: Expression,
+                        bc: org.apache.spark.broadcast.Broadcast[PackedVecs])
+    extends BinaryExpression {
+  override def prettyName: String = "graft_packed_cos"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (bigint, bigint) ids, got (${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val pv = bc.value
+    val ia = pv.indexOf(a.asInstanceOf[Long])
+    val ib = pv.indexOf(b.asInstanceOf[Long])
+    if (ia < 0 || ib < 0) null else pv.cosine(ia, ib)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("pvbc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    // resolve the broadcast ONCE per generated-class instance (per
+    // task), not per row — Broadcast.value() revalidates on every call
+    val pv = ctx.addMutableState("graft.functions.PackedVecs", "pv",
+      v => s"$v = (graft.functions.PackedVecs) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ia = ctx.freshName("ia"); val ib = ctx.freshName("ib")
+      s"""
+        |final int $ia = $pv.indexOf($a);
+        |final int $ib = $pv.indexOf($b);
+        |if ($ia < 0 || $ib < 0) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = $pv.cosine($ia, $ib);
+        |}
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   /** Codegen dot product of two array<float|double> columns. */
   def dotProduct(a: Column, b: Column): Column =
@@ -296,4 +374,9 @@ object VectorExpressions {
   /** Top-`nprobe` IVF cell ids of an array<float|double> column. */
   def ivfCells(v: Column, cents: Array[Array[Double]], nprobe: Int): Column =
     Bridge.column(IvfCells(Bridge.expression(v), cents, nprobe))
+
+  /** Broadcast-lookup cosine of two id columns against a [[PackedVecs]]. */
+  def packedCosine(aId: Column, bId: Column,
+                   bc: org.apache.spark.broadcast.Broadcast[PackedVecs]): Column =
+    Bridge.column(PackedCosine(Bridge.expression(aId), Bridge.expression(bId), bc))
 }

@@ -46,6 +46,48 @@ object Vectors {
   private def pairSim: Column =
     round(dot(col("a_dv"), col("b_dv")) / (col("a_nrm") * col("b_nrm")), 4)
 
+  /** Session-artifact float-packed vector store for the ANN verify
+    * middle rung (see [[graft.functions.PackedVecs]]): built once per
+    * (session, sf) — one scan, collect sorted by vec_id, flatten — and
+    * torrent-broadcast. Lossless vs the join-based verify: the
+    * embeddings column IS float32, norms use the identical
+    * float→double widened sum, so sims are bit-equal (pinned by the
+    * forced-path PropertySpec). */
+  private val packedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    org.apache.spark.broadcast.Broadcast[graft.functions.PackedVecs]]
+  private def packedVecs(s: SparkSession, sf: String)
+      : org.apache.spark.broadcast.Broadcast[graft.functions.PackedVecs] =
+    Util.purged(packedCache).computeIfAbsent((s, sf), _ => {
+      import s.implicits._
+      val rows = Tables.embeddings(s, sf)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .collect()
+        .sortBy(_._1)
+      val n = rows.length
+      val dim = if (n == 0) 0 else rows(0)._2.length
+      val ids = new Array[Long](n)
+      val flat = new Array[Float](n * dim)
+      val nrm = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val (id, v) = rows(i)
+        ids(i) = id
+        var d = 0; var s2 = 0.0
+        val m = math.min(dim, v.length)
+        while (d < m) {
+          flat(i * dim + d) = v(d)
+          s2 += v(d).toDouble * v(d).toDouble
+          d += 1
+        }
+        nrm(i) = math.sqrt(s2)
+        i += 1
+      }
+      s.sparkContext.broadcast(
+        new graft.functions.PackedVecs(ids, flat, nrm, dim))
+    })
+
   /** cosine(a, b) — caller rounds for cross-engine output. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -220,22 +262,40 @@ object Vectors {
     // unchanged.
     val bcastBytes = s.conf.getOption("graft.lsh.verifyBroadcastBytes")
       .map(_.toLong).getOrElse(256L << 20)
-    val verified =
+    // THREE verify rungs by vector-set size (round-9 — the sf100 slots
+    // measured both failure modes of a one-rung design):
+    //  1. ≤ bcastBytes: the historical broadcast hash joins (fixture
+    //     posture, plan-pinned).
+    //  2. ≤ packBudget as float-packed bytes: a broadcast-lookup SCALAR
+    //     (`graft_packed_cos` against the [[packedVecs]] artifact) — the
+    //     candidate stream flows map-side from the banding join through
+    //     the sim filter with ZERO shuffles/joins. Bit-identical sims
+    //     (embeddings are float32; same widened sum). At sf100 this is
+    //     a 530 MB broadcast vs a ~600 GB vector-laden shuffle.
+    //  3. beyond (cluster-scale corpora, vectors exceed one executor's
+    //     RAM): SHUFFLE_HASH joins on the vector side — planned as SMJ
+    //     each verify task SORTS its multi-million-pair candidate slice
+    //     (the r2 slot's UNABLE_TO_ACQUIRE_MEMORY); hash-building the
+    //     n/candParts vector slice instead streams candidates with zero
+    //     per-pair memory. The vector-laden exchange this rung pays is
+    //     what a 1000-executor cluster's aggregate disk absorbs.
+    val packBudget = s.conf.getOption("graft.ann.packBudget")
+      .map(_.toLong).getOrElse(2L << 30)
+    val scored =
       if (2L * n * (16L + 8L * dim) <= bcastBytes)
         cand.join(broadcast(aSide(v)), "a_id").join(broadcast(bSide(v)), "b_id")
+          .withColumn("sim", pairSim)
+      else if (n * (8L + 4L * dim) <= packBudget)
+        cand.withColumn("sim", round(
+          graft.functions.VectorExpressions.packedCosine(
+            col("a_id"), col("b_id"), packedVecs(s, sf)), 4))
       else
-        // SHUFFLE_HASH on the vector side (round-9 — the sf100 slot's
-        // UNABLE_TO_ACQUIRE_MEMORY catch): planned as SMJ, each verify
-        // task SORTS its multi-million-pair candidate slice (unbounded
-        // pointer-array growth under 16 concurrent tasks); hash-building
-        // the n/candParts-row vector slice (~2 MiB) instead streams the
-        // candidate side with zero per-pair memory.
         cand.repartition(candParts, col("a_id"))
           .join(aSide(v).hint("shuffle_hash"), "a_id")
           .repartition(candParts, col("b_id"))
           .join(bSide(v).hint("shuffle_hash"), "b_id")
-    verified
-      .withColumn("sim", pairSim)
+          .withColumn("sim", pairSim)
+    scored
       .where(col("sim") >= 0.4)
       .select("a_id", "b_id", "sim")
       .distinct()
@@ -363,11 +423,31 @@ object Vectors {
       .join(exploded.select(col("cell"), col("vec_id").as("b_id")), Seq("cell"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
-    cand.repartition(candParts, col("a_id"))
-      .join(aSide(v).hint("shuffle_hash"), "a_id")
-      .repartition(candParts, col("b_id"))
-      .join(bSide(v).hint("shuffle_hash"), "b_id")
-      .withColumn("sim", pairSim)
+    // same three verify rungs as the LSH path (rung 1 here is the
+    // historical un-hinted joins AQE broadcasts at fixture scale —
+    // kept for the plan pins; see aSimAnnLsh for the full rationale)
+    val packBudget = s.conf.getOption("graft.ann.packBudget")
+      .map(_.toLong).getOrElse(2L << 30)
+    // conf-overridable (like graft.ivf.flatMax) so PropertySpec can
+    // force the packed rung onto the fixture
+    val joinBytes = s.conf.getOption("graft.ann.verifyBroadcastBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val dim = 64
+    val scored =
+      if (2L * nVec * (16L + 8L * dim) <= joinBytes)
+        cand.join(aSide(v), "a_id").join(bSide(v), "b_id")
+          .withColumn("sim", pairSim)
+      else if (nVec * (8L + 4L * dim) <= packBudget)
+        cand.withColumn("sim", round(
+          graft.functions.VectorExpressions.packedCosine(
+            col("a_id"), col("b_id"), packedVecs(s, sf)), 4))
+      else
+        cand.repartition(candParts, col("a_id"))
+          .join(aSide(v).hint("shuffle_hash"), "a_id")
+          .repartition(candParts, col("b_id"))
+          .join(bSide(v).hint("shuffle_hash"), "b_id")
+          .withColumn("sim", pairSim)
+    scored
       .where(col("sim") >= 0.4)
       .select("a_id", "b_id", "sim")
       .distinct()

@@ -134,6 +134,31 @@ class PropertySpec extends SparkSpec {
     assert(ivf.except(exact).count() == 0)
   }
 
+  test("ANN packed-lookup verify rung (forced): bit-identical to the broadcast-join verify") {
+    // rung 2 of the ANN verify ladder (graft_packed_cos against the
+    // float-packed broadcast store) only engages past the join-verify
+    // byte gate — force it onto the fixture and require the EXACT same
+    // (a_id, b_id, sim) rows as the default path: embeddings are
+    // float32 and the packed kernel widens elements to double exactly
+    // like the join path's DotProduct, so this is bit-equality, not a
+    // tolerance test.
+    val lshDefault = Vectors.aSimAnnLsh(spark, sf).collect().toSeq
+    val ivfDefault = Vectors.aSimAnnIvf(spark, sf).collect().toSeq
+    spark.conf.set("graft.lsh.verifyBroadcastBytes", "0")
+    spark.conf.set("graft.ann.verifyBroadcastBytes", "0")
+    try {
+      val lshPacked = Vectors.aSimAnnLsh(spark, sf).collect().toSeq
+      assert(lshPacked == lshDefault,
+             "LSH packed-lookup verify diverged from the broadcast-join verify")
+      val ivfPacked = Vectors.aSimAnnIvf(spark, sf).collect().toSeq
+      assert(ivfPacked == ivfDefault,
+             "IVF packed-lookup verify diverged from the join verify")
+    } finally {
+      spark.conf.unset("graft.lsh.verifyBroadcastBytes")
+      spark.conf.unset("graft.ann.verifyBroadcastBytes")
+    }
+  }
+
   test("IVF product-quantizer branch (forced onto the fixture): precision 1.0, candidates sane") {
     // the inverted-multi-index branch only engages above 32k vectors in
     // production — force it here so the ≥sf10 code path is tested at
