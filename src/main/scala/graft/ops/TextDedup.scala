@@ -1493,8 +1493,10 @@ object TextDedup {
     // disk-evicted block as ONE buffer of that size per task (16
     // concurrent ⇒ heap OOM, the round-9 sf100 slot failure). Data-size
     // the arc and wedge exchanges instead; fixture..sf1 plans are
-    // untouched (gate > 4M edges).
-    val wide = nPairs > 4000000L
+    // untouched (gate > 4M edges; conf-overridable so PropertySpec can
+    // force the wide path onto the fixture).
+    val wide = nPairs > s.conf.getOption("graft.graph.wideEdges")
+      .map(_.toLong).getOrElse(4000000L)
     val wideParts = math.max(64, math.min(8192, (nPairs / 500000L).toInt))
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
@@ -1523,14 +1525,38 @@ object TextDedup {
     val wedges = w1.join(bc(w2), "src")
       .where(col("dv") < col("dw") ||
              (col("dv") === col("dw") && col("v") < col("w")))
-    // wide: size the closing-edge semi-join exchange by data, not core
-    // count — the wedge stream is the big side (Σ outdeg², O(|E|^1.5))
-    val wedgesW =
-      if (wide) wedges.repartition(wideParts, col("v"), col("w")) else wedges
-    wedgesW
-      .join(bc(arcs.select(col("src").as("v"), col("dst").as("w"))),
-            Seq("v", "w"), "left_semi")
-      .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
+    // Closing-edge test. Wide graphs (r3 sf100 slot): the wedge stream
+    // (Σ outdeg², O(|E|^1.5) — ~100s of GB at sf100) cannot SHUFFLE
+    // into a semi join on one box's disks, and with arcs pre-hashed on
+    // src the wedge join itself needs no exchange — so the closing
+    // edge becomes a packed-broadcast MAP-SIDE filter instead: arcs
+    // encoded (src<<32|dst) into one sorted long[] (16 B/arc, ~1 GB at
+    // sf100), binary-searched per wedge by `graft_pair_contains`. The
+    // wedge stream then never shuffles at all. Ids ≥ 2³¹ (beyond the
+    // encoding) fall back to the distributed semi join — the shape a
+    // real cluster's aggregate disk runs anyway. Fixture..sf1 keep the
+    // historical broadcast semi join (plan-pinned).
+    val packedClose = if (wide) {
+      val mx = arcs.agg(greatest(max(col("src")), max(col("dst")))).head.getLong(0)
+      if (mx < (1L << 31)) {
+        import s.implicits._
+        val enc = arcs
+          .select((shiftleft(col("src"), 32).bitwiseOR(col("dst"))).as("e"))
+          .as[Long].collect()
+        java.util.Arrays.sort(enc)
+        Some(s.sparkContext.broadcast(enc))
+      } else None
+    } else None
+    val closed = packedClose match {
+      case Some(bcEnc) =>
+        wedges.where(
+          graft.functions.VectorExpressions.pairContains(col("v"), col("w"), bcEnc))
+      case None =>
+        (if (wide) wedges.repartition(wideParts, col("v"), col("w")) else wedges)
+          .join(bc(arcs.select(col("src").as("v"), col("dst").as("w"))),
+                Seq("v", "w"), "left_semi")
+    }
+    closed.select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
   }
 
   def qGraphTriangles(s: SparkSession, sf: String): DataFrame =

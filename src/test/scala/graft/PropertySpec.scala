@@ -749,6 +749,25 @@ class PropertySpec extends SparkSpec {
     assert(expect(0L) == tri.getOrElse(0L, 0L))
   }
 
+  test("orientTriangles wide path (forced): packed closing-edge filter is triple-identical") {
+    // the wide branch (data-sized arc exchange + graft_pair_contains
+    // packed closing-edge filter) only engages past 4M edges — force it
+    // onto the hub graph and require the EXACT triple set of the
+    // default (broadcast semi join) path.
+    val pairs = hubGraph
+    val default = TextDedup.orientTriangles(spark, pairs)
+      .collect().map(_.toString).sorted.toSeq
+    spark.conf.set("graft.graph.wideEdges", "0")
+    try {
+      val widef = TextDedup.orientTriangles(spark, pairs)
+      val p = widef.queryExecution.optimizedPlan.toString
+      assert(p.contains("graft_pair_contains"),
+             s"forced wide path did not use the packed filter:\n$p")
+      val wideRows = widef.collect().map(_.toString).sorted.toSeq
+      assert(wideRows == default, "wide path changed the triple set")
+    } finally spark.conf.unset("graft.graph.wideEdges")
+  }
+
   test("a_text_bpe: piece bounds, deterministic encode, merge-count monotonicity") {
     val merges = TextAnalysis.bpeMerges(spark, sf)
     assert(merges.nonEmpty && merges.distinct.size == merges.size,
