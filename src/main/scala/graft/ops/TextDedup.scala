@@ -1536,15 +1536,26 @@ object TextDedup {
     // encoding) fall back to the distributed semi join — the shape a
     // real cluster's aggregate disk runs anyway. Fixture..sf1 keep the
     // historical broadcast semi join (plan-pinned).
-    val packedClose = if (wide) {
+    val packBudget = s.conf.getOption("graft.graph.packBudget")
+      .map(_.toLong).getOrElse(1536L << 20)
+    val packedClose = if (wide && nPairs * 8L <= packBudget) {
       val mx = arcs.agg(greatest(max(col("src")), max(col("dst")))).head.getLong(0)
       if (mx < (1L << 31)) {
         import s.implicits._
-        val enc = arcs
+        // toLocalIterator, NOT collect (r4 sf100 slot: a bulk collect
+        // of 116M rows decodes the whole result set at once on a heap
+        // already pinning the graph's serialized checkpoints → driver
+        // OOM; streaming one partition at a time caps the transient at
+        // ~4 MB while the primitive target array fills in place)
+        val enc = new Array[Long](nPairs.toInt)
+        val it = arcs
           .select((shiftleft(col("src"), 32).bitwiseOR(col("dst"))).as("e"))
-          .as[Long].collect()
-        java.util.Arrays.sort(enc)
-        Some(s.sparkContext.broadcast(enc))
+          .as[Long].toLocalIterator()
+        var i = 0
+        while (it.hasNext && i < enc.length) { enc(i) = it.next(); i += 1 }
+        val trimmed = if (i == enc.length) enc else java.util.Arrays.copyOf(enc, i)
+        java.util.Arrays.sort(trimmed)
+        Some(s.sparkContext.broadcast(trimmed))
       } else None
     } else None
     val closed = packedClose match {
