@@ -1474,11 +1474,27 @@ object TextDedup {
     * enumeration, two readouts. */
   private val triangleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private def orientedTriangleTriples(s: SparkSession, sf: String): DataFrame =
-    Util.purged(triangleCache).computeIfAbsent((s, sf), _ =>
-      orientTriangles(s,
-        nearDupPairGraph(s, sf).select(col("a_id"), col("b_id")).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+  private def orientedTriangleTriples(s: SparkSession, sf: String): DataFrame = {
+    // pairs ride the session-cached nearDupPairGraph checkpoint — the
+    // select needs no materialization of its own
+    val pairs = nearDupPairGraph(s, sf).select(col("a_id"), col("b_id"))
+    // Past the wide gate the triple frame is NOT materialized (r5 sf100
+    // slot: the checkpoint of the triple stream is where the clique
+    // skew lands — one low-rank corner of a big template family holds
+    // outdeg² triples, and serializing that partition OOMs regardless
+    // of exchange widths). Both consumers aggregate the stream
+    // immediately (per-doc counts / t(u)), so at scale the triples
+    // FLOW from the wedge filter into a partial hash agg bounded by
+    // |docs| keys and nothing O(#triangles) ever persists. The cache +
+    // checkpoint (one enumeration, two readouts) stays the
+    // fixture..sf1 posture where the frame is small and shared.
+    val wide = pairs.count() > s.conf.getOption("graft.graph.wideEdges")
+      .map(_.toLong).getOrElse(4000000L)
+    if (wide) orientTriangles(s, pairs)
+    else Util.purged(triangleCache).computeIfAbsent((s, sf), _ =>
+      orientTriangles(s, pairs)
         .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+  }
 
   /** The forward-orientation enumeration itself, over any canonical
     * (a_id < b_id) undirected pair list — separated from the cache so
