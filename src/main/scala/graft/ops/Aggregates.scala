@@ -827,8 +827,14 @@ object Aggregates {
       .agg(count(lit(1)).as("n_users"),
            sum(col("x")).as("total_events"),
            sum((col("i") * 2 - 1) * col("x")).as("wsum"))
+      // ppm scaling in DECIMAL(38,0): at sf100 (1e8 events / 1e6 users)
+      // 1000000 * (wsum - total*n) exceeds int64 — Spark would WRAP
+      // silently where DuckDB errors (the sf100 oracle sweep's catch).
+      // Both engines now run the widened integral math and cast the
+      // ≤1e6 quotient back; values at every sf are unchanged.
       .withColumn("gini_ppm",
-        expr("(1000000 * (wsum - total_events * n_users)) div (n_users * total_events)"))
+        expr("CAST((CAST(wsum - total_events * n_users AS DECIMAL(38,0)) * 1000000) " +
+             "div (CAST(n_users AS DECIMAL(38,0)) * total_events) AS BIGINT)"))
       .select(col("n_users"), col("total_events"), col("gini_ppm"))
   }
 

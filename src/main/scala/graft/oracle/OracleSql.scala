@@ -3762,8 +3762,8 @@ object OracleSql {
         CAST(SUM((2 * i - 1) * x) AS BIGINT) AS wsum
       FROM r)
     SELECT n_users, total_events,
-      (1000000 * (wsum - total_events * n_users))
-        // (n_users * total_events) AS gini_ppm
+      CAST((CAST(wsum - total_events * n_users AS HUGEINT) * 1000000)
+        // (CAST(n_users AS HUGEINT) * total_events) AS BIGINT) AS gini_ppm
     FROM s""")
 
   val qTsCohortMatrix: String = n("""
