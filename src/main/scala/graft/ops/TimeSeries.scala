@@ -986,8 +986,17 @@ object TimeSeries {
         lead(col("sd"), 1).over(byDay).as("s2"), lead(col("nd"), 1).over(byDay).as("n2"),
         (lead(col("day"), 1).over(byDay) * 1440 + 720).as("x2"))
       .where(col("n0").isNotNull && col("n2").isNotNull)
-    val area = abs((col("x1") - col("x0")) * (col("s2") * col("n0") - col("s0") * col("n2"))
-      - (col("x2") - col("x0")) * (col("y1") * col("n0") - col("s0")) * col("n2"))
+    // triangle area in DECIMAL(38,0): at sf100 (55k events/day/type,
+    // fixed-point sums ~3e10) the cross product exceeds int64 — ANSI
+    // Spark errors loudly, DuckDB would too (the sf100 sweep's catch).
+    // Widened integral math both sides, quotient-free, final |area|
+    // cast back (≤4e18 at sf100, still int64); values unchanged at
+    // every sf.
+    val area = expr(
+      """CAST(abs(
+        |  CAST(x1 - x0 AS DECIMAL(38,0)) * (CAST(s2 AS DECIMAL(38,0)) * n0 - CAST(s0 AS DECIMAL(38,0)) * n2)
+        |  - CAST(x2 - x0 AS DECIMAL(38,0)) * (CAST(y1 AS DECIMAL(38,0)) * n0 - s0) * n2
+        |) AS BIGINT)""".stripMargin)
     val pick = Window.partitionBy("event_type", "day")
       .orderBy(col("area").desc, col("event_id").asc)
     e.join(broadcast(anchors), Seq("event_type", "day"))

@@ -3473,8 +3473,10 @@ object OracleSql {
       FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
     cand AS (
       SELECT e.event_type, e.day, e.event_id, e.value,
-        abs((e.x1 - a.x0) * (a.s2 * a.n0 - a.s0 * a.n2)
-            - (a.x2 - a.x0) * (e.y1 * a.n0 - a.s0) * a.n2) AS area
+        CAST(abs(
+          CAST(e.x1 - a.x0 AS HUGEINT) * (CAST(a.s2 AS HUGEINT) * a.n0 - CAST(a.s0 AS HUGEINT) * a.n2)
+          - CAST(a.x2 - a.x0 AS HUGEINT) * (CAST(e.y1 AS HUGEINT) * a.n0 - a.s0) * a.n2
+        ) AS BIGINT) AS area
       FROM e JOIN anchors a USING (event_type, day)
       WHERE a.n0 IS NOT NULL AND a.n2 IS NOT NULL),
     r AS (
