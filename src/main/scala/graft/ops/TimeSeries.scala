@@ -988,15 +988,16 @@ object TimeSeries {
       .where(col("n0").isNotNull && col("n2").isNotNull)
     // triangle area in DECIMAL(38,0): at sf100 (55k events/day/type,
     // fixed-point sums ~3e10) the cross product exceeds int64 — ANSI
-    // Spark errors loudly, DuckDB would too (the sf100 sweep's catch).
-    // Widened integral math both sides, quotient-free, final |area|
-    // cast back (≤4e18 at sf100, still int64); values unchanged at
-    // every sf.
+    // Spark errors loudly, DuckDB overflows (the sf100 sweep's catch;
+    // the true sf100 area is ~3.7e19, beyond int64 even as output).
+    // The RANKING runs on the exact decimal; only the readout column
+    // converts to double — a correctly-rounded conversion of the same
+    // exact integer in both engines, so hashes still match bit-exact.
     val area = expr(
       """CAST(abs(
         |  CAST(x1 - x0 AS DECIMAL(38,0)) * (CAST(s2 AS DECIMAL(38,0)) * n0 - CAST(s0 AS DECIMAL(38,0)) * n2)
         |  - CAST(x2 - x0 AS DECIMAL(38,0)) * (CAST(y1 AS DECIMAL(38,0)) * n0 - s0) * n2
-        |) AS BIGINT)""".stripMargin)
+        |) AS DOUBLE)""".stripMargin)
     val pick = Window.partitionBy("event_type", "day")
       .orderBy(col("area").desc, col("event_id").asc)
     e.join(broadcast(anchors), Seq("event_type", "day"))

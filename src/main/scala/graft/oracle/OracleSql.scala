@@ -3476,7 +3476,7 @@ object OracleSql {
         CAST(abs(
           CAST(e.x1 - a.x0 AS HUGEINT) * (CAST(a.s2 AS HUGEINT) * a.n0 - CAST(a.s0 AS HUGEINT) * a.n2)
           - CAST(a.x2 - a.x0 AS HUGEINT) * (CAST(e.y1 AS HUGEINT) * a.n0 - a.s0) * a.n2
-        ) AS BIGINT) AS area
+        ) AS DOUBLE) AS area
       FROM e JOIN anchors a USING (event_type, day)
       WHERE a.n0 IS NOT NULL AND a.n2 IS NOT NULL),
     r AS (
@@ -3484,7 +3484,7 @@ object OracleSql {
         ROW_NUMBER() OVER (PARTITION BY event_type, day
                            ORDER BY area DESC, event_id ASC) AS rn
       FROM cand)
-    SELECT event_type, day, event_id, value, CAST(area AS BIGINT) AS area
+    SELECT event_type, day, event_id, value, area
     FROM r WHERE rn = 1
     ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""")
 
