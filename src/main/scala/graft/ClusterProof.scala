@@ -136,6 +136,8 @@ object ClusterProof {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
+      .config("spark.checkpoint.compress", "true")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // executors are separate JVMs on this host: give them the repo's
       // compiled classes (same-host shared fs — the spark.jars ship
       // path is exercised anyway for task closures) and the module

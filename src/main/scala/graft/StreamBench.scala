@@ -55,6 +55,8 @@ object StreamBench {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
+      .config("spark.checkpoint.compress", "true")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -188,6 +190,8 @@ object StreamBench {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
+      .config("spark.checkpoint.compress", "true")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // executors need the repo classes (Event, StreamOps codegen refs)
       // + the module opens Spark's launcher doesn't add itself (the
       // ClusterProof config; run with SPARK_HOME=/opt/spark)

@@ -211,6 +211,58 @@ object SqlSurface {
       FROM $ident GROUP BY status ORDER BY status""")
   }
 
+  /** `MERGE INTO` against the FILE-BACKED store (round-9 verdict ask
+    * #7): the identical statement, catalog interfaces and
+    * MergeRows + ReplaceData plan as [[qSqlMergeInto]], but the catalog
+    * is registered with a `path` so the target table is the
+    * [[graft.sources.FileStore]] backend — task writers STREAM the
+    * post-merge image to data files and the commit channel carries only
+    * file names, lifting the in-memory store's declared
+    * driver-memory envelope: a merge target is now bounded by
+    * executors + storage, the lakehouse posture (demonstrated at sf1 —
+    * 1.5M-row target — in BASELINE.md round 10). Readers plan one
+    * partition per live data file; publish is an atomic
+    * manifest-pointer swap (the q_sink_timetravel discipline).
+    * Oracle: the same full-outer-coalesce twin — the backend must not
+    * change a single row. */
+  def qSqlMergeFile(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.conf.set("spark.sql.catalog.graftf", "graft.sources.GraftCatalog")
+    // one shared root; concurrent verify/bench/test JVMs are isolated
+    // by the pid-keyed TABLE name below, and a dead JVM's table is
+    // re-created (DROP+CREATE) on the next run with the same pid
+    s.conf.set("spark.sql.catalog.graftf.path", Util.sinkDir("storecat"))
+    val tbl = s"mergef_tgt_p${ProcessHandle.current().pid()}_" +
+      sf.replaceAll("[^a-zA-Z0-9]", "_")
+    val ident = s"graftf.store.$tbl"
+    s.sql(s"DROP TABLE IF EXISTS $ident")
+    s.sql(s"CREATE TABLE $ident (okey BIGINT, status STRING, price DOUBLE)")
+    val base = Tables.orders(s, sf)
+    base.select(col("o_orderkey").as("okey"),
+                col("o_orderstatus").as("status"),
+                col("o_totalprice").as("price"))
+      .writeTo(ident).append()
+    base.where(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("u_key"), lit("X").as("u_status"),
+              (col("o_totalprice") * lit(1.1)).as("u_price"))
+      .unionByName(
+        base.where(col("o_orderkey") % 103 === 0)
+          .select((-col("o_orderkey") - 1).as("u_key"), lit("N").as("u_status"),
+                  col("o_totalprice").as("u_price")))
+      .createOrReplaceTempView("mergef_updates")
+    s.sql(s"""
+      MERGE INTO $ident t
+      USING mergef_updates u
+      ON t.okey = u.u_key
+      WHEN MATCHED THEN UPDATE SET status = u.u_status, price = u.u_price
+      WHEN NOT MATCHED THEN INSERT (okey, status, price)
+        VALUES (u.u_key, u.u_status, u.u_price)""")
+    s.sql(s"""
+      SELECT status, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(price AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+      FROM $ident GROUP BY status ORDER BY status""")
+  }
+
   /** SQL `UNPIVOT` clause — the wide→long resolver sugar
     * (`q_agg_unpivot` reaches the same Expand through the DataFrame
     * API): three measure columns melt to (metric, val) rows, then a

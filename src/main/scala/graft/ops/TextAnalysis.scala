@@ -43,7 +43,7 @@ object TextAnalysis {
         .where(col("token") =!= "")
         .groupBy(col("doc_id"), col("source"), col("token"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+        .serCheckpoint())
 
   /** Deterministic per-language marker-token profiles. On real corpora
     * these would be the top character n-grams / function words per
@@ -635,7 +635,7 @@ object TextAnalysis {
       Tables.documents(s, sf)
         .select(col("doc_id"), explode(bigrams).as("bg"))
         .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .serCheckpoint()
     })
 
   def qTextBigramLm(s: SparkSession, sf: String): DataFrame = {

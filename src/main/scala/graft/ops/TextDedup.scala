@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import Util._
 
 /** SURVEY.md §2.11 — text dedup / analysis for LLM-pipeline corpora.
   *
@@ -75,7 +76,7 @@ object TextDedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def nearDupPairGraph(s: SparkSession, sf: String): DataFrame =
     Util.purged(pairGraphCache).computeIfAbsent((s, sf), _ =>
-      bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+      bandedJaccardPairs(Tables.documents(s, sf), tokens, 0.6).serCheckpoint())
 
   /** The τ=0.6 pair graph for the cross-algorithm diagnostics
     * (graft.tools.CrossCheck) — same frame the graph family reads. */
@@ -133,7 +134,7 @@ object TextDedup {
         .withColumn("g8", collect_list(col("w")).over(shingleFrame))
         .where(size(col("g8")) === 8)
         .select(col("doc_id"), col("b"), md5(concat_ws(" ", col("g8"))).as("gram"))
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .serCheckpoint()
     })
 
   def aDedupBloomContam(s: SparkSession, sf: String): DataFrame = {
@@ -571,12 +572,15 @@ object TextDedup {
     val edges = Util.serCheckpoint(pairs
       .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .repartition(parts, col("b_id")))
-    def pids: Set[Int] = s.sparkContext.getPersistentRDDs.keySet.toSet
-    val preLabelIds = pids
-    var labels = Util.serCheckpoint(edges.select(col("a_id").as("id")).distinct()
+    // the loop holds exactly ONE checkpointed label frame; its
+    // predecessor's files are dropped the moment the successor is
+    // materialized (Util.dropCheckpoint is scoped to that frame — the
+    // round-8 session-global persistent-RDD diff could unpersist a
+    // CONCURRENT query's blocks, round-9 ADVICE)
+    var labelsCkpt = Util.serCheckpoint(edges.select(col("a_id").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
       .repartition(parts, col("id")))
-    var prevIds = pids -- preLabelIds // the current `labels` round's block ids
+    var labels = labelsCkpt
     // Every loop-carried frame below is ≤ |V| rows of two longs; gate
     // the broadcast hint on that size ONCE (|V| is loop-invariant —
     // labels only relabel, never grow). count() reads the checkpointed
@@ -630,7 +634,6 @@ object TextDedup {
         // component, so the jump preserves the fixpoint (= component
         // min) while squaring the propagation distance per round:
         // convergence in O(log diameter) rounds instead of O(diameter).
-        val preIds = pids
         val next = Util.serCheckpoint(cand
           .join(bc(cand.select(col("id").as("lab1"), col("lab1").as("lab2"))),
                 Seq("lab1"), "left")
@@ -638,14 +641,11 @@ object TextDedup {
                   least(col("lab1"), coalesce(col("lab2"), col("lab1"))).as("lab"))
           .repartition(parts, col("id"))) // ONE materializing action per round; the change count below reads its blocks
         val nChanged = next.where(col("lab") < col("old")).count()
-        // previous round's label blocks are dead once `next` is
-        // materialized (eager checkpoint, truncated lineage). Dropping
-        // them here — Dataset.unpersist can't (cache-manager path), and
-        // waiting for the ContextCleaner means O(rounds) storage — keeps
-        // loop storage at O(edges + 1 round of labels).
-        val rdds = s.sparkContext.getPersistentRDDs
-        prevIds.foreach(id => rdds.get(id).foreach(_.unpersist(blocking = false)))
-        prevIds = pids -- preIds
+        // previous round's label files are dead once `next` is
+        // materialized (next is file-backed, never re-reads them);
+        // dropping them keeps loop storage at O(edges + 1 label frame)
+        Util.dropCheckpoint(labelsCkpt)
+        labelsCkpt = next
         labels = next.select(col("id"), col("lab"))
         converged = nChanged == 0
         rounds += 1
@@ -660,6 +660,9 @@ object TextDedup {
         case None => s.conf.unset(spKey)
       }
     }
+    // the edge frame served only the loop; the returned plan reads the
+    // final label files alone
+    Util.dropCheckpoint(edges)
     val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lab")
       .select(col("id").as("doc_id"), col("lab").as("cluster_id"),
@@ -704,7 +707,7 @@ object TextDedup {
     var edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .serCheckpoint()
     var nEdges = edges.count()
     def bc(df: DataFrame): DataFrame = Util.gatedBroadcast(s, df, nEdges)
     var converged = nEdges == 0
@@ -715,9 +718,10 @@ object TextDedup {
       val next = edges.join(bc(keep), "u")
         .join(bc(keep.select(col("u").as("v"))), "v")
         .select(col("u"), col("v"))
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .serCheckpoint()
       val n2 = next.count()
       converged = n2 == nEdges
+      Util.dropCheckpoint(edges) // predecessor files dead once `next` exists
       edges = next
       nEdges = n2
       rounds += 1
@@ -739,7 +743,7 @@ object TextDedup {
   def qGraphLinkpred(s: SparkSession, sf: String): DataFrame = {
     val pairs = nearDupPairGraph(s, sf)
       .select(col("a_id"), col("b_id"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .serCheckpoint()
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
@@ -777,7 +781,7 @@ object TextDedup {
   def qGraph2hop(s: SparkSession, sf: String): DataFrame = {
     val pairs = nearDupPairGraph(s, sf)
       .select(col("a_id"), col("b_id"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .serCheckpoint()
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
@@ -813,7 +817,7 @@ object TextDedup {
   def qGraphClustercoef(s: SparkSession, sf: String): DataFrame = {
     val pairs = nearDupPairGraph(s, sf)
       .select(col("a_id"), col("b_id"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .serCheckpoint()
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
@@ -854,7 +858,7 @@ object TextDedup {
   def qGraphAssortativity(s: SparkSession, sf: String): DataFrame = {
     val pairs = nearDupPairGraph(s, sf)
       .select(col("a_id"), col("b_id"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .serCheckpoint()
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
@@ -939,7 +943,7 @@ object TextDedup {
     // orient u > v (canonical pairs have a_id < b_id)
     var edges = pairs.select(col("b_id").as("u"), col("a_id").as("v"))
       .distinct()
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .serCheckpoint()
     // one shuffle-free scan: edge count (sizes the loop partitions) +
     // the set's xor-folded hash (the convergence screen; XOR is
     // order-independent and can't overflow under ANSI, unlike sum)
@@ -949,7 +953,9 @@ object TextDedup {
     }
     var (nEdges, hEdges) = sig(edges)
     val parts = math.max(8L, math.min(4096L, nEdges / 250000L + 1L)).toInt
-    edges = edges.repartition(parts, col("u")).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val edges0 = edges
+    edges = edges.repartition(parts, col("u")).serCheckpoint()
+    Util.dropCheckpoint(edges0) // pre-repartition frame dead once re-checkpointed
     def largeStar(e: DataFrame): DataFrame = {
       val nb = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val m = nb.groupBy("u").agg(min(col("v")).as("mn"))
@@ -960,7 +966,7 @@ object TextDedup {
         .where(col("u") =!= col("v")) // root self-loops carry no info
         .distinct()
         .repartition(parts, col("u"))
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .serCheckpoint()
     }
     def smallStar(e: DataFrame): DataFrame = {
       // input orientation u > v holds by construction (see callers)
@@ -970,17 +976,20 @@ object TextDedup {
         .unionAll(m.select(col("u"), col("m").as("v")))
         .distinct()
         .repartition(parts, col("u"))
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .serCheckpoint()
     }
     var converged = false
     var rounds = 0
     while (!converged && rounds < 25) { // O(log² n) bound; fixture closes in 2-3
-      val next = smallStar(largeStar(edges))
-      val (nNext, hNext) = sig(next) // block read, no shuffle
+      val ls = largeStar(edges)
+      val next = smallStar(ls)
+      val (nNext, hNext) = sig(next) // file read, no shuffle
+      Util.dropCheckpoint(ls) // the intermediate is dead once `next` is materialized
       // signature match screens candidate fixpoints; the anti-join
       // (runs ~once, on the true final round) keeps the check EXACT
       converged = nNext == nEdges && hNext == hEdges &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      Util.dropCheckpoint(edges) // predecessor dead after the convergence read
       edges = next
       nEdges = nNext
       hEdges = hNext
@@ -1015,13 +1024,13 @@ object TextDedup {
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .serCheckpoint()
     val nNodes = edges.select("u").distinct().count()
     def bc(df: DataFrame): DataFrame = Util.gatedBroadcast(s, df, nNodes)
     var dist = edges.select(col("u").as("id")).distinct()
       .where(col("id") % 100 === 0)
       .select(col("id"), lit(0L).as("dist"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .serCheckpoint()
     var sig = (dist.count(), 0L)
     var converged = false
     var rounds = 0
@@ -1031,14 +1040,16 @@ object TextDedup {
         .select(col("u").as("id"), (col("dist") + 1L).as("dist"))
       val next = dist.unionByName(offers)
         .groupBy("id").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .serCheckpoint()
       val r = next.agg(count(lit(1)), sum(col("dist"))).head()
       val nextSig = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
       converged = nextSig == sig
+      Util.dropCheckpoint(dist) // predecessor files dead once `next` exists
       dist = next
       sig = nextSig
       rounds += 1
     }
+    Util.dropCheckpoint(edges) // the readout below reads only `dist`
     dist.select(col("id").as("doc_id"), col("dist")).orderBy("doc_id")
   }
 
@@ -1350,7 +1361,7 @@ object TextDedup {
     // per invocation — per-invocation materialization, unlike persist,
     // can't leak this run's cache into a later identical plan (bench
     // min-of-2 would otherwise measure a cache read on run 2)
-    val hits = test.join(train, "gram").localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val hits = test.join(train, "gram").serCheckpoint()
     val pairs = hits.groupBy(col("test_id"), col("train_id"))
       .agg(count(lit(1)).as("shared"))
     val worstW = Window.partitionBy(col("test_id"))
@@ -1392,7 +1403,7 @@ object TextDedup {
       .where(size(col("g8")) === 8)
       .select(col("doc_id"), md5(concat_ws(" ", col("g8"))).as("gram"))
       .distinct()
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER) // consumed 3× (sizes + both join sides)
+      .serCheckpoint() // consumed 3× (sizes + both join sides)
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     val a = grams.select(col("doc_id").as("a_id"), col("gram"))
     val b = grams.select(col("doc_id").as("b_id"), col("gram"))
@@ -1431,7 +1442,7 @@ object TextDedup {
       .where(size(col("g8")) === 8)
       .select(col("doc_id"), md5(concat_ws(" ", col("g8"))).as("gram"))
       .distinct()
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER) // consumed twice (df agg + postings side)
+      .serCheckpoint() // consumed twice (df agg + postings side)
     // postings are distinct per doc, so count(*) per gram IS its
     // doc-frequency
     val df_ = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
@@ -1493,7 +1504,7 @@ object TextDedup {
     if (wide) orientTriangles(s, pairs)
     else Util.purged(triangleCache).computeIfAbsent((s, sf), _ =>
       orientTriangles(s, pairs)
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+        .serCheckpoint())
   }
 
   /** The forward-orientation enumeration itself, over any canonical
@@ -1534,7 +1545,7 @@ object TextDedup {
     // the partitioning (both sides arcs-derived — zero extra exchange)
     // and checkpoint blocks stay ≤ ~20 MB
     val arcs = (if (wide) arcsBase.repartition(wideParts, col("src")) else arcsBase)
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .serCheckpoint()
     // wedges at the lowest-ranked vertex: ordered out-neighbor pairs
     val w1 = arcs.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
     val w2 = arcs.select(col("src"), col("dst").as("w"), col("ddst").as("dw"))
@@ -1555,8 +1566,13 @@ object TextDedup {
     val packBudget = s.conf.getOption("graft.graph.packBudget")
       .map(_.toLong).getOrElse(1536L << 20)
     val packedClose = if (wide && nPairs * 8L <= packBudget) {
-      val mx = arcs.agg(greatest(max(col("src")), max(col("dst")))).head.getLong(0)
-      if (mx < (1L << 31)) {
+      // BOTH bounds gate the pack (round-9 ADVICE): a negative id would
+      // sign-extend through (src<<32)|dst and silently corrupt the
+      // encoding, so min ≥ 0 is as load-bearing as max < 2³¹
+      val bounds = arcs.agg(
+        least(min(col("src")), min(col("dst"))).as("mn"),
+        greatest(max(col("src")), max(col("dst"))).as("mx")).head
+      if (bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 31)) {
         import s.implicits._
         // toLocalIterator, NOT collect (r4 sf100 slot: a bulk collect
         // of 116M rows decodes the whole result set at once on a heap
@@ -1569,9 +1585,14 @@ object TextDedup {
           .as[Long].toLocalIterator()
         var i = 0
         while (it.hasNext && i < enc.length) { enc(i) = it.next(); i += 1 }
-        val trimmed = if (i == enc.length) enc else java.util.Arrays.copyOf(enc, i)
-        java.util.Arrays.sort(trimmed)
-        Some(s.sparkContext.broadcast(trimmed))
+        // exact-cardinality gate (round-9 ADVICE): a short OR long fill
+        // means the arcs frame disagrees with nPairs (e.g. a
+        // non-distinct pair input) — a trimmed pack would silently MISS
+        // triangles, so fall back to the distributed semi join instead
+        if (i == enc.length && !it.hasNext) {
+          java.util.Arrays.sort(enc)
+          Some(s.sparkContext.broadcast(enc))
+        } else None
       } else None
     } else None
     val closed = packedClose match {
@@ -1611,9 +1632,9 @@ object TextDedup {
     val pairs = qDedupJaccard(s, sf).select(col("a_id"), col("b_id"))
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .serCheckpoint()
     val degs = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .serCheckpoint()
     // rank and degree frames are |V| rows — broadcast both (so each
     // round's only shuffle is the groupBy(v) message aggregation, the
     // distributed-PageRank minimum) but only under the size gate: at a
@@ -1623,6 +1644,7 @@ object TextDedup {
     def bc(df: DataFrame): DataFrame = Util.gatedBroadcast(s, df, nV)
     var r = degs.select(col("u").as("id"), lit(1000000L).as("r"))
     for (_ <- 1 to 5) {
+      val prev = r
       r = edges
         .join(bc(r.withColumnRenamed("id", "u")), "u")
         .join(bc(degs), "u")
@@ -1630,8 +1652,11 @@ object TextDedup {
         .agg(sum(expr("r div d")).as("m"))
         .select(col("v").as("id"),
           expr("150000 + (850000 * m) div 1000000").as("r"))
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .serCheckpoint()
+      Util.dropCheckpoint(prev) // no-op round 1 (not a checkpoint root)
     }
+    Util.dropCheckpoint(edges) // the readout below reads only `r`
+    Util.dropCheckpoint(degs)
     r.select(col("id").as("doc_id"), col("r").as("rank_fp"))
       .orderBy("doc_id")
   }

@@ -458,13 +458,13 @@ object TimeSeries {
     // cache (which would turn benchmark re-runs into cache reads), and
     // the blocks are GC-reclaimed with the DataFrame reference.
     val s1 = stage("signup").groupBy(col("user_id"))
-      .agg(min(col("ts")).as("tk")).withColumn("t1", col("tk")).localCheckpoint()
+      .agg(min(col("ts")).as("tk")).withColumn("t1", col("tk")).serCheckpoint()
     def next(prev: DataFrame, t: String): DataFrame =
       stage(t).join(prev.select(col("user_id"), col("tk").as("tprev"), col("t1")), "user_id")
         .where(col("ts") >= col("tprev"))
         .groupBy(col("user_id"))
         .agg(min(col("ts")).as("tk"), min(col("t1")).as("t1"))
-        .localCheckpoint()
+        .serCheckpoint()
     val s2 = next(s1, "view")
     val s3 = next(s2, "click")
     val s4 = next(s3, "purchase")
@@ -990,21 +990,25 @@ object TimeSeries {
     // fixed-point sums ~3e10) the cross product exceeds int64 — ANSI
     // Spark errors loudly, DuckDB overflows (the sf100 sweep's catch;
     // the true sf100 area is ~3.7e19, beyond int64 even as output).
-    // The RANKING runs on the exact decimal; only the readout column
-    // converts to double — a correctly-rounded conversion of the same
-    // exact integer in both engines, so hashes still match bit-exact.
-    val area = expr(
-      """CAST(abs(
+    // The RANKING runs on the exact decimal (round-9 ADVICE: ranking on
+    // the double readout collapsed distinct areas above 2^53 to the
+    // event_id tiebreak); only the readout column converts to double —
+    // a correctly-rounded conversion of the same exact integer in both
+    // engines (DuckDB mirrors: HUGEINT rank, DOUBLE readout), so the
+    // argmax can never flip on float rounding at any scale.
+    val areaDec = expr(
+      """abs(
         |  CAST(x1 - x0 AS DECIMAL(38,0)) * (CAST(s2 AS DECIMAL(38,0)) * n0 - CAST(s0 AS DECIMAL(38,0)) * n2)
         |  - CAST(x2 - x0 AS DECIMAL(38,0)) * (CAST(y1 AS DECIMAL(38,0)) * n0 - s0) * n2
-        |) AS DOUBLE)""".stripMargin)
+        |)""".stripMargin)
     val pick = Window.partitionBy("event_type", "day")
-      .orderBy(col("area").desc, col("event_id").asc)
+      .orderBy(col("area_dec").desc, col("event_id").asc)
     e.join(broadcast(anchors), Seq("event_type", "day"))
-      .withColumn("area", area)
+      .withColumn("area_dec", areaDec)
       .withColumn("rn", row_number().over(pick))
       .where(col("rn") === 1)
-      .select(col("event_type"), col("day"), col("event_id"), col("value"), col("area"))
+      .select(col("event_type"), col("day"), col("event_id"), col("value"),
+              col("area_dec").cast("double").as("area"))
       .orderBy("event_type", "day")
   }
 

@@ -22,18 +22,86 @@ import org.apache.spark.sql.types.DecimalType
 object Util {
   val D: DecimalType = DecimalType(18, 4)
 
-  /** Serialized local checkpoint for DATA-SIZED loop-carried frames
-    * (the iterative graph/dedup family). Plain `localCheckpoint()`
-    * stores deserialized row objects — at sf100 the q_dedup_cluster
-    * edge frame (~86M rows of two longs) pins tens of GiB of object
-    * headers and OOMs a 16 GiB JVM before the fixpoint (round-8 rung).
-    * MEMORY_AND_DISK_SER stores the same blocks as compact serialized
-    * bytes (~16 B/row here) and spills what doesn't fit; lineage
-    * truncation — the reason these loops checkpoint at all — is
-    * identical. Fixture-scale cost is one codegen'd (de)serialize pass
-    * per consume, noise next to per-round planning. */
-  def serCheckpoint(df: DataFrame): DataFrame =
-    df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+  /** RELIABLE eager checkpoint for DATA-SIZED shared/loop frames (the
+    * iterative graph/dedup/ANN family) — the round-9 hardening of what
+    * was a serialized `localCheckpoint`.
+    *
+    * Why reliable, not local: `localCheckpoint` truncates lineage to
+    * blocks PINNED TO EXECUTOR LIVENESS — lose one executor and every
+    * frame with a block there dies with
+    * `CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND` (loud, never wrong, but on a
+    * real cluster executor churn is the norm; the round-9 ClusterProof
+    * heavy runs showed exactly this). `Dataset.checkpoint()` writes the
+    * frame to the checkpoint DIRECTORY instead — on a cluster that is
+    * HDFS/object storage (set `graft.checkpointDir`), here a pid-keyed
+    * tmpfs dir — so executor loss degrades to re-reading files, not to
+    * query death. Lineage truncation (the reason these loops checkpoint
+    * at all: the per-round plan would otherwise double) and the
+    * preserved output partitioning (LogicalRDD keeps the physical
+    * plan's partitioning, so pre-hashed loop frames don't re-shuffle)
+    * are identical to the local form.
+    *
+    * Cost shape: the eager materialization is one job; Spark then
+    * writes the checkpoint files in a SECOND job — `persist` first so
+    * that write job reads the just-built serialized blocks instead of
+    * recomputing the (possibly expensive — the banded pair graph)
+    * subtree, then unpersist once the files exist. Files are
+    * lz4-compressed when the session sets `spark.checkpoint.compress`
+    * (our mains/specs do). Storage: frames live as compact files
+    * (tmpfs here), not executor storage memory — strictly better for
+    * the bounded-heap sf100 rung than serialized blocks.
+    *
+    * Hygiene: the pid-keyed root is swept of dead-pid leftovers at
+    * first use and removed by a JVM shutdown hook; iterative loops
+    * additionally [[dropCheckpoint]] each round's provably-dead
+    * predecessor so standing files stay O(1) frames per loop. */
+  def serCheckpoint(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(df.sparkSession.conf.getOption("graft.checkpointDir")
+        .getOrElse(checkpointRoot))
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try df.checkpoint()
+    finally { df.unpersist(blocking = false); () }
+  }
+
+  /** Method-chain sugar so `.serCheckpoint()` reads like the
+    * `.localCheckpoint(...)` it replaced (31 op-layer sites). */
+  implicit class RichCheckpoint(private val df: DataFrame) extends AnyVal {
+    def serCheckpoint(): DataFrame = Util.serCheckpoint(df)
+  }
+
+  /** Delete the checkpoint files behind a [[serCheckpoint]] result.
+    * ONLY for provably-dead loop frames — the frame being REPLACED in
+    * an iterative loop once its successor is materialized (successors
+    * are file-backed, so they never re-read the predecessor). Never
+    * call on a frame a returned (lazy) plan still reads, or on the
+    * shared (session, sfDir)-keyed caches. Scoped to the exact frame —
+    * this replaces the round-8 session-global persistent-RDD diffing
+    * that could unpersist a concurrent query's blocks (round-9 ADVICE).
+    * No-op when `df` is not a checkpoint root. */
+  def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(path, true): Unit
+        }
+      case _ => ()
+    }
+
+  /** Pid-keyed reliable-checkpoint root (tmpfs-backed where the box
+    * has one — same placement rationale as [[scratchRoot]]); clusters
+    * override with `graft.checkpointDir` → shared storage. */
+  lazy val checkpointRoot: String = {
+    val parent = new java.io.File(scratchRoot).getParentFile
+    sweepDeadPidDirs(parent, "graft_ckpt")
+    val dir = new java.io.File(parent,
+      s"graft_ckpt_p${ProcessHandle.current().pid()}_0")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursive(dir)))
+    dir.getAbsolutePath
+  }
 
   /** Order-independent exact sum of a double expression, output as double.
     *

@@ -234,7 +234,7 @@ object Vectors {
       v.withColumn("bands",
           graft.functions.VectorExpressions.srpSignature(col("dv"), planes, bitsPerBand))
         .select("vec_id", "bands")
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .serCheckpoint()
     })
     // DATA-SIZED exchange widths (round-9 — the sf100 rung's kernel-OOM
     // catch): the candidate stream is ≈ L·n·occupancy/2 pairs (2.1B at
@@ -964,7 +964,7 @@ object Vectors {
       : (Map[(Int, Int, Int), Double], DataFrame) =
     Util.purged(pqCache).computeIfAbsent((s, sf), _ => {
       val (cb, assigned) = trainPq(s, sf)
-      (cb, assigned.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+      (cb, assigned.serCheckpoint())
     })
 
   private def trainPq(s: SparkSession, sf: String)
@@ -975,7 +975,7 @@ object Vectors {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("vec_id"), (col("pos") / dSub).cast("int").as("sub"),
               (col("pos") % dSub).as("p"), col("x").cast("double").as("x"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER) // consumed every Lloyd round + final scoring
+      .serCheckpoint() // consumed every Lloyd round + final scoring
     // seeds: the k lowest-id vectors, slice j seeding codebook j
     var cb: Map[(Int, Int, Int), Double] = Tables.embeddings(s, sf)
       .where(col("vec_id") < k).orderBy("vec_id")

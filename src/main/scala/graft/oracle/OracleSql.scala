@@ -1306,6 +1306,11 @@ object OracleSql {
       CAST(CAST(SUM(CAST(price AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM merged GROUP BY status ORDER BY status""")
 
+  /** File-backed MERGE target (q_sql_merge_file): the storage backend
+    * must not change a single row, so the oracle is the identical
+    * full-outer-coalesce twin. */
+  val qSqlMergeFile: String = qSqlMergeInto
+
   val qFnRegex: String = n("""
     SELECT doc_id,
       regexp_extract(text, '^([a-z]+)', 1) AS first_word,
@@ -3473,18 +3478,18 @@ object OracleSql {
       FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
     cand AS (
       SELECT e.event_type, e.day, e.event_id, e.value,
-        CAST(abs(
+        abs(
           CAST(e.x1 - a.x0 AS HUGEINT) * (CAST(a.s2 AS HUGEINT) * a.n0 - CAST(a.s0 AS HUGEINT) * a.n2)
           - CAST(a.x2 - a.x0 AS HUGEINT) * (CAST(e.y1 AS HUGEINT) * a.n0 - a.s0) * a.n2
-        ) AS DOUBLE) AS area
+        ) AS area_h
       FROM e JOIN anchors a USING (event_type, day)
       WHERE a.n0 IS NOT NULL AND a.n2 IS NOT NULL),
     r AS (
-      SELECT event_type, day, event_id, value, area,
+      SELECT event_type, day, event_id, value, area_h,
         ROW_NUMBER() OVER (PARTITION BY event_type, day
-                           ORDER BY area DESC, event_id ASC) AS rn
+                           ORDER BY area_h DESC, event_id ASC) AS rn
       FROM cand)
-    SELECT event_type, day, event_id, value, area
+    SELECT event_type, day, event_id, value, CAST(area_h AS DOUBLE) AS area
     FROM r WHERE rn = 1
     ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""")
 

@@ -11,10 +11,18 @@ import org.apache.spark.sql.SparkSession
   * slow to replay but two independent distributed algorithms agreeing
   * exactly is equivalent evidence.
   *
-  * Usage: CrossCheck [sfDir] */
+  * Round 10 adds the `q_seq_pattern` second algorithm (verdict ask #4):
+  * a per-user sorted `mapGroups` fold with an explicit `indexOf`
+  * scanner vs the collect_list/array_sort + replace-delete arithmetic —
+  * the sf100 oracle slot DuckDB cannot replay (its ordered `string_agg`
+  * state is unspillable at 100M events), closed instead by demanding
+  * bit-equality between two in-tree algorithms at sf100.
+  *
+  * Usage: CrossCheck [sfDir] [section: all|graph|seq] */
 object CrossCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/graft_sf1"
+    val section = if (args.length > 1) args(1) else "all"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -23,6 +31,8 @@ object CrossCheck {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      .config("spark.checkpoint.compress", "true")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.DataFrame
@@ -36,6 +46,42 @@ object CrossCheck {
         (if (onlyA == 0 && onlyB == 0) "MATCH" else "MISMATCH"))
       assert(onlyA == 0 && onlyB == 0, s"$name cross-algorithm MISMATCH")
     }
+
+    if (section == "all" || section == "seq") {
+      // 5) q_seq_pattern: per-user sorted mapGroups fold with an
+      // explicit left-to-right indexOf scanner (exactly `replace`'s
+      // non-overlapping single-pass semantics) — no journey string_agg,
+      // no replace arithmetic, different aggregation operator, different
+      // count mechanism. Bit-equality here at sf100 closes the one
+      // oracle-unverifiable slot (DuckDB's ordered string_agg state is
+      // unspillable at 100M events).
+      import spark.implicits._
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("tsu"),
+          col("event_id"),
+          when(col("event_type") === "signup", "s")
+            .when(col("event_type") === "view", "v")
+            .when(col("event_type") === "click", "c")
+            .when(col("event_type") === "purchase", "p")
+            .otherwise("o").as("ch"))
+        .as[(Long, Long, Long, String)]
+      def countPat(j: String, pat: String): Long = {
+        var i = 0; var n = 0L
+        while ({ i = j.indexOf(pat, i); i >= 0 }) { n += 1; i += pat.length }
+        n
+      }
+      val second = ev.groupByKey(_._1).mapGroups { (uid, it) =>
+        // (tsu, event_id) reproduces array_sort(struct(ts, event_id, ch))
+        // order: event_id is unique, so the ch tiebreak never engages
+        val arr = it.toArray.sortBy(e => (e._2, e._3))
+        val j = new String(arr.map(_._4.charAt(0)))
+        (uid, arr.length.toLong, countPat(j, "vcp"), countPat(j, "vp"))
+      }.toDF("user_id", "n_events", "n_vcp", "n_vp")
+      diff("seq_pattern(mapGroups~replace-arith)",
+        graft.ops.TimeSeries.qSeqPattern(spark, sfDir), second)
+    }
+
+    if (section == "seq") { println("[crosscheck] ALL MATCH"); spark.stop(); return }
 
     // 1) connected components: pointer-jump vs large-star/small-star
     diff("cc(cluster~cc_star)",
