@@ -32,51 +32,93 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * same interfaces at a warehouse and keeps the MERGE plan shape. */
 class GraftCatalog extends TableCatalog {
   private var catalogName: String = "graft"
+  /** `spark.sql.catalog.<name>.path` ⇒ FILE-BACKED tables under that
+    * root (the [[FileStore]] backend: data streams executor→files, the
+    * commit channel carries file names — no driver-memory bound); no
+    * path ⇒ the in-memory store (the historical dimension-sized
+    * target). Both modes share every protocol class, so the MERGE /
+    * overwrite / append plan shapes are identical. */
+  private var fileRoot: Option[String] = None
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    fileRoot = Option(options.get("path")).filter(_.nonEmpty)
+  }
   override def name(): String = catalogName
 
   private def key(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".")
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val prefix = namespace.mkString("", ".", ".")
-    val ks = TelemetryStore.tables.keySet()
-    val out = Vector.newBuilder[Identifier]
-    ks.forEach { k =>
-      if (k.startsWith(prefix) && !k.substring(prefix.length).contains("."))
-        out += Identifier.of(namespace, k.substring(prefix.length))
+    // empty namespace ⇒ prefix "" (round-9 ADVICE: mkString("", ".", ".")
+    // on an empty array yields "." and top-level tables never listed)
+    val prefix = if (namespace.isEmpty) "" else namespace.mkString("", ".", ".")
+    val keys: Iterator[String] = fileRoot match {
+      case Some(root) =>
+        Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+          .iterator.filter(d => FileStore.schemaOf(d).isDefined).map(_.getName)
+      case None =>
+        import scala.jdk.CollectionConverters._
+        TelemetryStore.tables.keySet().asScala.iterator
     }
-    out.result().toArray
+    keys.filter(k => k.startsWith(prefix) && !k.substring(prefix.length).contains("."))
+      .map(k => Identifier.of(namespace, k.substring(prefix.length)))
+      .toArray
   }
 
   override def loadTable(ident: Identifier): Table = {
     val k = key(ident)
-    TelemetryStore.tables.get(k) match {
-      case null => throw new NoSuchTableException(ident)
-      case (schema, _) => new MergeableStoreTable(k, schema)
+    val schema = fileRoot match {
+      case Some(root) => FileStore.schemaOf(FileStore.tableDir(root, k))
+      case None => Option(TelemetryStore.tables.get(k)).map(_._1)
+    }
+    schema match {
+      case None => throw new NoSuchTableException(ident)
+      case Some(sc) => new MergeableStoreTable(k, sc, fileRoot)
     }
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    TelemetryStore.tables.containsKey(key(ident))
+  override def tableExists(ident: Identifier): Boolean = fileRoot match {
+    case Some(root) => FileStore.schemaOf(FileStore.tableDir(root, key(ident))).isDefined
+    case None => TelemetryStore.tables.containsKey(key(ident))
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty, "telemetry_store tables are unpartitioned")
+    // store keys are dot-joined, so a '.' inside a table NAME would
+    // alias into a namespace (round-9 ADVICE) — reject it at create
+    require(!ident.name().contains("."),
+      s"telemetry_store: table name must not contain '.' (got '${ident.name()}')")
     val k = key(ident)
-    val prev = TelemetryStore.tables.putIfAbsent(k, (schema, Vector.empty))
-    if (prev != null) throw new TableAlreadyExistsException(ident)
-    new MergeableStoreTable(k, schema)
+    fileRoot match {
+      case Some(root) =>
+        val dir = FileStore.tableDir(root, k)
+        if (FileStore.schemaOf(dir).isDefined) throw new TableAlreadyExistsException(ident)
+        FileStore.writeSchema(dir, schema)
+      case None =>
+        val prev = TelemetryStore.tables.putIfAbsent(k, (schema, Vector.empty))
+        if (prev != null) throw new TableAlreadyExistsException(ident)
+    }
+    new MergeableStoreTable(k, schema, fileRoot)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("telemetry_store: ALTER TABLE not supported")
 
-  override def dropTable(ident: Identifier): Boolean =
-    TelemetryStore.tables.remove(key(ident)) != null
+  override def dropTable(ident: Identifier): Boolean = fileRoot match {
+    case Some(root) =>
+      val dir = FileStore.tableDir(root, key(ident))
+      val existed = FileStore.schemaOf(dir).isDefined
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      if (existed) rm(dir)
+      existed
+    case None => TelemetryStore.tables.remove(key(ident)) != null
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("telemetry_store: RENAME TABLE not supported")
@@ -99,8 +141,9 @@ class GraftCatalog extends TableCatalog {
   * DataWriter — the plain task hands the raw merge rows to the sink.
   * This mirrors how real lakehouse connectors surface `_file`/
   * `_partition` for the same purpose. */
-private[sources] class MergeableStoreTable(storeKey: String, schema0: StructType)
-    extends TelemetryStoreTable(storeKey, schema0)
+private[sources] class MergeableStoreTable(storeKey: String, schema0: StructType,
+                                           fileRoot: Option[String] = None)
+    extends TelemetryStoreTable(storeKey, schema0, fileRoot)
     with SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   import org.apache.spark.sql.connector.catalog.MetadataColumn
@@ -136,7 +179,8 @@ private[sources] class MergeableStoreTable(storeKey: String, schema0: StructType
           new WriteBuilder {
             override def build(): Write = new Write {
               override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-                new StoreBatchWrite(storeKey, lwi.schema(), truncateFirst = true)
+                new StoreBatchWrite(storeKey, lwi.schema(), truncateFirst = true,
+                                    fileRoot)
             }
           }
       }

@@ -448,7 +448,131 @@ object TelemetryStore {
     Option(tables.get(key)).map(_._2).getOrElse(Vector.empty)
 }
 
-private[sources] class TelemetryStoreTable(key: String, schema0: StructType)
+/** FILE-BACKED store backend (round-9 verdict ask #7): the same V2
+  * interfaces — and therefore the same MERGE/overwrite/append plan
+  * shapes — with data in FILES instead of driver memory, lifting the
+  * in-memory store's declared dimension-sized envelope:
+  *
+  *  - task writers STREAM rows to `<root>/<key>/data/part-*.bin`
+  *    (length-tagged binary rows, lz4-free but buffered; written to a
+  *    `.tmp` name, renamed on task commit) — rows never visit the
+  *    driver, so a write is bounded by executor+disk, not driver heap;
+  *  - commit messages carry only (fileName, rowCount) — O(tasks), the
+  *    Iceberg/Delta commit-channel shape;
+  *  - the driver publishes ATOMICALLY via a manifest-pointer swap:
+  *    `manifest-<v>` lists the live files, `VERSION` is rename-swapped
+  *    to point at it (the q_sink_timetravel discipline). Truncate =
+  *    manifest of only the new files (old files deleted best-effort
+  *    AFTER publish); append = previous live + new.
+  *  - readers plan ONE InputPartition per live file and stream-decode —
+  *    scan parallelism scales with file count, not driver state.
+  *
+  * `root` must be visible to all executors (same-host tmpfs here;
+  * shared storage on a real cluster — the checkpointDir assumption).
+  * Concurrent writers to the SAME table are last-publish-wins, exactly
+  * like the memory store's compute(). */
+object FileStore {
+  import java.io._
+
+  def tableDir(root: String, key: String) = new File(root, key)
+  private def versionFile(dir: File) = new File(dir, "VERSION")
+
+  def schemaOf(dir: File): Option[StructType] = {
+    val f = new File(dir, "schema.ddl")
+    if (!f.isFile) None
+    else Some(StructType.fromDDL(
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
+  }
+
+  def writeSchema(dir: File, schema: StructType): Unit = {
+    dir.mkdirs(); new File(dir, "data").mkdirs()
+    java.nio.file.Files.write(new File(dir, "schema.ddl").toPath,
+      schema.toDDL.getBytes("UTF-8")): Unit
+  }
+
+  def currentVersion(dir: File): Long = {
+    val vf = versionFile(dir)
+    if (!vf.isFile) 0L
+    else new String(java.nio.file.Files.readAllBytes(vf.toPath), "UTF-8").trim.toLong
+  }
+
+  def liveFiles(dir: File): Vector[String] = {
+    val v = currentVersion(dir)
+    if (v == 0L) Vector.empty
+    else {
+      val mf = new File(dir, s"manifest-$v")
+      if (!mf.isFile) Vector.empty
+      else new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toVector
+    }
+  }
+
+  /** Atomic publish: write manifest v+1, rename-swap VERSION. Returns
+    * the files the new manifest DROPPED (caller deletes best-effort). */
+  def publish(dir: File, files: Vector[String], truncate: Boolean): Vector[String] = {
+    val prev = liveFiles(dir)
+    val next = if (truncate) files else prev ++ files
+    val v = currentVersion(dir) + 1
+    java.nio.file.Files.write(new File(dir, s"manifest-$v").toPath,
+      next.mkString("\n").getBytes("UTF-8"))
+    val tmp = new File(dir, s"VERSION.tmp$v")
+    java.nio.file.Files.write(tmp.toPath, v.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, versionFile(dir).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    if (truncate) prev.filterNot(next.contains) else Vector.empty
+  }
+
+  // ---- row codec: 0x01 row-marker, per-field null byte + value ----
+  def writeRow(out: DataOutputStream, schema: StructType, vals: Array[Any]): Unit = {
+    out.writeByte(1)
+    var i = 0
+    while (i < vals.length) {
+      val v = vals(i)
+      if (v == null) out.writeByte(0)
+      else {
+        out.writeByte(1)
+        schema.fields(i).dataType match {
+          case LongType    => out.writeLong(v.asInstanceOf[Long])
+          case IntegerType => out.writeInt(v.asInstanceOf[Int])
+          case DoubleType  => out.writeDouble(v.asInstanceOf[Double])
+          case BooleanType => out.writeBoolean(v.asInstanceOf[Boolean])
+          case StringType  =>
+            val b = v.asInstanceOf[String].getBytes("UTF-8")
+            out.writeInt(b.length); out.write(b)
+          case other => throw new IllegalArgumentException(
+            s"telemetry_store: unsupported column type $other")
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** Reads the next row into a fresh array; null at end-of-stream. */
+  def readRow(in: DataInputStream, schema: StructType): Array[Any] = {
+    if (in.readByte() == 0) return null
+    val out = new Array[Any](schema.fields.length)
+    var i = 0
+    while (i < out.length) {
+      if (in.readByte() != 0) out(i) = schema.fields(i).dataType match {
+        case LongType    => in.readLong()
+        case IntegerType => in.readInt()
+        case DoubleType  => in.readDouble()
+        case BooleanType => in.readBoolean()
+        case StringType  =>
+          val b = new Array[Byte](in.readInt()); in.readFully(b)
+          new String(b, "UTF-8")
+        case other => throw new IllegalArgumentException(
+          s"telemetry_store: unsupported column type $other")
+      }
+      i += 1
+    }
+    out
+  }
+}
+
+private[sources] class TelemetryStoreTable(key: String, schema0: StructType,
+                                           fileRoot: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import org.apache.spark.sql.connector.write._
@@ -465,49 +589,75 @@ private[sources] class TelemetryStoreTable(key: String, schema0: StructType)
       override def build(): Scan = new Scan with Batch {
         override def readSchema(): StructType = required
         override def description(): String =
-          s"TelemetryStoreScan[$key, cols=${required.fieldNames.mkString(",")}]"
+          s"TelemetryStoreScan[$key, cols=${required.fieldNames.mkString(",")}" +
+            fileRoot.map(_ => ", file-backed").getOrElse("") + "]"
         override def toBatch: Batch = this
         override def planInputPartitions(): Array[InputPartition] = {
-          val all = TelemetryStore.rows(key)
           // ordinals of the pruned columns in the stored row layout;
           // the `_shard` METADATA column (row-level-operation group id,
           // MergeableStoreTable) is not stored — ordinal -1 emits the
           // constant 0: the unpartitioned store is one group
           val ords = required.fieldNames.map(f =>
             if (f == "_shard") -1 else schema0.fieldIndex(f))
-          if (all.isEmpty) Array(StoreSlice(Array.empty, ords))
-          else {
-            val nSplits = math.min(8, all.size)
-            val per = (all.size + nSplits - 1) / nSplits
-            all.grouped(per).map(sl => StoreSlice(sl.toArray, ords): InputPartition).toArray
+          fileRoot match {
+            case Some(root) =>
+              // file-backed: one partition per live data file — scan
+              // parallelism scales with the table, not driver state
+              val dir = FileStore.tableDir(root, key)
+              val files = FileStore.liveFiles(dir)
+              if (files.isEmpty) Array(StoreSlice(Array.empty, ords))
+              else files.map(f => FileSlice(
+                new java.io.File(new java.io.File(dir, "data"), f).getAbsolutePath,
+                schema0, ords): InputPartition).toArray
+            case None =>
+              val all = TelemetryStore.rows(key)
+              if (all.isEmpty) Array(StoreSlice(Array.empty, ords))
+              else {
+                val nSplits = math.min(8, all.size)
+                val per = (all.size + nSplits - 1) / nSplits
+                all.grouped(per).map(sl => StoreSlice(sl.toArray, ords): InputPartition).toArray
+              }
           }
         }
         override def createReaderFactory(): PartitionReaderFactory =
           new PartitionReaderFactory {
-            override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-              val slice = p.asInstanceOf[StoreSlice]
-              new PartitionReader[InternalRow] {
-                private var i = -1
-                override def next(): Boolean = { i += 1; i < slice.rows.length }
-                override def get(): InternalRow = {
-                  val src = slice.rows(i)
-                  val out = new GenericInternalRow(slice.ordinals.length)
-                  var c = 0
-                  while (c < slice.ordinals.length) {
-                    val ord = slice.ordinals(c)
-                    out.update(c,
-                      if (ord < 0) 0 // _shard metadata column: single group
-                      else src(ord) match {
-                        case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
-                        case v => v
-                      })
-                    c += 1
-                  }
-                  out
-                }
-                override def close(): Unit = ()
+            private def project(src: Array[Any], ordinals: Array[Int]): InternalRow = {
+              val out = new GenericInternalRow(ordinals.length)
+              var c = 0
+              while (c < ordinals.length) {
+                val ord = ordinals(c)
+                out.update(c,
+                  if (ord < 0) 0 // _shard metadata column: single group
+                  else src(ord) match {
+                    case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+                    case v => v
+                  })
+                c += 1
               }
+              out
             }
+            override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+              p match {
+                case slice: StoreSlice =>
+                  new PartitionReader[InternalRow] {
+                    private var i = -1
+                    override def next(): Boolean = { i += 1; i < slice.rows.length }
+                    override def get(): InternalRow = project(slice.rows(i), slice.ordinals)
+                    override def close(): Unit = ()
+                  }
+                case fs: FileSlice =>
+                  new PartitionReader[InternalRow] {
+                    private val in = new java.io.DataInputStream(
+                      new java.io.BufferedInputStream(
+                        new java.io.FileInputStream(fs.path), 1 << 16))
+                    private var row: Array[Any] = _
+                    override def next(): Boolean = {
+                      row = FileStore.readRow(in, fs.rowSchema); row != null
+                    }
+                    override def get(): InternalRow = project(row, fs.ordinals)
+                    override def close(): Unit = in.close()
+                  }
+              }
           }
       }
     }
@@ -526,51 +676,93 @@ private[sources] class TelemetryStoreTable(key: String, schema0: StructType)
       }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new StoreBatchWrite(key, info.schema(), truncateFirst)
+          new StoreBatchWrite(key, info.schema(), truncateFirst, fileRoot)
       }
     }
 }
 
-/** One committed V2 write: tasks buffer + ship rows in commit messages;
-  * the driver publishes atomically (all-or-nothing per write — abort
-  * drops everything, the exactly-once half of the contract; the commit
-  * coordinator guarantees one committed attempt per partition). */
+/** One committed V2 write: tasks buffer + ship rows in commit messages
+  * (memory mode) or stream rows to data files and ship only file names
+  * (file mode); the driver publishes atomically (all-or-nothing per
+  * write — abort drops everything, the exactly-once half of the
+  * contract; the commit coordinator guarantees one committed attempt
+  * per partition). */
 private[sources] class StoreBatchWrite(key: String, schema: StructType,
-                                       truncateFirst: Boolean)
+                                       truncateFirst: Boolean,
+                                       fileRoot: Option[String] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new StoreWriterFactory(schema)
+    new StoreWriterFactory(schema,
+      fileRoot.map(r => new java.io.File(FileStore.tableDir(r, key), "data").getAbsolutePath))
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val incoming = messages.iterator
+    val commits = messages.iterator
       .map(_.asInstanceOf[StoreCommit])
       .toVector
       .sortBy(_.partitionId) // deterministic publish order
-      .flatMap(_.rows)
-    TelemetryStore.tables.compute(key, (_, prev) => {
-      val kept =
-        if (truncateFirst || prev == null) Vector.empty else prev._2
-      (schema, kept ++ incoming)
-    })
+    fileRoot match {
+      case Some(root) =>
+        val dir = FileStore.tableDir(root, key)
+        val dropped = FileStore.publish(dir, commits.flatMap(_.file), truncateFirst)
+        // dropped files left the manifest atomically; physical delete
+        // is best-effort hygiene (a reader that planned BEFORE the
+        // swap may still be streaming them — like Iceberg's expired
+        // snapshots, deletion is deferred housekeeping, not the commit)
+        dropped.foreach(f =>
+          new java.io.File(new java.io.File(dir, "data"), f).delete(): Unit)
+      case None =>
+        val incoming = commits.flatMap(_.rows)
+        TelemetryStore.tables.compute(key, (_, prev) => {
+          val kept =
+            if (truncateFirst || prev == null) Vector.empty else prev._2
+          (schema, kept ++ incoming)
+        })
+    }
     TelemetryStore.lastCommit.put(key,
       if (truncateFirst) "truncate+append" else "append")
   }
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    // file mode: drop the (renamed-but-unpublished) task outputs
+    fileRoot.foreach { root =>
+      val data = new java.io.File(FileStore.tableDir(root, key), "data")
+      messages.iterator.filter(_ != null).map(_.asInstanceOf[StoreCommit])
+        .flatMap(_.file)
+        .foreach(f => new java.io.File(data, f).delete(): Unit)
+    }
 }
 
 private[sources] case class StoreSlice(rows: Array[Array[Any]],
                                        ordinals: Array[Int])
     extends InputPartition
 
+private[sources] case class FileSlice(path: String, rowSchema: StructType,
+                                      ordinals: Array[Int])
+    extends InputPartition
+
 private[sources] case class StoreCommit(partitionId: Int,
-                                        rows: Vector[Array[Any]])
+                                        rows: Vector[Array[Any]],
+                                        file: Option[String] = None,
+                                        rowCount: Long = 0L)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-private[sources] class StoreWriterFactory(schema: StructType)
+private[sources] class StoreWriterFactory(schema: StructType,
+                                          fileDir: Option[String] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   import org.apache.spark.sql.connector.write.DataWriter
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
+      // file mode: stream rows straight to the task's data file —
+      // nothing row-sized is ever buffered or shipped to the driver
+      private val fileName = fileDir.map(_ =>
+        s"part-$partitionId-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.bin")
+      private val tmpFile = fileDir.zip(fileName).map { case (d, n) =>
+        new java.io.File(d, n + ".tmp") }
+      private val out = tmpFile.map { f =>
+        f.getParentFile.mkdirs()
+        new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(f), 1 << 16))
+      }
+      private var nRows = 0L
       private val buf = Vector.newBuilder[Array[Any]]
       // external-value extractors bound once per column
       private val gets: Array[InternalRow => Any] =
@@ -587,10 +779,13 @@ private[sources] class StoreWriterFactory(schema: StructType)
           (r: InternalRow) => if (r.isNullAt(i)) null else get(r)
         }
       override def write(r: InternalRow): Unit = {
-        val out = new Array[Any](gets.length)
+        val row = new Array[Any](gets.length)
         var c = 0
-        while (c < gets.length) { out(c) = gets(c)(r); c += 1 }
-        buf += out
+        while (c < gets.length) { row(c) = gets(c)(r); c += 1 }
+        out match {
+          case Some(o) => FileStore.writeRow(o, schema, row); nRows += 1
+          case None    => buf += row
+        }
       }
       // metadata+data variant (DataWriter's two-arg default throws):
       // row-level-operation writes arrive here when the operation
@@ -598,9 +793,19 @@ private[sources] class StoreWriterFactory(schema: StructType)
       // metadata, so only the data row lands
       override def write(metadata: InternalRow, record: InternalRow): Unit =
         write(record)
-      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
-        StoreCommit(partitionId, buf.result())
-      override def abort(): Unit = ()
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        out.foreach { o => o.writeByte(0); o.close() } // end-of-rows marker
+        tmpFile.zip(fileName).foreach { case (t, n) =>
+          java.nio.file.Files.move(t.toPath,
+            new java.io.File(t.getParentFile, n).toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+        StoreCommit(partitionId, buf.result(), fileName, nRows)
+      }
+      override def abort(): Unit = {
+        out.foreach(_.close())
+        tmpFile.foreach(_.delete(): Unit)
+      }
       override def close(): Unit = ()
     }
 }

@@ -498,6 +498,49 @@ class PlanShapeSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $ident")
   }
 
+  test("file-backed MERGE INTO: same MergeRows+ReplaceData plan, manifest-swap publish, files hold the rows") {
+    import graft.sources.{FileStore, TelemetryStore}
+    val root = graft.ops.Util.sinkDir("storecat_pin")
+    spark.conf.set("spark.sql.catalog.graftfpin", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftfpin.path", root)
+    val tbl = s"mergef_pin_p${ProcessHandle.current().pid()}"
+    val ident = s"graftfpin.store.$tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $ident")
+    spark.sql(s"CREATE TABLE $ident (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $ident VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("SELECT * FROM VALUES (2L, 'B'), (9L, 'Z') AS u(uk, uv)")
+      .createOrReplaceTempView("mergef_pin_src")
+    val mergeSql = s"""
+      MERGE INTO $ident t USING mergef_pin_src u ON t.k = u.uk
+      WHEN MATCHED THEN UPDATE SET v = u.uv
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (u.uk, u.uv)"""
+    // the backend must not change the PLAN: same group-based rewrite
+    val p = spark.sql(s"EXPLAIN $mergeSql").collect().map(_.getString(0)).mkString
+    assert(p.contains("ReplaceData") && p.contains("MergeRows"),
+           s"file-backed MERGE lost the group-based plan:\n$p")
+    spark.sql(mergeSql)
+    val rows = spark.sql(s"SELECT k, v FROM $ident ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "Z")),
+           s"post-merge content wrong: $rows")
+    assert(TelemetryStore.lastCommit.get(s"store.$tbl") == "truncate+append",
+           "row-level publish must be the atomic truncate+append swap")
+    // backend specifics: rows live in data FILES listed by the current
+    // manifest (insert = publish v1, merge truncate+append = v2), and
+    // nothing row-sized sits in the in-memory store
+    val dir = FileStore.tableDir(root, s"store.$tbl")
+    assert(FileStore.currentVersion(dir) == 2L,
+           s"expected manifest v2 (insert, merge), got ${FileStore.currentVersion(dir)}")
+    val live = FileStore.liveFiles(dir)
+    assert(live.nonEmpty && live.forall(f =>
+             new java.io.File(new java.io.File(dir, "data"), f).isFile),
+           s"manifest lists missing data files: $live")
+    assert(TelemetryStore.rows(s"store.$tbl").isEmpty,
+           "file-backed table must not buffer rows in the driver store")
+    spark.sql(s"DROP TABLE $ident")
+    assert(FileStore.schemaOf(dir).isEmpty, "DROP TABLE must remove the table dir")
+  }
+
   test("graft_bitmap_* are SQL-callable and exact") {
     val r = spark.sql(
       """SELECT graft_bitmap_count(graft_bitmap_union_agg(bm)) AS n FROM (
