@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
@@ -303,9 +305,34 @@ object ClusterProof {
     println(s"[cluster-proof] phase 1: local[8] baseline over ${allKeys.size} keys")
     val (localRes, _) = runPhase("local[8]", sfDir, allKeys)
     println(s"[cluster-proof] phase 2: $clusterMaster (separate executor JVMs)")
+    // GRAFT_KILL_AFTER=<n>: SIGKILL one executor JVM after the nth
+    // cluster-phase key — the deliberate executor-loss proof for the
+    // round-10 reliable-checkpoint hardening. With file-backed shared
+    // frames the remaining keys must still hash-equal (executor loss
+    // degrades to re-reading checkpoint files + recompute; under the
+    // old localCheckpoint blocks it was CHECKPOINT_RDD_BLOCK_ID_NOT_
+    // FOUND for every key whose frame lived on the dead executor).
+    val killAfter = sys.env.get("GRAFT_KILL_AFTER").map(_.toInt)
+    def killOneExecutor(): Unit = {
+      val self = ProcessHandle.current().pid()
+      val victim = ProcessHandle.allProcesses().iterator().asScala
+        .filter(p => p.pid() != self &&
+          p.info().commandLine().map[Boolean](_.contains("CoarseGrainedExecutorBackend")).orElse(false))
+        .toSeq.sortBy(_.pid()).headOption
+      victim match {
+        case Some(p) =>
+          println(s"[cluster-proof] SIGKILL executor JVM pid=${p.pid()}")
+          Runtime.getRuntime.exec(Array("kill", "-9", p.pid().toString)).waitFor(): Unit
+        case None =>
+          println("[cluster-proof] kill requested but no executor JVM found")
+      }
+    }
     val s = buildSession(clusterMaster)
     val (clusterRes, streamOk) = try {
+      var i = 0
       val cRes = allKeys.map { k =>
+        if (killAfter.contains(i)) killOneExecutor()
+        i += 1
         k -> (try resultHash(SparkEntry.queries(k)(s, sfDir)) catch {
           case e: Throwable =>
             println(s"[cluster-proof] $k FAILED under $clusterMaster: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
