@@ -1029,7 +1029,20 @@ object Vectors {
   def aSimAnnIvfPq(s: SparkSession, sf: String): DataFrame = {
     import s.implicits._
     val nSub = 8; val dSub = 8
-    val kCells = 128; val nprobe = 10; val shortlist = 50
+    val kCells = 128
+    // nprobe and the exact-re-rank shortlist SCALE with the corpus
+    // (round 10): fixed constants held recall at the 0.5 floor by sf10
+    // — per-cell occupancy grows as n/kCells, so a fixed 50-row
+    // shortlist drowns in the 4-bit PQ codes' distance ties (measured:
+    // widening the shortlist, not probing more cells, recovered the
+    // misses). nprobe 15% of cells and shortlist n/200 (50-row floor,
+    // 5000 cap so the re-rank stays a constant-size frame) lift sf10
+    // recall@10 0.5 → 0.9 (RecallCheck) at unchanged asymptotics:
+    // candidates are still ~nprobe/kCells of the corpus, codes-only
+    // until the shortlist re-rank.
+    val nTot = Tables.embeddings(s, sf).count()
+    val nprobe = math.max(10, kCells * 15 / 100)
+    val shortlist = math.max(50L, math.min(5000L, nTot / 200L)).toInt
     // --- IVF side (the aSimAnnIvf cell recipe, 1 cell per vector) ---
     val v = normed(s, sf)
     val cents: Array[Array[Double]] = Tables.embeddings(s, sf)
