@@ -232,6 +232,9 @@ object SqlSurface {
     // by the pid-keyed TABLE name below, and a dead JVM's table is
     // re-created (DROP+CREATE) on the next run with the same pid
     s.conf.set("spark.sql.catalog.graftf.path", Util.sinkDir("storecat"))
+    // dead JVMs leak their pid-keyed table dirs on tmpfs — sweep them
+    // (the scratch-dir discipline; live pids are never touched)
+    Util.sweepDeadPidDirs(new java.io.File(Util.sinkDir("storecat")), "store.mergef_tgt")
     val tbl = s"mergef_tgt_p${ProcessHandle.current().pid()}_" +
       sf.replaceAll("[^a-zA-Z0-9]", "_")
     val ident = s"graftf.store.$tbl"
