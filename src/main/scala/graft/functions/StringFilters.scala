@@ -71,6 +71,12 @@ case class AnyAlignedEqual(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val n = ctx.freshName("n")
       val xi = ctx.freshName("xi")
+      // no generated line may START with '|': Spark's codegen Block
+      // applies margin-stripping to emitted code downstream, and a
+      // leading '||' loses its pipes there — the round-10 sf1 Janino
+      // parse failure ("')' expected instead of '('") that silently
+      // dropped the editdist gate to interpreted mode. Operators sit at
+      // end-of-line instead.
       s"""
         |final int $nx = $a.numElements();
         |final int $ny = $b.numElements();
@@ -78,9 +84,9 @@ case class AnyAlignedEqual(left: Expression, right: Expression)
         |${ev.value} = false;
         |for (int $i = 0; $i < $n; $i++) {
         |  final int $xi = $a.getInt($i);
-        |  if ($xi == $b.getInt($i)
-        |      || ($i + 1 < $ny && $xi == $b.getInt($i + 1))
-        |      || ($i + 1 < $nx && $a.getInt($i + 1) == $b.getInt($i))) {
+        |  if ($xi == $b.getInt($i) ||
+        |      ($i + 1 < $ny && $xi == $b.getInt($i + 1)) ||
+        |      ($i + 1 < $nx && $a.getInt($i + 1) == $b.getInt($i))) {
         |    ${ev.value} = true; break;
         |  }
         |}

@@ -26,7 +26,7 @@ object StageProbe {
       .config("spark.checkpoint.compress", "true")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("GRAFT_LOG", "WARN"))
 
     case class St(var n: Int = 0, var run: Long = 0, var mx: Long = 0,
                   var gc: Long = 0, var name: String = "")
