@@ -139,6 +139,7 @@ object ClusterProof {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .config("spark.checkpoint.compress", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // executors are separate JVMs on this host: give them the repo's
       // compiled classes (same-host shared fs — the spark.jars ship

@@ -56,6 +56,7 @@ object StreamBench {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .config("spark.checkpoint.compress", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -191,6 +192,7 @@ object StreamBench {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .config("spark.checkpoint.compress", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // executors need the repo classes (Event, StreamOps codegen refs)
       // + the module opens Spark's launcher doesn't add itself (the

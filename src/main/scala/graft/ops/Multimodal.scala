@@ -584,7 +584,7 @@ object Multimodal {
   def qMultimodalNeardup(s: SparkSession, sf: String): DataFrame = {
     val hashes = qMultimodalPhash(s, sf)
       .select(col("doc_id"), col("hash_lo"), col("hash_hi"))
-      .serCheckpoint()
+      .serCheckpoint(Tables.rowCount(s, sf, "documents")) // ≤1 hash/doc
     // ROUND 7 restructure (sf10 ladder finding): low-entropy media
     // collapses to few distinct signatures (sf1: 50k docs → 2,246
     // hashes, top group 1,586 members), so banding the DOC list makes
@@ -596,7 +596,7 @@ object Multimodal {
     // genuinely quadratic in identical-image group size; no layout
     // avoids emitting it), never by an intermediate.
     val dh = hashes.select(col("hash_lo"), col("hash_hi")).distinct()
-      .serCheckpoint()
+      .serCheckpoint(Tables.rowCount(s, sf, "documents"))
     val banded = dh.select(col("hash_lo"), col("hash_hi"),
         explode(array(
           struct(lit(0).as("b"), (col("hash_lo") % 65536L).as("v")),

@@ -373,7 +373,8 @@ object TextDedup {
     // (round-8 verdict footnote: the op read `documents` twice) —
     // serialized checkpoint, the loop-frame storage discipline.
     val d = Util.serCheckpoint(Tables.documents(s, sf).repartition(32).select(
-      col("doc_id"), col("lang"), col("n_chars"), tokens.as("tk")))
+      col("doc_id"), col("lang"), col("n_chars"), tokens.as("tk")),
+      Tables.rowCount(s, sf, "documents"))
     // minhash_i = min over tokens of an affine transform of murmur3
     // (token) — computed as ONE token explode + 32 plain min aggregates
     // (partial+final hash agg, fully codegen'd; murmur3 hashed ONCE per
@@ -571,7 +572,7 @@ object TextDedup {
     // object count.
     val edges = Util.serCheckpoint(pairs
       .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .repartition(parts, col("b_id")))
+      .repartition(parts, col("b_id")), 2L * nPairs)
     // the loop holds exactly ONE checkpointed label frame; its
     // predecessor's files are dropped the moment the successor is
     // materialized (Util.dropCheckpoint is scoped to that frame — the
@@ -579,7 +580,7 @@ object TextDedup {
     // CONCURRENT query's blocks, round-9 ADVICE)
     var labelsCkpt = Util.serCheckpoint(edges.select(col("a_id").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
-      .repartition(parts, col("id")))
+      .repartition(parts, col("id")), 2L * nPairs)
     var labels = labelsCkpt
     // Every loop-carried frame below is ≤ |V| rows of two longs; gate
     // the broadcast hint on that size ONCE (|V| is loop-invariant —
@@ -639,7 +640,7 @@ object TextDedup {
                 Seq("lab1"), "left")
           .select(col("id"), col("old"),
                   least(col("lab1"), coalesce(col("lab2"), col("lab1"))).as("lab"))
-          .repartition(parts, col("id"))) // ONE materializing action per round; the change count below reads its blocks
+          .repartition(parts, col("id")), 2L * nPairs) // ONE materializing action per round; the change count below reads its blocks
         val nChanged = next.where(col("lab") < col("old")).count()
         // previous round's label files are dead once `next` is
         // materialized (next is file-backed, never re-reads them);
@@ -704,10 +705,11 @@ object TextDedup {
   def qGraph2core(s: SparkSession, sf: String): DataFrame = {
     val pairs = nearDupPairGraph(s, sf)
       .select(col("a_id"), col("b_id"))
+    val nP = pairs.count() // cached-frame read — sizes the checkpoint gate
     var edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
-      .serCheckpoint()
+      .serCheckpoint(2L * nP)
     var nEdges = edges.count()
     def bc(df: DataFrame): DataFrame = Util.gatedBroadcast(s, df, nEdges)
     var converged = nEdges == 0
@@ -718,7 +720,7 @@ object TextDedup {
       val next = edges.join(bc(keep), "u")
         .join(bc(keep.select(col("u").as("v"))), "v")
         .select(col("u"), col("v"))
-        .serCheckpoint()
+        .serCheckpoint(nEdges)
       val n2 = next.count()
       converged = n2 == nEdges
       Util.dropCheckpoint(edges) // predecessor files dead once `next` exists
@@ -741,9 +743,10 @@ object TextDedup {
     * degrees joined in, 1e4 fixed-point score via integer div; top-30
     * with full (score, u, w) tie order. */
   def qGraphLinkpred(s: SparkSession, sf: String): DataFrame = {
+    // no per-query checkpoint: the shared pair graph is already a
+    // block-cached reliable artifact; a select over it re-reads blocks
     val pairs = nearDupPairGraph(s, sf)
       .select(col("a_id"), col("b_id"))
-      .serCheckpoint()
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
@@ -781,7 +784,6 @@ object TextDedup {
   def qGraph2hop(s: SparkSession, sf: String): DataFrame = {
     val pairs = nearDupPairGraph(s, sf)
       .select(col("a_id"), col("b_id"))
-      .serCheckpoint()
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
@@ -817,7 +819,6 @@ object TextDedup {
   def qGraphClustercoef(s: SparkSession, sf: String): DataFrame = {
     val pairs = nearDupPairGraph(s, sf)
       .select(col("a_id"), col("b_id"))
-      .serCheckpoint()
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
@@ -858,7 +859,6 @@ object TextDedup {
   def qGraphAssortativity(s: SparkSession, sf: String): DataFrame = {
     val pairs = nearDupPairGraph(s, sf)
       .select(col("a_id"), col("b_id"))
-      .serCheckpoint()
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
@@ -940,10 +940,11 @@ object TextDedup {
     * frame ever exists: each round maps the oriented edge set to at
     * most one output edge per input edge. */
   private def starLabels(pairs: DataFrame): DataFrame = {
+    val nP = pairs.count() // cached/derived pair frame — sizes the checkpoint gate
     // orient u > v (canonical pairs have a_id < b_id)
     var edges = pairs.select(col("b_id").as("u"), col("a_id").as("v"))
       .distinct()
-      .serCheckpoint()
+      .serCheckpoint(nP)
     // one shuffle-free scan: edge count (sizes the loop partitions) +
     // the set's xor-folded hash (the convergence screen; XOR is
     // order-independent and can't overflow under ANSI, unlike sum)
@@ -954,7 +955,7 @@ object TextDedup {
     var (nEdges, hEdges) = sig(edges)
     val parts = math.max(8L, math.min(4096L, nEdges / 250000L + 1L)).toInt
     val edges0 = edges
-    edges = edges.repartition(parts, col("u")).serCheckpoint()
+    edges = edges.repartition(parts, col("u")).serCheckpoint(nP)
     Util.dropCheckpoint(edges0) // pre-repartition frame dead once re-checkpointed
     def largeStar(e: DataFrame): DataFrame = {
       val nb = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
@@ -966,7 +967,7 @@ object TextDedup {
         .where(col("u") =!= col("v")) // root self-loops carry no info
         .distinct()
         .repartition(parts, col("u"))
-        .serCheckpoint()
+        .serCheckpoint(nP)
     }
     def smallStar(e: DataFrame): DataFrame = {
       // input orientation u > v holds by construction (see callers)
@@ -976,7 +977,7 @@ object TextDedup {
         .unionAll(m.select(col("u"), col("m").as("v")))
         .distinct()
         .repartition(parts, col("u"))
-        .serCheckpoint()
+        .serCheckpoint(nP)
     }
     var converged = false
     var rounds = 0
@@ -1021,16 +1022,17 @@ object TextDedup {
   def qGraphBfs(s: SparkSession, sf: String): DataFrame = {
     val pairs = nearDupPairGraph(s, sf)
       .select(col("a_id"), col("b_id"))
+    val nP = pairs.count() // cached-frame read — sizes the checkpoint gate
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
-      .serCheckpoint()
+      .serCheckpoint(2L * nP)
     val nNodes = edges.select("u").distinct().count()
     def bc(df: DataFrame): DataFrame = Util.gatedBroadcast(s, df, nNodes)
     var dist = edges.select(col("u").as("id")).distinct()
       .where(col("id") % 100 === 0)
       .select(col("id"), lit(0L).as("dist"))
-      .serCheckpoint()
+      .serCheckpoint(2L * nP)
     var sig = (dist.count(), 0L)
     var converged = false
     var rounds = 0
@@ -1040,7 +1042,7 @@ object TextDedup {
         .select(col("u").as("id"), (col("dist") + 1L).as("dist"))
       val next = dist.unionByName(offers)
         .groupBy("id").agg(min(col("dist")).as("dist"))
-        .serCheckpoint()
+        .serCheckpoint(2L * nP)
       val r = next.agg(count(lit(1)), sum(col("dist"))).head()
       val nextSig = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
       converged = nextSig == sig
@@ -1361,7 +1363,9 @@ object TextDedup {
     // per invocation — per-invocation materialization, unlike persist,
     // can't leak this run's cache into a later identical plan (bench
     // min-of-2 would otherwise measure a cache read on run 2)
-    val hits = test.join(train, "gram").serCheckpoint()
+    // hit volume is bounded by the contaminated-gram postings; the
+    // doc count is the declared gate proxy (reliable from ~sf100 up)
+    val hits = test.join(train, "gram").serCheckpoint(Tables.rowCount(s, sf, "documents"))
     val pairs = hits.groupBy(col("test_id"), col("train_id"))
       .agg(count(lit(1)).as("shared"))
     val worstW = Window.partitionBy(col("test_id"))
@@ -1403,7 +1407,7 @@ object TextDedup {
       .where(size(col("g8")) === 8)
       .select(col("doc_id"), md5(concat_ws(" ", col("g8"))).as("gram"))
       .distinct()
-      .serCheckpoint() // consumed 3× (sizes + both join sides)
+      .serCheckpoint(32L * Tables.rowCount(s, sf, "documents")) // consumed 3× (sizes + both join sides); ~32 grams/doc gate proxy
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     val a = grams.select(col("doc_id").as("a_id"), col("gram"))
     val b = grams.select(col("doc_id").as("b_id"), col("gram"))
@@ -1442,7 +1446,7 @@ object TextDedup {
       .where(size(col("g8")) === 8)
       .select(col("doc_id"), md5(concat_ws(" ", col("g8"))).as("gram"))
       .distinct()
-      .serCheckpoint() // consumed twice (df agg + postings side)
+      .serCheckpoint(32L * Tables.rowCount(s, sf, "documents")) // consumed twice (df agg + postings side); ~32 grams/doc gate proxy
     // postings are distinct per doc, so count(*) per gram IS its
     // doc-frequency
     val df_ = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
@@ -1545,7 +1549,7 @@ object TextDedup {
     // the partitioning (both sides arcs-derived — zero extra exchange)
     // and checkpoint blocks stay ≤ ~20 MB
     val arcs = (if (wide) arcsBase.repartition(wideParts, col("src")) else arcsBase)
-      .serCheckpoint()
+      .serCheckpoint(nPairs)
     // wedges at the lowest-ranked vertex: ordered out-neighbor pairs
     val w1 = arcs.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
     val w2 = arcs.select(col("src"), col("dst").as("w"), col("ddst").as("dw"))
@@ -1630,11 +1634,12 @@ object TextDedup {
     * — the q_dedup_cluster discipline). */
   def qGraphPagerank(s: SparkSession, sf: String): DataFrame = {
     val pairs = qDedupJaccard(s, sf).select(col("a_id"), col("b_id"))
+    val nP = pairs.count() // cached-frame read — sizes the checkpoint gate
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-      .serCheckpoint()
+      .serCheckpoint(2L * nP)
     val degs = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
-      .serCheckpoint()
+      .serCheckpoint(2L * nP)
     // rank and degree frames are |V| rows — broadcast both (so each
     // round's only shuffle is the groupBy(v) message aggregation, the
     // distributed-PageRank minimum) but only under the size gate: at a
@@ -1652,7 +1657,7 @@ object TextDedup {
         .agg(sum(expr("r div d")).as("m"))
         .select(col("v").as("id"),
           expr("150000 + (850000 * m) div 1000000").as("r"))
-        .serCheckpoint()
+        .serCheckpoint(2L * nP)
       Util.dropCheckpoint(prev) // no-op round 1 (not a checkpoint root)
     }
     Util.dropCheckpoint(edges) // the readout below reads only `r`

@@ -458,13 +458,14 @@ object TimeSeries {
     // cache (which would turn benchmark re-runs into cache reads), and
     // the blocks are GC-reclaimed with the DataFrame reference.
     val s1 = stage("signup").groupBy(col("user_id"))
-      .agg(min(col("ts")).as("tk")).withColumn("t1", col("tk")).serCheckpoint()
+      .agg(min(col("ts")).as("tk")).withColumn("t1", col("tk"))
+      .serCheckpoint(Tables.rowCount(s, sf, "events") / 100) // ≤|users| rows (~100 events/user)
     def next(prev: DataFrame, t: String): DataFrame =
       stage(t).join(prev.select(col("user_id"), col("tk").as("tprev"), col("t1")), "user_id")
         .where(col("ts") >= col("tprev"))
         .groupBy(col("user_id"))
         .agg(min(col("ts")).as("tk"), min(col("t1")).as("t1"))
-        .serCheckpoint()
+        .serCheckpoint(Tables.rowCount(s, sf, "events") / 100)
     val s2 = next(s1, "view")
     val s3 = next(s2, "click")
     val s4 = next(s3, "purchase")

@@ -61,14 +61,48 @@ object Util {
       sc.setCheckpointDir(df.sparkSession.conf.getOption("graft.checkpointDir")
         .getOrElse(checkpointRoot))
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    try df.checkpoint()
-    finally { df.unpersist(blocking = false); () }
+    val out = try df.checkpoint()
+              finally { df.unpersist(blocking = false); () }
+    // block-cache the checkpointed RDD itself (NOT Dataset.persist —
+    // the columnar InMemoryRelation roundtrip plus its AQE cache stage
+    // measured ~2× on every consumer of the shared artifacts):
+    // consumers' `Scan ExistingRDD` then reads memory-speed serialized
+    // blocks exactly like the localCheckpoint it replaced, and
+    // eviction/executor loss degrades to re-reading the checkpoint
+    // FILES — the RDD's recompute path — not to query death.
+    out.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER): Unit
+      case _ => ()
+    }
+    out
   }
 
-  /** Method-chain sugar so `.serCheckpoint()` reads like the
+  /** Size-gated checkpoint for PER-QUERY data-sized frames (loop rounds,
+    * wedge/arc/hit frames): reliable [[serCheckpoint]] once the frame is
+    * big enough (`graft.checkpoint.reliableMinRows`, default 4M rows)
+    * that the file write amortizes against the compute it protects —
+    * the sf100 regime, where losing a multi-minute loop to one executor
+    * death is the real risk; BELOW the gate, a serialized
+    * `localCheckpoint` — same lineage truncation, zero file I/O, one
+    * job — because a fixture-scale frame is trivially recomputable: an
+    * executor loss there costs ONE query retry, not the session (the
+    * session-cached artifacts stay reliable unconditionally, so
+    * retries always find their shared inputs intact). Measured: the
+    * everything-reliable sweep cost 3-6× on the per-round loops at
+    * sf0.1 (bfs 2.3→14.9 s) for durability no 40k-row frame needs. */
+  def serCheckpoint(df: DataFrame, estRows: Long): DataFrame = {
+    val gate = df.sparkSession.conf.getOption("graft.checkpoint.reliableMinRows")
+      .map(_.toLong).getOrElse(4000000L)
+    if (estRows >= gate) serCheckpoint(df)
+    else df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+  }
+
+  /** Method-chain sugar so `.serCheckpoint(...)` reads like the
     * `.localCheckpoint(...)` it replaced (31 op-layer sites). */
   implicit class RichCheckpoint(private val df: DataFrame) extends AnyVal {
     def serCheckpoint(): DataFrame = Util.serCheckpoint(df)
+    def serCheckpoint(estRows: Long): DataFrame = Util.serCheckpoint(df, estRows)
   }
 
   /** Delete the checkpoint files behind a [[serCheckpoint]] result.
@@ -83,6 +117,9 @@ object Util {
   def dropCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        // both branches: free the serialized blocks; reliable frames
+        // additionally lose their (now-dead) checkpoint files
+        lr.rdd.unpersist(blocking = false)
         lr.rdd.getCheckpointFile.foreach { p =>
           val path = new org.apache.hadoop.fs.Path(p)
           path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
