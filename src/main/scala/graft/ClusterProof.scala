@@ -126,11 +126,20 @@ object ClusterProof {
     (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
   }
 
-  def buildSession(master: String): SparkSession = {
+  def buildSession(master: String, shufflePartitions: Int = 8): SparkSession = {
     val s = SparkSession.builder()
       .master(master)
       .appName(s"graft-cluster-proof")
-      .config("spark.sql.shuffle.partitions", "8")
+      // heavy/full modes run sf1-sized inputs: 8 reduce partitions hands
+      // a 4 GiB executor ~5M-row hash-agg states (BytesToBytesMap OOM,
+      // observed round 10 once AQE-coalesced artifacts narrowed the map
+      // side too); the protocol sizes shuffles to the data like the
+      // engine's own loops do
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // the sf100 rung protocol's storage/execution split: heavy keys'
+      // hash-agg states need the execution share; block-cached frames
+      // spill to executor-local disk instead of squeezing it
+      .config("spark.memory.storageFraction", "0.2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -158,9 +167,9 @@ object ClusterProof {
     s
   }
 
-  def runPhase(master: String, sfDir: String,
-               keys: Seq[String]): (Map[String, (Long, String)], Int) = {
-    val s = buildSession(master)
+  def runPhase(master: String, sfDir: String, keys: Seq[String],
+               shufflePartitions: Int = 8): (Map[String, (Long, String)], Int) = {
+    val s = buildSession(master, shufflePartitions)
     try {
       val nExec = s.sparkContext.getExecutorMemoryStatus.size
       val res = keys.map { k =>
@@ -291,7 +300,10 @@ object ClusterProof {
       } else if (mode == "heavy") (heavyStrictKeys, heavySketchKeys)
       else (strictKeys, sketchKeys)
     val clusterMaster = args.lift(2).getOrElse(
-      if (mode == "full" || mode == "heavy") "local-cluster[4,2,4096]"
+      // heavy runs sf1-sized hash-agg states AND must absorb a killed
+      // executor's rescheduled tasks on the survivors (the round-10
+      // kill proof): sized 8 GiB (the round-9 r2 protocol) — 4-6 GiB lost single 512 MB acquisitions to post-kill task crowding
+      if (mode == "full" || mode == "heavy") "local-cluster[4,2,8192]"
       else "local-cluster[2,2,2048]")
     // The executor-count assertion below only makes sense for a
     // local-cluster master (round-8 ADVICE: a plain local[n] used to
@@ -303,8 +315,9 @@ object ClusterProof {
         "the proof is about separate executor JVMs")
     }
     val allKeys = strict ++ sketch
+    val shuffleParts = if (mode == "heavy" || mode == "full") 32 else 8
     println(s"[cluster-proof] phase 1: local[8] baseline over ${allKeys.size} keys")
-    val (localRes, _) = runPhase("local[8]", sfDir, allKeys)
+    val (localRes, _) = runPhase("local[8]", sfDir, allKeys, shuffleParts)
     println(s"[cluster-proof] phase 2: $clusterMaster (separate executor JVMs)")
     // GRAFT_KILL_AFTER=<n>: SIGKILL one executor JVM after the nth
     // cluster-phase key — the deliberate executor-loss proof for the
@@ -328,7 +341,7 @@ object ClusterProof {
           println("[cluster-proof] kill requested but no executor JVM found")
       }
     }
-    val s = buildSession(clusterMaster)
+    val s = buildSession(clusterMaster, shuffleParts)
     val (clusterRes, streamOk) = try {
       var i = 0
       val cRes = allKeys.map { k =>

@@ -1505,7 +1505,26 @@ object TextDedup {
     // fixture..sf1 posture where the frame is small and shared.
     val wide = pairs.count() > s.conf.getOption("graft.graph.wideEdges")
       .map(_.toLong).getOrElse(4000000L)
-    if (wide) orientTriangles(s, pairs)
+    // triple VOLUME is clique-driven, not pair-driven (a k-clique
+    // family emits k³ triples from k² pairs — triples ≈ pairs^1.5 on
+    // dup graphs), so the pair-count gate alone under-reads it: sf1's
+    // 1.58M pairs hold a 44M-row triple frame whose fat-partition
+    // checkpoint heap-OOM'd an 8 GiB executor (round 10). The wedge
+    // bound Σ deg² — one agg over the cached pair frame — is computable
+    // BEFORE enumerating and caps the triple count; past
+    // `graft.graph.maxWedgeBound` (100M) the triples FLOW into each
+    // consumer's aggregate without ever materializing, exactly the
+    // wide-path posture (the cache trades one repeat enumeration for
+    // never holding an O(#triangles) frame).
+    val wedgeBound = if (wide) Long.MaxValue else {
+      val deg = pairs.select(col("a_id").as("v"))
+        .unionAll(pairs.select(col("b_id").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      deg.agg(sum(expr("d * d"))).head.getLong(0)
+    }
+    val maxWedges = s.conf.getOption("graft.graph.maxWedgeBound")
+      .map(_.toLong).getOrElse(100000000L)
+    if (wide || wedgeBound > maxWedges) orientTriangles(s, pairs)
     else Util.purged(triangleCache).computeIfAbsent((s, sf), _ =>
       orientTriangles(s, pairs)
         .serCheckpoint())
@@ -1516,7 +1535,17 @@ object TextDedup {
     * PropertySpec can drive it with a synthetic hub graph. */
   private[graft] def orientTriangles(s: SparkSession, pairs: DataFrame): DataFrame = {
     val nPairs = pairs.count()
-    def bc(df: DataFrame): DataFrame = Util.gatedBroadcast(s, df, nPairs)
+    // one-live-join override (the editdist rejoin rule): on the
+    // non-wide path the closing-edge semi join MUST build-broadcast the
+    // arc set — un-hinted, the wedge stream (Σ outdeg², the only
+    // super-linear frame here) would SORT into a merge join, the exact
+    // r2 ANN cliff (observed at sf1 once honest checkpoint stats
+    // stopped the accidental auto-broadcast). 256 MiB covers the whole
+    // non-wide regime by construction: the wide gate caps this path at
+    // 4M pairs ≈ 192 MiB of build side; past it the packed/semi-shuffle
+    // wide rungs take over.
+    def bc(df: DataFrame): DataFrame =
+      Util.gatedBroadcast(s, df, nPairs, thresholdBytes = Some(256L << 20))
     // Past the broadcast gate every join exchange here defaults to the
     // session shuffle width (core count) — at sf100's 116M-edge graph
     // that leaves the arc/triple checkpoints as 32 ~240 MB serialized

@@ -72,10 +72,22 @@ object Util {
     // FILES — the RDD's recompute path — not to query death.
     out.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER): Unit
-      case _ => ()
+        lr.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        // HONEST STATS from the materialized files: checkpoint copies
+        // the pre-checkpoint plan's estimate, which for the postings /
+        // pair frames runs orders of magnitude LOW and made the planner
+        // broadcast a 40M-row frame into every consumer join (sf1
+        // executor OOM; an outage at 100 TB). lz4 on-disk bytes × 4 ≈
+        // decoded size — erring high only withholds a broadcast hint
+        // our ops issue explicitly (gatedBroadcast) anyway.
+        lr.rdd.getCheckpointFile.map { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          val onDisk = path.getFileSystem(sc.hadoopConfiguration)
+            .getContentSummary(path).getLength
+          org.apache.spark.sql.graftbridge.Bridge.withStats(out, BigInt(onDisk) * 4)
+        }.getOrElse(out)
+      case _ => out
     }
-    out
   }
 
   /** Size-gated checkpoint for PER-QUERY data-sized frames (loop rounds,
@@ -95,7 +107,26 @@ object Util {
     val gate = df.sparkSession.conf.getOption("graft.checkpoint.reliableMinRows")
       .map(_.toLong).getOrElse(4000000L)
     if (estRows >= gate) serCheckpoint(df)
-    else df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else {
+      val out = df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // the same honest-stats rule as the reliable branch: checkpoint
+      // inherits the PRE-checkpoint estimate, which under-reads the
+      // postings/pair frames by orders of magnitude and turned a
+      // 2.4M-row gram frame into a ~250 MB auto-BROADCAST (the real
+      // root of the "8-gram agg" executor OOMs blamed on contention in
+      // round 9). The materialized blocks are the truth: serialized
+      // bytes × 2 ≈ decoded size; estRows × 64 B as the fallback.
+      out.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          val info = df.sparkSession.sparkContext.getRDDStorageInfo
+            .find(_.id == lr.rdd.id)
+          val bytes = info.map(i => BigInt(i.memSize + i.diskSize) * 2)
+            .filter(_ > 0)
+            .getOrElse(BigInt(math.max(estRows, 1L)) * 64)
+          org.apache.spark.sql.graftbridge.Bridge.withStats(out, bytes)
+        case _ => out
+      }
+    }
   }
 
   /** Method-chain sugar so `.serCheckpoint(...)` reads like the
@@ -193,7 +224,6 @@ object Util {
     * round 3), so the hint stays — but only while the frame's estimated
     * size (`estRows` × `bytesPerRow`) is under
     * `graft.loop.broadcastThreshold` bytes (default 8 MiB ≈ Spark's own
-    * autoBroadcastJoinThreshold conservatism). Past the gate the SAME
     * equi-join runs un-hinted, i.e. as a co-partitioned shuffle join —
     * semantics identical, plan scale-safe. PlanShapeSpec pins both
     * branches (hinted under the gate; no BroadcastExchange above it). */
@@ -202,11 +232,15 @@ object Util {
                      thresholdBytes: Option[Long] = None): DataFrame = {
     // thresholdBytes overrides the loop-frame default for sites whose
     // build side is a flat lookup table rather than a loop frame (the
-    // editdist prefix rejoin, the LSH verify): those tolerate a larger
-    // broadcast because exactly ONE such join is live at a time
-    val thr = thresholdBytes.getOrElse(
-      s.conf.getOption("graft.loop.broadcastThreshold")
-        .map(_.toLong).getOrElse(8L << 20))
+    // editdist prefix rejoin, the LSH verify, the triangle closing
+    // filter): those tolerate a larger broadcast because exactly ONE
+    // such join is live at a time. An EXPLICITLY SET
+    // graft.loop.broadcastThreshold wins over site overrides — it is
+    // the user's (and the forced-path tests') gate.
+    val thr = s.conf.getOption("graft.loop.broadcastThreshold")
+      .map(_.toLong)
+      .orElse(thresholdBytes)
+      .getOrElse(8L << 20)
     if (estRows * bytesPerRow <= thr) broadcast(df) else df
   }
 

@@ -29,4 +29,28 @@ object Bridge {
   def analyzed(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Rebuild a checkpointed Dataset's [[LogicalRDD]] with
+    * materialization-derived statistics. `Dataset.checkpoint` copies the
+    * PRE-checkpoint plan's estimate into `originStats` — for graft's
+    * shared postings/pair frames that estimate runs orders of magnitude
+    * low (explode/window/distinct chains), and the planner then
+    * BROADCASTS a data-sized frame into every consumer join (observed:
+    * a 40M-row 8-gram postings frame as an UnsafeHashedRelation —
+    * executor OOM at sf1, an outage at 100 TB). The checkpoint FILES
+    * are the materialized truth; callers pass their byte count
+    * (×compression) as the honest sizeInBytes. */
+  def withStats(df: org.apache.spark.sql.DataFrame,
+                sizeInBytes: BigInt): org.apache.spark.sql.DataFrame =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val stats = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+          sizeInBytes = sizeInBytes)
+        org.apache.spark.sql.classic.Dataset.ofRows(spark,
+          new org.apache.spark.sql.execution.LogicalRDD(
+            lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+            lr.isStreaming, lr.stream)(spark, Some(stats), None))
+      case _ => df
+    }
 }
