@@ -284,4 +284,24 @@ object SqlSurface {
       GROUP BY l_returnflag, metric
       ORDER BY l_returnflag, metric""")
   }
+
+  /** SQL pipe syntax (round 10) — Spark 4's `|>` operator chain
+    * (SQL:2023-style composable query flow): FROM → WHERE → EXTEND →
+    * AGGREGATE ... GROUP BY → ORDER BY, each stage consuming the
+    * previous stage's output by position. Exercises the parser/analyzer
+    * surface only: the plan Catalyst produces is IDENTICAL to the
+    * equivalent nested SELECT (filter pushed to the scan, partial+final
+    * hash agg, one exchange on the group key), so the at-scale posture
+    * is exactly `q_agg_groupby`'s. Decimal-exact sum per §7.3(2). */
+  def qSqlPipe(s: SparkSession, sf: String): DataFrame = {
+    Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+    s.sql("""
+      FROM lineitem
+      |> WHERE l_quantity > 10
+      |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+      |> AGGREGATE COUNT(*) AS n,
+           CAST(SUM(CAST(disc_price AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc
+         GROUP BY l_returnflag
+      |> ORDER BY l_returnflag ASC NULLS FIRST""")
+  }
 }

@@ -910,4 +910,99 @@ object TextAnalysis {
         expr("(10000 * n_bpe_pieces) div n_ws_tokens"))
       .orderBy("source")
   }
+
+  /** Sliding-window document chunking (round 10) — the step between a
+    * curated corpus and a training/RAG shard: 64-token chunks on a
+    * 48-token stride (16-token overlap). Chunk COUNT is closed-form
+    * BEFORE exploding — `1 + (n-17) div 48` for n > 64, else 1, the
+    * smallest set of stride-aligned windows that covers the doc with
+    * every chunk contributing ≥1 new token — so the explode is sized
+    * exactly (no emit-then-filter of fully-contained trailing windows).
+    * Emits md5 of each chunk's text, not the text: the verification
+    * hash travels, the payload stays put. At-scale shape: pure per-row
+    * expression work (split + sequence + posexplode + slice, all
+    * codegen'd) — ZERO shuffles before the presentation sort; output
+    * rows ≈ |corpus tokens|/48, linear in input. */
+  def qTextChunk(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n") <= 64L, 1L).otherwise(expr("1 + (n - 17) div 48")))
+      .select(col("doc_id"), col("tk"), col("n"),
+        posexplode(sequence(lit(0L), (col("n_chunks") - 1L) * 48L, lit(48L)))
+          .as(Seq("chunk_id", "start")))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        least(col("n") - col("start"), lit(64L)).as("chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("tk"), (col("start") + 1L).cast("int"), lit(64))))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Per-domain token-budget curation (round 10) — greedy prefix by
+    * deterministic hash rank until each source's cumulative token count
+    * reaches the budget (800 tokens here; billions in production). The
+    * shape every mixture-building pipeline runs: rank INSIDE the domain
+    * (md5 order = reproducible "random", no RNG state), running-sum the
+    * token counts, cut at the budget. One (source)-partitioned window —
+    * hash-partitioned by domain at scale (20 strata here; range-within-
+    * stratum at 100 TB, the qSampleStratified note) — and the OUTPUT is
+    * budget-bounded (O(domains × budget/avg_tokens) rows) no matter how
+    * big the input corpus grows: the knob every 100 TB curation job
+    * turns. */
+  def qPipelineTokenBudget(s: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("cum_tokens") <= 800L)
+      .select(col("source"), col("doc_id"), col("rk"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy("source", "rk")
+  }
+
+  /** Temperature-flattened domain mix (round 10) — the multilingual /
+    * multi-domain sampling rule (T = 2): target share ∝ n_s^(1/T), so
+    * over-represented domains are downsampled toward the flattened
+    * mixture while small domains keep (nearly) everything. T = 2 means
+    * the weight is sqrt(n_s) — IEEE-exact on both engines (no pow).
+    * Acceptance per domain a_s = min(1, (sqrt(n_s)/Σsqrt)·(N/2)/n_s)
+    * sized to keep half the corpus; membership is the doc's md5-derived
+    * uniform u = first-6-hex/16^6 < a_s — deterministic, shard-stable,
+    * engine-exact (same IEEE ops in the same order both sides). Shape:
+    * one per-domain count agg (catalog stats in production) folded to a
+    * domain-count acceptance-rate frame broadcast back as a map-side
+    * filter — one stats pass + one membership scan, and nothing
+    * data-sized shuffles. */
+  def qSampleTemperature(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(s, sf)
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long").cast("double") / lit(16777216.0)).as("u"))
+    val cnt = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val stats = cnt
+      .agg(sum(sqrt(col("n_s").cast("double"))).as("sum_w"),
+           sum(col("n_s")).as("n_total"))
+    val rates = cnt
+      .crossJoin(broadcast(stats))
+      .select(col("source"), col("n_s"),
+        least(lit(1.0),
+          sqrt(col("n_s").cast("double")) / col("sum_w")
+            * (col("n_total").cast("double") / lit(2.0))
+            / col("n_s").cast("double")).as("a_s"))
+    d.join(broadcast(rates), "source")
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_total"),
+           sum(when(col("u") < col("a_s"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("rate_scaled", expr("1000 * n_kept div n_total"))
+      .orderBy("source")
+  }
 }

@@ -2757,6 +2757,74 @@ object OracleSql {
       1000 * CAST(SUM(kept) AS BIGINT) // COUNT(*) AS rate_scaled
     FROM k GROUP BY lang ORDER BY lang ASC NULLS FIRST""")
 
+  val qTextChunk: String = n("""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS tk,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents),
+    k AS (
+      SELECT doc_id, tk, n,
+        CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 17) // 48 END AS n_chunks
+      FROM d),
+    u AS (SELECT doc_id, tk, n, unnest(range(n_chunks)) AS i FROM k),
+    c AS (
+      SELECT doc_id, tk, n, CAST(i AS BIGINT) AS chunk_id,
+        CAST(i AS BIGINT) * 48 AS start
+      FROM u)
+    SELECT doc_id, chunk_id,
+      least(n - start, 64) AS chunk_tokens,
+      md5(array_to_string(list_slice(tk, start + 1, least(start + 64, n)), ' '))
+        AS chunk_hash
+    FROM c
+    ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC NULLS FIRST""")
+
+  val qPipelineTokenBudget: String = n("""
+    WITH d AS (
+      SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    w AS (
+      SELECT source, doc_id, n_tokens,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk,
+        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM d)
+    SELECT source, doc_id, rk, n_tokens, cum_tokens
+    FROM w WHERE cum_tokens <= 800
+    ORDER BY source ASC NULLS FIRST, rk ASC NULLS FIRST""")
+
+  val qSampleTemperature: String = n("""
+    WITH d AS (
+      SELECT doc_id, source,
+        CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+          AS DOUBLE) / 16777216.0 AS u
+      FROM documents),
+    cnt AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY source),
+    stats AS (
+      SELECT SUM(sqrt(CAST(n_s AS DOUBLE))) AS sum_w, SUM(n_s) AS n_total
+      FROM cnt),
+    rates AS (
+      SELECT source, n_s,
+        least(1.0, sqrt(CAST(n_s AS DOUBLE)) / sum_w
+          * (CAST(n_total AS DOUBLE) / 2.0) / CAST(n_s AS DOUBLE)) AS a_s
+      FROM cnt, stats)
+    SELECT d.source, MAX(r.n_s) AS n_total,
+      CAST(SUM(CASE WHEN d.u < r.a_s THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      1000 * CAST(SUM(CASE WHEN d.u < r.a_s THEN 1 ELSE 0 END) AS BIGINT)
+        // MAX(r.n_s) AS rate_scaled
+    FROM d JOIN rates r ON d.source = r.source
+    GROUP BY d.source
+    ORDER BY d.source ASC NULLS FIRST""")
+
+  val qSqlPipe: String = n("""
+    SELECT l_returnflag, COUNT(*) AS n,
+      CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_disc
+    FROM lineitem
+    WHERE l_quantity > 10
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag ASC NULLS FIRST""")
+
   val qProfileColumns: String = n("""
     WITH src AS (SELECT *, nullif(o_orderstatus, 'F') AS status_nf FROM orders)
     SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,

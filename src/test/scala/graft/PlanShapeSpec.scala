@@ -548,4 +548,27 @@ class PlanShapeSpec extends SparkSpec {
            GROUP BY id % 7)""").collect()
     assert(r.head.getLong(0) == 1000L, "union of 7 partial bitmaps must be exact")
   }
+
+  test("q_text_chunk: map-only before the presentation sort (no join/agg exchange)") {
+    val p = plan(TextAnalysis.qTextChunk(spark, sf))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+           s"chunking must be pure per-row expression work:\n$p")
+    // exactly the one range-exchange the global orderBy demands
+    assert(p.split("Exchange").length - 1 == 1,
+           "chunking must not shuffle except for the presentation sort")
+  }
+
+  test("q_sample_temperature: rate frame broadcasts — no data-sized shuffle join") {
+    val p = plan(TextAnalysis.qSampleTemperature(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+           s"the domain-rate frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+           "membership must never sort-merge the corpus against 20 rates")
+  }
+
+  test("q_sql_pipe: pipe syntax plans exactly like the nested SELECT (pushdown + hash agg)") {
+    val p = plan(SqlSurface.qSqlPipe(spark, sf))
+    assert(p.contains("HashAggregate") && p.contains("PushedFilters: ["),
+           s"pipe chain must plan to pushdown + hash agg:\n$p")
+  }
 }
