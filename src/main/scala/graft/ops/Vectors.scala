@@ -613,9 +613,11 @@ object Vectors {
     * coverage, and the 3-round objective ≥ the 0-round objective. */
   def aEmbedKmeans(s: SparkSession, sf: String): DataFrame = kmeans(s, sf, 8, 3)
 
-  private[graft] def kmeans(s: SparkSession, sf: String,
-                            k: Int, iters: Int): DataFrame = {
-    import s.implicits._
+  /** The Lloyd loop alone — shared by the [[aEmbedKmeans]] readout and
+    * [[aDedupSemantic]]'s cluster structuring. Returns the trained
+    * unit-norm centroid matrix (k×dim — the only driver state). */
+  private[graft] def kmeansCentroids(s: SparkSession, sf: String,
+                                     k: Int, iters: Int): Array[Array[Double]] = {
     val v = normed(s, sf)
     def normalize(a: Array[Double]): Array[Double] = {
       val n = math.sqrt(a.map(x => x * x).sum)
@@ -642,6 +644,14 @@ object Vectors {
         if (c.forall(_ == 0.0)) cents(i) else normalize(c) // empty cell keeps its seed
       }
     }
+    cents
+  }
+
+  private[graft] def kmeans(s: SparkSession, sf: String,
+                            k: Int, iters: Int): DataFrame = {
+    import s.implicits._
+    val v = normed(s, sf)
+    val cents = kmeansCentroids(s, sf, k, iters)
     val cellDf = cents.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "cvec")
     v.withColumn("cell",
@@ -652,6 +662,60 @@ object Vectors {
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"), round(avg(col("sim")), 4).as("avg_sim"))
       .orderBy("cell")
+  }
+
+  /** SemDeDup-style semantic dedup (round 10; Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding cloud, then drop
+    * every vector that has a SAME-CLUSTER neighbor with cosine ≥ 0.4
+    * and a smaller vec_id (keep-lowest-id — deterministic, no
+    * iteration-order dependence). The published recipe for semantic
+    * near-dup removal at web scale: clustering replaces the quadratic
+    * all-pairs screen with within-cluster pairs only.
+    *
+    * No oracle (the cluster geometry is float-iteration- and
+    * implementation-specific, the a_* contract); PropertySpec bounds it
+    * against the exact twin `q_dedup_embed`: PRECISION 1.0 by
+    * construction (every drop is verified by an exact in-cluster cosine
+    * — asserted as drops ⊆ exact-pair victims), recall measured against
+    * the exact pair list (a miss = the pair straddled clusters),
+    * determinism (two runs bit-equal).
+    *
+    * At-scale shape: k grows with the corpus (n/256 past the 8 floor,
+    * the IVF √n-style rule) so the per-cluster candidate count stays
+    * ~n·256 — LINEAR in n, never all-pairs; assignment is the same
+    * broadcast-centroid codegen kernel as the IVF index; the
+    * within-cluster join is a cell-keyed self-equi-join (one exchange,
+    * both sides co-partitioned); the drop list aggregates map-side to
+    * one row per victim. The k×dim centroid matrix is the only driver
+    * state (3 MB at sf100's 1.5M vectors). */
+  def aDedupSemantic(s: SparkSession, sf: String): DataFrame = {
+    val v = normed(s, sf)
+    val n = v.count()
+    val k = math.max(8L, n / 256L).toInt
+    val cents = kmeansCentroids(s, sf, k, 3)
+    // MULTI-PROBE assignment (the IVF nprobe trick): each vector lands
+    // in its top-4 nearest cells, so a near-dup pair is caught if ANY
+    // cell overlaps — the fixture's tau=0.4 design point sits far from
+    // the cluster cores, where single-assignment recall collapses to
+    // ~0.45 (measured; SemDeDup's own tau>=0.95 regime is fine with 1).
+    // Candidates stay linear: <= 16x the single-probe volume, still
+    // ~n*256 with the k = n/256 rule.
+    val assigned = v.withColumn("cell",
+      explode(graft.functions.VectorExpressions.ivfCells(col("dv"), cents, 4)))
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("dv").as("a_dv"), col("nrm").as("a_nrm"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("dv").as("b_dv"), col("nrm").as("b_nrm"))
+    a.join(b, "cell")
+      .where(col("a_id") < col("b_id"))
+      .withColumn("sim", pairSim)
+      .where(col("sim") >= 0.4)
+      .groupBy(col("b_id").as("vec_id"))
+      // countDistinct, not count: multi-probe can surface the same
+      // (a,b) pair through several shared cells
+      .agg(min(col("a_id")).as("kept_for"), max(col("sim")).as("max_sim"),
+           countDistinct(col("a_id")).as("n_dup_of"))
+      .orderBy("vec_id")
   }
 
   /** Per-label embedding centroid in FIXED-POINT: each float component

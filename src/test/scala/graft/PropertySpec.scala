@@ -123,6 +123,24 @@ class PropertySpec extends SparkSpec {
     assert(ann.except(exact).count() == 0)
   }
 
+  test("semantic dedup (SemDeDup): precision 1.0, recall >= 0.9, deterministic") {
+    val exact = Vectors.qDedupEmbed(spark, sf)
+    val victims = exact.select(col("b_id").as("vec_id")).distinct()
+    val nV = victims.count()
+    assert(nV > 0, "fixture has no embedding near-dup victims at tau=0.4")
+    val drops = Vectors.aDedupSemantic(spark, sf)
+    // precision 1.0 by construction: every (kept_for, vec_id) drop is a
+    // verified exact in-cluster cosine pair
+    assert(drops.select(col("kept_for").as("a_id"), col("vec_id").as("b_id"))
+      .except(exact.select("a_id", "b_id")).count() == 0,
+      "a dropped pair is not an exact near-dup pair")
+    // recall: a miss = the pair straddled all 4 probed cells
+    val rec = victims.intersect(drops.select("vec_id")).count().toDouble / nV
+    assert(rec >= 0.9, s"semantic-dedup victim recall $rec < 0.9")
+    // deterministic: Lloyd from the fixed lowest-id seed, no RNG
+    assert(drops.except(Vectors.aDedupSemantic(spark, sf)).count() == 0)
+  }
+
   test("IVF-ANN recall >= 0.8 against the exact embed-dedup twin") {
     val exact = Vectors.qDedupEmbed(spark, sf).select("a_id", "b_id")
     val ivf = Vectors.aSimAnnIvf(spark, sf).select("a_id", "b_id")
