@@ -1520,7 +1520,16 @@ object TextDedup {
       val deg = pairs.select(col("a_id").as("v"))
         .unionAll(pairs.select(col("b_id").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d"))
-      deg.agg(sum(expr("d * d"))).head.getLong(0)
+      // DECIMAL(38,0): a hub-heavy graph's Σd² can overflow BIGINT, and
+      // a wrapped-negative bound would flip the gate the WRONG way
+      // (negative > maxWedges is false → materialize the frame the gate
+      // exists to avoid). Null (empty graph) ⇒ bound 0.
+      val wb = deg.agg(sum(expr("CAST(d AS DECIMAL(38,0)) * d"))
+        .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)))
+        .head.getDecimal(0)
+      if (wb == null) 0L
+      else if (wb.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) > 0) Long.MaxValue
+      else wb.longValue()
     }
     val maxWedges = s.conf.getOption("graft.graph.maxWedgeBound")
       .map(_.toLong).getOrElse(100000000L)

@@ -549,6 +549,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(r.head.getLong(0) == 1000L, "union of 7 partial bitmaps must be exact")
   }
 
+  test("wedge-bound gate (forced): maxWedgeBound=0 streams triples, answers unchanged") {
+    // the round-10 gate: triple volume is clique-driven, so past
+    // graft.graph.maxWedgeBound the triple frame must NOT materialize —
+    // forcing the gate at fixture scale must change ONLY the caching
+    // posture, never the triangle counts
+    val gateKey = "graft.graph.maxWedgeBound"
+    val base = TextDedup.qGraphTriangles(spark, sf)
+      .collect().map(_.toString).toSeq
+    spark.conf.set(gateKey, "0")
+    try {
+      val forced = TextDedup.qGraphTriangles(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(forced == base,
+        "forced streaming-triples path must be bit-equal to the cached path")
+    } finally spark.conf.unset(gateKey)
+  }
+
+  test("checkpoint stats are materialization-derived, not inherited estimates") {
+    // the round-10 honest-stats seam: an explode chain's pre-checkpoint
+    // estimate under-reads the output by orders of magnitude; after
+    // serCheckpoint the LogicalRDD must carry a size that reflects the
+    // MATERIALIZED bytes, or Catalyst auto-broadcasts data-sized frames
+    // into every consumer join (the sf1 executor-OOM root cause)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val blown = (0L until 200L).toDF("id")
+      .select(col("id"), explode(sequence(lit(0), lit(499))).as("j"))
+      .select(col("id"), col("j"), md5(concat(col("id"), lit("-"), col("j"))).as("h"))
+    val ck = graft.ops.Util.serCheckpoint(blown)        // reliable branch
+    val stats = ck.queryExecution.optimizedPlan.stats.sizeInBytes
+    // 100k rows × (8+4+32)B ≥ 4 MB decoded; the honest floor asserts
+    // the stats can never read "tiny broadcastable frame"
+    assert(stats >= BigInt(1L << 20),
+      s"checkpointed 100k-row frame reports sizeInBytes=$stats — inherited estimate leaked through")
+    val local = graft.ops.Util.serCheckpoint(blown, estRows = 100000L)  // local branch (gate 4M)
+    val ls = local.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(ls >= BigInt(1L << 20),
+      s"localCheckpoint branch reports sizeInBytes=$ls — storage-info stats missing")
+  }
+
   test("q_text_chunk: map-only before the presentation sort (no join/agg exchange)") {
     val p = plan(TextAnalysis.qTextChunk(spark, sf))
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
