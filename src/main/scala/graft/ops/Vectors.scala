@@ -691,7 +691,14 @@ object Vectors {
   def aDedupSemantic(s: SparkSession, sf: String): DataFrame = {
     val v = normed(s, sf)
     val n = v.count()
-    val k = math.max(8L, n / 256L).toInt
+    // scale knobs (README table): cluster-size target sets k = n/target
+    // (candidate volume ≈ n·target·nprobe — the linearity constant);
+    // nprobe trades recall at low-similarity thresholds against it
+    val target = s.conf.getOption("graft.semantic.clusterTarget")
+      .map(_.toLong).getOrElse(256L)
+    val nprobe = s.conf.getOption("graft.semantic.nprobe")
+      .map(_.toInt).getOrElse(4)
+    val k = math.max(8L, n / target).toInt
     val cents = kmeansCentroids(s, sf, k, 3)
     // MULTI-PROBE assignment (the IVF nprobe trick): each vector lands
     // in its top-4 nearest cells, so a near-dup pair is caught if ANY
@@ -701,7 +708,7 @@ object Vectors {
     // Candidates stay linear: <= 16x the single-probe volume, still
     // ~n*256 with the k = n/256 rule.
     val assigned = v.withColumn("cell",
-      explode(graft.functions.VectorExpressions.ivfCells(col("dv"), cents, 4)))
+      explode(graft.functions.VectorExpressions.ivfCells(col("dv"), cents, nprobe)))
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
       col("dv").as("a_dv"), col("nrm").as("a_nrm"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
