@@ -967,6 +967,97 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** One cell-assigned vector entering the standing semantic index. */
+  case class CellVec(cell: Int, vecId: Long, v: Array[Double], nrm: Double)
+
+  /** A kept (index-resident) vector in cell state. */
+  case class KeptVec(vecId: Long, v: Array[Double], nrm: Double)
+
+  /** A semantic drop verdict: `vecId` is a near-dup of the earlier-kept
+    * `keptFor` (the lowest-id match, the batch op's rule) at exact
+    * cosine `sim` (max over matches, rounded 1e-4). */
+  case class SemDrop(vecId: Long, keptFor: Long, sim: Double)
+
+  /** s_stream_semantic_index: STREAMING SemDeDup — the online twin of
+    * the batch `a_dedup_semantic`, closing batch/stream parity for the
+    * embedding-dedup family. Vectors are assigned to a k-means cell by
+    * the same codegen `graft_ivf_cells` kernel against a PRE-TRAINED
+    * centroid matrix (the production shape: the quantizer is trained
+    * offline on a corpus snapshot — [[graft.ops.Vectors.kmeansCentroids]]
+    * — and streams assign against it); `transformWithState` then keeps
+    * each cell's KEPT vectors in RocksDB ListState. An arriving vector
+    * with exact cosine ≥ τ to any standing keeper is DROPPED (emitted
+    * with the lowest-id match and the max similarity — the batch op's
+    * deterministic verdict) and never enters state; otherwise it joins
+    * the index. Cross-micro-batch by construction: a near-dup in batch
+    * N is flagged against a keeper from batch N−k.
+    *
+    * State per cell is O(keepers × dim) and keepers are bounded by the
+    * cell's distinct-content volume (duplicates never enter), the same
+    * bounded-state story as the minhash index; top-1 assignment (the
+    * streaming regime is the high-τ SemDeDup design point where
+    * same-cell recall is the published trade — the batch op's 4-probe
+    * widening exists for low-τ screens). Replay idempotence: keepers
+    * re-arriving are skipped; a replayed drop re-emits the identical
+    * verdict (sink dedup by vecId, the minhash-index contract). */
+  def semanticIndexDedup(vecs: DataFrame, cents: Array[Array[Double]],
+                         tau: Double = 0.4): Dataset[SemDrop] = {
+    import vecs.sparkSession.implicits._
+    val dv = transform(col("embedding"), e => e.cast("double"))
+    vecs.select(
+        graft.functions.VectorExpressions.ivfCells(dv, cents, 1).getItem(0).as("cell"),
+        col("vec_id").as("vecId"), dv.as("v"),
+        sqrt(aggregate(transform(dv, x => x * x), lit(0.0), (a, x) => a + x)).as("nrm"))
+      .as[CellVec]
+      .groupByKey(_.cell)
+      .transformWithState(new SemanticIndexProcessor(tau),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  private class SemanticIndexProcessor(tau: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, CellVec, SemDrop] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var kept: org.apache.spark.sql.streaming.ListState[KeptVec] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      kept = getHandle.getListState[KeptVec](
+        "kept", E.product[KeptVec], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[CellVec],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SemDrop] = {
+      val stored = scala.collection.mutable.ArrayBuffer.empty[KeptVec]
+      if (kept.exists()) kept.get().foreach(stored += _)
+      val out = Seq.newBuilder[SemDrop]
+      // grouping is guaranteed, intra-key order is not — sort by vecId
+      // so in-batch verdicts are deterministic
+      rows.toSeq.sortBy(_.vecId).foreach { d =>
+        if (!stored.exists(_.vecId == d.vecId)) { // keeper replay = no-op
+          var bestSim = -1.0
+          var keptFor = Long.MaxValue
+          stored.foreach { s =>
+            var dot = 0.0
+            var i = 0
+            while (i < d.v.length) { dot += d.v(i) * s.v(i); i += 1 }
+            val sim = dot / (d.nrm * s.nrm)
+            if (sim >= tau) {
+              if (sim > bestSim) bestSim = sim
+              if (s.vecId < keptFor) keptFor = s.vecId
+            }
+          }
+          if (keptFor != Long.MaxValue)
+            out += SemDrop(d.vecId, keptFor, math.floor(bestSim * 1e4 + 0.5) / 1e4)
+          else {
+            stored += KeptVec(d.vecId, d.v, d.nrm)
+            kept.appendValue(KeptVec(d.vecId, d.v, d.nrm))
+          }
+        }
+      }
+      out.result().iterator
+    }
+  }
+
   /** One banded signature row entering the standing LSH index. */
   case class BandDoc(key: Long, docId: Long, sig: Array[Long])
 

@@ -743,6 +743,45 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("s_stream_semantic_index: embedding near-dup in batch N dropped against a keeper from batch N-k") {
+    withRocksDB {
+      import spark.implicits._
+      // quantizer trained offline (here: two orthogonal unit centroids)
+      val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+      val base = Array(0.9f, 0.1f, 0.0f, 0.0f)          // cell 0 keeper
+      val near = Array(0.88f, 0.12f, 0.01f, 0.0f)       // cos ~0.999 vs base
+      val far  = Array(0.05f, 0.95f, 0.0f, 0.0f)        // cell 1 keeper
+      val in = MemoryStream[(Long, Array[Float])](spark)
+      val vecs = in.toDF().toDF("vec_id", "embedding")
+      val drops = StreamOps.semanticIndexDedup(vecs, cents, tau = 0.9)
+      val q = drops.writeStream.format("memory").queryName("sem_drops")
+        .outputMode("append").start()
+      try {
+        in.addData((1L, base), (2L, far)) // batch 0: both become keepers
+        q.processAllAvailable()
+        assert(spark.table("sem_drops").count() == 0,
+               "orthogonal-cell keepers must not drop each other")
+        in.addData((3L, near)) // batch 1: near-dup of keeper 1 from batch 0
+        q.processAllAvailable()
+        val got = spark.table("sem_drops")
+          .select("vecId", "keptFor").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == Set((3L, 1L)),
+               s"expected cross-batch semantic drop (3 -> kept 1), got $got")
+        val sim = spark.table("sem_drops")
+          .agg(org.apache.spark.sql.functions.max("sim")).head.getDouble(0)
+        assert(sim >= 0.99, s"exact cosine $sim implausibly low for a near-copy")
+        // a dropped vector never becomes a keeper: another copy still
+        // resolves against keeper 1, not against vec 3
+        in.addData((4L, near))
+        q.processAllAvailable()
+        val again = spark.table("sem_drops").where("vecId = 4")
+          .select("keptFor").head.getLong(0)
+        assert(again == 1L, s"drop must resolve to the standing keeper, got $again")
+      } finally q.stop()
+    }
+  }
+
   test("s_stream_minhash_index: near-dup in batch N flagged against a doc indexed in batch N-k") {
     withRocksDB {
       import spark.implicits._
