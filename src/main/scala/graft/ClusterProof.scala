@@ -75,7 +75,12 @@ object ClusterProof {
     "q_graph_2hop",           // hub-salted wedge join
     "q_graph_linkpred",
     "q_text_tfidf",           // shared token-count frame
-    "q_text_unigram_lm")
+    "q_text_unigram_lm",
+    // round-10 surfaces — all deterministic, so STRICT across JVMs:
+    "q_text_chunk",           // closed-form chunk explode + slice hashes
+    "q_pipeline_token_budget",// hash-rank window cumsum under budget
+    "q_sample_temperature",   // broadcast sqrt-rate frame, IEEE chain
+    "a_dedup_semantic")       // Lloyd from fixed seeds + exact cosine
 
   /** Sketch keys: run-clean + row-count equality across masters. */
   val sketchKeys: Seq[String] = Seq(

@@ -60,19 +60,28 @@ object Vectors {
       : org.apache.spark.broadcast.Broadcast[graft.functions.PackedVecs] =
     Util.purged(packedCache).computeIfAbsent((s, sf), _ => {
       import s.implicits._
-      val rows = Tables.embeddings(s, sf)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-        .collect()
-        .sortBy(_._1)
-      val n = rows.length
-      val dim = if (n == 0) 0 else rows(0)._2.length
+      // STREAMED fill (the M226 arc-pack discipline): sort on the
+      // cluster, size the arrays from an exact count, then
+      // toLocalIterator one RANGE partition at a time straight into the
+      // packed layout. The bulk collect-then-sortBy this replaces held
+      // row objects AND the flat arrays simultaneously — ~2× the packed
+      // bytes of driver transient, which at the 2 GiB
+      // `graft.ann.packBudget` ceiling was the round-9 verdict's
+      // declared envelope. Now the transient is one partition's rows.
+      val src = Tables.embeddings(s, sf)
+        .select(col("vec_id"), col("embedding")).sort("vec_id")
+      val nL = src.count()
+      require(nL <= Int.MaxValue, s"packed store cannot index $nL vectors")
+      val n = nL.toInt
+      val dim = if (n == 0) 0
+        else src.limit(1).select(size(col("embedding"))).head.getInt(0)
       val ids = new Array[Long](n)
       val flat = new Array[Float](n * dim)
       val nrm = new Array[Double](n)
+      val it = src.as[(Long, Array[Float])].toLocalIterator()
       var i = 0
-      while (i < n) {
-        val (id, v) = rows(i)
+      while (it.hasNext && i < n) {
+        val (id, v) = it.next()
         ids(i) = id
         var d = 0; var s2 = 0.0
         val m = math.min(dim, v.length)
@@ -84,6 +93,11 @@ object Vectors {
         nrm(i) = math.sqrt(s2)
         i += 1
       }
+      // exact cardinality (M240 rule): a mismatch means the fill
+      // silently truncated or the count raced a concurrent write —
+      // refuse rather than serve a short index
+      require(i == n && !it.hasNext,
+        s"packed store fill mismatch: filled $i of $n")
       s.sparkContext.broadcast(
         new graft.functions.PackedVecs(ids, flat, nrm, dim))
     })
