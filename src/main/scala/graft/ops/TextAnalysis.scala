@@ -911,6 +911,33 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** CCNet-style LM-quality buckets (round 10; Wenzek et al. 2020,
+    * arXiv:1911.00359): rank each language's documents by unigram-LM
+    * cross-entropy and cut into head/middle/tail terciles — the
+    * published recipe for splitting a crawl by fluency before choosing
+    * what to train on. Per-doc xent comes from the SAME chain as
+    * `q_text_unigram_lm` (1e-4-rounded log-probs, decimal sum, one
+    * double division — engine-exact, already hash-proven), so the
+    * NTILE ordering (xent, doc_id tiebreak) is deterministic on both
+    * engines. Shape: the shared token-count frame → vocab-gated logp
+    * join → one (lang)-partitioned window → a 15-row aggregate; at
+    * scale the window partitions by the 5 language strata
+    * (range-within-stratum at 100 TB, the qSampleStratified note) and
+    * the output is |langs|×3 however big the crawl. */
+  def qTextPerplexityBuckets(s: SparkSession, sf: String): DataFrame = {
+    val xent = qTextUnigramLm(s, sf)
+    val langs = Tables.documents(s, sf).select(col("doc_id"), col("lang"))
+    val w = Window.partitionBy("lang").orderBy(col("xent"), col("doc_id"))
+    xent.join(langs, "doc_id")
+      .withColumn("bucket", ntile(3).over(w))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("n_tokens"),
+           min(col("xent")).as("min_xent"),
+           max(col("xent")).as("max_xent"))
+      .orderBy("lang", "bucket")
+  }
+
   /** Sliding-window document chunking (round 10) — the step between a
     * curated corpus and a training/RAG shard: 64-token chunks on a
     * 48-token stride (16-token overlap). Chunk COUNT is closed-form

@@ -2757,6 +2757,34 @@ object OracleSql {
       1000 * CAST(SUM(kept) AS BIGINT) // COUNT(*) AS rate_scaled
     FROM k GROUP BY lang ORDER BY lang ASC NULLS FIRST""")
 
+  val qTextPerplexityBuckets: String = n("""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    dtf AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM toks
+      WHERE token <> '' GROUP BY doc_id, token),
+    tf AS (SELECT token, CAST(SUM(c) AS BIGINT) AS tf FROM dtf GROUP BY token),
+    nn AS (SELECT CAST(SUM(tf) AS BIGINT) AS nn FROM tf),
+    lp AS (
+      SELECT token, round(ln(CAST(tf AS DOUBLE) / nn), 4) AS logp
+      FROM tf CROSS JOIN nn),
+    x AS (
+      SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+        CAST(CAST(-SUM(CAST(lp.logp AS DECIMAL(18,4)) * d.c) AS VARCHAR) AS DOUBLE)
+          / SUM(d.c) AS xent
+      FROM dtf d JOIN lp USING (token)
+      GROUP BY d.doc_id),
+    b AS (
+      SELECT doc.lang, x.n_tokens, x.xent,
+        NTILE(3) OVER (PARTITION BY doc.lang ORDER BY x.xent, x.doc_id) AS bucket
+      FROM x JOIN documents doc USING (doc_id))
+    SELECT lang, bucket, COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      MIN(xent) AS min_xent, MAX(xent) AS max_xent
+    FROM b GROUP BY lang, bucket
+    ORDER BY lang ASC NULLS FIRST, bucket ASC NULLS FIRST""")
+
   val qTextChunk: String = n("""
     WITH d AS (
       SELECT doc_id, string_split(text, ' ') AS tk,

@@ -322,8 +322,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_ab_diff_in_diff", "q_sample_balanced",
       "a_dedup_bloom_contam", "a_agg_hll_rolling", "q_text_mix_drift",
       // round-10: 1-row (sum_w, n_total) corpus totals building the
-      // 20-row temperature acceptance-rate frame
-      "q_sample_temperature",
+      // 20-row temperature acceptance-rate frame; the perplexity
+      // buckets ride q_text_unigram_lm's audited 1-row nn total
+      "q_sample_temperature", "q_text_perplexity_buckets",
       // k-row / calendar-bounded broadcast strips (centroids, bounds,
       // lag offsets, last-2-weeks, ≤365-day theta self-join)
       "a_agg_hll_intersect", "q_embed_interdist", "q_embed_silhouette",
