@@ -911,6 +911,40 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Domain upsampling factors (round 10) — the complement of
+    * [[qSampleTemperature]]: where temperature DOWNsamples
+    * over-represented domains, a training mix REPEATS under-represented
+    * ones (epochs per source — the data-mixture table every LLM
+    * training report publishes). Same T = 2 flattened target
+    * (share ∝ √n_s, sqrt is IEEE-exact both engines): repeat factor
+    * r_s = clamp(1..4, floor(target_share·N/n_s + 0.5)), and the
+    * upsampled count is produced by the REAL plan — a map-side
+    * `explode(sequence(1, r_s))` per doc feeding a partial hash agg —
+    * so the readout exercises exactly the operator a mixture build
+    * ships, not side arithmetic. Output is one row per domain at any
+    * corpus size; the explode multiplies rows only map-side and the
+    * shuffle carries |domains| partials. */
+  def qSampleUpsample(s: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(s, sf).select(col("doc_id"), col("source"))
+    val cnt = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val stats = cnt.agg(sum(sqrt(col("n_s").cast("double"))).as("sum_w"),
+                        sum(col("n_s")).as("n_total"))
+    val rates = cnt.crossJoin(broadcast(stats))
+      .select(col("source"), col("n_s"),
+        least(lit(4L), greatest(lit(1L),
+          floor(sqrt(col("n_s").cast("double")) / col("sum_w")
+            * col("n_total").cast("double") / col("n_s").cast("double")
+            + lit(0.5)).cast("long"))).as("repeat_factor"))
+    d.join(broadcast(rates), "source")
+      .select(col("source"), col("repeat_factor"),
+        explode(sequence(lit(1L), col("repeat_factor"))).as("epoch"))
+      .groupBy(col("source"))
+      .agg(max(col("repeat_factor")).as("repeat_factor"),
+           countDistinct(col("epoch")).as("n_epochs"),
+           count(lit(1)).as("n_upsampled"))
+      .orderBy("source")
+  }
+
   /** CCNet-style LM-quality buckets (round 10; Wenzek et al. 2020,
     * arXiv:1911.00359): rank each language's documents by unigram-LM
     * cross-entropy and cut into head/middle/tail terciles — the

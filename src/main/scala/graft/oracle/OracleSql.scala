@@ -2757,6 +2757,29 @@ object OracleSql {
       1000 * CAST(SUM(kept) AS BIGINT) // COUNT(*) AS rate_scaled
     FROM k GROUP BY lang ORDER BY lang ASC NULLS FIRST""")
 
+  val qSampleUpsample: String = n("""
+    WITH d AS (SELECT doc_id, source FROM documents),
+    cnt AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY source),
+    stats AS (
+      SELECT SUM(sqrt(CAST(n_s AS DOUBLE))) AS sum_w, SUM(n_s) AS n_total
+      FROM cnt),
+    rates AS (
+      SELECT source, n_s,
+        least(4, greatest(1, CAST(floor(
+          sqrt(CAST(n_s AS DOUBLE)) / sum_w
+            * CAST(n_total AS DOUBLE) / CAST(n_s AS DOUBLE) + 0.5)
+          AS BIGINT))) AS repeat_factor
+      FROM cnt, stats),
+    up AS (
+      SELECT d.source, r.repeat_factor,
+        unnest(range(1, r.repeat_factor + 1)) AS epoch
+      FROM d JOIN rates r ON d.source = r.source)
+    SELECT source, MAX(repeat_factor) AS repeat_factor,
+      CAST(COUNT(DISTINCT epoch) AS BIGINT) AS n_epochs,
+      COUNT(*) AS n_upsampled
+    FROM up GROUP BY source
+    ORDER BY source ASC NULLS FIRST""")
+
   val qTextPerplexityBuckets: String = n("""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token

@@ -325,6 +325,7 @@ class PlanShapeSpec extends SparkSpec {
       // 20-row temperature acceptance-rate frame; the perplexity
       // buckets ride q_text_unigram_lm's audited 1-row nn total
       "q_sample_temperature", "q_text_perplexity_buckets",
+      "q_sample_upsample",
       // k-row / calendar-bounded broadcast strips (centroids, bounds,
       // lag offsets, last-2-weeks, ≤365-day theta self-join)
       "a_agg_hll_intersect", "q_embed_interdist", "q_embed_silhouette",
