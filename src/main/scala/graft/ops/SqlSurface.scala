@@ -285,6 +285,34 @@ object SqlSurface {
       ORDER BY l_returnflag, metric""")
   }
 
+  /** SQL named-`WINDOW` clause (round 10) — one window definition
+    * shared by several window functions (`ROW_NUMBER` + `LAG` here),
+    * resolved by the analyzer's WindowsSubstitution: the surface a SQL
+    * user writes when a query layers functions over one ordering.
+    * Plans to a SINGLE Window operator over one (l_orderkey) exchange —
+    * naming the window is what lets the planner share the sort. The
+    * per-order window results fold to a 3-row per-flag aggregate, so
+    * output is constant at any scale; decimal-exact delta sum per
+    * §7.3(2). */
+  def qSqlNamedWindow(s: SparkSession, sf: String): DataFrame = {
+    Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(delta AS DECIMAL(28,4))) AS DOUBLE) AS sum_delta,
+        CAST(MAX(rn) AS BIGINT) AS max_lines
+      FROM (
+        SELECT l_returnflag,
+          ROW_NUMBER() OVER w AS rn,
+          l_quantity - LAG(l_quantity, 1, 0.0) OVER w AS delta
+        FROM lineitem
+        -- (orderkey, linenumber) is NOT unique in the fixture — the
+        -- ordering must be TOTAL or LAG is engine-nondeterministic
+        WINDOW w AS (PARTITION BY l_orderkey
+          ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice))
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag ASC NULLS FIRST""")
+  }
+
   /** SQL pipe syntax (round 10) — Spark 4's `|>` operator chain
     * (SQL:2023-style composable query flow): FROM → WHERE → EXTEND →
     * AGGREGATE ... GROUP BY → ORDER BY, each stage consuming the

@@ -2757,6 +2757,20 @@ object OracleSql {
       1000 * CAST(SUM(kept) AS BIGINT) // COUNT(*) AS rate_scaled
     FROM k GROUP BY lang ORDER BY lang ASC NULLS FIRST""")
 
+  val qSqlNamedWindow: String = n("""
+    SELECT l_returnflag, COUNT(*) AS n,
+      CAST(CAST(SUM(CAST(delta AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_delta,
+      CAST(MAX(rn) AS BIGINT) AS max_lines
+    FROM (
+      SELECT l_returnflag,
+        ROW_NUMBER() OVER w AS rn,
+        l_quantity - LAG(l_quantity, 1, 0.0) OVER w AS delta
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_orderkey
+        ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice))
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag ASC NULLS FIRST""")
+
   val qSampleUpsample: String = n("""
     WITH d AS (SELECT doc_id, source FROM documents),
     cnt AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY source),
