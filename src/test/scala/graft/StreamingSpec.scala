@@ -1147,6 +1147,39 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("restart: semantic-index keeper vectors survive stop + resume from checkpoint") {
+    import spark.implicits._
+    withRocksDB {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_rst_sem").toString
+      val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+      val in = MemoryStream[(Long, Array[Float])](spark)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      def start() = collectingSink(
+        StreamOps.semanticIndexDedup(in.toDF().toDF("vec_id", "embedding"), cents, tau = 0.9),
+        ckpt, OutputMode.Append, buf)
+      val q1 = start()
+      try {
+        // batch 0: vec 1 becomes the cell-0 keeper (full vector into state)
+        in.addData((1L, Array(0.9f, 0.1f, 0.0f, 0.0f)))
+        q1.processAllAvailable()
+      } finally q1.stop() // kill
+      buf.clear()         // keep only post-restart output
+      val q2 = start()    // resume: the keeper VECTOR must come back
+      try {
+        // batch 1 (post-restart): a near-copy of the pre-restart keeper.
+        // The drop verdict needs the keeper's full vector (the exact
+        // cosine runs against state) — an empty recovered index would
+        // silently admit vec 3 as a new keeper and emit nothing.
+        in.addData((3L, Array(0.88f, 0.12f, 0.01f, 0.0f)))
+        q2.processAllAvailable()
+        val got = buf.synchronized {
+          buf.map(r => (r.getLong(0), r.getLong(1))).toSet }
+        assert(got == Set((3L, 1L)),
+               s"post-restart drop must resolve against the recovered keeper: $got")
+      } finally q2.stop()
+    }
+  }
+
   test("restart: SpaceSaving sketch state survives stop + resume from checkpoint") {
     import spark.implicits._
     withRocksDB {
