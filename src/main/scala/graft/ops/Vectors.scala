@@ -629,10 +629,24 @@ object Vectors {
 
   /** The Lloyd loop alone — shared by the [[aEmbedKmeans]] readout and
     * [[aDedupSemantic]]'s cluster structuring. Returns the trained
-    * unit-norm centroid matrix (k×dim — the only driver state). */
+    * unit-norm centroid matrix (k×dim — the only driver state).
+    *
+    * `trainFrac` < 1 SAMPLE-TRAINS the iterations (the FAISS-style
+    * escalation for k ∝ n quantizers, where each full assignment pass
+    * is O(n·k·d) and training on everything makes the trainer the
+    * bottleneck): the recentering loop sees only the vectors whose
+    * md5-derived uniform < trainFrac — deterministic, shard-stable, the
+    * qSampleHash discipline — while the caller's FINAL assignment still
+    * covers the full corpus. Seeds are unchanged (the k lowest ids from
+    * the full table), so trainFrac = 1 is bit-identical to the
+    * historical behavior. */
   private[graft] def kmeansCentroids(s: SparkSession, sf: String,
-                                     k: Int, iters: Int): Array[Array[Double]] = {
-    val v = normed(s, sf)
+                                     k: Int, iters: Int,
+                                     trainFrac: Double = 1.0): Array[Array[Double]] = {
+    val vFull = normed(s, sf)
+    val v = if (trainFrac >= 1.0) vFull else vFull.where(
+      conv(substring(md5(col("vec_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") < math.floor(trainFrac * 16777216.0).toLong)
     def normalize(a: Array[Double]): Array[Double] = {
       val n = math.sqrt(a.map(x => x * x).sum)
       if (n == 0) a else a.map(_ / n)
@@ -713,7 +727,15 @@ object Vectors {
     val nprobe = s.conf.getOption("graft.semantic.nprobe")
       .map(_.toInt).getOrElse(4)
     val k = math.max(8L, n / target).toInt
-    val cents = kmeansCentroids(s, sf, k, 3)
+    // sample-train the Lloyd passes once k grows with the corpus: the
+    // trainer sees ~trainPerCell vectors per cell (FAISS-style), the
+    // final assignment still covers everything. At fixture scales
+    // 64·k ≥ n so trainFrac = 1 and behavior is bit-identical (the
+    // PropertySpec recall/determinism bounds run there).
+    val perCell = s.conf.getOption("graft.semantic.trainPerCell")
+      .map(_.toLong).getOrElse(64L)
+    val trainFrac = math.min(1.0, perCell.toDouble * k / math.max(n, 1L))
+    val cents = kmeansCentroids(s, sf, k, 3, trainFrac)
     // MULTI-PROBE assignment (the IVF nprobe trick): each vector lands
     // in its top-4 nearest cells, so a near-dup pair is caught if ANY
     // cell overlaps — the fixture's tau=0.4 design point sits far from
