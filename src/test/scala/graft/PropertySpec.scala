@@ -123,6 +123,40 @@ class PropertySpec extends SparkSpec {
     assert(ann.except(exact).count() == 0)
   }
 
+  test("chunking: exact cover, stride-aligned, every chunk adds new tokens") {
+    // the closed-form chunk count (1 + (n-17) div 48 past 64) must
+    // produce, for EVERY fixture doc: chunk_ids contiguous from 0,
+    // starts on the 48 grid, last chunk ending exactly at n, all
+    // chunks <= 64 tokens, and (except chunk 0) each chunk's tail
+    // extending past the previous chunk's end - 16 overlap
+    val n = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = TextAnalysis.qTextChunk(spark, sf)
+      .select("doc_id", "chunk_id", "chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(chunks.keySet == n.keySet, "every doc must chunk")
+    chunks.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq,
+             s"doc $doc: chunk_ids not contiguous")
+      sorted.foreach { case (_, id, tok) =>
+        assert(tok >= 1 && tok <= 64, s"doc $doc chunk $id: $tok tokens")
+        assert(48 * id + tok <= n(doc), s"doc $doc chunk $id overruns")
+      }
+      val (_, lastId, lastTok) = sorted.last
+      assert(48 * lastId + lastTok == n(doc),
+             s"doc $doc: cover ends at ${48 * lastId + lastTok}, n=${n(doc)}")
+      // every non-first chunk must add tokens beyond the previous cover
+      sorted.drop(1).foreach { case (_, id, tok) =>
+        val prevEnd = math.min(48 * (id - 1) + 64, n(doc))
+        assert(48 * id + tok > prevEnd,
+               s"doc $doc chunk $id is fully contained in its predecessor")
+      }
+    }
+  }
+
   test("semantic dedup (SemDeDup): precision 1.0, recall >= 0.9, deterministic") {
     val exact = Vectors.qDedupEmbed(spark, sf)
     val victims = exact.select(col("b_id").as("vec_id")).distinct()
