@@ -332,11 +332,18 @@ object ClusterProof {
     // old localCheckpoint blocks it was CHECKPOINT_RDD_BLOCK_ID_NOT_
     // FOUND for every key whose frame lived on the dead executor).
     val killAfter = sys.env.get("GRAFT_KILL_AFTER").map(_.toInt)
-    def killOneExecutor(): Unit = {
+    // the victim filter carries OUR app id (standalone executors run
+    // with `--app-id <id>` on the command line): without it the
+    // lowest-pid backend on the HOST gets killed — a concurrent
+    // cluster-mode job's executor if one started earlier, failing that
+    // job spuriously while this proof's loss path never fires
+    def killOneExecutor(appId: String): Unit = {
       val self = ProcessHandle.current().pid()
       val victim = ProcessHandle.allProcesses().iterator().asScala
         .filter(p => p.pid() != self &&
-          p.info().commandLine().map[Boolean](_.contains("CoarseGrainedExecutorBackend")).orElse(false))
+          p.info().commandLine().map[Boolean](c =>
+            c.contains("CoarseGrainedExecutorBackend") && c.contains(appId))
+            .orElse(false))
         .toSeq.sortBy(_.pid()).headOption
       victim match {
         case Some(p) =>
@@ -350,7 +357,7 @@ object ClusterProof {
     val (clusterRes, streamOk) = try {
       var i = 0
       val cRes = allKeys.map { k =>
-        if (killAfter.contains(i)) killOneExecutor()
+        if (killAfter.contains(i)) killOneExecutor(s.sparkContext.applicationId)
         i += 1
         k -> (try resultHash(SparkEntry.queries(k)(s, sfDir)) catch {
           case e: Throwable =>

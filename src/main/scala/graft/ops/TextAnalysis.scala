@@ -927,12 +927,17 @@ object TextAnalysis {
   def qSampleUpsample(s: SparkSession, sf: String): DataFrame = {
     val d = Tables.documents(s, sf).select(col("doc_id"), col("source"))
     val cnt = d.groupBy("source").agg(count(lit(1)).as("n_s"))
-    val stats = cnt.agg(sum(sqrt(col("n_s").cast("double"))).as("sum_w"),
+      // exact fixed-point weight sum — the qSampleTemperature rule: a
+      // double Σsqrt is merge-order-dependent and r_s sits behind a
+      // floor that an order-flipped ulp can cross
+      .withColumn("w_fp",
+        floor(sqrt(col("n_s").cast("double")) * (1L << 30)).cast("long"))
+    val stats = cnt.agg(sum(col("w_fp")).as("sum_w_fp"),
                         sum(col("n_s")).as("n_total"))
     val rates = cnt.crossJoin(broadcast(stats))
       .select(col("source"), col("n_s"),
         least(lit(4L), greatest(lit(1L),
-          floor(sqrt(col("n_s").cast("double")) / col("sum_w")
+          floor(col("w_fp").cast("double") / col("sum_w_fp").cast("double")
             * col("n_total").cast("double") / col("n_s").cast("double")
             + lit(0.5)).cast("long"))).as("repeat_factor"))
     d.join(broadcast(rates), "source")
@@ -1035,10 +1040,12 @@ object TextAnalysis {
     * over-represented domains are downsampled toward the flattened
     * mixture while small domains keep (nearly) everything. T = 2 means
     * the weight is sqrt(n_s) — IEEE-exact on both engines (no pow).
-    * Acceptance per domain a_s = min(1, (sqrt(n_s)/Σsqrt)·(N/2)/n_s)
-    * sized to keep half the corpus; membership is the doc's md5-derived
-    * uniform u = first-6-hex/16^6 < a_s — deterministic, shard-stable,
-    * engine-exact (same IEEE ops in the same order both sides). Shape:
+    * Acceptance per domain a_s = min(1, (w_s/Σw)·(N/2)/n_s) with the
+    * weights on the 2^-30 fixed-point grid (floor(√n_s·2³⁰) — exact per
+    * term, and the INTEGER weight sum is associative, so Σw can never
+    * drift with merge order the way a double Σsqrt can); membership is
+    * the doc's md5-derived uniform u = first-6-hex/16^6 < a_s —
+    * deterministic, shard-stable, engine-exact. Shape:
     * one per-domain count agg (catalog stats in production) folded to a
     * domain-count acceptance-rate frame broadcast back as a map-side
     * filter — one stats pass + one membership scan, and nothing
@@ -1049,14 +1056,22 @@ object TextAnalysis {
         (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
           .cast("long").cast("double") / lit(16777216.0)).as("u"))
     val cnt = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+      // per-source weight on the 2^-30 FIXED-POINT grid (the
+      // qEmbedCentroid trick): sqrt is IEEE-exact per term, but a
+      // DOUBLE sum of the weights is merge-order-dependent — 1 ulp of
+      // drift in sum_w shifts a_s by ~1e-16 and a doc whose uniform u
+      // straddles it flips membership across engines/partitionings.
+      // Integer weight sums are associative, so sum_w is EXACT and the
+      // downstream a_s chain runs on bit-fixed inputs.
+      .withColumn("w_fp",
+        floor(sqrt(col("n_s").cast("double")) * (1L << 30)).cast("long"))
     val stats = cnt
-      .agg(sum(sqrt(col("n_s").cast("double"))).as("sum_w"),
-           sum(col("n_s")).as("n_total"))
+      .agg(sum(col("w_fp")).as("sum_w_fp"), sum(col("n_s")).as("n_total"))
     val rates = cnt
       .crossJoin(broadcast(stats))
       .select(col("source"), col("n_s"),
         least(lit(1.0),
-          sqrt(col("n_s").cast("double")) / col("sum_w")
+          col("w_fp").cast("double") / col("sum_w_fp").cast("double")
             * (col("n_total").cast("double") / lit(2.0))
             / col("n_s").cast("double")).as("a_s"))
     d.join(broadcast(rates), "source")

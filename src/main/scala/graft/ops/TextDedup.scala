@@ -1489,6 +1489,10 @@ object TextDedup {
     * enumeration, two readouts. */
   private val triangleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  /** (pairCount, Σd² wedge bound) per (session, sfDir) — measured once,
+    * read by every triangle consumer's gate. */
+  private val wedgeStatsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (java.lang.Long, java.lang.Long)]
   private def orientedTriangleTriples(s: SparkSession, sf: String): DataFrame = {
     // pairs ride the session-cached nearDupPairGraph checkpoint — the
     // select needs no materialization of its own
@@ -1503,7 +1507,35 @@ object TextDedup {
     // |docs| keys and nothing O(#triangles) ever persists. The cache +
     // checkpoint (one enumeration, two readouts) stays the
     // fixture..sf1 posture where the frame is small and shared.
-    val wide = pairs.count() > s.conf.getOption("graft.graph.wideEdges")
+    // MEMOIZED measurements (round-10 review): the pair count and the
+    // Σd² wedge bound are properties of the (session, sfDir) pair
+    // graph, but the gate ran them as fresh jobs on EVERY call — each
+    // triangle consumer paid a count + a full degree aggregation before
+    // reaching the triple cache it was about to hit. The gate CONFS
+    // (wideEdges / maxWedgeBound) stay outside the cache so forced-path
+    // tests still flip the route; past 64M pairs the deg agg is skipped
+    // (bound := MaxValue — any sane maxWedgeBound is already exceeded).
+    val (nPairsB, wedgeBoundB) = Util.purged(wedgeStatsCache)
+      .computeIfAbsent((s, sf), _ => {
+        val n = pairs.count()
+        val wb: Long = if (n > 64000000L) Long.MaxValue else {
+          val deg = pairs.select(col("a_id").as("v"))
+            .unionAll(pairs.select(col("b_id").as("v")))
+            .groupBy("v").agg(count(lit(1)).as("d"))
+          // DECIMAL(38,0): a hub-heavy graph's Σd² can overflow BIGINT,
+          // and a wrapped-negative bound would flip the gate the WRONG
+          // way (negative > maxWedges is false → materialize the frame
+          // the gate exists to avoid). Null (empty graph) ⇒ bound 0.
+          val w = deg.agg(sum(expr("CAST(d AS DECIMAL(38,0)) * d"))
+            .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)))
+            .head.getDecimal(0)
+          if (w == null) 0L
+          else if (w.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) > 0) Long.MaxValue
+          else w.longValue()
+        }
+        (java.lang.Long.valueOf(n), java.lang.Long.valueOf(wb))
+      })
+    val wide = nPairsB.longValue > s.conf.getOption("graft.graph.wideEdges")
       .map(_.toLong).getOrElse(4000000L)
     // triple VOLUME is clique-driven, not pair-driven (a k-clique
     // family emits k³ triples from k² pairs — triples ≈ pairs^1.5 on
@@ -1516,21 +1548,7 @@ object TextDedup {
     // consumer's aggregate without ever materializing, exactly the
     // wide-path posture (the cache trades one repeat enumeration for
     // never holding an O(#triangles) frame).
-    val wedgeBound = if (wide) Long.MaxValue else {
-      val deg = pairs.select(col("a_id").as("v"))
-        .unionAll(pairs.select(col("b_id").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("d"))
-      // DECIMAL(38,0): a hub-heavy graph's Σd² can overflow BIGINT, and
-      // a wrapped-negative bound would flip the gate the WRONG way
-      // (negative > maxWedges is false → materialize the frame the gate
-      // exists to avoid). Null (empty graph) ⇒ bound 0.
-      val wb = deg.agg(sum(expr("CAST(d AS DECIMAL(38,0)) * d"))
-        .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)))
-        .head.getDecimal(0)
-      if (wb == null) 0L
-      else if (wb.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) > 0) Long.MaxValue
-      else wb.longValue()
-    }
+    val wedgeBound = if (wide) Long.MaxValue else wedgeBoundB.longValue
     val maxWedges = s.conf.getOption("graft.graph.maxWedgeBound")
       .map(_.toLong).getOrElse(100000000L)
     if (wide || wedgeBound > maxWedges) orientTriangles(s, pairs)

@@ -130,7 +130,7 @@ object Vectors {
                              scalePath: String): Unit = {
     val cap = s.conf.getOption("graft.quadratic.maxRows")
       .map(_.toLong).getOrElse(50000L)
-    val n = Tables.embeddings(s, sf).count()
+    val n = Tables.rowCount(s, sf, "embeddings")
     require(n <= cap,
       s"$op is the declared all-pairs oracle twin (O(n^2) pairs): input has " +
       s"$n rows > graft.quadratic.maxRows=$cap; at scale use $scalePath")
@@ -718,7 +718,7 @@ object Vectors {
     * state (3 MB at sf100's 1.5M vectors). */
   def aDedupSemantic(s: SparkSession, sf: String): DataFrame = {
     val v = normed(s, sf)
-    val n = v.count()
+    val n = Tables.rowCount(s, sf, "embeddings")
     // scale knobs (README table): cluster-size target sets k = n/target
     // (candidate volume ≈ n·target·nprobe — the linearity constant);
     // nprobe trades recall at low-similarity thresholds against it
@@ -1137,8 +1137,10 @@ object Vectors {
     import s.implicits._
     val nSub = 8; val dSub = 8
     val kCells = 128
-    // nprobe and the exact-re-rank shortlist SCALE with the corpus
-    // (round 10): fixed constants held recall at the 0.5 floor by sf10
+    // the exact-re-rank SHORTLIST scales with the corpus; nprobe is
+    // 15% of kCells (fixed here, so effectively 19 — it would scale
+    // only if kCells did). Fixed constants held recall at the 0.5
+    // floor by sf10
     // — per-cell occupancy grows as n/kCells, so a fixed 50-row
     // shortlist drowns in the 4-bit PQ codes' distance ties (measured:
     // widening the shortlist, not probing more cells, recovered the
@@ -1147,7 +1149,9 @@ object Vectors {
     // recall@10 0.5 → 0.9 (RecallCheck) at unchanged asymptotics:
     // candidates are still ~nprobe/kCells of the corpus, codes-only
     // until the shortlist re-rank.
-    val nTot = Tables.embeddings(s, sf).count()
+    // memoized — a per-query full-table count job just to size the
+    // shortlist was pure waste (the table is immutable per sfDir)
+    val nTot = Tables.rowCount(s, sf, "embeddings")
     val nprobe = math.max(10, kCells * 15 / 100)
     val shortlist = math.max(50L, math.min(5000L, nTot / 200L)).toInt
     // --- IVF side (the aSimAnnIvf cell recipe, 1 cell per vector) ---

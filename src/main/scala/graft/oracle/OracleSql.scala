@@ -2773,14 +2773,16 @@ object OracleSql {
 
   val qSampleUpsample: String = n("""
     WITH d AS (SELECT doc_id, source FROM documents),
-    cnt AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY source),
+    cnt AS (
+      SELECT source, COUNT(*) AS n_s,
+        CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1073741824) AS BIGINT) AS w_fp
+      FROM d GROUP BY source),
     stats AS (
-      SELECT SUM(sqrt(CAST(n_s AS DOUBLE))) AS sum_w, SUM(n_s) AS n_total
-      FROM cnt),
+      SELECT SUM(w_fp) AS sum_w_fp, SUM(n_s) AS n_total FROM cnt),
     rates AS (
       SELECT source, n_s,
         least(4, greatest(1, CAST(floor(
-          sqrt(CAST(n_s AS DOUBLE)) / sum_w
+          CAST(w_fp AS DOUBLE) / CAST(sum_w_fp AS DOUBLE)
             * CAST(n_total AS DOUBLE) / CAST(n_s AS DOUBLE) + 0.5)
           AS BIGINT))) AS repeat_factor
       FROM cnt, stats),
@@ -2865,13 +2867,15 @@ object OracleSql {
         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
           AS DOUBLE) / 16777216.0 AS u
       FROM documents),
-    cnt AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY source),
+    cnt AS (
+      SELECT source, COUNT(*) AS n_s,
+        CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1073741824) AS BIGINT) AS w_fp
+      FROM d GROUP BY source),
     stats AS (
-      SELECT SUM(sqrt(CAST(n_s AS DOUBLE))) AS sum_w, SUM(n_s) AS n_total
-      FROM cnt),
+      SELECT SUM(w_fp) AS sum_w_fp, SUM(n_s) AS n_total FROM cnt),
     rates AS (
       SELECT source, n_s,
-        least(1.0, sqrt(CAST(n_s AS DOUBLE)) / sum_w
+        least(1.0, CAST(w_fp AS DOUBLE) / CAST(sum_w_fp AS DOUBLE)
           * (CAST(n_total AS DOUBLE) / 2.0) / CAST(n_s AS DOUBLE)) AS a_s
       FROM cnt, stats)
     SELECT d.source, MAX(r.n_s) AS n_total,

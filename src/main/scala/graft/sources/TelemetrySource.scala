@@ -703,13 +703,38 @@ private[sources] class StoreBatchWrite(key: String, schema: StructType,
     fileRoot match {
       case Some(root) =>
         val dir = FileStore.tableDir(root, key)
-        val dropped = FileStore.publish(dir, commits.flatMap(_.file), truncateFirst)
-        // dropped files left the manifest atomically; physical delete
-        // is best-effort hygiene (a reader that planned BEFORE the
-        // swap may still be streaming them — like Iceberg's expired
-        // snapshots, deletion is deferred housekeeping, not the commit)
-        dropped.foreach(f =>
+        // rowCount gates the manifest: an empty task's part file adds a
+        // zero-row InputPartition to every future scan — skip it (and
+        // delete the empty file immediately; nothing can be reading a
+        // file that was never published)
+        val (live, empty) = commits.partition(_.rowCount > 0)
+        empty.flatMap(_.file).foreach(f =>
           new java.io.File(new java.io.File(dir, "data"), f).delete(): Unit)
+        val dropped = FileStore.publish(dir, live.flatMap(_.file), truncateFirst)
+        // dropped files left the manifest atomically; physical delete
+        // is genuinely DEFERRED (Iceberg expired-snapshot semantics): a
+        // reader that planned against the old manifest opens file names
+        // at EXECUTE time, so deleting here would turn the plan/open
+        // race into FileNotFoundException. Drops are recorded in a
+        // timestamped sidecar and reaped on a later publish once aged
+        // past any plausible open slice (10 min; a slice streams for
+        // seconds).
+        val dataDir = new java.io.File(dir, "data")
+        if (dropped.nonEmpty)
+          java.nio.file.Files.write(
+            new java.io.File(dir, s"dropped-${System.currentTimeMillis()}").toPath,
+            dropped.mkString("\n").getBytes("UTF-8")): Unit
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("dropped-")).foreach { sc =>
+            val ts = try sc.getName.stripPrefix("dropped-").toLong
+                     catch { case _: NumberFormatException => Long.MaxValue }
+            if (System.currentTimeMillis() - ts > 10L * 60 * 1000) {
+              new String(java.nio.file.Files.readAllBytes(sc.toPath), "UTF-8")
+                .split("\n").filter(_.nonEmpty)
+                .foreach(f => new java.io.File(dataDir, f).delete(): Unit)
+              sc.delete(): Unit
+            }
+          }
       case None =>
         val incoming = commits.flatMap(_.rows)
         TelemetryStore.tables.compute(key, (_, prev) => {
