@@ -801,9 +801,23 @@ object TextAnalysis {
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Seq[(String, String)]]
   private[graft] def bpeMerges(s: SparkSession, sf: String,
-                             nMerges: Int = 100,
-                             maxVocab: Int = 100000): Seq[(String, String)] =
-    Util.purged(bpeCache).computeIfAbsent((s, sf), _ => {
+                             nMerges: Int = 100): Seq[(String, String)] = {
+    // `graft.bpe.maxVocab` (round-10 verdict #4): the trainer's driver
+    // collect is VOCAB-sized — fine at fixture, but a 100 TB corpus
+    // vocabulary (Heaps-law ~10⁸ types) would pressure the driver.
+    // The cap is the quadraticGuard-style declared envelope, now
+    // conf-tunable: the trainer sees the top-maxVocab tokens BY COUNT
+    // (deterministic — count desc, token asc, a distributed
+    // TakeOrdered, never a full-vocab collect), which is also the
+    // published practice (tokenizers train on a frequency-truncated
+    // sample). ENCODING still covers the full vocabulary — an
+    // out-of-sample token simply decomposes under the trained table.
+    // The cap rides the cache key so a forced-path test (or a genuine
+    // retune) in the same session trains its own table instead of
+    // reading the stale one.
+    val maxVocab = s.conf.getOption("graft.bpe.maxVocab")
+      .map(_.toInt).getOrElse(100000)
+    Util.purged(bpeCache).computeIfAbsent((s, s"$sf#$maxVocab"), _ => {
       val vocab = docTokenCounts(s, sf)
         .groupBy(col("token")).agg(sum(col("c")).as("n"))
         .orderBy(desc("n"), asc("token")).limit(maxVocab)
@@ -845,6 +859,7 @@ object TextAnalysis {
       }
       merges.result()
     })
+  }
 
   /** Greedy BPE encode of one token under a merge-rank map: always
     * apply the LOWEST-rank (earliest-learned) applicable merge first —

@@ -232,15 +232,23 @@ object Util {
                      thresholdBytes: Option[Long] = None): DataFrame = {
     // thresholdBytes overrides the loop-frame default for sites whose
     // build side is a flat lookup table rather than a loop frame (the
-    // editdist prefix rejoin, the LSH verify, the triangle closing
-    // filter): those tolerate a larger broadcast because exactly ONE
-    // such join is live at a time. An EXPLICITLY SET
-    // graft.loop.broadcastThreshold wins over site overrides — it is
-    // the user's (and the forced-path tests') gate.
-    val thr = s.conf.getOption("graft.loop.broadcastThreshold")
-      .map(_.toLong)
-      .orElse(thresholdBytes)
-      .getOrElse(8L << 20)
+    // editdist prefix rejoin, the triangle closing filter): those
+    // tolerate a larger broadcast because exactly ONE such join is
+    // live at a time. The two regimes get SEPARATE conf keys
+    // (round-10 ADVICE — one shared key meant a user raising the
+    // loop-frame gate to tune label frames silently LOWERED the
+    // one-live-join sites from their declared 128-256 MiB budgets,
+    // flipping the closing-edge semi join into the sort-merge
+    // wedge-stream cliff): `graft.loop.broadcastThreshold` gates only
+    // the default-budget loop frames; `graft.join.siteBroadcastThreshold`
+    // gates only the sites that declare their own budget. Forced-path
+    // tests that want EVERY broadcast closed set both to 0.
+    val thr = thresholdBytes match {
+      case Some(site) => s.conf.getOption("graft.join.siteBroadcastThreshold")
+        .map(_.toLong).getOrElse(site)
+      case None => s.conf.getOption("graft.loop.broadcastThreshold")
+        .map(_.toLong).getOrElse(8L << 20)
+    }
     if (estRows * bytesPerRow <= thr) broadcast(df) else df
   }
 

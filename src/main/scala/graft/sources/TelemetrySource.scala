@@ -469,8 +469,10 @@ object TelemetryStore {
   *
   * `root` must be visible to all executors (same-host tmpfs here;
   * shared storage on a real cluster — the checkpointDir assumption).
-  * Concurrent writers to the SAME table are last-publish-wins, exactly
-  * like the memory store's compute(). */
+  * Concurrent committed writes to the SAME table SERIALIZE through the
+  * per-dir publish lock (JVM monitor + OS file lock), so two appends
+  * compose — both file sets land in the surviving manifest, matching
+  * the memory store's compute(), which also loses no append. */
 object FileStore {
   import java.io._
 
@@ -507,21 +509,47 @@ object FileStore {
     }
   }
 
-  /** Atomic publish: write manifest v+1, rename-swap VERSION. Returns
-    * the files the new manifest DROPPED (caller deletes best-effort). */
-  def publish(dir: File, files: Vector[String], truncate: Boolean): Vector[String] = {
-    val prev = liveFiles(dir)
-    val next = if (truncate) files else prev ++ files
-    val v = currentVersion(dir) + 1
-    java.nio.file.Files.write(new File(dir, s"manifest-$v").toPath,
-      next.mkString("\n").getBytes("UTF-8"))
-    val tmp = new File(dir, s"VERSION.tmp$v")
-    java.nio.file.Files.write(tmp.toPath, v.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, versionFile(dir).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    if (truncate) prev.filterNot(next.contains) else Vector.empty
-  }
+  /** Per-table-dir publish locks: publish is a read-modify-write over
+    * (VERSION, manifest), so two concurrent committed APPENDs that both
+    * read version v would each write manifest v+1 and the loser's
+    * committed files silently vanish from the surviving manifest
+    * (round-10 ADVICE — the memory store's compute() loses NO append,
+    * so "last-publish-wins parity" understated the hazard). A JVM lock
+    * serializes same-process writers; an OS file lock on
+    * `publish.lock` serializes cross-JVM writers (this driver-side
+    * commit path runs once per table write — contention is nil, the
+    * lock is pure correctness). */
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+
+  /** Atomic publish: write manifest v+1, rename-swap VERSION — with the
+    * version re-read INSIDE the lock, so concurrent appends compose
+    * instead of overwriting each other. Returns the files the new
+    * manifest DROPPED (caller deletes best-effort). */
+  def publish(dir: File, files: Vector[String], truncate: Boolean): Vector[String] =
+    publishLocks.computeIfAbsent(dir.getAbsolutePath, _ => new Object)
+      .synchronized {
+        val ch = java.nio.channels.FileChannel.open(
+          new File(dir, "publish.lock").toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val osLock = ch.lock()
+          try {
+            val prev = liveFiles(dir)
+            val next = if (truncate) files else prev ++ files
+            val v = currentVersion(dir) + 1
+            java.nio.file.Files.write(new File(dir, s"manifest-$v").toPath,
+              next.mkString("\n").getBytes("UTF-8"))
+            val tmp = new File(dir, s"VERSION.tmp$v")
+            java.nio.file.Files.write(tmp.toPath, v.toString.getBytes("UTF-8"))
+            java.nio.file.Files.move(tmp.toPath, versionFile(dir).toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            if (truncate) prev.filterNot(next.contains) else Vector.empty
+          } finally osLock.release()
+        } finally ch.close()
+      }
 
   // ---- row codec: 0x01 row-marker, per-field null byte + value ----
   def writeRow(out: DataOutputStream, schema: StructType, vals: Array[Any]): Unit = {

@@ -1003,6 +1003,21 @@ object StreamOps {
   def semanticIndexDedup(vecs: DataFrame, cents: Array[Array[Double]],
                          tau: Double = 0.4): Dataset[SemDrop] = {
     import vecs.sparkSession.implicits._
+    // Per-cell keeper CAP (round-10 verdict #6): cell state is
+    // O(keepers × dim), bounded only by the dedup property itself — a
+    // pathological all-unique stream (adversarial content, a broken
+    // upstream encoder emitting noise vectors) would grow RocksDB
+    // without bound. Past the cap a novel vector is still passed
+    // through (it is KEPT — only drops are emitted) but no longer
+    // ENTERS the index, so later near-dups of post-cap keepers go
+    // unflagged: the documented recall consequence, the same trade the
+    // batch op's cluster-size target makes. 8192 keepers × 64 dims ×
+    // 8 B ≈ 4 MiB of cell state at the default — bounded regardless
+    // of stream content. Conf: graft.stream.semantic.maxKeepers,
+    // read at query build (the stream's processor is constructed once).
+    val maxKeepers = vecs.sparkSession.conf
+      .getOption("graft.stream.semantic.maxKeepers")
+      .map(_.toInt).getOrElse(8192)
     val dv = transform(col("embedding"), e => e.cast("double"))
     vecs.select(
         graft.functions.VectorExpressions.ivfCells(dv, cents, 1).getItem(0).as("cell"),
@@ -1010,12 +1025,12 @@ object StreamOps {
         sqrt(aggregate(transform(dv, x => x * x), lit(0.0), (a, x) => a + x)).as("nrm"))
       .as[CellVec]
       .groupByKey(_.cell)
-      .transformWithState(new SemanticIndexProcessor(tau),
+      .transformWithState(new SemanticIndexProcessor(tau, maxKeepers),
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
   }
 
-  private class SemanticIndexProcessor(tau: Double)
+  private class SemanticIndexProcessor(tau: Double, maxKeepers: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Int, CellVec, SemDrop] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var kept: org.apache.spark.sql.streaming.ListState[KeptVec] = _
@@ -1048,10 +1063,13 @@ object StreamOps {
           }
           if (keptFor != Long.MaxValue)
             out += SemDrop(d.vecId, keptFor, math.floor(bestSim * 1e4 + 0.5) / 1e4)
-          else {
+          else if (stored.length < maxKeepers) {
             stored += KeptVec(d.vecId, d.v, d.nrm)
             kept.appendValue(KeptVec(d.vecId, d.v, d.nrm))
           }
+          // else: cell at keeper capacity — the vector passes through
+          // unindexed (kept but unprotected against later near-dups);
+          // state stays bounded at maxKeepers × dim per cell
         }
       }
       out.result().iterator

@@ -196,6 +196,10 @@ class PlanShapeSpec extends SparkSpec {
                  (1 to 50).map(i => (i.toLong, (i + 1).toLong)))
       .distinct.toDF("a_id", "b_id")
     val gateKey = "graft.loop.broadcastThreshold"
+    // orientTriangles' closing-edge semi join declares its own 256 MiB
+    // one-live-join budget, gated by the SITE key (round-10 ADVICE
+    // split) — closing every broadcast needs both keys at 0
+    val siteKey = "graft.join.siteBroadcastThreshold"
     val autoKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
                        "spark.sql.adaptive.autoBroadcastJoinThreshold")
     // default path: gate open at this scale → broadcast wedge joins
@@ -208,6 +212,7 @@ class PlanShapeSpec extends SparkSpec {
     // is the shape the same code produces at 100× |E|
     val prev = autoKeys.map(k => k -> spark.conf.getOption(k))
     spark.conf.set(gateKey, "0")
+    spark.conf.set(siteKey, "0")
     autoKeys.foreach(spark.conf.set(_, "-1"))
     try {
       val fb = TextDedup.orientTriangles(spark, pairs)
@@ -218,6 +223,7 @@ class PlanShapeSpec extends SparkSpec {
       assert(fbRows == hintedRows, "fallback path changed the result")
     } finally {
       spark.conf.unset(gateKey)
+      spark.conf.unset(siteKey)
       prev.foreach { case (k, v) =>
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
     }

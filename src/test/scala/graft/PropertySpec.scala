@@ -175,6 +175,29 @@ class PropertySpec extends SparkSpec {
     assert(drops.except(Vectors.aDedupSemantic(spark, sf)).count() == 0)
   }
 
+  test("semantic dedup IMI two-level quantizer (forced): precision 1.0, recall >= 0.9, deterministic") {
+    // the inverted-multi-index path only engages past flatMaxK = 1024
+    // cells (n > 256k vectors) in production — force it onto the
+    // fixture so the at-scale code path carries the same bounds as the
+    // flat path: every drop still verified by an exact cosine
+    // (precision 1.0 by construction), victim recall >= 0.9 vs the
+    // exact twin, and bit-stable reruns (fixed seeds + fixed-point
+    // recentering, no RNG anywhere)
+    val exact = Vectors.qDedupEmbed(spark, sf)
+    val victims = exact.select(col("b_id").as("vec_id")).distinct()
+    val nV = victims.count()
+    spark.conf.set("graft.semantic.flatMaxK", "1")
+    try {
+      val drops = Vectors.aDedupSemantic(spark, sf)
+      assert(drops.select(col("kept_for").as("a_id"), col("vec_id").as("b_id"))
+        .except(exact.select("a_id", "b_id")).count() == 0,
+        "an IMI-dropped pair is not an exact near-dup pair")
+      val rec = victims.intersect(drops.select("vec_id")).count().toDouble / nV
+      assert(rec >= 0.9, s"IMI semantic-dedup victim recall $rec < 0.9")
+      assert(drops.except(Vectors.aDedupSemantic(spark, sf)).count() == 0)
+    } finally spark.conf.unset("graft.semantic.flatMaxK")
+  }
+
   test("IVF-ANN recall >= 0.8 against the exact embed-dedup twin") {
     val exact = Vectors.qDedupEmbed(spark, sf).select("a_id", "b_id")
     val ivf = Vectors.aSimAnnIvf(spark, sf).select("a_id", "b_id")
@@ -196,6 +219,7 @@ class PropertySpec extends SparkSpec {
     // tolerance test.
     val lshDefault = Vectors.aSimAnnLsh(spark, sf).collect().toSeq
     val ivfDefault = Vectors.aSimAnnIvf(spark, sf).collect().toSeq
+    val semDefault = Vectors.aDedupSemantic(spark, sf).collect().toSeq
     spark.conf.set("graft.lsh.verifyBroadcastBytes", "0")
     spark.conf.set("graft.ann.verifyBroadcastBytes", "0")
     try {
@@ -205,6 +229,11 @@ class PropertySpec extends SparkSpec {
       val ivfPacked = Vectors.aSimAnnIvf(spark, sf).collect().toSeq
       assert(ivfPacked == ivfDefault,
              "IVF packed-lookup verify diverged from the join verify")
+      // round-11: the slimmed semantic-dedup exchange rides the same
+      // rung ladder — its drops must be bit-equal on the packed rung
+      val semPacked = Vectors.aDedupSemantic(spark, sf).collect().toSeq
+      assert(semPacked == semDefault,
+             "semantic-dedup packed-lookup verify diverged from the join verify")
     } finally {
       spark.conf.unset("graft.lsh.verifyBroadcastBytes")
       spark.conf.unset("graft.ann.verifyBroadcastBytes")
@@ -848,6 +877,38 @@ class PropertySpec extends SparkSpec {
       assert(bp >= ws, "every token is at least one piece")
       assert(r.getAs[Long]("pieces_per_token_fp") >= 10000L)
     }
+  }
+
+  test("a_text_bpe sampled-vocab path (forced graft.bpe.maxVocab): bounds + determinism hold") {
+    // the vocab-collect guard (round-10 verdict #4): past
+    // graft.bpe.maxVocab the trainer sees only the top-frequency
+    // vocabulary slice — force a tiny cap and require the declared
+    // contract to survive the sampled path: a non-empty deterministic
+    // table, piece bounds on EVERY token (incl. the out-of-sample ones
+    // the sampled trainer never saw), and the aggregate readout's
+    // invariants
+    spark.conf.set("graft.bpe.maxVocab", "50")
+    try {
+      val merges = TextAnalysis.bpeMerges(spark, sf)
+      assert(merges.nonEmpty && merges.distinct.size == merges.size,
+             "sampled-vocab merge table must be non-empty with unique pairs")
+      assert(merges == TextAnalysis.bpeMerges(spark, sf),
+             "sampled-vocab training is not deterministic")
+      val rank = merges.zipWithIndex.toMap
+      val vocab = TextAnalysis.docTokenCounts(spark, sf)
+        .select(col("token")).distinct().collect().map(_.getString(0))
+      vocab.foreach { t =>
+        val p = TextAnalysis.bpeEncode(t, rank)
+        assert(p >= 1 && p <= t.length,
+               s"sampled path: pieces($t)=$p outside [1, ${t.length}]")
+      }
+      val rows = TextAnalysis.aTextBpe(spark, sf).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_bpe_pieces") >= r.getAs[Long]("n_ws_tokens"))
+        assert(r.getAs[Long]("pieces_per_token_fp") >= 10000L)
+      }
+    } finally spark.conf.unset("graft.bpe.maxVocab")
   }
 
   test("q_dedup_cluster scale path (forced star fixpoint) is row-identical to pointer-jump") {

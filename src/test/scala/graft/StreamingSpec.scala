@@ -782,6 +782,45 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("s_stream_semantic_index keeper cap: state stays bounded, post-cap vectors pass unindexed") {
+    withRocksDB {
+      import spark.implicits._
+      // one cell so every vector contends for the same keeper list
+      val cents = Array(Array(1.0, 0.0, 0.0, 0.0))
+      // distinct directions, pairwise cosine < 0.9: all keeper-eligible
+      val v1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+      val v2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+      val v3 = Array(0.0f, 0.0f, 1.0f, 0.0f) // arrives at capacity → unindexed
+      val nearV1 = Array(0.99f, 0.01f, 0.0f, 0.0f) // dup of an in-cap keeper
+      val nearV3 = Array(0.01f, 0.0f, 0.99f, 0.0f) // dup of the UNindexed vector
+      spark.conf.set("graft.stream.semantic.maxKeepers", "2")
+      val in = MemoryStream[(Long, Array[Float])](spark)
+      val drops = StreamOps.semanticIndexDedup(
+        in.toDF().toDF("vec_id", "embedding"), cents, tau = 0.9)
+      val q = drops.writeStream.format("memory").queryName("sem_cap_drops")
+        .outputMode("append").start()
+      try {
+        in.addData((1L, v1), (2L, v2), (3L, v3))
+        q.processAllAvailable()
+        assert(spark.table("sem_cap_drops").count() == 0,
+               "distinct directions must not drop each other")
+        in.addData((4L, nearV1), (5L, nearV3))
+        q.processAllAvailable()
+        val got = spark.table("sem_cap_drops")
+          .select("vecId", "keptFor").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        // 4 resolves against in-cap keeper 1; 5 passes UNflagged —
+        // vec 3 arrived at capacity and never entered the index (the
+        // documented recall consequence of the state bound)
+        assert(got == Set((4L, 1L)),
+               s"expected only the in-cap drop (4 -> 1), got $got")
+      } finally {
+        q.stop()
+        spark.conf.unset("graft.stream.semantic.maxKeepers")
+      }
+    }
+  }
+
   test("s_stream_minhash_index: near-dup in batch N flagged against a doc indexed in batch N-k") {
     withRocksDB {
       import spark.implicits._
