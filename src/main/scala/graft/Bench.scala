@@ -42,6 +42,16 @@ object Bench {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Ladder-protocol hook (local iteration only — the driver sets no
+    // env): SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies graft.* session
+    // confs before any query builds, so forced-path rungs (IMI, star
+    // fixpoint, packed verify) can be TIMED under the same min-of-2
+    // warm protocol as the defaults instead of only spec-asserted.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+      System.err.println(s"[bench] extra conf: $k=$v")
+    })
     // Untimed warmup (BASELINE.md protocol is a warm session): JIT +
     // codegen + parquet-footer caches initialize here, not inside the
     // first timed query.
@@ -50,6 +60,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      var lastRows = -1L
       val attempts = (1 to 2).flatMap { _ =>
         // untimed GC first: start every attempt from a comparable heap.
         // Without it, a query following an allocation-heavy one measures
@@ -58,7 +69,7 @@ object Bench {
         // aged one). Also lets ContextCleaner drop stale shuffle state.
         System.gc()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        try { lastRows = fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           None
@@ -67,7 +78,10 @@ object Bench {
       if (attempts.isEmpty) { failed ::= name; name -> None }
       else {
         val dt = attempts.min
-        System.err.println(f"[bench] $name%-28s $dt%8.2f s  (runs: ${attempts.map(t => f"$t%.2f").mkString("/")})")
+        // rows on stderr: the ladder protocol's parity check (drop /
+        // output counts across scale rungs and forced paths) reads it
+        // from the same run that produced the wall
+        System.err.println(f"[bench] $name%-28s $dt%8.2f s  rows=$lastRows%d  (runs: ${attempts.map(t => f"$t%.2f").mkString("/")})")
         name -> Some(dt)
       }
     }
@@ -87,7 +101,12 @@ object Bench {
     // turns the "load vs regression" judgment from archaeology into a
     // per-run report. Written to stderr + bench_regressions.json; the
     // stdout line keeps the driver's exact schema.
-    val regressions = try {
+    // SUBSET runs skip the gate entirely (write AND report): they run
+    // at arbitrary sfDirs, so diffing them against the committed
+    // full-suite sf0.1 map compares across scale factors — a bogus
+    // flag that also CLOBBERED the durable regression file (caught
+    // round 11 when an sf10 ladder run left an 11× "regression")
+    val regressions = if (only.nonEmpty) Nil else try {
       val p = java.nio.file.Paths.get("bench.json")
       if (!java.nio.file.Files.exists(p)) Nil else {
         val prev = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
@@ -104,17 +123,19 @@ object Bench {
         }
       }
     } catch { case _: Throwable => Nil }
-    if (regressions.isEmpty)
-      System.err.println("[bench] regression gate: no query >1.5x over previous bench.json")
-    else regressions.foreach { case (k, pv, v) =>
-      System.err.println(f"[bench] REGRESSION $k%-28s $pv%.2f -> $v%.2f s (${v / pv}%.1fx)")
+    if (only.isEmpty) {
+      if (regressions.isEmpty)
+        System.err.println("[bench] regression gate: no query >1.5x over previous bench.json")
+      else regressions.foreach { case (k, pv, v) =>
+        System.err.println(f"[bench] REGRESSION $k%-28s $pv%.2f -> $v%.2f s (${v / pv}%.1fx)")
+      }
+      try {
+        val rj = regressions.map { case (k, pv, v) =>
+          s"""{"query":"$k","prev":$pv,"now":$v}""" }.mkString("[", ",", "]")
+        java.nio.file.Files.write(java.nio.file.Paths.get("bench_regressions.json"),
+          (rj + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => }
     }
-    try {
-      val rj = regressions.map { case (k, pv, v) =>
-        s"""{"query":"$k","prev":$pv,"now":$v}""" }.mkString("[", ",", "]")
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_regressions.json"),
-        (rj + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => }
     // stdout line FIRST (the driver's contract), then a durable copy:
     // the driver artifact truncates long stdout tails, and the
     // per-query map is the part a judge needs to diff rounds — so it

@@ -279,6 +279,202 @@ case class IvfCells(child: Expression, cents: Array[Array[Double]],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Two-level ROUTED IVF cell assignment — the O(√k) twin of
+  * [[IvfCells]] for quantizers whose k grows with the corpus (the
+  * SemDeDup k = n/256 rule): dotting all k centroids per vector is
+  * O(n·k·d) = O(n²d/256), the round-10 verdict's scale-killer. The k
+  * centroids are pre-clustered (driver-side, they are model state)
+  * into ~√k routing groups; per vector this kernel dots the √k GROUP
+  * centroids, takes the top-`nRoute` groups, and completes the
+  * top-`nprobe` selection over only those groups' member centroids —
+  * O(√k + nRoute·√k) dots per vector, cells IDENTICAL to the flat
+  * codebook's (same centroid arrays, same dot kernel, same
+  * lowest-id-wins tie rule), so the only divergence from [[IvfCells]]
+  * is a routing miss: a true top-nprobe cell whose group fell outside
+  * the nRoute probed ones. `memberIds`/`memberCents` carry each
+  * group's member cell ids (GLOBAL ids) and their centroid rows. */
+case class IvfRoutedCells(child: Expression,
+                          groupCents: Array[Array[Double]],
+                          memberIds: Array[Array[Int]],
+                          memberCents: Array[Array[Array[Double]]],
+                          nRoute: Int, nprobe: Int) extends UnaryExpression {
+  override def prettyName: String = "graft_ivf_routed_cells"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<double>/array<float> input, got ${t.sql}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    def dot(c: Array[Double]): Double = {
+      val n = math.min(c.length, v.numElements())
+      var s = 0.0; var d = 0
+      while (d < n) {
+        s += c(d) * (if (isFloat) v.getFloat(d).toDouble else v.getDouble(d))
+        d += 1
+      }
+      s
+    }
+    // stage 1: top-nRoute groups (the IvfCells selection loop)
+    val gDots = new Array[Double](groupCents.length)
+    var j = 0
+    while (j < groupCents.length) { gDots(j) = dot(groupCents(j)); j += 1 }
+    val ng = math.min(nRoute, groupCents.length)
+    val groups = new Array[Int](ng)
+    var p = 0
+    while (p < ng) {
+      var best = -1; var bestDot = Double.NegativeInfinity
+      var g = 0
+      while (g < gDots.length) {
+        if (gDots(g) > bestDot) { best = g; bestDot = gDots(g) }
+        g += 1
+      }
+      groups(p) = best
+      gDots(best) = Double.NegativeInfinity
+      p += 1
+    }
+    // stage 2: top-nprobe cells over the probed groups' members —
+    // (dot strict-greater, lowest GLOBAL id on ties) reproduces the
+    // flat kernel's ascending-index scan exactly
+    var cand = 0
+    var gi = 0
+    while (gi < ng) { cand += memberIds(groups(gi)).length; gi += 1 }
+    val cDots = new Array[Double](cand)
+    val cIds = new Array[Int](cand)
+    var ci = 0
+    gi = 0
+    while (gi < ng) {
+      val g = groups(gi)
+      val ids = memberIds(g); val cs = memberCents(g)
+      var m = 0
+      while (m < ids.length) {
+        cIds(ci) = ids(m); cDots(ci) = dot(cs(m)); ci += 1; m += 1
+      }
+      gi += 1
+    }
+    // spilled membership lists a boundary cell in TWO groups — when
+    // both are probed the cell appears twice in the candidate strip,
+    // so retiring a pick must retire EVERY copy of its id or the next
+    // probe slot re-selects the same cell
+    var np = math.min(nprobe, cand)
+    val out = new Array[Int](math.min(nprobe, cand))
+    var filled = 0
+    p = 0
+    while (p < np) {
+      var bi = -1; var bestDot = Double.NegativeInfinity; var bestId = Int.MaxValue
+      var c = 0
+      while (c < cand) {
+        if (cDots(c) > bestDot ||
+            (cDots(c) == bestDot && cIds(c) < bestId)) {
+          bi = c; bestDot = cDots(c); bestId = cIds(c)
+        }
+        c += 1
+      }
+      if (bestDot == Double.NegativeInfinity) { p = np } // only dup copies left
+      else {
+        out(filled) = cIds(bi); filled += 1
+        c = 0
+        while (c < cand) {
+          if (cIds(c) == bestId) cDots(c) = Double.NegativeInfinity
+          c += 1
+        }
+        p += 1
+      }
+    }
+    new GenericArrayData(if (filled == out.length) out else out.take(filled))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gMat = ctx.addReferenceObj("groupCents", groupCents, "double[][]")
+    val mIds = ctx.addReferenceObj("memberIds", memberIds, "int[][]")
+    val mCents = ctx.addReferenceObj("memberCents", memberCents, "double[][][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val gc = ctx.freshName("gc"); val mi = ctx.freshName("mi")
+      val mc = ctx.freshName("mc"); val gDots = ctx.freshName("gDots")
+      val groups = ctx.freshName("groups"); val ng = ctx.freshName("ng")
+      val cand = ctx.freshName("cand"); val cDots = ctx.freshName("cDots")
+      val cIds = ctx.freshName("cIds"); val ci = ctx.freshName("ci")
+      val out = ctx.freshName("out"); val np = ctx.freshName("np")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      val s = ctx.freshName("s"); val n = ctx.freshName("n")
+      val c = ctx.freshName("c"); val p = ctx.freshName("p")
+      val best = ctx.freshName("best"); val bestDot = ctx.freshName("bestDot")
+      val bestId = ctx.freshName("bestId"); val g = ctx.freshName("g")
+      val m = ctx.freshName("m"); val row = ctx.freshName("row")
+      s"""
+        |final double[][] $gc = $gMat;
+        |final int[][] $mi = $mIds;
+        |final double[][][] $mc = $mCents;
+        |final double[] $gDots = new double[$gc.length];
+        |for (int $i = 0; $i < $gc.length; $i++) {
+        |  final double[] $row = $gc[$i];
+        |  final int $n = java.lang.Math.min($row.length, $v.numElements());
+        |  double $s = 0.0;
+        |  for (int $d = 0; $d < $n; $d++) $s += $row[$d] * (double) $v.$get($d);
+        |  $gDots[$i] = $s;
+        |}
+        |final int $ng = java.lang.Math.min($nRoute, $gc.length);
+        |final int[] $groups = new int[$ng];
+        |for (int $p = 0; $p < $ng; $p++) {
+        |  int $best = -1; double $bestDot = Double.NEGATIVE_INFINITY;
+        |  for (int $i = 0; $i < $gDots.length; $i++) {
+        |    if ($gDots[$i] > $bestDot) { $best = $i; $bestDot = $gDots[$i]; }
+        |  }
+        |  $groups[$p] = $best;
+        |  $gDots[$best] = Double.NEGATIVE_INFINITY;
+        |}
+        |int $cand = 0;
+        |for (int $i = 0; $i < $ng; $i++) $cand += $mi[$groups[$i]].length;
+        |final double[] $cDots = new double[$cand];
+        |final int[] $cIds = new int[$cand];
+        |int $ci = 0;
+        |for (int $i = 0; $i < $ng; $i++) {
+        |  final int $g = $groups[$i];
+        |  for (int $m = 0; $m < $mi[$g].length; $m++) {
+        |    final double[] $row = $mc[$g][$m];
+        |    final int $n = java.lang.Math.min($row.length, $v.numElements());
+        |    double $s = 0.0;
+        |    for (int $d = 0; $d < $n; $d++) $s += $row[$d] * (double) $v.$get($d);
+        |    $cIds[$ci] = $mi[$g][$m]; $cDots[$ci] = $s; $ci++;
+        |  }
+        |}
+        |final int $np = java.lang.Math.min($nprobe, $cand);
+        |int[] $out = new int[$np];
+        |int ${ci}f = 0;
+        |for (int $p = 0; $p < $np; $p++) {
+        |  int $best = -1; double $bestDot = Double.NEGATIVE_INFINITY;
+        |  int $bestId = Integer.MAX_VALUE;
+        |  for (int $c = 0; $c < $cand; $c++) {
+        |    if ($cDots[$c] > $bestDot ||
+        |        ($cDots[$c] == $bestDot && $cIds[$c] < $bestId)) {
+        |      $best = $c; $bestDot = $cDots[$c]; $bestId = $cIds[$c];
+        |    }
+        |  }
+        |  if ($bestDot == Double.NEGATIVE_INFINITY) break; // only dup copies left
+        |  $out[${ci}f++] = $cIds[$best];
+        |  for (int $c = 0; $c < $cand; $c++) {
+        |    if ($cIds[$c] == $bestId) $cDots[$c] = Double.NEGATIVE_INFINITY;
+        |  }
+        |}
+        |if (${ci}f < $out.length) $out = java.util.Arrays.copyOf($out, ${ci}f);
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Float-packed vector store for the ANN verify paths: ids sorted for
   * binary search, vectors flattened row-major into ONE float[] (the
   * fixture embeddings are float32, so packing is LOSSLESS — the cosine
@@ -292,7 +488,20 @@ case class IvfCells(child: Expression, cents: Array[Array[Double]],
 final class PackedVecs(val ids: Array[Long], val flat: Array[Float],
                        val nrm: Array[Double], val dim: Int)
     extends Serializable {
-  def indexOf(id: Long): Int = java.util.Arrays.binarySearch(ids, id)
+  // DENSE-ID fast path (round 11): the verify stage is CPU-bound on
+  // billions of per-pair lookups, and two 21-probe binary searches per
+  // pair cost more than the 64-FMA cosine they feed. Contiguous ids
+  // (the common case for a freshly keyed corpus: ids sorted at pack
+  // time, so density is one O(1) check) resolve by offset instead;
+  // sparse stores keep the binary search.
+  private val dense: Boolean =
+    ids.length > 0 && ids(ids.length - 1) - ids(0) == ids.length - 1
+  private val base: Long = if (ids.length > 0) ids(0) else 0L
+  def indexOf(id: Long): Int =
+    if (dense) {
+      val i = id - base
+      if (i >= 0 && i < ids.length) i.toInt else -1
+    } else java.util.Arrays.binarySearch(ids, id)
   def cosine(ia: Int, ib: Int): Double = {
     var s = 0.0; var d = 0; val ba = ia * dim; val bb = ib * dim
     while (d < dim) {
@@ -413,6 +622,14 @@ object VectorExpressions {
   /** Top-`nprobe` IVF cell ids of an array<float|double> column. */
   def ivfCells(v: Column, cents: Array[Array[Double]], nprobe: Int): Column =
     Bridge.column(IvfCells(Bridge.expression(v), cents, nprobe))
+
+  /** Two-level routed top-`nprobe` IVF cell ids (see [[IvfRoutedCells]]). */
+  def ivfRoutedCells(v: Column, groupCents: Array[Array[Double]],
+                     memberIds: Array[Array[Int]],
+                     memberCents: Array[Array[Array[Double]]],
+                     nRoute: Int, nprobe: Int): Column =
+    Bridge.column(IvfRoutedCells(Bridge.expression(v), groupCents,
+                                 memberIds, memberCents, nRoute, nprobe))
 
   /** Broadcast-lookup cosine of two id columns against a [[PackedVecs]]. */
   def packedCosine(aId: Column, bId: Column,
