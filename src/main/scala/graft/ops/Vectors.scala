@@ -904,12 +904,16 @@ object Vectors {
             col("dv"), gc, mids, mcents, nRoute, nprobe)).as("cell"))
       }
     // data-sized exchange width (the LSH/IVF sizing rule): the in-cell
-    // pair stream is ≈ n·nprobe·target/2 rows; REPARTITION_BY_NUM pins
+    // pair stream is ≈ n·nprobe²·target/2 rows; REPARTITION_BY_NUM pins
     // the width against AQE's input-size coalescing, which sees only
-    // the small (cell, id) shuffle, not the pair blow-up
+    // the small (cell, id) shuffle, not the pair blow-up. Below 64
+    // needed partitions the session shuffle width already covers the
+    // stream — skip the pin (a forced 64-way exchange cost the fixture
+    // rung +0.5 s for nothing)
     val candEst = n * nprobe * nprobe * target / 2
     val candParts = math.max(64, math.min(8192, (candEst / 2000000L).toInt))
-    val exploded = assigned.repartition(candParts, col("cell"))
+    val exploded = if (candEst / 2000000L > 64) assigned.repartition(candParts, col("cell"))
+                   else assigned
     val cand = exploded.select(col("cell"), col("vec_id").as("a_id"))
       .join(exploded.select(col("cell"), col("vec_id").as("b_id")), Seq("cell"))
       .where(col("a_id") < col("b_id"))
