@@ -981,12 +981,6 @@ object TimeSeries {
     val daily = e.groupBy(col("event_type"), col("day"))
       .agg(sum(col("y1")).as("sd"), count(lit(1)).as("nd"))
     val byDay = Window.partitionBy("event_type").orderBy("day")
-    val anchors = daily.select(col("event_type"), col("day"),
-        lag(col("sd"), 1).over(byDay).as("s0"), lag(col("nd"), 1).over(byDay).as("n0"),
-        (lag(col("day"), 1).over(byDay) * 1440 + 720).as("x0"),
-        lead(col("sd"), 1).over(byDay).as("s2"), lead(col("nd"), 1).over(byDay).as("n2"),
-        (lead(col("day"), 1).over(byDay) * 1440 + 720).as("x2"))
-      .where(col("n0").isNotNull && col("n2").isNotNull)
     // triangle area in DECIMAL(38,0): at sf100 (55k events/day/type,
     // fixed-point sums ~3e10) the cross product exceeds int64 — ANSI
     // Spark errors loudly, DuckDB overflows (the sf100 sweep's catch;
@@ -997,11 +991,27 @@ object TimeSeries {
     // a correctly-rounded conversion of the same exact integer in both
     // engines (DuckDB mirrors: HUGEINT rank, DOUBLE readout), so the
     // argmax can never flip on float rounding at any scale.
-    val areaDec = expr(
-      """abs(
-        |  CAST(x1 - x0 AS DECIMAL(38,0)) * (CAST(s2 AS DECIMAL(38,0)) * n0 - CAST(s0 AS DECIMAL(38,0)) * n2)
-        |  - CAST(x2 - x0 AS DECIMAL(38,0)) * (CAST(y1 AS DECIMAL(38,0)) * n0 - s0) * n2
-        |)""".stripMargin)
+    //
+    // FOLDED form (round-11, verdict ask #7): the area
+    //   |(x1−x0)·C − (x2−x0)·(y1·n0 − s0)·n2|,  C = s2·n0 − s0·n2
+    // distributes into |x1·C − y1·D + F| with D = (x2−x0)·n0·n2 and
+    // F = (x2−x0)·s0·n2 − x0·C — C/D/F depend only on the ANCHOR row
+    // (days×types of them), so the per-candidate decimal128 work drops
+    // from ~6 multiplies to 2 multiplies + 2 adds on the same exact
+    // integers (algebraically identical value, bit-equal ranking; the
+    // DuckDB oracle keeps the unfolded spelling and hash-matches).
+    val anchors = daily.select(col("event_type"), col("day"),
+        lag(col("sd"), 1).over(byDay).as("s0"), lag(col("nd"), 1).over(byDay).as("n0"),
+        (lag(col("day"), 1).over(byDay) * 1440 + 720).as("x0"),
+        lead(col("sd"), 1).over(byDay).as("s2"), lead(col("nd"), 1).over(byDay).as("n2"),
+        (lead(col("day"), 1).over(byDay) * 1440 + 720).as("x2"))
+      .where(col("n0").isNotNull && col("n2").isNotNull)
+      .withColumn("c_d", expr(
+        "CAST(s2 AS DECIMAL(38,0)) * n0 - CAST(s0 AS DECIMAL(38,0)) * n2"))
+      .withColumn("d_d", expr("CAST(x2 - x0 AS DECIMAL(38,0)) * n0 * n2"))
+      .withColumn("f_d", expr(
+        "CAST(x2 - x0 AS DECIMAL(38,0)) * s0 * n2 - CAST(x0 AS DECIMAL(38,0)) * c_d"))
+    val areaDec = expr("abs(CAST(x1 AS DECIMAL(38,0)) * c_d - CAST(y1 AS DECIMAL(38,0)) * d_d + f_d)")
     val pick = Window.partitionBy("event_type", "day")
       .orderBy(col("area_dec").desc, col("event_id").asc)
     e.join(broadcast(anchors), Seq("event_type", "day"))
