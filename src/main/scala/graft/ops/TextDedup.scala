@@ -50,6 +50,45 @@ object TextDedup {
            sum(col("tot_chars") - col("keep_chars")).as("chars_saved"))
       .orderBy("n_copies")
 
+  /** Line-level dedup readout (round 11) — the C4/CCNet cleaning step
+    * the document-level family doesn't cover: boilerplate (nav bars,
+    * cookie banners, license headers) repeats at LINE granularity
+    * across otherwise-distinct documents, and the published recipe
+    * (C4: "discard every line that occurs more than once in the
+    * corpus") needs exactly this readout first — per document, how
+    * many of its lines are corpus-duplicated. Fixture documents are
+    * single-line word streams, so "lines" are the deterministic
+    * non-overlapping 8-token segments (the [[TextAnalysis.qTextChunk]]
+    * slicing discipline, stride = width = 8; a real corpus splits on
+    * newlines — same plan shape). Per doc: line count, lines whose
+    * md5 occurs >1× corpus-wide (within-doc repeats count, as in C4),
+    * and the 1e4 fixed-point dup ratio (integer div — engine-exact).
+    *
+    * Scale shape: one explode to (line_hash, doc_id) — 16-byte hashes,
+    * never text — a map-side-partial hash agg for the global counts,
+    * one hash-keyed join back, one per-doc agg. Everything shuffles on
+    * the line hash; at 100 TB this is the standard two-pass
+    * diffraction every line-dedup job runs, and the output stays
+    * O(docs). */
+  def qTextLineDedup(s: SparkSession, sf: String): DataFrame = {
+    val lines = Tables.documents(s, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .select(col("doc_id"), col("tk"), col("n"),
+        posexplode(sequence(lit(0L), (expr("(n + 7) div 8") - 1L) * 8L, lit(8L)))
+          .as(Seq("line_id", "start")))
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          slice(col("tk"), (col("start") + 1L).cast("int"), lit(8)))).as("lh"))
+    val cnt = lines.groupBy(col("lh")).agg(count(lit(1)).as("cnt"))
+    lines.join(cnt, "lh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+           sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_lines"))
+      .withColumn("dup_ratio_fp", expr("n_dup_lines * 10000 div n_lines"))
+      .orderBy("doc_id")
+  }
+
   /** Exact near-dup pairs: token-set Jaccard ≥ 0.6 between docs of the
     * same lang with |n_chars| within 25. The length band is implemented
     * as bucket-and-replicate (equi-join on (lang, bucket)), identical in

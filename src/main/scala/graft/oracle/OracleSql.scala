@@ -2845,6 +2845,28 @@ object OracleSql {
     FROM c
     ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC NULLS FIRST""")
 
+  val qTextLineDedup: String = n("""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS tk,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents),
+    u AS (
+      SELECT doc_id, tk, n, CAST(unnest(range((n + 7) // 8)) AS BIGINT) AS line_id
+      FROM d),
+    l AS (
+      SELECT doc_id,
+        md5(array_to_string(
+          list_slice(tk, line_id * 8 + 1, least(line_id * 8 + 8, n)), ' ')) AS lh
+      FROM u),
+    c AS (SELECT lh, COUNT(*) AS cnt FROM l GROUP BY 1)
+    SELECT doc_id, COUNT(*) AS n_lines,
+      CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+      CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000 // COUNT(*)
+        AS dup_ratio_fp
+    FROM l JOIN c USING (lh)
+    GROUP BY doc_id
+    ORDER BY doc_id ASC NULLS FIRST""")
+
   val qPipelineTokenBudget: String = n("""
     WITH d AS (
       SELECT doc_id, source,
