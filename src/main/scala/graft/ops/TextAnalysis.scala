@@ -1096,4 +1096,62 @@ object TextAnalysis {
       .withColumn("rate_scaled", expr("1000 * n_kept div n_total"))
       .orderBy("source")
   }
+
+  /** DSIR-style importance selection (round 11) — Data Selection via
+    * Importance Resampling (Xie et al. 2023, arXiv:2302.03169), the
+    * published hashed-n-gram recipe for steering a raw web pool toward
+    * a curated target distribution. Target = the declared curated
+    * shards (`src0..src3`); pool = everything else. Features are 256
+    * hashed unigram buckets (first two hex chars of md5(token) — the
+    * engine-portable [[graft.ops.Util.md5Bucket]] discipline); bucket
+    * log-likelihood ratios use add-one smoothing, and each ratio is
+    * snapped to an INTEGER ten-thousandth (round(ln(·)·10⁴) — one
+    * double ln per BUCKET, 256 total, then every per-doc accumulation
+    * is pure int64 Σ c·lr_fp: associative, merge-order-free,
+    * engine-exact; the paper's Gumbel resampling step is replaced by
+    * the deterministic top-⌊n/5⌋ cut, ties broken by doc_id, so the
+    * selection is shard-stable and oracle-checkable). The ln operands
+    * are cast to double BEFORE the cross-multiply so the ratio never
+    * overflows int64 at web-corpus token counts.
+    *
+    * Scale shape: the corpus explodes once through the shared
+    * [[docTokenCounts]] materialization; bucket aggregation is a
+    * map-side-partial hash agg down to ≤256·docs rows, the ratio frame
+    * is a CONSTANT 256 rows (broadcast unconditionally — model state,
+    * like the PQ codebooks), scoring is one broadcast-join + hash agg,
+    * and the top-K cut is a distributed TakeOrdered. Nothing
+    * data-sized crosses the wire except (doc, bucket, count) ints. */
+  def qSampleDsir(s: SparkSession, sf: String): DataFrame = {
+    val curated = Seq("src0", "src1", "src2", "src3")
+    val bucketed = docTokenCounts(s, sf)
+      .withColumn("bkt", substring(md5(col("token")), 1, 2))
+      .groupBy(col("doc_id"), col("source"), col("bkt"))
+      .agg(sum(col("c")).as("c"))
+    val pool = bucketed.where(!col("source").isInCollection(curated))
+    val tgt = bucketed.where(col("source").isInCollection(curated))
+      .groupBy(col("bkt")).agg(sum(col("c")).as("ct"))
+    val raw = pool.groupBy(col("bkt")).agg(sum(col("c")).as("cr"))
+    val nt = tgt.agg(sum(col("ct")).as("nt"))
+    val nr = raw.agg(sum(col("cr")).as("nr"))
+    // ratio frame: every POOL bucket (target-only buckets can never be
+    // scored, so the left join loses nothing); +1/+256 is add-one
+    // smoothing over the 256-bucket feature space
+    val lr = raw.join(tgt, Seq("bkt"), "left_outer")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("bkt"),
+        round(log((col("ct") + 1L).cast("double") * (col("nr") + 256L).cast("double")
+            / ((col("cr") + 1L).cast("double") * (col("nt") + 256L).cast("double")))
+          * 10000, 0).cast("long").as("lr_fp"))
+    val scored = pool.join(broadcast(lr), "bkt")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+           sum(col("c") * col("lr_fp")).as("score_fp"))
+    // K = ⌊scored docs / 5⌋ — counted off the aggregated (docs-sized)
+    // frame, a constant driver value like the rowCount cache reads
+    val k = (scored.count() / 5L).toInt
+    scored.orderBy(desc("score_fp"), asc("doc_id")).limit(k)
+      .select(col("doc_id"), col("n_tokens"), col("score_fp"))
+      .orderBy("doc_id")
+  }
 }

@@ -89,6 +89,45 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-source shingle-overlap matrix (round 11) — the
+    * corpus-versus-corpus readout every multi-dump curation run needs
+    * before mixing sources: how much of shard A's 8-gram mass already
+    * exists in shard B (the published CommonCrawl-snapshot-overlap /
+    * cross-dump dedup measurement — the doc-level family answers
+    * "which documents", this answers "which SOURCES are worth
+    * deduplicating against each other"). Per unordered source pair
+    * with any overlap: common distinct 8-grams, each side's distinct
+    * gram count, 1e4 fixed-point Jaccard and A-containment (integer
+    * div — engine-exact).
+    *
+    * Scale shape: the corpus shingles ONCE through the shared
+    * [[docGrams8]] materialization; (source, gram-md5) distinct is a
+    * map-side-partial hash agg (hashes shuffle, text never); the gram
+    * self-join fans out to at most sources² rows PER GRAM — bounded by
+    * the source-list size, never the corpus — and the output is
+    * O(sources²). The per-source size frame is sources-sized and
+    * broadcasts. */
+  def qTextSourceOverlap(s: SparkSession, sf: String): DataFrame = {
+    val src = Tables.documents(s, sf).select(col("doc_id"), col("source"))
+    val sg = docGrams8(s, sf)
+      .join(Util.gatedBroadcast(s, src,
+              estRows = Tables.rowCount(s, sf, "documents")), "doc_id")
+      .select(col("source"), col("gram")).distinct()
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val common = sg.select(col("source").as("src_a"), col("gram"))
+      .join(sg.select(col("source").as("src_b"), col("gram")), "gram")
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n_grams").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n_grams").as("n_b"))), "src_b")
+      .withColumn("jaccard_fp", expr("10000 * n_common div (n_a + n_b - n_common)"))
+      .withColumn("contain_a_fp", expr("10000 * n_common div n_a"))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"),
+              col("n_b"), col("jaccard_fp"), col("contain_a_fp"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Exact near-dup pairs: token-set Jaccard ≥ 0.6 between docs of the
     * same lang with |n_chars| within 25. The length band is implemented
     * as bucket-and-replicate (equi-join on (lang, bucket)), identical in

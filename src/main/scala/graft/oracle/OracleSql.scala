@@ -2867,6 +2867,66 @@ object OracleSql {
     GROUP BY doc_id
     ORDER BY doc_id ASC NULLS FIRST""")
 
+  val qSampleDsir: String = n("""
+    WITH dtc AS (
+      SELECT doc_id, source, token, COUNT(*) AS c FROM (
+        SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents) z
+      WHERE token <> '' GROUP BY 1, 2, 3),
+    b AS (
+      SELECT doc_id, source, substr(md5(token), 1, 2) AS bkt,
+        CAST(SUM(c) AS BIGINT) AS c
+      FROM dtc GROUP BY 1, 2, 3),
+    tgt AS (
+      SELECT bkt, CAST(SUM(c) AS BIGINT) AS ct FROM b
+      WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1),
+    pool AS (
+      SELECT * FROM b WHERE source NOT IN ('src0', 'src1', 'src2', 'src3')),
+    raw AS (SELECT bkt, CAST(SUM(c) AS BIGINT) AS cr FROM pool GROUP BY 1),
+    nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt FROM tgt),
+    nr AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr FROM raw),
+    lr AS (
+      SELECT r.bkt,
+        CAST(round(ln(
+          (CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) * CAST(nr.nr + 256 AS DOUBLE))
+          / (CAST(r.cr + 1 AS DOUBLE) * CAST(nt.nt + 256 AS DOUBLE)))
+          * 10000, 0) AS BIGINT) AS lr_fp
+      FROM raw r LEFT JOIN tgt t USING (bkt) CROSS JOIN nt CROSS JOIN nr),
+    scored AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(SUM(c * lr_fp) AS BIGINT) AS score_fp
+      FROM pool JOIN lr USING (bkt) GROUP BY 1),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id ASC) AS rk,
+        COUNT(*) OVER () AS n
+      FROM scored)
+    SELECT doc_id, n_tokens, score_fp FROM ranked WHERE rk * 5 <= n
+    ORDER BY doc_id ASC NULLS FIRST""")
+
+  val qTextSourceOverlap: String = n("""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS tk
+      FROM documents WHERE len(string_split(text, ' ')) >= 8),
+    g0 AS (
+      SELECT source,
+        unnest(list_transform(range(1, len(tk) - 6),
+          i -> md5(array_to_string(tk[i:i+7], ' ')))) AS gram
+      FROM t),
+    g AS (SELECT DISTINCT source, gram FROM g0),
+    sizes AS (SELECT source, COUNT(*) AS n_grams FROM g GROUP BY 1),
+    common AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM g a JOIN g b USING (gram) WHERE a.source < b.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, n_common,
+      sa.n_grams AS n_a, sb.n_grams AS n_b,
+      n_common * 10000 // (sa.n_grams + sb.n_grams - n_common) AS jaccard_fp,
+      n_common * 10000 // sa.n_grams AS contain_a_fp
+    FROM common
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    ORDER BY src_a ASC NULLS FIRST, src_b ASC NULLS FIRST""")
+
   val qPipelineTokenBudget: String = n("""
     WITH d AS (
       SELECT doc_id, source,

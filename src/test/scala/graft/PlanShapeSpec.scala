@@ -332,6 +332,9 @@ class PlanShapeSpec extends SparkSpec {
       // buckets ride q_text_unigram_lm's audited 1-row nn total
       "q_sample_temperature", "q_text_perplexity_buckets",
       "q_sample_upsample",
+      // round-11: 1-row (nt)/(nr) corpus-total frames building the
+      // constant 256-row DSIR bucket log-ratio table
+      "q_sample_dsir",
       // k-row / calendar-bounded broadcast strips (centroids, bounds,
       // lag offsets, last-2-weeks, ≤365-day theta self-join)
       "a_agg_hll_intersect", "q_embed_interdist", "q_embed_silhouette",
@@ -615,6 +618,27 @@ class PlanShapeSpec extends SparkSpec {
            s"the domain-rate frame must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
            "membership must never sort-merge the corpus against 20 rates")
+  }
+
+  test("q_sample_dsir: the 256-row log-ratio table broadcasts; scoring never sort-merges the corpus") {
+    val df = TextAnalysis.qSampleDsir(spark, sf)
+    df.collect() // finalize AQE before reading the plan
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+           s"the constant bucket-ratio frame must ride a broadcast join:\n$p")
+    // the only sort-merge-eligible joins are bucket-keyed 256-row
+    // frames — none of them may degrade to a corpus-wide sort
+    assert(!p.contains("SortMergeJoin"),
+           s"DSIR scoring must never sort-merge on the bucket key:\n$p")
+  }
+
+  test("q_text_source_overlap: gram self-join is hash-keyed; size frames broadcast") {
+    val df = TextDedup.qTextSourceOverlap(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("HashAggregate"), s"distinct/count must hash-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+           s"the pair matrix must come from the gram equi-join, never a cross:\n$p")
   }
 
   test("q_sql_pipe: pipe syntax plans exactly like the nested SELECT (pushdown + hash agg)") {
