@@ -141,6 +141,12 @@ object ClusterProof {
       // side too); the protocol sizes shuffles to the data like the
       // engine's own loops do
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // the round-7 sf10 posture (Bench.scala:32): shuffles START wide
+      // enough that each task's partition fits its execution-memory
+      // share at 100× data, and AQE coalesces the small stages back
+      // down — without it q_graph_triangles' sf10 hash-agg states
+      // overflow the 32-way width this proof otherwise pins
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       // the sf100 rung protocol's storage/execution split: heavy keys'
       // hash-agg states need the execution share; block-cached frames
       // spill to executor-local disk instead of squeezing it
@@ -321,8 +327,13 @@ object ClusterProof {
     }
     val allKeys = strict ++ sketch
     val shuffleParts = if (mode == "heavy" || mode == "full") 32 else 8
-    println(s"[cluster-proof] phase 1: local[8] baseline over ${allKeys.size} keys")
-    val (localRes, _) = runPhase("local[8]", sfDir, allKeys, shuffleParts)
+    // GRAFT_LOCAL_MASTER: the phase-1 baseline master — local[8] by
+    // protocol; the sf10 heavy rung raises it to local[16] so the
+    // baseline pass finishes inside the session budget (core count
+    // never changes results — that is what this proof certifies)
+    val localMaster = sys.env.getOrElse("GRAFT_LOCAL_MASTER", "local[8]")
+    println(s"[cluster-proof] phase 1: $localMaster baseline over ${allKeys.size} keys")
+    val (localRes, _) = runPhase(localMaster, sfDir, allKeys, shuffleParts)
     println(s"[cluster-proof] phase 2: $clusterMaster (separate executor JVMs)")
     // GRAFT_KILL_AFTER=<n>: SIGKILL one executor JVM after the nth
     // cluster-phase key — the deliberate executor-loss proof for the
