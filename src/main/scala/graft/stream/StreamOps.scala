@@ -1165,6 +1165,80 @@ object StreamOps {
         OutputMode.Append())
   }
 
+  /** One exploded line entering the standing line index. */
+  case class LineRow(lineKey: Long, docId: Long, lineId: Long)
+
+  /** First-occurrence record held per line hash. */
+  case class FirstSeen(docId: Long, lineId: Long)
+
+  /** A corpus-duplicated line occurrence: (docId, lineId) repeats a
+    * line first seen at (firstDocId, firstLineId). */
+  case class LineDup(docId: Long, lineId: Long,
+                     firstDocId: Long, firstLineId: Long)
+
+  /** Keyed by line hash; ValueState holds the first occurrence ever
+    * seen, every later occurrence emits a dup hit. The (docId, lineId)
+    * equality check makes replayed batches no-ops (the first
+    * occurrence can never flag itself). */
+  private class LineDedupProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, LineRow, LineDup] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var first: org.apache.spark.sql.streaming.ValueState[FirstSeen] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      first = getHandle.getValueState[FirstSeen](
+        "first", E.product[FirstSeen], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[LineRow],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[LineDup] = {
+      var f = if (first.exists()) first.get() else null
+      val out = Seq.newBuilder[LineDup]
+      // grouping is guaranteed, intra-key order is not — (docId, lineId)
+      // order makes the chosen first occurrence deterministic
+      rows.toSeq.sortBy(r => (r.docId, r.lineId)).foreach { r =>
+        if (f == null) { f = FirstSeen(r.docId, r.lineId); first.update(f) }
+        else if (f.docId != r.docId || f.lineId != r.lineId)
+          out += LineDup(r.docId, r.lineId, f.docId, f.lineId)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** s_stream_line_dedup: STREAMING line-level dedup against a standing
+    * line-hash index — the streaming twin of `q_text_line_dedup`
+    * (C4's "discard every line that occurs more than once in the
+    * corpus" runs online at ingest: boilerplate seen in batch N−k must
+    * flag batch N's copy). Same deterministic 8-token line slicing as
+    * the batch op; each line's xxhash64 keys a RocksDB ValueState
+    * holding its FIRST occurrence, and every later occurrence — within
+    * a doc, across docs, or across micro-batches — emits a dup hit
+    * carrying the keeper's coordinates. Only (hash, 2 ids) crosses the
+    * shuffle; text never leaves the map side. State is O(distinct
+    * lines) by the same declared unbounded-history contract as
+    * [[highWaterMarks]] — a production deployment adds TTLConfig to
+    * age out cold lines. Requires the RocksDB state store. */
+  def lineDedupIndex(docs: DataFrame): Dataset[LineDup] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id").cast("long").as("docId"),
+              split(col("text"), " ").as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .where(col("n") >= 1L)
+      .select(col("docId"), col("tk"),
+        posexplode(sequence(lit(0L), (expr("(n + 7) div 8") - 1L) * 8L, lit(8L)))
+          .as(Seq("lineId", "start")))
+      .select(
+        xxhash64(concat_ws(" ",
+          slice(col("tk"), (col("start") + 1L).cast("int"), lit(8)))).as("lineKey"),
+        col("docId"), col("lineId").cast("long").as("lineId"))
+      .as[LineRow]
+      .groupByKey(_.lineKey)
+      .transformWithState(new LineDedupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** s_stream_cdc_upsert: streaming CDC MERGE — maintain a key→latest
     * snapshot on plain parquet across micro-batches (the streaming form
     * of `q_upsert_snapshot`, and the shape a warehouse sink's keyed

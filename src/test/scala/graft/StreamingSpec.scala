@@ -855,6 +855,37 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("s_stream_line_dedup: boilerplate line indexed in batch N-k flags batch N's copy; keeper never flags itself") {
+    withRocksDB {
+      import spark.implicits._
+      // 8-token "lines" per the batch op's slicing discipline
+      val banner = "accept all cookies to continue reading this site"
+      val bodyA = "columnar scan kernels prune row groups by zone"
+      val bodyB = "watermark state expires after thirty minutes of idle"
+      val in = MemoryStream[(Long, String)](spark)
+      val docs = in.toDF().toDF("doc_id", "text")
+      val hits = StreamOps.lineDedupIndex(docs)
+      val q = hits.writeStream.format("memory").queryName("line_hits")
+        .outputMode("append").start()
+      try {
+        in.addData((1L, s"$banner $bodyA")) // batch 0: index only
+        q.processAllAvailable()
+        assert(spark.table("line_hits").count() == 0,
+               "first occurrences must never flag")
+        // batch 1: doc 2 repeats the banner (line 0) and repeats its
+        // own second line within the doc (lines 1 and 2 identical)
+        in.addData((2L, s"$banner $bodyB $bodyB"))
+        q.processAllAvailable()
+        val found = spark.table("line_hits")
+          .select("docId", "lineId", "firstDocId", "firstLineId").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(found == Set((2L, 0L, 1L, 0L),   // cross-batch banner hit
+                            (2L, 2L, 2L, 1L)),  // within-doc repeat
+               s"expected banner + within-doc dup hits, got $found")
+      } finally q.stop()
+    }
+  }
+
   test("s_stream_jdbc_sink: foreachBatch through JdbcAppendSink round-trips an embedded warehouse") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc").toString
