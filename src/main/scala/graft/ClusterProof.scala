@@ -107,12 +107,9 @@ object ClusterProof {
     "a_dedup_minhash", "a_sim_ann_ivf", "a_dedup_bloom_contam",
     "a_embed_kmeans", "a_dedup_simhash", "a_sim_ann_lsh")
 
-  /** Canonical driver-side hash: rows rendered with bit-exact numeric
-    * encodings, sorted, md5'd — row order normalized so partition
-    * arrival nondeterminism can't flip the hash. */
-  def resultHash(df: DataFrame): (Long, String) = {
-    val rows = df.collect()
-    def render(v: Any): String =
+  /** Bit-exact per-cell rendering shared by the multiset hash — a
+    * value renders identically on any JVM or executor. */
+  private[graft] def render(v: Any): String =
       if (v == null) "\u0000null" else v match {
         case d: java.lang.Double => java.lang.Double.doubleToLongBits(d).toString
         case f: java.lang.Float  => java.lang.Float.floatToIntBits(f).toString
@@ -123,12 +120,33 @@ object ClusterProof {
         case b: Array[Byte]      => b.map("%02x".format(_)).mkString
         case other               => other.toString
       }
-    val rendered = rows.map { r =>
-      (0 until r.length).map(i => render(r.get(i))).mkString("")
-    }.sorted
-    val md = java.security.MessageDigest.getInstance("MD5")
-    rendered.foreach(s => md.update(s.getBytes("UTF-8")))
-    (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
+
+  /** Canonical DISTRIBUTED result hash: each row renders with bit-exact
+    * numeric encodings (cells joined on the \u0001 separator, as
+    * before) and md5s to a 128-bit integer ON THE EXECUTORS; rows
+    * combine by count + exact integer sum — a multiset hash, so the
+    * value is independent of row order, partitioning, and executor
+    * placement (the same properties the old collect-sort-md5
+    * normalized), and equal hashes still mean bit-identical row
+    * multisets. The sf10 heavy rung forced this form: collecting an
+    * ANSWER-sized frame (q_multimodal_neardup's ~10⁸ pairs at sf10)
+    * single-threaded through the driver was the proof's wall, while
+    * only (count, 16-byte sum) needs to leave the cluster. */
+  def resultHash(df: DataFrame): (Long, String) = {
+    val (n, sum) = df.rdd.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var c = 0L
+      var s = BigInt(0)
+      it.foreach { r =>
+        md.reset()
+        md.update((0 until r.length).map(i => render(r.get(i)))
+          .mkString("").getBytes("UTF-8"))
+        c += 1
+        s += BigInt(1, md.digest())
+      }
+      Iterator.single((c, s))
+    }.fold((0L, BigInt(0))) { case ((c1, s1), (c2, s2)) => (c1 + c2, s1 + s2) }
+    (n, sum.toString(16))
   }
 
   def buildSession(master: String, shufflePartitions: Int = 8): SparkSession = {
@@ -184,8 +202,10 @@ object ClusterProof {
     try {
       val nExec = s.sparkContext.getExecutorMemoryStatus.size
       val res = keys.map { k =>
-        val df = SparkEntry.queries(k)(s, sfDir)
-        k -> resultHash(df)
+        val t0 = System.nanoTime()
+        val h = resultHash(SparkEntry.queries(k)(s, sfDir))
+        println(f"[cluster-proof]   $k: rows=${h._1} ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        k -> h
       }.toMap
       (res, nExec)
     } finally {
@@ -370,7 +390,12 @@ object ClusterProof {
       val cRes = allKeys.map { k =>
         if (killAfter.contains(i)) killOneExecutor(s.sparkContext.applicationId)
         i += 1
-        k -> (try resultHash(SparkEntry.queries(k)(s, sfDir)) catch {
+        val t0 = System.nanoTime()
+        k -> (try {
+          val h = resultHash(SparkEntry.queries(k)(s, sfDir))
+          println(f"[cluster-proof]   $k: rows=${h._1} ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          h
+        } catch {
           case e: Throwable =>
             println(s"[cluster-proof] $k FAILED under $clusterMaster: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
             (-1L, s"ERROR:${e.getClass.getSimpleName}")
