@@ -133,7 +133,17 @@ object ClusterProof {
     * single-threaded through the driver was the proof's wall, while
     * only (count, 16-byte sum) needs to leave the cluster. */
   def resultHash(df: DataFrame): (Long, String) = {
-    val (n, sum) = df.rdd.mapPartitions { it =>
+    // the multiset hash is ORDER-FREE, so a top-level presentation Sort
+    // adds nothing to the equality check while costing a full
+    // range-exchange + external sort of the ANSWER (q_multimodal_neardup's
+    // sf10 answer spilled ~50 GB sorting ~10⁸ pairs before this strip);
+    // inner sorts (windows, per-group orderings) are semantics and stay
+    val base = df.queryExecution.analyzed match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global =>
+        org.apache.spark.sql.graftbridge.Bridge.ofRows(df.sparkSession, s.child)
+      case _ => df
+    }
+    val (n, sum) = base.rdd.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       var c = 0L
       var s = BigInt(0)
