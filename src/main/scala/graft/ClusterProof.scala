@@ -169,6 +169,23 @@ object ClusterProof {
       // side too); the protocol sizes shuffles to the data like the
       // engine's own loops do
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // local-cluster's memoryPerWorker only sizes the WORKER's offer —
+      // executor heaps come from spark.executor.memory (default 1g,
+      // silently starving the heavy rungs); GRAFT_EXECUTOR_MEM pins it
+      .config("spark.executor.memory",
+        sys.env.getOrElse("GRAFT_EXECUTOR_MEM", "2048m"))
+      // executor-loss resilience, the posture a real cluster runs with:
+      // a SIGKILLed executor can linger through its shutdown long enough
+      // to reject several rescheduled task attempts
+      // (RejectedExecutionException), and the default 4 maxFailures all
+      // land on the dying JVM before it leaves the pool — observed at
+      // the sf10 kill rung. Exclusion pulls the sick executor out of
+      // scheduling after 2 failed attempts; the raised budget absorbs
+      // the window in between.
+      .config("spark.task.maxFailures", "8")
+      .config("spark.excludeOnFailure.enabled", "true")
+      .config("spark.excludeOnFailure.task.maxTaskAttemptsPerExecutor", "2")
+      .config("spark.excludeOnFailure.stage.maxFailedTasksPerExecutor", "2")
       // the round-7 sf10 posture (Bench.scala:32): shuffles START wide
       // enough that each task's partition fits its execution-memory
       // share at 100× data, and AQE coalesces the small stages back
@@ -214,7 +231,7 @@ object ClusterProof {
       val res = keys.map { k =>
         val t0 = System.nanoTime()
         val h = resultHash(SparkEntry.queries(k)(s, sfDir))
-        println(f"[cluster-proof]   $k: rows=${h._1} ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        println(f"[cluster-proof]   $k: rows=${h._1} hash=${h._2} ${(System.nanoTime() - t0) / 1e9}%.1f s")
         k -> h
       }.toMap
       (res, nExec)
@@ -362,8 +379,32 @@ object ClusterProof {
     // baseline pass finishes inside the session budget (core count
     // never changes results — that is what this proof certifies)
     val localMaster = sys.env.getOrElse("GRAFT_LOCAL_MASTER", "local[8]")
-    println(s"[cluster-proof] phase 1: $localMaster baseline over ${allKeys.size} keys")
-    val (localRes, _) = runPhase(localMaster, sfDir, allKeys, shuffleParts)
+    // GRAFT_PHASE1_CACHE=<path>: reuse a completed baseline when a
+    // CLUSTER-phase defect forces a retry (an sf10 baseline costs ~1 h;
+    // the hashes are deterministic by the engine's own contract, which
+    // is exactly what this proof certifies)
+    val cachePath = sys.env.get("GRAFT_PHASE1_CACHE")
+    val localRes: Map[String, (Long, String)] =
+      cachePath.filter(p => new java.io.File(p).exists()) match {
+        case Some(p) =>
+          println(s"[cluster-proof] phase 1: cached baseline from $p")
+          val src = scala.io.Source.fromFile(p)
+          val m = try src.getLines().map { l =>
+            val a = l.split("\t"); a(0) -> ((a(1).toLong, a(2))) }.toMap
+          finally src.close()
+          require(allKeys.forall(m.contains),
+            "phase-1 cache is missing keys for this mode — delete it and rerun")
+          m
+        case None =>
+          println(s"[cluster-proof] phase 1: $localMaster baseline over ${allKeys.size} keys")
+          val (r, _) = runPhase(localMaster, sfDir, allKeys, shuffleParts)
+          cachePath.foreach { p =>
+            val w = new java.io.PrintWriter(p)
+            try r.foreach { case (k, (n, h)) => w.println(s"$k\t$n\t$h") }
+            finally w.close()
+          }
+          r
+      }
     println(s"[cluster-proof] phase 2: $clusterMaster (separate executor JVMs)")
     // GRAFT_KILL_AFTER=<n>: SIGKILL one executor JVM after the nth
     // cluster-phase key — the deliberate executor-loss proof for the
