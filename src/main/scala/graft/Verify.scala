@@ -31,6 +31,15 @@ object Verify {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Ladder-protocol hook, mirrored from Bench (local iteration only —
+    // the driver sets no env): SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies
+    // graft.* session confs so forced-path rungs dump REAL outputs for
+    // drop-parity counts, not just spec assertions.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+      System.err.println(s"[verify] extra conf: $k=$v")
+    })
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /** Native codegen vector kernels (SURVEY.md §2.11 similarity ops).
   *
@@ -605,6 +605,133 @@ case class PairContains(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** Per-GROUP top-`nprobe` cell selection for the DISTRIBUTED two-level
+  * quantizer (the round-11 verdict's driver-residency envelope on
+  * [[IvfRoutedCells]]): past `graft.semantic.driverMaxK` cells the
+  * codebook no longer rides the plan as a reference object — each
+  * routing group's member cells travel as ONE row of the membership
+  * frame (`mem_ids: array<int>` ascending, `mem_flat: array<double>`
+  * row-major, dim = |flat|/|ids|), and this expression runs stage 2 of
+  * the routed kernel inside the group join's codegen span: dot the
+  * vector against every member row of the flat slab and keep the
+  * top-`nprobe` by (dot strict-greater, lowest cell id on ties) — the
+  * identical selection rule as the kernel, so merging the per-group
+  * winners across a vector's probed groups (equal-dot duplicate spill
+  * copies collapse under `array_distinct`) reproduces the routed
+  * kernel's cell list exactly. Output stays `nprobe` structs per
+  * (vector, group) row — the 2 MB member slab never copies into the
+  * join output. */
+case class GroupTopCells(first: Expression, second: Expression,
+                         third: Expression, nprobe: Int)
+    extends TernaryExpression {
+  override def prettyName: String = "graft_group_top_cells"
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("cell", IntegerType, nullable = false),
+                   StructField("dot", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _) | ArrayType(FloatType, _),
+            ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float|double>, array<int>, " +
+          s"array<double>), got (${a.sql}, ${b.sql}, ${c.sql})")
+    }
+
+  private def isFloat: Boolean = first.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(v0: Any, ids0: Any, flat0: Any): Any = {
+    val v = v0.asInstanceOf[ArrayData]
+    val ids = ids0.asInstanceOf[ArrayData]
+    val flat = flat0.asInstanceOf[ArrayData]
+    val m = ids.numElements()
+    val dim = if (m == 0) 0 else flat.numElements() / m
+    val dots = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      var s = 0.0; var d = 0
+      val n = math.min(dim, v.numElements())
+      while (d < n) {
+        s += flat.getDouble(i * dim + d) *
+          (if (isFloat) v.getFloat(d).toDouble else v.getDouble(d))
+        d += 1
+      }
+      dots(i) = s
+      i += 1
+    }
+    val np = math.min(nprobe, m)
+    val out = new Array[Any](np)
+    var p = 0
+    while (p < np) {
+      var bi = -1; var bestDot = Double.NegativeInfinity; var bestId = Int.MaxValue
+      var c = 0
+      while (c < m) {
+        if (dots(c) > bestDot ||
+            (dots(c) == bestDot && ids.getInt(c) < bestId)) {
+          bi = c; bestDot = dots(c); bestId = ids.getInt(c)
+        }
+        c += 1
+      }
+      out(p) = org.apache.spark.sql.catalyst.InternalRow(bestId, bestDot)
+      dots(bi) = Double.NegativeInfinity
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (v, idsA, flatA) => {
+      val m = ctx.freshName("m"); val dim = ctx.freshName("dim")
+      val dots = ctx.freshName("dots"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val s = ctx.freshName("s")
+      val n = ctx.freshName("n"); val np = ctx.freshName("np")
+      val out = ctx.freshName("out"); val p = ctx.freshName("p")
+      val c = ctx.freshName("c"); val bi = ctx.freshName("bi")
+      val bestDot = ctx.freshName("bestDot"); val bestId = ctx.freshName("bestId")
+      s"""
+        |final int $m = $idsA.numElements();
+        |final int $dim = ($m == 0) ? 0 : $flatA.numElements() / $m;
+        |final double[] $dots = new double[$m];
+        |final int $n = java.lang.Math.min($dim, $v.numElements());
+        |for (int $i = 0; $i < $m; $i++) {
+        |  double $s = 0.0;
+        |  for (int $d = 0; $d < $n; $d++) {
+        |    $s += $flatA.getDouble($i * $dim + $d) * (double) $v.$get($d);
+        |  }
+        |  $dots[$i] = $s;
+        |}
+        |final int $np = java.lang.Math.min($nprobe, $m);
+        |final Object[] $out = new Object[$np];
+        |for (int $p = 0; $p < $np; $p++) {
+        |  int $bi = -1; double $bestDot = Double.NEGATIVE_INFINITY;
+        |  int $bestId = Integer.MAX_VALUE;
+        |  for (int $c = 0; $c < $m; $c++) {
+        |    if ($dots[$c] > $bestDot ||
+        |        ($dots[$c] == $bestDot && $idsA.getInt($c) < $bestId)) {
+        |      $bi = $c; $bestDot = $dots[$c]; $bestId = $idsA.getInt($c);
+        |    }
+        |  }
+        |  $out[$p] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        |    new Object[]{$bestId, $bestDot});
+        |  $dots[$bi] = Double.NEGATIVE_INFINITY;
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
 object VectorExpressions {
   /** Codegen dot product of two array<float|double> columns. */
   def dotProduct(a: Column, b: Column): Column =
@@ -630,6 +757,13 @@ object VectorExpressions {
                      nRoute: Int, nprobe: Int): Column =
     Bridge.column(IvfRoutedCells(Bridge.expression(v), groupCents,
                                  memberIds, memberCents, nRoute, nprobe))
+
+  /** Stage-2 routed selection against ONE group's member slab riding as
+    * row data (see [[GroupTopCells]] — the distributed-codebook path). */
+  def groupTopCells(v: Column, memIds: Column, memFlat: Column,
+                    nprobe: Int): Column =
+    Bridge.column(GroupTopCells(Bridge.expression(v), Bridge.expression(memIds),
+                                Bridge.expression(memFlat), nprobe))
 
   /** Broadcast-lookup cosine of two id columns against a [[PackedVecs]]. */
   def packedCosine(aId: Column, bId: Column,

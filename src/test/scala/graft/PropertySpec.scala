@@ -232,6 +232,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup DISTRIBUTED codebook (forced): exhaustive = flat bit-exact, pruned parity, precision 1.0, deterministic") {
+    // the distributed-codebook path only engages past driverMaxK =
+    // 131072 cells (n > 32M vectors) in production — force it onto the
+    // fixture. Part 1 probes EVERY group: seeding (min-k rank),
+    // fixed-point recentering, left-fold normalization, and the
+    // (dot strict-greater, lowest-cell-on-ties) selection all mirror
+    // the flat path bit-for-bit, and exhaustive routing visits every
+    // cell through the slab join — so drops must be ROW-IDENTICAL to
+    // the flat path's. Seed-rule drift, slab mis-wiring, or a merge
+    // tie-rule bug fails as a row diff here, not as a fuzzy bound.
+    val exact = Vectors.qDedupEmbed(spark, sf)
+    val flatDefault = Vectors.aDedupSemantic(spark, sf)
+    try {
+      spark.conf.set("graft.semantic.flatMaxK", "1")
+      spark.conf.set("graft.semantic.driverMaxK", "1")
+      spark.conf.set("graft.semantic.routeProbes", "999")
+      val distAll = Vectors.aDedupSemantic(spark, sf)
+      assert(distAll.except(flatDefault).count() == 0 &&
+             flatDefault.except(distAll).count() == 0,
+        "exhaustive distributed codebook must reproduce the flat drops bit-exactly")
+      // Part 2 — REAL pruning (clusterTarget=8 → √k groups, 3 probed):
+      // precision 1.0 by construction (every drop exact-cosine
+      // verified), drop-count parity within 10% of the flat path at
+      // the same k (divergence = routing misses under the distributed
+      // group geometry), reruns bit-stable. The production parity
+      // number (±0.1%) is the measured sf100 ladder's.
+      spark.conf.set("graft.semantic.clusterTarget", "8")
+      spark.conf.unset("graft.semantic.driverMaxK")
+      spark.conf.unset("graft.semantic.flatMaxK")
+      spark.conf.unset("graft.semantic.routeProbes")
+      val flatK = Vectors.aDedupSemantic(spark, sf).count()
+      spark.conf.set("graft.semantic.flatMaxK", "1")
+      spark.conf.set("graft.semantic.driverMaxK", "1")
+      spark.conf.set("graft.semantic.routeProbes", "3")
+      val drops = Vectors.aDedupSemantic(spark, sf)
+      assert(drops.select(col("kept_for").as("a_id"), col("vec_id").as("b_id"))
+        .except(exact.select("a_id", "b_id")).count() == 0,
+        "a distributed-path drop is not an exact near-dup pair")
+      val nDrops = drops.count()
+      assert(math.abs(nDrops - flatK).toDouble / flatK <= 0.1,
+        s"distributed drop count $nDrops vs flat-at-same-k $flatK exceeds 10% fixture parity")
+      assert(drops.except(Vectors.aDedupSemantic(spark, sf)).count() == 0)
+    } finally {
+      spark.conf.unset("graft.semantic.clusterTarget")
+      spark.conf.unset("graft.semantic.flatMaxK")
+      spark.conf.unset("graft.semantic.driverMaxK")
+      spark.conf.unset("graft.semantic.routeProbes")
+    }
+  }
+
   test("IVF-ANN recall >= 0.8 against the exact embed-dedup twin") {
     val exact = Vectors.qDedupEmbed(spark, sf).select("a_id", "b_id")
     val ivf = Vectors.aSimAnnIvf(spark, sf).select("a_id", "b_id")
