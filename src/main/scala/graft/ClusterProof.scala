@@ -122,8 +122,12 @@ object ClusterProof {
       }
 
   /** Canonical DISTRIBUTED result hash: each row renders with bit-exact
-    * numeric encodings (cells joined on the \u0001 separator, as
-    * before) and md5s to a 128-bit integer ON THE EXECUTORS; rows
+    * numeric encodings (each cell framed by
+    * its LENGTH before hashing — length-prefix framing, strictly
+    * stronger than the previous \u0001 join: ("ab","c") vs ("a","bc")
+    * differ by frame, and a cell whose CONTENT contains the separator
+    * can no longer alias a boundary; round-11 ADVICE) and md5s to a
+    * 128-bit integer ON THE EXECUTORS; rows
     * combine by count + exact integer sum — a multiset hash, so the
     * value is independent of row order, partitioning, and executor
     * placement (the same properties the old collect-sort-md5
@@ -149,8 +153,13 @@ object ClusterProof {
       var s = BigInt(0)
       it.foreach { r =>
         md.reset()
-        md.update((0 until r.length).map(i => render(r.get(i)))
-          .mkString("").getBytes("UTF-8"))
+        var ci = 0
+        while (ci < r.length) {
+          val cell = render(r.get(ci)).getBytes("UTF-8")
+          md.update((cell.length + ":").getBytes("UTF-8"))
+          md.update(cell)
+          ci += 1
+        }
         c += 1
         s += BigInt(1, md.digest())
       }
@@ -374,6 +383,32 @@ object ClusterProof {
     }
     val allKeys = strict ++ sketch
     val shuffleParts = if (mode == "heavy" || mode == "full") 32 else 8
+    // FAIL-FAST executor-memory check (round-11 ADVICE): local-cluster's
+    // memoryPerWorker caps what a worker can OFFER — an executor asking
+    // for more never registers and phase 2 hangs at its first job
+    // instead of erroring (the nExec require only runs after the keys).
+    def memMb(v: String): Long = {
+      val t = v.trim.toLowerCase
+      val (num, mult) = t.last match {
+        case 'k' => (t.init, 1L)        // KiB → ~0 MB, floor below
+        case 'm' => (t.init, 1L)
+        case 'g' => (t.init, 1024L)
+        case 't' => (t.init, 1024L * 1024L)
+        case _   => (t, 1L)             // plain = MiB (Spark memory conf rule)
+      }
+      val base = num.toLong * mult
+      if (t.last == 'k') math.max(base / 1024L, 1L) else base
+    }
+    "local-cluster\\[\\d+,\\d+,(\\d+)\\]".r.findFirstMatchIn(clusterMaster)
+      .foreach { m =>
+        val workerMb = m.group(1).toLong
+        val execMb = memMb(sys.env.getOrElse("GRAFT_EXECUTOR_MEM", "2048m"))
+        require(execMb <= workerMb,
+          s"GRAFT_EXECUTOR_MEM=${execMb}m exceeds the local-cluster worker's " +
+            s"memoryPerWorker=${workerMb}m — no executor would ever register " +
+            s"and phase 2 would hang; raise the master string's MB field or " +
+            s"lower GRAFT_EXECUTOR_MEM")
+      }
     // GRAFT_LOCAL_MASTER: the phase-1 baseline master — local[8] by
     // protocol; the sf10 heavy rung raises it to local[16] so the
     // baseline pass finishes inside the session budget (core count
@@ -382,16 +417,36 @@ object ClusterProof {
     // GRAFT_PHASE1_CACHE=<path>: reuse a completed baseline when a
     // CLUSTER-phase defect forces a retry (an sf10 baseline costs ~1 h;
     // the hashes are deterministic by the engine's own contract, which
-    // is exactly what this proof certifies)
+    // is exactly what this proof certifies). The file is STAMPED
+    // (round-11 ADVICE, the medium): a validated header carries sfDir,
+    // mode, git commit, and the hash-format version — a cache from a
+    // different scale factor, mode, or engine build would otherwise
+    // silently substitute the certified baseline and turn the
+    // strict_hash_equal verdict into noise.
     val cachePath = sys.env.get("GRAFT_PHASE1_CACHE")
+    val hashFmt = "v2-lenframe-multiset"
+    def gitCommit: String =
+      try {
+        val pr = Runtime.getRuntime.exec(Array("git", "rev-parse", "HEAD"))
+        val out = scala.io.Source.fromInputStream(pr.getInputStream).mkString.trim
+        if (pr.waitFor() == 0 && out.nonEmpty) out else "unknown"
+      } catch { case _: Exception => "unknown" }
+    def cacheHeader: String =
+      s"#graft-phase1\tfmt=$hashFmt\tsf=$sfDir\tmode=$mode\tcommit=$gitCommit"
     val localRes: Map[String, (Long, String)] =
       cachePath.filter(p => new java.io.File(p).exists()) match {
         case Some(p) =>
           println(s"[cluster-proof] phase 1: cached baseline from $p")
           val src = scala.io.Source.fromFile(p)
-          val m = try src.getLines().map { l =>
+          val lines = try src.getLines().toVector finally src.close()
+          val expected = cacheHeader
+          require(lines.headOption.contains(expected),
+            s"phase-1 cache header mismatch: cache says " +
+              s"'${lines.headOption.getOrElse("<empty>")}' but this run needs " +
+              s"'$expected' (sfDir/mode/commit/hash-format must all match) — " +
+              "delete the cache and rerun")
+          val m = lines.tail.map { l =>
             val a = l.split("\t"); a(0) -> ((a(1).toLong, a(2))) }.toMap
-          finally src.close()
           require(allKeys.forall(m.contains),
             "phase-1 cache is missing keys for this mode — delete it and rerun")
           m
@@ -400,8 +455,10 @@ object ClusterProof {
           val (r, _) = runPhase(localMaster, sfDir, allKeys, shuffleParts)
           cachePath.foreach { p =>
             val w = new java.io.PrintWriter(p)
-            try r.foreach { case (k, (n, h)) => w.println(s"$k\t$n\t$h") }
-            finally w.close()
+            try {
+              w.println(cacheHeader)
+              r.foreach { case (k, (n, h)) => w.println(s"$k\t$n\t$h") }
+            } finally w.close()
           }
           r
       }
