@@ -208,12 +208,57 @@ object TextDedup {
         .where(size(col("tk")) >= 8)
       val shingleFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         .rowsBetween(Window.currentRow, 7)
+      // `pos` rides along (round 12, +4 B/row on the checkpoint): the
+      // exact-substring span extraction needs POSITIONAL grams; every
+      // other consumer projects it away before its distinct/agg
       d.select(col("doc_id"), col("b"), posexplode(col("tk")).as(Seq("pos", "w")))
         .withColumn("g8", collect_list(col("w")).over(shingleFrame))
         .where(size(col("g8")) === 8)
-        .select(col("doc_id"), col("b"), md5(concat_ws(" ", col("g8"))).as("gram"))
+        .select(col("doc_id"), col("b"), col("pos"),
+                md5(concat_ws(" ", col("g8"))).as("gram"))
         .serCheckpoint()
     })
+
+  /** Exact-substring duplicate spans (round 12 — Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499: the ExactSubstr half of the published dedup
+    * pipeline, which removes every ≥50-token substring occurring twice
+    * in the corpus via a suffix array). A monolithic suffix array
+    * doesn't distribute; the DECLARED distributed equivalent rides the
+    * shared [[docGrams8]] shingles: a duplicated substring of L ≥ 50
+    * tokens is EXACTLY a maximal run of L−7 consecutive
+    * corpus-duplicated 8-grams, so spans = gaps-and-islands over the
+    * duplicated gram positions. Direction of approximation is
+    * declared: every true ≥50-token duplicate substring IS reported
+    * (all its 8-grams are duplicated — no false negatives); a run
+    * stitched from DIFFERENT sources' matches can over-extend a span
+    * (the same over-merge ExactSubstr's own byte-level dedup accepts).
+    * Within-doc repeats count as duplication, as in the paper.
+    *
+    * Scale shape: positional grams shuffle as (16 B hash, 2 ints);
+    * gram counts are a vocabulary-sized hash agg whose join back is
+    * size-gated (broadcast below the gate, sort-merge on the gram hash
+    * past it — the tfidf/dup_spans discipline); islands are one
+    * (doc_id) window; output is O(spans). ALL-INTEGER. */
+  def qDedupSubstring(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val minTokens = 50
+    val grams = docGrams8(s, sf).select(col("doc_id"), col("pos"), col("gram"))
+    val cnt = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+    val dup = grams
+      .join(Util.gatedBroadcast(s, cnt,
+              estRows = Tables.rowCount(s, sf, "documents") * 150), "gram")
+      .where(col("c") > 1)
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup.withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("span_end"))
+      .select(col("doc_id"), col("span_start"),
+              (col("span_end") - col("span_start") + 8).as("span_tokens"))
+      .where(col("span_tokens") >= minTokens)
+      .orderBy("doc_id", "span_start")
+  }
 
   def aDedupBloomContam(s: SparkSession, sf: String): DataFrame = {
     import graft.functions.BloomFilter

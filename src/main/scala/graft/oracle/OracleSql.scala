@@ -4427,6 +4427,28 @@ object OracleSql {
     FROM g JOIN df USING (gram)
     GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""")
 
+  val qDedupSubstring: String = n("""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE len(string_split(text, ' ')) >= 8),
+    p AS (
+      SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i FROM t),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+        md5(array_to_string(tk[i:i+7], ' ')) AS gram
+      FROM p),
+    c AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+    d AS (SELECT doc_id, pos FROM g JOIN c USING (gram) WHERE c > 1),
+    isl AS (
+      SELECT doc_id, pos,
+        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM d)
+    SELECT doc_id, MIN(pos) AS span_start,
+      MAX(pos) - MIN(pos) + 8 AS span_tokens
+    FROM isl GROUP BY doc_id, isl
+    HAVING MAX(pos) - MIN(pos) + 8 >= 50
+    ORDER BY doc_id ASC NULLS FIRST, span_start ASC NULLS FIRST""")
+
   val qTsAttribution: String = n("""
     WITH w AS (
       SELECT event_id, user_id, ts, event_type, value,
