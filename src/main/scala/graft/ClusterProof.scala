@@ -360,12 +360,28 @@ object ClusterProof {
     // SparkEntry.queries — q_* strict-hash, a_* rows-equal — under a
     // 4-worker cluster master; default stays the custom-surface subset.
     val mode = args.lift(1).getOrElse("subset")
-    val (strict, sketch) =
-      if (mode == "full") {
-        val all = SparkEntry.queries.keys.toSeq.sorted
-        (all.filter(_.startsWith("q_")), all.filter(_.startsWith("a_")))
-      } else if (mode == "heavy") (heavyStrictKeys, heavySketchKeys)
-      else (strictKeys, sketchKeys)
+    // GRAFT_KEYS=<k1,k2,…> (round 12): run EXACTLY these keys — the
+    // sf100 rung's lever, where the full heavy battery's walls
+    // (linkpred 1,846 s + triangles 1,494 s + … per PHASE) exceed any
+    // session but a shared-frame dedup/graph subset fits. q_* keys are
+    // strict-hash, a_* rows-equal, same as every other mode; the
+    // phase-1 cache header stamps the exact list so a cache from a
+    // different subset can never substitute the baseline.
+    val keysOverride = sys.env.get("GRAFT_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    keysOverride.foreach { ks =>
+      val unknown = ks.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty, s"GRAFT_KEYS has unknown keys: ${unknown.mkString(",")}")
+    }
+    val (strict, sketch) = keysOverride match {
+      case Some(ks) => (ks.filter(_.startsWith("q_")), ks.filter(_.startsWith("a_")))
+      case None =>
+        if (mode == "full") {
+          val all = SparkEntry.queries.keys.toSeq.sorted
+          (all.filter(_.startsWith("q_")), all.filter(_.startsWith("a_")))
+        } else if (mode == "heavy") (heavyStrictKeys, heavySketchKeys)
+        else (strictKeys, sketchKeys)
+    }
     val clusterMaster = args.lift(2).getOrElse(
       // heavy runs sf1-sized hash-agg states AND must absorb a killed
       // executor's rescheduled tasks on the survivors (the round-10
@@ -431,8 +447,13 @@ object ClusterProof {
         val out = scala.io.Source.fromInputStream(pr.getInputStream).mkString.trim
         if (pr.waitFor() == 0 && out.nonEmpty) out else "unknown"
       } catch { case _: Exception => "unknown" }
-    def cacheHeader: String =
-      s"#graft-phase1\tfmt=$hashFmt\tsf=$sfDir\tmode=$mode\tcommit=$gitCommit"
+    def cacheHeader: String = {
+      val modeTag = keysOverride match {
+        case Some(ks) => s"keys:${ks.mkString("+")}"
+        case None     => mode
+      }
+      s"#graft-phase1\tfmt=$hashFmt\tsf=$sfDir\tmode=$modeTag\tcommit=$gitCommit"
+    }
     val localRes: Map[String, (Long, String)] =
       cachePath.filter(p => new java.io.File(p).exists()) match {
         case Some(p) =>

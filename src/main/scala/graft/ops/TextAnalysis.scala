@@ -1050,6 +1050,52 @@ object TextAnalysis {
       .orderBy("source", "rk")
   }
 
+  /** Concat-and-chunk sequence packing (round 12) — the step that turns
+    * a curated corpus into fixed-length training sequences (the
+    * GPT/Chinchilla recipe: concatenate documents in a deterministic
+    * order, split the token stream into SEQ-token blocks; T5-style
+    * bin-packing trades this for no-straddle at the cost of padding).
+    * Emits the per-doc placement map — global token offset, first/last
+    * sequence id, offset inside the first sequence, sequences straddled
+    * — the index a packed-shard writer or attention-mask builder needs.
+    *
+    * The global running sum is TWO-LEVEL, not one giant window: docs
+    * shard by `doc_id div 1024` (order-aligned contiguous ranges, so
+    * prefix sums compose), a per-shard token-total frame (|docs|/1024
+    * rows — ~1M rows of two longs at 10⁹ docs, window'able on one
+    * task; recurse the same split if ever not) carries the exclusive
+    * shard offsets, broadcast back onto a PER-SHARD cumsum window.
+    * Nothing data-sized crosses a single partition: the 100 TB shape
+    * is one shuffle to shard boundaries + one small broadcast. All
+    * arithmetic is integer — engine-exact by construction. */
+  def qPipelinePack(s: SparkSession, sf: String): DataFrame = {
+    val seqLen = 256L
+    val docs = Tables.documents(s, sf)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard", expr("doc_id div 1024"))
+    val wSh = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy("shard")
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("shard_off",
+        coalesce(sum(col("shard_tokens")).over(wSh), lit(0L)))
+      .select("shard", "shard_off")
+    val wIn = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(offsets), "shard")
+      .withColumn("start_pos",
+        col("shard_off") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .withColumn("end_pos", col("start_pos") + col("n_tokens") - 1L)
+      .select(col("doc_id"), col("n_tokens"), col("start_pos"),
+        expr(s"start_pos div $seqLen").as("seq_first"),
+        expr(s"end_pos div $seqLen").as("seq_last"),
+        (col("start_pos") % seqLen).as("offset_in_seq"),
+        (expr(s"end_pos div $seqLen") - expr(s"start_pos div $seqLen") + 1L)
+          .as("n_seqs"))
+      .orderBy("doc_id")
+  }
+
   /** Temperature-flattened domain mix (round 10) — the multilingual /
     * multi-domain sampling rule (T = 2): target share ∝ n_s^(1/T), so
     * over-represented domains are downsampled toward the flattened

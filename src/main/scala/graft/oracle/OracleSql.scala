@@ -2943,6 +2943,25 @@ object OracleSql {
     FROM w WHERE cum_tokens <= 800
     ORDER BY source ASC NULLS FIRST, rk ASC NULLS FIRST""")
 
+  val qPipelinePack: String = n("""
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start_pos
+      FROM t)
+    SELECT doc_id, n_tokens, start_pos,
+      start_pos // 256 AS seq_first,
+      (start_pos + n_tokens - 1) // 256 AS seq_last,
+      start_pos % 256 AS offset_in_seq,
+      (start_pos + n_tokens - 1) // 256 - start_pos // 256 + 1 AS n_seqs
+    FROM c
+    ORDER BY doc_id ASC NULLS FIRST""")
+
   val qSampleTemperature: String = n("""
     WITH d AS (
       SELECT doc_id, source,

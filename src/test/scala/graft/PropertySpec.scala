@@ -497,6 +497,57 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0, "running total must telescope to the exact user total")
   }
 
+  test("sequence packing: contiguous exact cover, straddle math, sparse-id two-level prefix") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val p = graft.ops.TextAnalysis.qPipelinePack(spark, sf).cache()
+    // exact cover: placements tile the concatenated token stream with no
+    // gap and no overlap — next doc starts where the previous one ended
+    val w = Window.orderBy("doc_id")
+    val bad = p.withColumn("prev_end",
+        lag(col("start_pos") + col("n_tokens"), 1, 0L).over(w))
+      .where(col("start_pos") =!= col("prev_end")).count()
+    assert(bad == 0, "doc placements must be contiguous in doc_id order")
+    val total = p.agg(sum("n_tokens")).head.getLong(0)
+    val lastEnd = p.agg(max(col("start_pos") + col("n_tokens"))).head.getLong(0)
+    assert(total == lastEnd, "token stream length must equal the token sum")
+    // straddle math: n_seqs is exactly the number of 256-token blocks
+    // the doc's [start, end] span touches
+    val badSeq = p.where(col("n_seqs") =!=
+      ((col("start_pos") + col("n_tokens") - 1) / 256).cast("long")
+        - (col("start_pos") / 256).cast("long") + 1).count()
+    assert(badSeq == 0, "n_seqs must count touched blocks")
+    // sparse ids (doc_id × 7 + 3): the div-1024 sharding makes copies
+    // land in DIFFERENT shards, yet the two-level prefix must still
+    // telescope — same contiguity invariant on a gappy id space
+    val sparse = Tables.documents(spark, sf)
+      .withColumn("doc_id", col("doc_id") * 7 + 3)
+    val shards = p.select((col("doc_id") / 1024).cast("long")).distinct.count()
+    val sp = {
+      // the operator's own two-level arithmetic, applied to the sparse
+      // frame (the operator reads the fixture table, so inline the body)
+      val docs = sparse.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("shard", expr("doc_id div 1024"))
+      val wSh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy("shard").agg(sum(col("n_tokens")).as("st"))
+        .withColumn("off", coalesce(sum(col("st")).over(wSh), lit(0L)))
+        .select("shard", "off")
+      val wIn = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.join(broadcast(offsets), "shard")
+        .withColumn("start_pos",
+          col("off") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    }
+    val spBad = sp.withColumn("prev_end",
+        lag(col("start_pos") + col("n_tokens"), 1, 0L).over(Window.orderBy("doc_id")))
+      .where(col("start_pos") =!= col("prev_end")).count()
+    assert(spBad == 0, "two-level prefix must telescope on a sparse id space")
+    assert(sp.select(col("shard")).distinct.count() > shards,
+      "sparse ids must actually exercise multiple shards")
+    p.unpersist(); ()
+  }
+
   test("curate pipeline gate counts telescope to the doc count") {
     import org.apache.spark.sql.functions._
     val p = graft.ops.TextDedup.qPipelineCurate(spark, sf)
