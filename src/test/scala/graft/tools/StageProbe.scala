@@ -30,7 +30,16 @@ object StageProbe {
     spark.sparkContext.setLogLevel(sys.env.getOrElse("GRAFT_LOG", "WARN"))
 
     case class St(var n: Int = 0, var run: Long = 0, var mx: Long = 0,
-                  var gc: Long = 0, var name: String = "")
+                  var gc: Long = 0, var name: String = "",
+                  // shuffle-bound vs CPU-bound split (round-12 verdict
+                  // ask #7): cpu is executorCpuTime (ns→ms), wait is
+                  // fetchWaitTime + shuffle writeTime — the part of
+                  // runTime actually spent moving shuffle bytes; rdB/wrB
+                  // are the stage's shuffle volumes, spill the disk
+                  // spill. runTime ≈ cpu ⇒ CPU-bound; runTime ≫ cpu
+                  // with large rdB/wrB or wait ⇒ exchange-bound.
+                  var cpu: Long = 0, var shWait: Long = 0,
+                  var rdB: Long = 0, var wrB: Long = 0, var spill: Long = 0)
     val stages = mutable.LinkedHashMap[Int, St]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
@@ -39,6 +48,12 @@ object StageProbe {
         if (m != null) {
           s.n += 1; s.run += m.executorRunTime
           s.mx = math.max(s.mx, m.executorRunTime); s.gc += m.jvmGCTime
+          s.cpu += m.executorCpuTime / 1000000L
+          s.shWait += m.shuffleReadMetrics.fetchWaitTime +
+                    m.shuffleWriteMetrics.writeTime / 1000000L
+          s.rdB += m.shuffleReadMetrics.totalBytesRead
+          s.wrB += m.shuffleWriteMetrics.bytesWritten
+          s.spill += m.diskBytesSpilled
         }
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
@@ -66,10 +81,20 @@ object StageProbe {
         else {
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"== run $r: $q -> $cnt rows in $dt%.2f s ==")
-        stages.toSeq.sortBy(-_._2.run).take(10).foreach { case (id, s) =>
+        stages.toSeq.sortBy(-_._2.run).take(12).foreach { case (id, s) =>
           println(f"  stage $id%4d tasks=${s.n}%3d totalRun=${s.run / 1000.0}%8.1f s " +
-                  f"maxTask=${s.mx / 1000.0}%7.1f s gc=${s.gc / 1000.0}%6.1f s  ${s.name}")
+                  f"cpu=${s.cpu / 1000.0}%8.1f s wait=${s.shWait / 1000.0}%6.1f s " +
+                  f"maxTask=${s.mx / 1000.0}%7.1f s gc=${s.gc / 1000.0}%6.1f s " +
+                  f"shRd=${s.rdB / 1e9}%6.2fG shWr=${s.wrB / 1e9}%6.2fG " +
+                  f"spill=${s.spill / 1e9}%5.1fG  ${s.name}")
         }
+        val tot = stages.values
+        println(f"  TOTAL run=${tot.map(_.run).sum / 1000.0}%.1f s " +
+                f"cpu=${tot.map(_.cpu).sum / 1000.0}%.1f s " +
+                f"wait=${tot.map(_.shWait).sum / 1000.0}%.1f s " +
+                f"gc=${tot.map(_.gc).sum / 1000.0}%.1f s " +
+                f"shRd=${tot.map(_.rdB).sum / 1e9}%.2fG shWr=${tot.map(_.wrB).sum / 1e9}%.2fG " +
+                f"spill=${tot.map(_.spill).sum / 1e9}%.1fG")
         }
       }
     }
