@@ -32,6 +32,10 @@ export GRAFT_PHASE1_CACHE=/tmp/graft_p1_sf100.tsv
 # spread spill across the RAM-backed tmpfs and the disk — Spark
 # round-robins blocks across local dirs, so capacity adds.
 export SPARK_LOCAL_DIRS=/dev/shm/graft_spill,/tmp/graft_spill
+# binary Spark dist: the Worker's executor-command builder needs the
+# scala version pinned (round-7 launch note, BASELINE.md)
+export SPARK_HOME=/opt/spark
+export SPARK_SCALA_VERSION=2.13
 export GRAFT_CLASSES=/root/repo/target/scala-2.13/classes
 exec java $AO -Xmx20g -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.ClusterProof /tmp/graft_sf100 heavy "local-cluster[4,4,12288]"
