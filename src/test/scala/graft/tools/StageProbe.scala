@@ -23,6 +23,13 @@ object StageProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // GRAFT_PROBE_HEAVY=1: the sf100 rung posture (ClusterProof
+      // heavy / round-7 Bench sf10 rules) so probe walls are
+      // comparable to the recorded ladder anchors
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        if (sys.env.contains("GRAFT_PROBE_HEAVY")) "256" else "32")
+      .config("spark.memory.storageFraction",
+        if (sys.env.contains("GRAFT_PROBE_HEAVY")) "0.2" else "0.5")
       .config("spark.checkpoint.compress", "true")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
