@@ -662,20 +662,30 @@ object Aggregates {
 
   /** Lifetime-value deciles — the monetization distribution readout
     * ("how skewed is revenue per user"): per-user exact decimal value
-    * totals, ntile(10) over the total (ltv, user) order, per-decile
-    * count + decimal-sum + share in 1e-3 fixed point of a 1e-4
-    * fixed-point total (ALL-INTEGER after the per-user decimal
-    * round-off). */
+    * totals, NTILE(10) semantics over the total (ltv, user) order,
+    * per-decile count + decimal-sum + share in 1e-3 fixed point of a
+    * 1e-4 fixed-point total (ALL-INTEGER after the per-user decimal
+    * round-off).
+    *
+    * Scale shape (round-13): the decile was `ntile(10)` over an
+    * unpartitioned window — one task sorting every user. Now the
+    * exact global rank comes from [[Util.rankedByRange]] and the
+    * bucket from the closed-form [[Util.ntileFromRank]] (bit-identical
+    * to NTILE by the ANSI bucket rule); the grand total rides a 1-row
+    * broadcast instead of a whole-frame window. */
   def qAggLtvDeciles(s: SparkSession, sf: String): DataFrame = {
     val perUser = Tables.events(s, sf)
       .groupBy(col("user_id"))
       .agg(sum(col("value").cast(D)).as("ltv_dec"))
       .withColumn("ltv_fp", expr("CAST(ltv_dec * 10000 AS BIGINT)"))
-    val w = Window.orderBy(col("ltv_fp"), col("user_id"))
-    val total = Window.partitionBy(lit(1))
-    perUser
-      .withColumn("decile", ntile(10).over(w))
-      .withColumn("total_fp", sum(col("ltv_fp")).over(total))
+    val ranked = Util.rankedByRange(perUser,
+        Seq(col("ltv_fp"), col("user_id")), "r",
+        estRows = Tables.rowCount(s, sf, "events") / 64)
+    val totals = ranked.agg(count(lit(1)).as("n"),
+                            sum(col("ltv_fp")).as("total_fp"))
+    ranked.crossJoin(broadcast(totals))
+      .withColumn("decile",
+        Util.ntileFromRank(col("r"), col("n"), 10).cast("int"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"),
            sum(col("ltv_fp")).as("decile_fp"),
@@ -714,19 +724,24 @@ object Aggregates {
     * produce" (the 80/20 readout, `q_agg_gini`'s operational
     * companion): users ranked by count desc with a (count, user) total
     * tie order, cutoff rank = ⌈n/5⌉ computed as `(n+4) div 5`, share
-    * in 1e-3 fixed point — ALL-INTEGER end to end. Two tiny window
-    * passes over the #users frame. */
+    * in 1e-3 fixed point — ALL-INTEGER end to end.
+    *
+    * Scale shape (round-13): rank AND the running event sum both come
+    * from [[Util.rankedByRange]]'s two-level prefix sum (partition-
+    * local cumsum + broadcast pid offsets over a sampled range
+    * shuffle) — the old plan was two unpartitioned windows over the
+    * #users frame, a single task holding every user at corpus scale.
+    * The global totals ride a 1-row broadcast. */
   def qAggParetoShare(s: SparkSession, sf: String): DataFrame = {
     val counts = Tables.events(s, sf)
       .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
-    val byDesc = Window.orderBy(col("x").desc, col("user_id"))
-    val cum = byDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.partitionBy(lit(1))
-    counts
-      .withColumn("r", row_number().over(byDesc))
-      .withColumn("cumx", sum(col("x")).over(cum))
-      .withColumn("n_users", count(lit(1)).over(whole))
-      .withColumn("total_events", sum(col("x")).over(whole))
+    val ranked = Util.rankedByRange(counts,
+        Seq(col("x").desc, col("user_id")), "r",
+        estRows = Tables.rowCount(s, sf, "events") / 64,
+        sums = Seq("x" -> "cumx"))
+    val totals = ranked.agg(count(lit(1)).as("n_users"),
+                            sum(col("x")).as("total_events"))
+    ranked.crossJoin(broadcast(totals))
       .where(col("r") === expr("(n_users + 4) div 5"))
       .select(col("n_users"), col("total_events"),
               col("cumx").as("top20_events"),
@@ -816,14 +831,24 @@ object Aggregates {
     * a few whales": G = Σ(2i−n−1)·xᵢ / (n·Σx) over counts sorted
     * ascending with a total (count, user) tie order. ALL-INTEGER until
     * one 1e6-fixed-point division (counts and ranks are integers — no
-    * float accumulation anywhere). Two tiny stages after the per-user
-    * count: one rank window + one sum over #users rows. */
+    * float accumulation anywhere).
+    *
+    * Scale shape (round-13): the rank i comes from
+    * [[Util.rankedByRange]] — a sampled range shuffle of the per-user
+    * frame with partition-LOCAL row_number + broadcast pid offsets —
+    * not an unpartitioned window (the per-user frame is billions of
+    * rows in the LLM-pipeline genre; one task sorting it is the plan
+    * this engine exists to avoid). Sampled boundaries keep the
+    * tie-heavy key balanced: x=1 covers half the users on a power-law
+    * corpus, and a value-arithmetic bucket would put them all in one
+    * partition. */
   def qAggGini(s: SparkSession, sf: String): DataFrame = {
     val counts = Tables.events(s, sf)
       .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
-    val w = Window.orderBy(col("x"), col("user_id"))
-    counts
-      .withColumn("i", row_number().over(w))
+    // estRows ≈ #users (fixture ~64 events/user) — only gates the
+    // reliable-vs-local checkpoint inside rankedByRange, never results
+    Util.rankedByRange(counts, Seq(col("x"), col("user_id")), "i",
+        estRows = Tables.rowCount(s, sf, "events") / 64)
       .agg(count(lit(1)).as("n_users"),
            sum(col("x")).as("total_events"),
            sum((col("i") * 2 - 1) * col("x")).as("wsum"))

@@ -608,25 +608,56 @@ object Relational {
   /** Sequence-continuity audit — dropped-message detection on a
     * monotonically-assigned id (the ingest invariant "no event ids
     * vanished between producer and table"): global min/max/count give
-    * the expected-density check, a lag window counts the actual gap
-    * runs and the widest one. ALL-INTEGER, one sort-free agg + one
-    * ordered window over ids only. */
+    * the expected-density check, consecutive-id deltas count the gap
+    * runs and the widest one. ALL-INTEGER.
+    *
+    * Scale shape (round-13): the old plan lagged over ONE
+    * unpartitioned window — a single task sorting every id at any
+    * scale. Now ids bucket by VALUE range (bucket = (id−min) div w,
+    * w sized so ≤4096 buckets — a pure function of the row, so the
+    * two passes can never disagree on membership and nothing needs a
+    * checkpoint), the lag window runs partition-LOCAL per bucket, and
+    * the ≤4096-row per-bucket (min,max) frame — CONSTANT-sized by
+    * construction, the one annotated driver collect — stitches the
+    * cross-bucket boundary gaps. Value bucketing is skew-safe here
+    * because distinct ids in a width-w value range are ≤ w rows, and
+    * near-density is the audit's own premise (the missing fraction is
+    * what it measures); a span-inflating outlier id degrades bucket
+    * COUNT, not correctness. */
   def qAuditSequenceGaps(s: SparkSession, sf: String): DataFrame = {
     val ids = Tables.events(s, sf).select(col("event_id"))
-    val w = Window.orderBy("event_id")
-    val gaps = ids
-      .withColumn("prev", lag(col("event_id"), 1).over(w))
-      .where(col("prev").isNotNull && col("event_id") - col("prev") > 1)
-      .agg(count(lit(1)).as("n_gaps"),
-           max(col("event_id") - col("prev") - 1).as("widest_gap"))
     val span = ids.agg(min(col("event_id")).as("min_id"),
                        max(col("event_id")).as("max_id"),
                        count(lit(1)).as("n_rows"))
-    span.crossJoin(gaps)
+    val w = Util.idiv(col("max_id") - col("min_id"), lit(4096L)) + lit(1L)
+    val bucketed = ids.crossJoin(broadcast(span))
+      .withColumn("bkt", Util.idiv(col("event_id") - col("min_id"), w))
+    val wB = Window.partitionBy("bkt").orderBy("event_id")
+    val local = bucketed
+      .withColumn("prev", lag(col("event_id"), 1).over(wB))
+      .where(col("prev").isNotNull && col("event_id") - col("prev") > 1)
+      .agg(count(lit(1)).as("n_gaps"),
+           max(col("event_id") - col("prev") - 1).as("widest_gap"))
+    // ≤4096 rows by construction — constant-size driver collect; the
+    // stitch pairs CONSECUTIVE NON-EMPTY buckets (empties vanish from
+    // the groupBy), exactly the adjacencies the bucket-local lag missed
+    val edges = bucketed.groupBy(col("bkt"))
+      .agg(min(col("event_id")).as("bmn"), max(col("event_id")).as("bmx"))
+      .collect()
+      .sortBy(_.getLong(0))
+    var (bGaps, bWidest) = (0L, 0L)
+    edges.sliding(2).foreach {
+      case Array(a, b) =>
+        val d = b.getLong(1) - a.getLong(2) // next bucket's min − this bucket's max
+        if (d > 1) { bGaps += 1; bWidest = math.max(bWidest, d - 1) }
+      case _ => ()
+    }
+    span.crossJoin(local)
       .withColumn("missing",
         col("max_id") - col("min_id") + 1 - col("n_rows"))
-      .withColumn("n_gaps", coalesce(col("n_gaps"), lit(0L)))
-      .withColumn("widest_gap", coalesce(col("widest_gap"), lit(0L)))
+      .withColumn("n_gaps", coalesce(col("n_gaps"), lit(0L)) + lit(bGaps))
+      .withColumn("widest_gap",
+        greatest(coalesce(col("widest_gap"), lit(0L)), lit(bWidest)))
       .select(col("min_id"), col("max_id"), col("n_rows"), col("missing"),
               col("n_gaps"), col("widest_gap"))
   }

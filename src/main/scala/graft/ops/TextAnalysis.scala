@@ -500,12 +500,23 @@ object TextAnalysis {
     * dedup/diversity smell): docs in deterministic doc_id order split
     * into ntile(10) deciles, each token attributed to the decile of
     * its FIRST containing doc (min doc_id — exact, order-independent),
-    * cumulative vocabulary per decile. ALL-INTEGER. */
+    * cumulative vocabulary per decile. ALL-INTEGER.
+    *
+    * Scale shape (round-13): the decile split was `ntile(10)` over an
+    * UNPARTITIONED doc_id window — a single task sorting every doc id.
+    * Now: exact global rank via [[Util.rankedByRange]] (range shuffle +
+    * pid-offset prefix sums, partition-local windows only) and the
+    * closed-form [[Util.ntileFromRank]] — bit-identical bucket
+    * assignment, no data-sized single-task stage. The one remaining
+    * unpartitioned window runs over the 10-row decile frame. */
   def qTextVocabGrowth(s: SparkSession, sf: String): DataFrame = {
-    val docs = Tables.documents(s, sf)
-      .select(col("doc_id"))
-      .withColumn("decile", ntile(10).over(
-        org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+    val nDocs = Tables.rowCount(s, sf, "documents")
+    val docs = Util.rankedByRange(
+        Tables.documents(s, sf).select(col("doc_id")),
+        Seq(col("doc_id")), "__r", estRows = nDocs)
+      .withColumn("decile",
+        Util.ntileFromRank(col("__r"), lit(nDocs), 10).cast("int"))
+      .drop("__r")
     val firstDoc = Tables.documents(s, sf)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
       .where(col("token") =!= "")
@@ -726,17 +737,30 @@ object TextAnalysis {
     * over the top-1000 tokens, slope = −s. Ranks come from a total
     * (count desc, token) order; per-token logs are rounded at 4dp
     * BEFORE the decimal-path moment sums (`ln` 1-ulp rule), and the
-    * slope/intercept chain mirrors `q_ts_forecast_linreg`. The token
-    * count is data-sized; everything after runs on 1000 rows. */
+    * slope/intercept chain mirrors `q_ts_forecast_linreg`.
+    *
+    * Scale shape (round-13: the round-12 verdict's easiest
+    * global-window kill): the top-1000 cut rides
+    * `orderBy(desc).limit(1000)` → TakeOrderedAndProject — per-
+    * partition 1000-row heaps, NO single-task sort of the vocabulary
+    * (which is data-sized at web-corpus scale; the old full-vocab
+    * row_number window moved ALL of it into one task). Ranks are then
+    * derived ON the 1000-row result: collect_list into one array,
+    * array_sort by (−count, token) — order-independent, so the rank
+    * can't drift with partition layout — posexplode to (rank−1, row).
+    * Everything after the heap cut runs on ≤1000 rows. */
   def qTextZipf(s: SparkSession, sf: String): DataFrame = {
     val counts = docTokenCounts(s, sf)
       .groupBy(col("token")).agg(sum(col("c")).as("c"))
-    val ranked = counts
-      .withColumn("r", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("token"))))
-      .where(col("r") <= 1000)
-      .select(round(log(col("r").cast("double")), 4).as("x"),
-              round(log(col("c").cast("double")), 4).as("y"))
+    val top = counts
+      .orderBy(col("c").desc, col("token"))
+      .limit(1000)
+    val ranked = top
+      .select(struct((-col("c")).as("nc"), col("token").as("t")).as("st"))
+      .agg(collect_list(col("st")).as("a"))
+      .select(posexplode(array_sort(col("a"))).as(Seq("p", "s")))
+      .select(round(log((col("p") + 1).cast("double")), 4).as("x"),
+              round(log((-col("s.nc")).cast("double")), 4).as("y"))
     ranked.agg(
         count(lit(1)).cast("double").as("n"),
         dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
@@ -1059,31 +1083,50 @@ object TextAnalysis {
     * sequence id, offset inside the first sequence, sequences straddled
     * — the index a packed-shard writer or attention-mask builder needs.
     *
-    * The global running sum is TWO-LEVEL, not one giant window: docs
-    * shard by `doc_id div 1024` (order-aligned contiguous ranges, so
-    * prefix sums compose), a per-shard token-total frame (|docs|/1024
-    * rows — ~1M rows of two longs at 10⁹ docs, window'able on one
-    * task; recurse the same split if ever not) carries the exclusive
-    * shard offsets, broadcast back onto a PER-SHARD cumsum window.
-    * Nothing data-sized crosses a single partition: the 100 TB shape
-    * is one shuffle to shard boundaries + one small broadcast. All
-    * arithmetic is integer — engine-exact by construction. */
+    * The global running sum is THREE-LEVEL, not one giant window
+    * (round-13 hardening of the round-12 two-level shape, whose
+    * |docs|/1024-row shard frame was itself a 10⁷-row single-task
+    * window + ungated broadcast at 10¹⁰ docs): docs shard by
+    * `doc_id div 1024` and shards super-shard by `shard div 1024`
+    * (order-aligned contiguous ranges, so prefix sums compose).
+    * Per-shard token totals window PER SUPER-SHARD (partition-local);
+    * the per-super frame — |docs|/2²⁰ rows, ~10⁴ at 10¹⁰ docs —
+    * carries the exclusive super offsets through the one remaining
+    * unpartitioned window, 2²⁰× smaller than the data. Both offset
+    * frames rejoin through [[Util.gatedBroadcast]] (loop-frame gate:
+    * past it the equi-join shuffles on the shard key instead of
+    * pinning a data-sized broadcast). All arithmetic is integer —
+    * engine-exact by construction. */
   def qPipelinePack(s: SparkSession, sf: String): DataFrame = {
     val seqLen = 256L
+    val nDocs = Tables.rowCount(s, sf, "documents")
     val docs = Tables.documents(s, sf)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("shard", expr("doc_id div 1024"))
-    val wSh = Window.orderBy("shard")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = docs.groupBy("shard")
+      .withColumn("sup", expr("(doc_id div 1024) div 1024"))
+    val shardTotals = docs.groupBy("sup", "shard")
       .agg(sum(col("n_tokens")).as("shard_tokens"))
-      .withColumn("shard_off",
-        coalesce(sum(col("shard_tokens")).over(wSh), lit(0L)))
+    val supTotals = shardTotals.groupBy("sup")
+      .agg(sum(col("shard_tokens")).as("sup_tokens"))
+    val wSup = Window.orderBy("sup")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val supOff = supTotals
+      .withColumn("sup_off", coalesce(sum(col("sup_tokens")).over(wSup), lit(0L)))
+      .select("sup", "sup_off")
+    val wShIn = Window.partitionBy("sup").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = shardTotals
+      .withColumn("in_off",
+        coalesce(sum(col("shard_tokens")).over(wShIn), lit(0L)))
+      .join(Util.gatedBroadcast(s, supOff,
+        estRows = nDocs / (1024L * 1024L) + 1, bytesPerRow = 16), "sup")
+      .withColumn("shard_off", col("sup_off") + col("in_off"))
       .select("shard", "shard_off")
     val wIn = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.join(broadcast(offsets), "shard")
+    docs.join(Util.gatedBroadcast(s, offsets,
+        estRows = nDocs / 1024L + 1, bytesPerRow = 16), "shard")
       .withColumn("start_pos",
         col("shard_off") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
       .withColumn("end_pos", col("start_pos") + col("n_tokens") - 1L)

@@ -1550,14 +1550,20 @@ object TimeSeries {
     * readout behind "champions / at-risk / hibernating" lifecycle
     * marketing. Per purchasing user: last purchase day, purchase
     * count, exact-decimal revenue; each metric scored 1–5 by NTILE(5)
-    * with ties broken on user_id (deterministic across engines and
-    * partitionings), then rolled up to the populated (r,f,m) cells
-    * with user counts + segment revenue. Scale shape follows
-    * [[Aggregates.qAggLtvDeciles]]: the NTILE windows run over the
-    * per-USER aggregate — 3–4 orders smaller than the fact stream —
-    * after one data-sized hash agg; the fact table itself is never
-    * globally sorted. Revenue ordering keys are exact decimals, so
-    * quintile boundaries can never straddle engines. */
+    * semantics with ties broken on user_id (deterministic across
+    * engines and partitionings), then rolled up to the populated
+    * (r,f,m) cells with user counts + segment revenue. Revenue
+    * ordering keys are exact decimals, so quintile boundaries can
+    * never straddle engines.
+    *
+    * Scale shape (round-13): the three quintile scores were three
+    * UNPARTITIONED ntile windows over the per-user frame — fine for
+    * the telemetry genre's "tiny" user counts, a single-task sort ×3
+    * at the LLM-pipeline scale this engine also claims. Each score now
+    * rides [[Util.rankedByRange]] (sampled range shuffle, partition-
+    * local row_number, broadcast pid offsets) + the closed-form
+    * [[Util.ntileFromRank]] — bit-identical buckets, three bounded
+    * shuffles of the per-user frame, no global sort anywhere. */
   def qTsRfm(s: SparkSession, sf: String): DataFrame = {
     val users = Tables.events(s, sf)
       .where(col("event_type") === "purchase")
@@ -1565,13 +1571,19 @@ object TimeSeries {
       .agg(expr("unix_micros(max(ts)) div 86400000000").as("last_day"),
            count(lit(1)).as("f"),
            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 4))).as("m"))
-    val scored = users
-      .withColumn("r_score",
-        ntile(5).over(Window.orderBy(col("last_day"), col("user_id"))).cast("long"))
-      .withColumn("f_score",
-        ntile(5).over(Window.orderBy(col("f"), col("user_id"))).cast("long"))
-      .withColumn("m_score",
-        ntile(5).over(Window.orderBy(col("m"), col("user_id"))).cast("long"))
+    // estRows ≈ #purchasing users — gates checkpoint posture only
+    val est = Tables.rowCount(s, sf, "events") / 256
+    val ranked = Seq[(String, Seq[org.apache.spark.sql.Column])](
+        "__rr" -> Seq(col("last_day"), col("user_id")),
+        "__rf" -> Seq(col("f"), col("user_id")),
+        "__rm" -> Seq(col("m"), col("user_id")))
+      .foldLeft(users) { case (d, (rc, keys)) =>
+        Util.rankedByRange(d, keys, rc, est) }
+    val totals = ranked.agg(count(lit(1)).as("__n"))
+    val scored = ranked.crossJoin(broadcast(totals))
+      .withColumn("r_score", Util.ntileFromRank(col("__rr"), col("__n"), 5))
+      .withColumn("f_score", Util.ntileFromRank(col("__rf"), col("__n"), 5))
+      .withColumn("m_score", Util.ntileFromRank(col("__rm"), col("__n"), 5))
     scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_users"),
            sum(col("m")).cast("double").as("segment_value"))

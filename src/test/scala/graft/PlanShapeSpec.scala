@@ -335,6 +335,9 @@ class PlanShapeSpec extends SparkSpec {
       // round-11: 1-row (nt)/(nr) corpus-total frames building the
       // constant 256-row DSIR bucket log-ratio table
       "q_sample_dsir",
+      // round-13: 1-row (n, total) frames feeding the closed-form
+      // ntileFromRank — replaced the unpartitioned ntile windows
+      "q_agg_ltv_deciles", "q_ts_rfm",
       // k-row / calendar-bounded broadcast strips (centroids, bounds,
       // lag offsets, last-2-weeks, ≤365-day theta self-join)
       "a_agg_hll_intersect", "q_embed_interdist", "q_embed_silhouette",
@@ -645,5 +648,91 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(SqlSurface.qSqlPipe(spark, sf))
     assert(p.contains("HashAggregate") && p.contains("PushedFilters: ["),
            s"pipe chain must plan to pushdown + hash agg:\n$p")
+  }
+
+  // ---- round-13: the global-window family is DEAD (round-12 verdict's
+  // one remaining scale-killer class). These pins inspect WindowExec
+  // nodes structurally — partitionSpec.isEmpty is exactly Spark's "No
+  // Partition Defined ... moving all data to a single partition"
+  // condition — so a regression that re-introduces a data-sized
+  // single-task window fails the suite, not just the 100× ladder.
+
+  private def windowNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    root.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+  }
+  private def unpartitioned(df: org.apache.spark.sql.DataFrame): Int =
+    windowNodes(df).count(_.partitionSpec.isEmpty)
+
+  test("q_text_zipf: top-1000 is a TakeOrderedAndProject heap cut — zero windows anywhere") {
+    val df = TextAnalysis.qTextZipf(spark, sf)
+    assert(plan(df).contains("TakeOrderedAndProject"),
+           s"top-1000 must be per-partition heaps, not a vocab sort:\n${plan(df)}")
+    assert(windowNodes(df).isEmpty,
+           "zipf must not window at all — ranks derive from the 1000-row array")
+  }
+
+  test("q_audit_sequence_gaps: every lag window is bucket-partitioned (no single-task id sort)") {
+    assert(unpartitioned(Relational.qAuditSequenceGaps(spark, sf)) == 0,
+           "sequence audit must never move all ids into one window task")
+  }
+
+  test("whale family (gini/pareto/ltv/rfm): ranks ride rankedByRange — no unpartitioned window") {
+    for ((name, df) <- Seq(
+        "q_agg_gini" -> Aggregates.qAggGini(spark, sf),
+        "q_agg_pareto_share" -> Aggregates.qAggParetoShare(spark, sf),
+        "q_agg_ltv_deciles" -> Aggregates.qAggLtvDeciles(spark, sf),
+        "q_ts_rfm" -> TimeSeries.qTsRfm(spark, sf))) {
+      assert(unpartitioned(df) == 0,
+             s"$name: the per-user frame must never sort in one window task")
+      assert(windowNodes(df).nonEmpty,
+             s"$name: expected the pid-partitioned rank window to survive planning")
+    }
+  }
+
+  test("q_text_vocab_growth: decile assignment is rank-based; only the 10-row decile frame windows unpartitioned") {
+    val df = TextAnalysis.qTextVocabGrowth(spark, sf)
+    val un = windowNodes(df).filter(_.partitionSpec.isEmpty)
+    assert(un.size == 1,
+           s"expected exactly the 10-row decile cumsum window, got ${un.size}")
+    assert(un.head.output.exists(_.name == "docs_cum"),
+           "the surviving unpartitioned window must be the decile-frame cumsum")
+  }
+
+  test("q_pipeline_pack: only the super-shard frame (|docs|/2^20) windows unpartitioned") {
+    val df = TextAnalysis.qPipelinePack(spark, sf)
+    val un = windowNodes(df).filter(_.partitionSpec.isEmpty)
+    assert(un.size == 1,
+           s"expected exactly the super-shard offset window, got ${un.size}")
+    // the window node's own output carries the pre-projection window
+    // buffer (_we0) plus its child's columns — identify the frame by
+    // the per-super total it cumulates
+    assert(un.head.output.exists(_.name == "sup_tokens"),
+           "the surviving unpartitioned window must be the super-shard cumsum")
+  }
+
+  test("q_pipeline_pack forced path: with both broadcast gates at 0 the offsets rejoin as shuffle joins, rows identical") {
+    val base = TextAnalysis.qPipelinePack(spark, sf).collect().toSet
+    val autoKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+                       "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("graft.loop.broadcastThreshold", "0")
+    spark.conf.set("graft.join.siteBroadcastThreshold", "0")
+    autoKeys.foreach(spark.conf.set(_, "-1"))
+    try {
+      val forced = TextAnalysis.qPipelinePack(spark, sf)
+      assert(!plan(forced).contains("BroadcastExchange"),
+             s"gate at 0 must close every offset broadcast:\n${plan(forced)}")
+      assert(forced.collect().toSet == base,
+             "offset placement must be identical on the shuffle-join path")
+    } finally {
+      spark.conf.unset("graft.loop.broadcastThreshold")
+      spark.conf.unset("graft.join.siteBroadcastThreshold")
+      autoKeys.foreach(spark.conf.unset)
+    }
   }
 }

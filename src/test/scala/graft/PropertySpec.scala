@@ -245,17 +245,27 @@ class PropertySpec extends SparkSpec {
     Tables.embeddings(spark, sf)
       .withColumn("vec_id", col("vec_id") * 7 + 3)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val k = 32
-    val seeds = Vectors.kmeansCentroids(spark, dir, k, iters = 1)
-    assert(seeds.length == k, s"sparse id space must seed exactly $k cells")
-    val base = Vectors.aDedupSemantic(spark, sf)
-      .select((col("vec_id") * 7 + 3).as("vec_id"),
-              (col("kept_for") * 7 + 3).as("kept_for"),
-              col("max_sim"), col("n_dup_of"))
-    val sparse = Vectors.aDedupSemantic(spark, dir)
-      .select(col("vec_id"), col("kept_for"), col("max_sim"), col("n_dup_of"))
-    assert(sparse.except(base).count() == 0 && base.except(sparse).count() == 0,
-      "semantic drops must be identical modulo the id transform")
+    // PIN trainFrac = 1: the drop-set invariance below holds only when
+    // sample-training is OFF — the trainer's md5(vec_id) sample filter
+    // is (by design) NOT invariant under vec_id → 7·id + 3, so with
+    // trainPerCell·k < n the two runs would legitimately train on
+    // different subsets and diverge for reasons unrelated to seeding.
+    // The fixture satisfies 64·k ≥ n today; the pin keeps the test
+    // meaning "seeding is rank-based" if the fixture ever grows.
+    spark.conf.set("graft.semantic.trainPerCell", Long.MaxValue.toString)
+    try {
+      val k = 32
+      val seeds = Vectors.kmeansCentroids(spark, dir, k, iters = 1)
+      assert(seeds.length == k, s"sparse id space must seed exactly $k cells")
+      val base = Vectors.aDedupSemantic(spark, sf)
+        .select((col("vec_id") * 7 + 3).as("vec_id"),
+                (col("kept_for") * 7 + 3).as("kept_for"),
+                col("max_sim"), col("n_dup_of"))
+      val sparse = Vectors.aDedupSemantic(spark, dir)
+        .select(col("vec_id"), col("kept_for"), col("max_sim"), col("n_dup_of"))
+      assert(sparse.except(base).count() == 0 && base.except(sparse).count() == 0,
+        "semantic drops must be identical modulo the id transform")
+    } finally spark.conf.unset("graft.semantic.trainPerCell")
   }
 
   test("semantic dedup DISTRIBUTED codebook (forced): exhaustive = flat bit-exact, pruned parity, precision 1.0, deterministic") {

@@ -52,12 +52,18 @@ object StageProbe {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
         val s = stages.getOrElseUpdate(t.stageId, St())
         val m = t.taskMetrics
-        if (m != null) {
+        // successful attempts only: failed/speculative task-ends also
+        // fire this event, and folding them in overstates cpu/run on
+        // retry-heavy runs (the kill-battery posture) — skewing the
+        // CPU-vs-exchange verdicts this probe exists to call
+        if (m != null && t.taskInfo != null && t.taskInfo.successful) {
           s.n += 1; s.run += m.executorRunTime
           s.mx = math.max(s.mx, m.executorRunTime); s.gc += m.jvmGCTime
           s.cpu += m.executorCpuTime / 1000000L
+          // units differ per metric: fetchWaitTime is already ms,
+          // writeTime is ns — only the write side is scaled
           s.shWait += m.shuffleReadMetrics.fetchWaitTime +
-                    m.shuffleWriteMetrics.writeTime / 1000000L
+                    (m.shuffleWriteMetrics.writeTime / 1000000L)
           s.rdB += m.shuffleReadMetrics.totalBytesRead
           s.wrB += m.shuffleWriteMetrics.bytesWritten
           s.spill += m.diskBytesSpilled

@@ -31,6 +31,11 @@ export GRAFT_PHASE1_CACHE=/tmp/graft_p1_sf100.tsv
 # cliff, reproduced here: phase-1 pair-graph derivation filled 57 GB);
 # spread spill across the RAM-backed tmpfs and the disk — Spark
 # round-robins blocks across local dirs, so capacity adds.
+# fail fast, not mid-run: the spill dirs must exist before the JVM
+# launches (Spark's own mkdirs is best-effort) and the sf100 fixture
+# is a prerequisite, not something the battery can synthesize
+mkdir -p /dev/shm/graft_spill /tmp/graft_spill
+[ -d /tmp/graft_sf100 ] || { echo "missing sf100 fixture at /tmp/graft_sf100 — generate with graft.tools.GenSf1 (see BASELINE.md round-8 section)" >&2; exit 1; }
 export SPARK_LOCAL_DIRS=/dev/shm/graft_spill,/tmp/graft_spill
 # binary Spark dist: the Worker's executor-command builder needs the
 # scala version pinned (round-7 launch note, BASELINE.md)
