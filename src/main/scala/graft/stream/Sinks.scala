@@ -111,4 +111,16 @@ object Sinks {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink.write(batch, batchId)
       }
+
+  /** BATCH entry of the SAME seam (round-13: the sink trait was wired
+    * to foreachBatch only; one-shot jobs wrote parquet directly and a
+    * user pointing the engine at a JDBC warehouse had to re-plumb).
+    * A one-shot write goes through the identical [[BatchSink]]
+    * bindings the streaming path uses, so "parquet locally, ClickHouse/
+    * Postgres URL in deployment" is one constructor swap for BOTH
+    * paths. batchId = −1 marks the one-shot call; the idempotent
+    * bindings still claim correctly — a re-run of the same one-shot
+    * job replaces its own output (the `batch=-1` directory / the
+    * `batch_id = −1` claim) instead of appending a duplicate. */
+  def writeOnce(df: DataFrame, sink: BatchSink): Unit = sink.write(df, -1L)
 }

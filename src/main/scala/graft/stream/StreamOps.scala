@@ -38,6 +38,36 @@ object StreamOps {
   def toMicros(ts: java.sql.Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
 
+  /** Shared keyed-state TTL posture (round-13, mirroring
+    * `graft.stream.lineDedup.ttlMs`): `graft.stream.state.ttlMs` > 0
+    * ages out cold per-key state across every open-key-space
+    * StatefulProcessor in this file (high-water/ewma/sma/rsi/cusum/
+    * holt/holt-winters/bloom-dedup/funnel/anomaly/topk/rate/quantile/
+    * semantic-index/minhash-index/attribution/scd2/alert-suppress/
+    * interarrival) — the at-scale bound for state keyed by user/doc
+    * ids, which grow without limit on an open stream. 0/unset = exact
+    * unbounded history (the fixture/test posture, and the batch-parity
+    * one). TTL > 0 forces TimeMode.ProcessingTime — see
+    * [[lineDedupIndex]]'s trigger note (continuous triggers never
+    * quiesce under TTL bookkeeping; use AvailableNow or a real
+    * interval). The heartbeat detector is the one exception: its
+    * event-time TIMERS are incompatible with processing-time TTL, and
+    * its state is one long + one self-cleaning timer per key. */
+  private def stateTtlMs(ds: org.apache.spark.sql.Dataset[_]): Long =
+    ds.sparkSession.conf.getOption("graft.stream.state.ttlMs")
+      .map(_.toLong).getOrElse(0L)
+
+  private def ttlConf(ttlMs: Long): org.apache.spark.sql.streaming.TTLConfig =
+    if (ttlMs > 0)
+      org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(ttlMs))
+    else org.apache.spark.sql.streaming.TTLConfig.NONE
+
+  private def ttlMode(ds: org.apache.spark.sql.Dataset[_])
+      : org.apache.spark.sql.streaming.TimeMode =
+    if (stateTtlMs(ds) > 0)
+      org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+    else org.apache.spark.sql.streaming.TimeMode.None()
+
   /** s_stream_file_source: micro-batch ingest of event parquet files (the
     * collector poll-loop analogue). */
   def fileSource(spark: SparkSession, dir: String): DataFrame =
@@ -161,7 +191,7 @@ object StreamOps {
     * file's watermark-bounded rule). A production deployment over an
     * open-ended key space would add `TTLConfig` with
     * `TimeMode.ProcessingTime` to cap it at O(recently-active users). */
-  private class HighWaterProcessor
+  private class HighWaterProcessor(ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, HighWater] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var max: org.apache.spark.sql.streaming.ValueState[Double] = _
@@ -169,7 +199,7 @@ object StreamOps {
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       max = getHandle.getValueState[Double](
-        "max", E.scalaDouble, org.apache.spark.sql.streaming.TTLConfig.NONE)
+        "max", E.scalaDouble, ttlConf(ttlMs))
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[HighWater] = {
@@ -191,8 +221,8 @@ object StreamOps {
   def highWaterMarks(events: Dataset[Event]): Dataset[HighWater] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.userId)
-      .transformWithState(new HighWaterProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new HighWaterProcessor(stateTtlMs(events)),
+        ttlMode(events),
         OutputMode.Append())
   }
 
@@ -216,7 +246,7 @@ object StreamOps {
     * sliding-recency semantics every bounded-memory dedup must pick.
     * Intra-batch rows are processed in full (µs ts, id, payload) order
     * so the emitted set is deterministic under arrival-order shuffle. */
-  private class BloomDedupProcessor(numBits: Int, numHashes: Int)
+  private class BloomDedupProcessor(numBits: Int, numHashes: Int, ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Event] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var cur: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
@@ -226,7 +256,7 @@ object StreamOps {
 
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
-      val ttl = org.apache.spark.sql.streaming.TTLConfig.NONE
+      val ttl = ttlConf(ttlMs)
       cur = getHandle.getValueState[Array[Byte]]("cur", E.BINARY, ttl)
       prev = getHandle.getValueState[Array[Byte]]("prev", E.BINARY, ttl)
       nCur = getHandle.getValueState[Long]("ncur", E.scalaLong, ttl)
@@ -274,7 +304,7 @@ object StreamOps {
     * s_t = (x_fp + s_{t−1}) div 2 — exact halving per step, no float
     * accumulation, so replays and shard moves can never change emitted
     * values. O(1) state (one long) per user. */
-  private class EwmaProcessor
+  private class EwmaProcessor(ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Smoothed] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var state: org.apache.spark.sql.streaming.ValueState[Long] = _
@@ -282,7 +312,7 @@ object StreamOps {
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       state = getHandle.getValueState[Long](
-        "ewma_fp", E.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+        "ewma_fp", E.scalaLong, ttlConf(ttlMs))
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Smoothed] = {
@@ -318,7 +348,7 @@ object StreamOps {
     * unbounded-list anti-pattern. Flags fire exactly at the batch
     * op's transitions (first full window establishes the side without
     * firing, like the batch rn≥20 + lag-over-filtered-set contract). */
-  private class SmaCrossProcessor
+  private class SmaCrossProcessor(ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, CrossOut] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var state: org.apache.spark.sql.streaming.ValueState[SmaState] = _
@@ -326,7 +356,7 @@ object StreamOps {
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       state = getHandle.getValueState[SmaState](
-        "sma_buf", E.product[SmaState], org.apache.spark.sql.streaming.TTLConfig.NONE)
+        "sma_buf", E.product[SmaState], ttlConf(ttlMs))
 
     override def handleInputRows(key: String, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[CrossOut] = {
@@ -354,8 +384,8 @@ object StreamOps {
   def smaCrossover(events: Dataset[Event]): Dataset[CrossOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.eventType)
-      .transformWithState(new SmaCrossProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new SmaCrossProcessor(stateTtlMs(events)),
+        ttlMode(events),
         OutputMode.Append())
   }
 
@@ -374,7 +404,7 @@ object StreamOps {
     * RSI = (10000·gain) div (gain+loss) with the same 5000 flat-frame
     * midpoint pin. O(1) state per key regardless of stream length;
     * exact integer arithmetic → replay/shard-move invariant. */
-  private class RsiProcessor
+  private class RsiProcessor(ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, RsiOut] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var state: org.apache.spark.sql.streaming.ValueState[RsiState] = _
@@ -382,7 +412,7 @@ object StreamOps {
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       state = getHandle.getValueState[RsiState](
-        "rsi_buf", E.product[RsiState], org.apache.spark.sql.streaming.TTLConfig.NONE)
+        "rsi_buf", E.product[RsiState], ttlConf(ttlMs))
 
     override def handleInputRows(key: String, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[RsiOut] = {
@@ -409,8 +439,8 @@ object StreamOps {
   def rsi(events: Dataset[Event]): Dataset[RsiOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.eventType)
-      .transformWithState(new RsiProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new RsiProcessor(stateTtlMs(events)),
+        ttlMode(events),
         OutputMode.Append())
   }
 
@@ -424,7 +454,7 @@ object StreamOps {
     * S = max(0, S + (x − target)) on 1e-2 fixed-point longs, alert
     * while S exceeds the drift budget. O(1) ValueState per type;
     * exact integer arithmetic → replay/shard-move invariant. */
-  private class CusumProcessor(targetFp: Long, threshFp: Long)
+  private class CusumProcessor(targetFp: Long, threshFp: Long, ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, CusumOut] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var state: org.apache.spark.sql.streaming.ValueState[Long] = _
@@ -432,7 +462,7 @@ object StreamOps {
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       state = getHandle.getValueState[Long](
-        "cusum_fp", E.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+        "cusum_fp", E.scalaLong, ttlConf(ttlMs))
 
     override def handleInputRows(key: String, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[CusumOut] = {
@@ -453,8 +483,8 @@ object StreamOps {
             threshFp: Long = 20000L): Dataset[CusumOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.eventType)
-      .transformWithState(new CusumProcessor(targetFp, threshFp),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new CusumProcessor(targetFp, threshFp, stateTtlMs(events)),
+        ttlMode(events),
         OutputMode.Append())
   }
 
@@ -473,7 +503,7 @@ object StreamOps {
     * collects each key's history into a list and folds it, the stream
     * keeps ONLY (l, t) per user — O(1) ValueState, unbounded series.
     * First sample seeds l = x, t = 0 exactly like the batch seed. */
-  private class HoltProcessor
+  private class HoltProcessor(ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, HoltOut] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var state: org.apache.spark.sql.streaming.ValueState[HoltState] = _
@@ -481,7 +511,7 @@ object StreamOps {
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       state = getHandle.getValueState[HoltState](
-        "holt_fp", E.product[HoltState], org.apache.spark.sql.streaming.TTLConfig.NONE)
+        "holt_fp", E.product[HoltState], ttlConf(ttlMs))
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[HoltOut] = {
@@ -518,7 +548,7 @@ object StreamOps {
     * ONLY (l, t, s[7]) per type: O(1) ValueState, unbounded series.
     * First sample seeds l = x, t = 0, s = 0⁷ exactly like the batch
     * seed. */
-  private class HoltWintersProcessor
+  private class HoltWintersProcessor(ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, HoltWintersOut] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var state:
@@ -528,7 +558,7 @@ object StreamOps {
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       state = getHandle.getValueState[HoltWintersState](
         "hw_fp", E.product[HoltWintersState],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        ttlConf(ttlMs))
 
     override def handleInputRows(key: String, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[HoltWintersOut] = {
@@ -557,8 +587,8 @@ object StreamOps {
   def holtWinters(events: Dataset[Event]): Dataset[HoltWintersOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.eventType)
-      .transformWithState(new HoltWintersProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new HoltWintersProcessor(stateTtlMs(events)),
+        ttlMode(events),
         OutputMode.Append())
   }
 
@@ -566,8 +596,8 @@ object StreamOps {
   def holt(events: Dataset[Event]): Dataset[HoltOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.userId)
-      .transformWithState(new HoltProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new HoltProcessor(stateTtlMs(events)),
+        ttlMode(events),
         OutputMode.Append())
   }
 
@@ -575,8 +605,8 @@ object StreamOps {
   def ewma(events: Dataset[Event]): Dataset[Smoothed] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.userId)
-      .transformWithState(new EwmaProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new EwmaProcessor(stateTtlMs(events)),
+        ttlMode(events),
         OutputMode.Append())
   }
 
@@ -585,8 +615,8 @@ object StreamOps {
                  numBits: Int = 1 << 15, numHashes: Int = 4): Dataset[Event] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.eventId % shards)
-      .transformWithState(new BloomDedupProcessor(numBits, numHashes),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new BloomDedupProcessor(numBits, numHashes, stateTtlMs(events)),
+        ttlMode(events),
         OutputMode.Append())
   }
 
@@ -604,7 +634,7 @@ object StreamOps {
     *
     * State is O(distinct users) like [[HighWaterProcessor]]; production
     * over an open key space would add TTL. */
-  private class FunnelProcessor
+  private class FunnelProcessor(ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, StageAdvance] {
     import org.apache.spark.sql.{Encoders => E}
     private val stageOf = Map("signup" -> 1, "view" -> 2, "click" -> 3, "purchase" -> 4)
@@ -615,7 +645,7 @@ object StreamOps {
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       st = getHandle.getValueState[(Int, Long)](
         "stage", E.tuple(E.scalaInt, E.scalaLong),
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        ttlConf(ttlMs))
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[StageAdvance] = {
@@ -644,8 +674,8 @@ object StreamOps {
   def streamingFunnel(events: Dataset[Event]): Dataset[StageAdvance] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.userId)
-      .transformWithState(new FunnelProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new FunnelProcessor(stateTtlMs(events)),
+        ttlMode(events),
         OutputMode.Append())
   }
 
@@ -664,7 +694,7 @@ object StreamOps {
     * State is O(distinct users) like [[HighWaterProcessor]]; a
     * production deployment over an open key space would add `TTLConfig`
     * with `TimeMode.ProcessingTime` to cap it at recently-active users. */
-  private class AnomalyProcessor
+  private class AnomalyProcessor(ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Anomaly] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var moments:
@@ -674,7 +704,7 @@ object StreamOps {
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       moments = getHandle.getValueState[(Long, Double, Double)](
         "welford", E.tuple(E.scalaLong, E.scalaDouble, E.scalaDouble),
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        ttlConf(ttlMs))
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Anomaly] = {
@@ -706,8 +736,8 @@ object StreamOps {
   def streamingAnomalies(events: Dataset[Event]): Dataset[Anomaly] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.userId)
-      .transformWithState(new AnomalyProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new AnomalyProcessor(stateTtlMs(events)),
+        ttlMode(events),
         OutputMode.Append())
   }
 
@@ -781,7 +811,7 @@ object StreamOps {
     * current top-k snapshot (Update-mode semantics); intra-batch rows
     * feed the summary in full (ts, id) order so emitted estimates are
     * deterministic under arrival-order shuffle. */
-  private class TopKProcessor(k: Int, capacity: Int)
+  private class TopKProcessor(k: Int, capacity: Int, ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, TopKHit] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var sk: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
@@ -789,7 +819,7 @@ object StreamOps {
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       sk = getHandle.getValueState[Array[Byte]](
-        "sk", E.BINARY, org.apache.spark.sql.streaming.TTLConfig.NONE)
+        "sk", E.BINARY, ttlConf(ttlMs))
 
     override def handleInputRows(key: String, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[TopKHit] = {
@@ -809,8 +839,8 @@ object StreamOps {
   def topkPerKey(events: Dataset[Event], k: Int, capacity: Int): Dataset[TopKHit] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.eventType)
-      .transformWithState(new TopKProcessor(k, capacity),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new TopKProcessor(k, capacity, stateTtlMs(events)),
+        ttlMode(events),
         OutputMode.Update())
   }
 
@@ -833,6 +863,9 @@ object StreamOps {
 
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      // deliberately un-TTL'd: event-time timers (this processor's whole
+      // point) exclude the processing-time TTL the shared conf implies;
+      // state is one long + one self-cleaning timer per key
       lastSeen = getHandle.getValueState[Long](
         "last", E.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
 
@@ -876,7 +909,7 @@ object StreamOps {
     * counter restarted, increase = v) mirrored from the batch
     * `q_ts_counter_reset`/`q_ts_irate` semantics. State is O(keys) ×
     * 16 bytes forever — the minimum any cross-batch delta needs. */
-  private class CounterRateProcessor
+  private class CounterRateProcessor(ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, RateOut] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var last: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
@@ -885,7 +918,7 @@ object StreamOps {
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       last = getHandle.getValueState[(Long, Double)](
         "last", E.tuple(E.scalaLong, E.scalaDouble),
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        ttlConf(ttlMs))
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[RateOut] = {
@@ -917,8 +950,8 @@ object StreamOps {
   def streamingRates(events: Dataset[Event]): Dataset[RateOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.userId)
-      .transformWithState(new CounterRateProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new CounterRateProcessor(stateTtlMs(events)),
+        ttlMode(events),
         OutputMode.Append())
   }
 
@@ -934,7 +967,7 @@ object StreamOps {
     * micro-batch inserts its rows, re-serializes (which compresses),
     * and emits the updated estimates — batch/stream parity for the
     * sketch family, like the minhash index is for dedup. */
-  private class QuantileProcessor
+  private class QuantileProcessor(ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, QuantileOut] {
     import org.apache.spark.sql.{Encoders => E}
     import graft.functions.QuantileSketchUtil
@@ -943,7 +976,7 @@ object StreamOps {
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       sk = getHandle.getValueState[Array[Byte]](
-        "sk", E.BINARY, org.apache.spark.sql.streaming.TTLConfig.NONE)
+        "sk", E.BINARY, ttlConf(ttlMs))
 
     override def handleInputRows(key: String, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[QuantileOut] = {
@@ -962,8 +995,8 @@ object StreamOps {
   def streamingQuantiles(events: Dataset[Event]): Dataset[QuantileOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.eventType)
-      .transformWithState(new QuantileProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new QuantileProcessor(stateTtlMs(events)),
+        ttlMode(events),
         OutputMode.Update())
   }
 
@@ -1025,12 +1058,12 @@ object StreamOps {
         sqrt(aggregate(transform(dv, x => x * x), lit(0.0), (a, x) => a + x)).as("nrm"))
       .as[CellVec]
       .groupByKey(_.cell)
-      .transformWithState(new SemanticIndexProcessor(tau, maxKeepers),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new SemanticIndexProcessor(tau, maxKeepers, stateTtlMs(vecs)),
+        ttlMode(vecs),
         OutputMode.Append())
   }
 
-  private class SemanticIndexProcessor(tau: Double, maxKeepers: Int)
+  private class SemanticIndexProcessor(tau: Double, maxKeepers: Int, ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Int, CellVec, SemDrop] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var kept: org.apache.spark.sql.streaming.ListState[KeptVec] = _
@@ -1038,7 +1071,7 @@ object StreamOps {
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       kept = getHandle.getListState[KeptVec](
-        "kept", E.product[KeptVec], org.apache.spark.sql.streaming.TTLConfig.NONE)
+        "kept", E.product[KeptVec], ttlConf(ttlMs))
 
     override def handleInputRows(key: Int, rows: Iterator[CellVec],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SemDrop] = {
@@ -1105,7 +1138,7 @@ object StreamOps {
     * replacing the linear `exists` scan); a production deployment over
     * an open-ended corpus additionally adds TTLConfig to age out cold
     * docs — same trade declared on [[HighWaterProcessor]]. */
-  private class MinhashIndexProcessor(minAgree: Int, maxMembers: Int)
+  private class MinhashIndexProcessor(minAgree: Int, maxMembers: Int, ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, BandDoc, DupHit] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var index: org.apache.spark.sql.streaming.ListState[IndexedSig] = _
@@ -1113,7 +1146,7 @@ object StreamOps {
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       index = getHandle.getListState[IndexedSig](
-        "sigs", E.product[IndexedSig], org.apache.spark.sql.streaming.TTLConfig.NONE)
+        "sigs", E.product[IndexedSig], ttlConf(ttlMs))
 
     override def handleInputRows(key: Long, rows: Iterator[BandDoc],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[DupHit] = {
@@ -1184,8 +1217,8 @@ object StreamOps {
                 array(sigs: _*).as("sig"))
       .as[BandDoc]
       .groupByKey(_.key)
-      .transformWithState(new MinhashIndexProcessor(minAgree, maxMembers),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new MinhashIndexProcessor(minAgree, maxMembers, stateTtlMs(docs)),
+        ttlMode(docs),
         OutputMode.Append())
   }
 
@@ -1222,10 +1255,7 @@ object StreamOps {
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       first = getHandle.getValueState[FirstSeen](
         "first", E.product[FirstSeen],
-        if (ttlMs > 0)
-          org.apache.spark.sql.streaming.TTLConfig(
-            java.time.Duration.ofMillis(ttlMs))
-        else org.apache.spark.sql.streaming.TTLConfig.NONE)
+        ttlConf(ttlMs))
 
     override def handleInputRows(key: (Long, Long), rows: Iterator[LineRow],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[LineDup] = {
@@ -1384,7 +1414,7 @@ object StreamOps {
     * Intra-batch rows are processed in (ts, event_id) order so a
     * touch and a purchase landing in one micro-batch attribute
     * exactly as the batch window would. */
-  private class AttributionProcessor(lookbackMicros: Long)
+  private class AttributionProcessor(lookbackMicros: Long, ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Attributed] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var touch: org.apache.spark.sql.streaming.ValueState[TouchState] = _
@@ -1393,7 +1423,7 @@ object StreamOps {
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       touch = getHandle.getValueState[TouchState](
         "last_touch", E.product[TouchState],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        ttlConf(ttlMs))
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Attributed] = {
@@ -1420,8 +1450,8 @@ object StreamOps {
                   lookbackMicros: Long = 604800000000L): Dataset[Attributed] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.userId)
-      .transformWithState(new AttributionProcessor(lookbackMicros),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new AttributionProcessor(lookbackMicros, stateTtlMs(events)),
+        ttlMode(events),
         OutputMode.Append())
   }
 
@@ -1447,7 +1477,7 @@ object StreamOps {
     * multi-change batch closes the same versions the batch window
     * would. State is O(1) per user regardless of history length — the
     * shape that survives unbounded retention. */
-  private class Scd2Processor
+  private class Scd2Processor(ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Scd2Closed] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var run: org.apache.spark.sql.streaming.ValueState[RunState] = _
@@ -1456,7 +1486,7 @@ object StreamOps {
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       run = getHandle.getValueState[RunState](
         "open_run", E.product[RunState],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        ttlConf(ttlMs))
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Scd2Closed] = {
@@ -1489,7 +1519,7 @@ object StreamOps {
     * O(1)-forever shape. Intra-batch rows replay in (ts, event_id)
     * order so a burst landing in one micro-batch suppresses exactly as
     * the batch window would. */
-  private class AlertSuppressProcessor(quietMicros: Long)
+  private class AlertSuppressProcessor(quietMicros: Long, ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, AlertDecision] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var lastUs: org.apache.spark.sql.streaming.ValueState[Long] = _
@@ -1498,7 +1528,7 @@ object StreamOps {
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       lastUs = getHandle.getValueState[Long](
         "last_error_us", E.scalaLong,
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        ttlConf(ttlMs))
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[AlertDecision] = {
@@ -1530,7 +1560,7 @@ object StreamOps {
     * State is ONE long per (user, type) stream — the newest arrival
     * µs — forever. The composite key rides the groupByKey tuple, so
     * per-user streams of different types never cross. */
-  private class InterarrivalProcessor(thresholdMicros: Long)
+  private class InterarrivalProcessor(thresholdMicros: Long, ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, String), Event, GapObs] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var lastUs: org.apache.spark.sql.streaming.ValueState[Long] = _
@@ -1539,7 +1569,7 @@ object StreamOps {
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       lastUs = getHandle.getValueState[Long](
         "last_arrival_us", E.scalaLong,
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        ttlConf(ttlMs))
 
     override def handleInputRows(key: (Long, String), rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[GapObs] = {
@@ -1562,8 +1592,8 @@ object StreamOps {
                    thresholdMicros: Long = 1800L * 1000000L): Dataset[GapObs] = {
     import events.sparkSession.implicits._
     events.groupByKey(e => (e.userId, e.eventType))
-      .transformWithState(new InterarrivalProcessor(thresholdMicros),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new InterarrivalProcessor(thresholdMicros, stateTtlMs(events)),
+        ttlMode(events),
         OutputMode.Append())
   }
 
@@ -1572,8 +1602,8 @@ object StreamOps {
                     quietMicros: Long = 1800L * 1000000L): Dataset[AlertDecision] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.userId)
-      .transformWithState(new AlertSuppressProcessor(quietMicros),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new AlertSuppressProcessor(quietMicros, stateTtlMs(events)),
+        ttlMode(events),
         OutputMode.Append())
   }
 
@@ -1581,8 +1611,8 @@ object StreamOps {
   def scd2(events: Dataset[Event]): Dataset[Scd2Closed] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.userId)
-      .transformWithState(new Scd2Processor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new Scd2Processor(stateTtlMs(events)),
+        ttlMode(events),
         OutputMode.Append())
   }
 }

@@ -1484,4 +1484,116 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       } finally q2.stop()
     }
   }
+
+  // ---- round-13: shared keyed-state TTL (graft.stream.state.ttlMs) ----
+  // One expiry test per state SHAPE the conf governs: primitive
+  // ValueState[Long] (ewma), product ValueState[case class] (holt),
+  // binary ValueState[Array[Byte]] (bloom dedup). Each proves the same
+  // contract: state written under the TTL answers exactly until the
+  // deadline, then the key re-seeds as if never seen — the recall trade
+  // any TTL'd index makes, chosen by conf, never silently.
+
+  /** Poll-await for TTL'd queries: ProcessingTime TimeMode never
+    * quiesces (TTL bookkeeping counts as pending work every poll), so
+    * processAllAvailable would spin — monitor the sink with a deadline
+    * instead, the shape a real TTL'd deployment watches. */
+  private def awaitTtl(q: org.apache.spark.sql.streaming.StreamingQuery)(
+      cond: => Boolean, what: String): Unit = {
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!cond && System.nanoTime() < deadline) {
+      if (q.exception.isDefined) throw q.exception.get
+      Thread.sleep(200)
+    }
+    assert(cond, s"timed out waiting for $what")
+  }
+
+  private def withStateTtl(ttlMs: Long)(body: => Unit): Unit = {
+    spark.conf.set("graft.stream.state.ttlMs", ttlMs.toString)
+    try body finally spark.conf.unset("graft.stream.state.ttlMs")
+  }
+
+  test("state TTL (primitive ValueState): expired ewma level re-seeds instead of averaging") {
+    withRocksDB { withStateTtl(2000) {
+      import spark.implicits._
+      val in = MemoryStream[Event](spark)
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+      val q = StreamOps.ewma(in.toDS()).toDF().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.select("eventId", "ewma").collect()
+            .map(r => (r.getLong(0), r.getDouble(1)))
+          buf.synchronized { buf ++= rows }; ()
+        }
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+        .start()
+      try {
+        in.addData(ev(1, 0, value = 4.0))
+        awaitTtl(q)(buf.synchronized(buf.size) == 1, "seed sample")
+        assert(buf.synchronized(buf.head) == ((1L, 4.0)), "first sample seeds the level")
+        Thread.sleep(3500) // > TTL: the per-user level expires
+        in.addData(ev(2, 1, value = 8.0))
+        awaitTtl(q)(buf.synchronized(buf.size) == 2, "post-expiry sample")
+        // surviving state would average to (8+4)/2 = 6.0; expired re-seeds
+        assert(buf.synchronized(buf(1)) == ((2L, 8.0)),
+          s"expired level must re-seed at 8.0, got ${buf.synchronized(buf(1))}")
+      } finally q.stop()
+    } }
+  }
+
+  test("state TTL (product ValueState): expired holt (level, trend) re-seeds") {
+    withRocksDB { withStateTtl(2000) {
+      import spark.implicits._
+      val in = MemoryStream[Event](spark)
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      val q = StreamOps.holt(in.toDS()).toDF().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.select("eventId", "levelFp", "trendFp").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          buf.synchronized { buf ++= rows }; ()
+        }
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+        .start()
+      try {
+        in.addData(ev(1, 0, value = 4.0))
+        awaitTtl(q)(buf.synchronized(buf.size) == 1, "seed sample")
+        assert(buf.synchronized(buf.head) == ((1L, 40000L, 0L)),
+          "first sample seeds l = x, t = 0")
+        Thread.sleep(3500)
+        in.addData(ev(2, 1, value = 8.0))
+        awaitTtl(q)(buf.synchronized(buf.size) == 2, "post-expiry sample")
+        // surviving state: l' = (80000+40000)>>1 = 60000, t' = 10000
+        assert(buf.synchronized(buf(1)) == ((2L, 80000L, 0L)),
+          s"expired (l, t) must re-seed, got ${buf.synchronized(buf(1))}")
+      } finally q.stop()
+    } }
+  }
+
+  test("state TTL (binary ValueState): expired bloom filter forgets — the dup re-emits") {
+    withRocksDB { withStateTtl(2000) {
+      import spark.implicits._
+      val in = MemoryStream[Event](spark)
+      val buf = scala.collection.mutable.ArrayBuffer[Long]()
+      val q = StreamOps.bloomDedup(in.toDS()).toDF().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.select("eventId").collect().map(_.getLong(0))
+          buf.synchronized { buf ++= rows }; ()
+        }
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+        .start()
+      try {
+        in.addData(ev(42, 0))
+        awaitTtl(q)(buf.synchronized(buf.size) == 1, "first occurrence")
+        in.addData(ev(42, 1)) // within TTL: the filter remembers
+        Thread.sleep(1200)    // give the dup a batch to be (not) emitted
+        assert(buf.synchronized(buf.size) == 1, "within-TTL dup must stay suppressed")
+        Thread.sleep(3500)    // > TTL measured from the LAST write
+        in.addData(ev(42, 2))
+        awaitTtl(q)(buf.synchronized(buf.size) == 2, "post-expiry re-emit")
+        assert(buf.synchronized(buf.toSeq) == Seq(42L, 42L),
+          "expired filter must re-admit the id as first-seen")
+      } finally q.stop()
+    } }
+  }
 }
