@@ -589,7 +589,9 @@ case class PairContains(left: Expression, right: Expression,
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val e = (a.asInstanceOf[Long] << 32) | b.asInstanceOf[Long]
-    java.util.Arrays.binarySearch(bc.value, e) >= 0
+    val f = PairContainsFilter.forBroadcast(bc)
+    PairContainsFilter.mightContain(f, e) &&
+      java.util.Arrays.binarySearch(bc.value, e) >= 0
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -597,12 +599,84 @@ case class PairContains(left: Expression, right: Expression,
       "org.apache.spark.broadcast.Broadcast")
     val arr = ctx.addMutableState("long[]", "pairs",
       v => s"$v = (long[]) $bcRef.value();")
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = java.util.Arrays.binarySearch($arr, ($a << 32) | $b) >= 0;")
+    val flt = ctx.addMutableState("long[]", "pairflt",
+      v => s"$v = graft.functions.PairContainsFilter.forBroadcast($bcRef);")
+    val e = ctx.freshName("enc")
+    val h = ctx.freshName("h")
+    // the splitmix64 finalizer inlined — MUST mirror
+    // PairContainsFilter.mix step for step (interpreted eval parity)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |long $e = ($a << 32) | $b;
+      |long $h = $e + 0x9e3779b97f4a7c15L;
+      |$h = ($h ^ ($h >>> 30)) * 0xbf58476d1ce4e5b9L;
+      |$h = ($h ^ ($h >>> 27)) * 0x94d049bb133111ebL;
+      |$h = ($h ^ ($h >>> 31)) & (((long) $flt.length << 6) - 1L);
+      |${ev.value} = ($flt[(int)($h >>> 6)] & (1L << (int)($h & 63L))) != 0L
+      |  && java.util.Arrays.binarySearch($arr, $e) >= 0;
+      |""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** Executor-local bit pre-filter for [[PairContains]] (round-13: the
+  * wedge closing stages at sf100 profiled 89–97% CPU-bound, and the
+  * dominant op is a ~30-probe binary search over a ~1 GB sorted pack —
+  * every probe a cache miss, paid by EVERY wedge though only a small
+  * fraction close into triangles). One splitmix64-hashed bit per arc in
+  * a power-of-two bitmap (≥8 bits/arc, capped at 2³¹ bits = 256 MB, so
+  * ≤12.5% fill) rejects ~90% of non-closing wedges with a single
+  * memory access; survivors (true members + fill-rate false positives)
+  * fall through to the exact binary search — the result set is
+  * bit-identical by construction, only the work per miss changes.
+  *
+  * Built LAZILY once per executor JVM from the already-broadcast pack
+  * (one linear pass; memoized by broadcast id) rather than shipped as a
+  * second broadcast: same executor RAM either way, no extra network, no
+  * API change. Entries expire with a ConcurrentHashMap sweep keyed on
+  * broadcast VALIDITY — the pack broadcast is per-query and its id is
+  * monotone, so stale filters are dropped when a newer id appears (the
+  * JVM holds O(1) live packs; the one-live-join discipline). Top-level
+  * object: Scala emits static forwarders, so generated Java calls
+  * `graft.functions.PairContainsFilter.forBroadcast(...)` directly. */
+object PairContainsFilter {
+  private val filters =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]
+
+  /** splitmix64 finalizer — the codegen template inlines these exact
+    * steps; any change must be made in BOTH places. */
+  def mix(e: Long): Long = {
+    var z = e + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def forBroadcast(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Long]]): Array[Long] =
+    filters.computeIfAbsent(bc.id, _ => {
+      // sweep older packs: broadcast ids are monotone per context, and
+      // at most one closing-filter pack is live per query
+      filters.keySet.removeIf(k => k < bc.id - 4)
+      val arr = bc.value
+      var bits = 1L << 20
+      while (bits < arr.length.toLong * 8 && bits < (1L << 31)) bits <<= 1
+      val words = new Array[Long]((bits >>> 6).toInt)
+      val mask = bits - 1
+      var i = 0
+      while (i < arr.length) {
+        val h = mix(arr(i)) & mask
+        words((h >>> 6).toInt) |= 1L << (h & 63L).toInt
+        i += 1
+      }
+      words
+    })
+
+  def mightContain(words: Array[Long], e: Long): Boolean = {
+    val h = mix(e) & (words.length.toLong * 64 - 1)
+    (words((h >>> 6).toInt) & (1L << (h & 63L).toInt)) != 0L
+  }
 }
 
 /** Per-GROUP top-`nprobe` cell selection for the DISTRIBUTED two-level
