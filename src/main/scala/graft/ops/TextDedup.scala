@@ -879,12 +879,29 @@ object TextDedup {
     // deg² pairs spread over the salt buckets instead of one reducer,
     // output multiset unchanged (Util.hubSaltedWedges)
     val nAdj = 2L * pairs.count()
-    val cand = Util.hubSaltedWedges(s,
+    val wedged = Util.hubSaltedWedges(s,
         edges.select(col("u").as("m"), col("v").as("e")), nAdj)
       .where(col("u") < col("w"))
-      .groupBy(col("u"), col("w")).agg(count(lit(1)).as("cn"))
-      .join(pairs.select(col("a_id").as("u"), col("b_id").as("w")),
-            Seq("u", "w"), "left_anti")
+    // wide path (round 13): adjacency tested MAP-SIDE on the wedge
+    // stream via the canonical pair pack + bit pre-filter, BEFORE the
+    // count agg — row-identical to the historical anti-join (each
+    // wedge belongs to exactly one (u,w) group) but the clique-heavy
+    // adjacent share of wedge mass never reaches the agg hash tables
+    // or the candidate exchange. Non-wide / pack-ineligible keeps the
+    // anti-join plan.
+    val wide = nAdj / 2 > s.conf.getOption("graft.graph.wideEdges")
+      .map(_.toLong).getOrElse(4000000L)
+    val cand = (if (wide) canonicalPairPack(s, sf, nAdj / 2) else None) match {
+      case Some(bcEnc) =>
+        wedged.where(!graft.functions.VectorExpressions.pairContains(
+            col("u"), col("w"), bcEnc))
+          .groupBy(col("u"), col("w")).agg(count(lit(1)).as("cn"))
+      case None =>
+        wedged
+          .groupBy(col("u"), col("w")).agg(count(lit(1)).as("cn"))
+          .join(pairs.select(col("a_id").as("u"), col("b_id").as("w")),
+                Seq("u", "w"), "left_anti")
+    }
     cand
       .join(deg.select(col("u"), col("d").as("du")), "u")
       .join(deg.select(col("u").as("w"), col("d").as("dw")), "w")
@@ -915,11 +932,27 @@ object TextDedup {
     // hub-salted layout spreads a hub mid-vertex's deg² rows across
     // salt buckets (output multiset identical — Util.hubSaltedWedges)
     val nAdj = 2L * pairs.count()
-    val twoHop = Util.hubSaltedWedges(s,
+    val wedged = Util.hubSaltedWedges(s,
         edges.select(col("u").as("m"), col("v").as("e")), nAdj)
       .where(col("u") =!= col("w"))
-      .select(col("u"), col("w")).distinct()
-      .join(edges.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_anti")
+    // wide path (round 13): same early map-side adjacency filter as
+    // q_graph_linkpred — the candidate pairs here ride BOTH orders, so
+    // the canonical pack is probed on (least, greatest); dropping
+    // adjacent rows before the distinct is set-identical to the
+    // anti-join after it, and the clique-heavy adjacent wedge mass
+    // never reaches the distinct's exchange
+    val wide = nAdj / 2 > s.conf.getOption("graft.graph.wideEdges")
+      .map(_.toLong).getOrElse(4000000L)
+    val nonAdj = (if (wide) canonicalPairPack(s, sf, nAdj / 2) else None) match {
+      case Some(bcEnc) =>
+        wedged.where(!graft.functions.VectorExpressions.pairContains(
+            least(col("u"), col("w")), greatest(col("u"), col("w")), bcEnc))
+          .select(col("u"), col("w")).distinct()
+      case None =>
+        wedged.select(col("u"), col("w")).distinct()
+          .join(edges.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_anti")
+    }
+    val twoHop = nonAdj
       .groupBy(col("u")).agg(count(lit(1)).as("n_2hop"))
     deg.join(twoHop, Seq("u"), "left_outer")
       .select(col("u"), col("deg"),
@@ -1612,6 +1645,61 @@ object TextDedup {
     * enumeration, two readouts. */
   private val triangleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  /** Session-cached canonical (a<b) pair pack of the near-dup graph —
+    * the sorted `(a_id<<32 | b_id)` long[] behind
+    * [[graft.functions.PairContains]], shared by the WIDE paths of
+    * `q_graph_linkpred` and `q_graph_2hop` (round 13): their
+    * "non-adjacent only" rule was an anti-join the AGGREGATED wedge
+    * candidates had to shuffle into; with the pack (+ its executor-side
+    * bit pre-filter) adjacency is tested MAP-SIDE on the raw wedge
+    * stream BEFORE the count/distinct aggregation — each wedge row
+    * belongs to exactly one (u,w) group, so dropping adjacent groups
+    * before counting is row-identical to anti-joining after. Dup
+    * graphs are clique-heavy (template families), so a large share of
+    * wedge mass lands on ADJACENT endpoint pairs — exactly the rows
+    * the early filter deletes from the agg's hash tables and exchange.
+    * Gates mirror the triangle pack: `graft.graph.packBudget` bytes,
+    * non-negative ids < 2³¹, exact-cardinality fill check; any failure
+    * → None and the callers keep the historical anti-join plan. Cached
+    * per (session, sfDir) — only positive results, so a forced-path
+    * test that zeroes the budget never poisons later calls. */
+  private val pairPackCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.broadcast.Broadcast[Array[Long]]]
+  private def canonicalPairPack(s: SparkSession, sf: String, nPairs: Long)
+      : Option[org.apache.spark.broadcast.Broadcast[Array[Long]]] = {
+    val cached = Util.purged(pairPackCache).get((s, sf))
+    if (cached != null) return Some(cached)
+    val packBudget = s.conf.getOption("graft.graph.packBudget")
+      .map(_.toLong).getOrElse(1536L << 20)
+    if (nPairs <= 0 || nPairs * 8L > packBudget || nPairs > Int.MaxValue.toLong)
+      return None
+    val pairs = nearDupPairGraph(s, sf).select(col("a_id"), col("b_id"))
+    // BOTH bounds gate the pack (the round-9 rule): a negative id would
+    // sign-extend through (a<<32)|b and silently corrupt the encoding
+    val bounds = pairs.agg(
+      least(min(col("a_id")), min(col("b_id"))).as("mn"),
+      greatest(max(col("a_id")), max(col("b_id"))).as("mx")).head
+    if (bounds.isNullAt(0) || bounds.getLong(0) < 0L ||
+        bounds.getLong(1) >= (1L << 31)) return None
+    import s.implicits._
+    // toLocalIterator, not collect — the r4 sf100 driver-OOM rule
+    val enc = new Array[Long](nPairs.toInt)
+    val it = pairs
+      .select((shiftleft(col("a_id"), 32).bitwiseOR(col("b_id"))).as("e"))
+      .as[Long].toLocalIterator()
+    var i = 0
+    while (it.hasNext && i < enc.length) { enc(i) = it.next(); i += 1 }
+    // exact-cardinality fill check: a short or long fill means the
+    // frame disagrees with nPairs — a trimmed pack would silently
+    // MISREPORT adjacency, so fall back to the anti-join instead
+    if (i == enc.length && !it.hasNext) {
+      java.util.Arrays.sort(enc)
+      val bc = s.sparkContext.broadcast(enc)
+      pairPackCache.put((s, sf), bc)
+      Some(bc)
+    } else None
+  }
   /** (pairCount, Σd² wedge bound) per (session, sfDir) — measured once,
     * read by every triangle consumer's gate. */
   private val wedgeStatsCache = new java.util.concurrent.ConcurrentHashMap[
