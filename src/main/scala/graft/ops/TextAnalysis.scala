@@ -412,14 +412,30 @@ object TextAnalysis {
     * winnowing fingerprint). Groups sharing a fingerprint are near-dup
     * cluster candidates; emitted clusters of ≥ 2. */
   def qTextFingerprint(s: SparkSession, sf: String): DataFrame = {
-    val t = split(col("text"), " ")
-    val fp = when(size(t) >= 3,
-        array_min(transform(sequence(lit(0), size(t) - 3),
-          i => md5(concat_ws(" ", slice(t, i + 1, lit(3)))))))
-      .otherwise(md5(col("text")))
-    Tables.documents(s, sf)
-      .select(col("doc_id"), fp.as("fp"))
-      .groupBy(col("fp"))
+    // Round 13 (§1.2 per-task work): the array_min(transform(...))
+    // formulation ran the md5-per-shingle INTERPRETED through the HOF
+    // evaluator, and on the single-file fixture scan it ran in ONE task
+    // (the minhash scaladoc's lambda hazard, verbatim). Now: explode the
+    // shingle positions, md5 through codegen, and take the per-doc min as
+    // a partial+final MIN aggregate — hash-exact because array_min over
+    // md5 hex strings and the MIN agg use the same UTF8 binary ordering,
+    // and a <3-token doc contributes exactly its md5(text) fallback row
+    // (pos = -1). repartition(64, doc_id): parallelize the explode off
+    // the one-file scan, deterministic key per the §2.5 retry rule.
+    val d = Tables.documents(s, sf)
+      .repartition(64, col("doc_id"))
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
+    val fpRows = d
+      .select(col("doc_id"), col("text"), col("tk"),
+        explode(when(size(col("tk")) >= 3,
+            sequence(lit(0), size(col("tk")) - 3))
+          .otherwise(array(lit(-1)))).as("pos"))
+      .select(col("doc_id"),
+        md5(when(col("pos") >= 0,
+            concat_ws(" ", slice(col("tk"), col("pos") + 1, lit(3))))
+          .otherwise(col("text"))).as("g"))
+      .groupBy(col("doc_id")).agg(min(col("g")).as("fp"))
+    fpRows.groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .where(col("n_docs") >= 2)
       .orderBy("fp")

@@ -199,25 +199,53 @@ object TextDedup {
     * fixed-width (id, 1 char, 32-char hash) rows. */
   private val gram8Cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  /** The gram frame's BUILD plan, pre-checkpoint (public for PlanDump:
+    * the checkpoint executes eagerly, so consumers' explains only show
+    * a scan of the pinned RDD — this is the plan that actually runs).
+    *
+    * Shingles are a PER-ROW computation: token i..i+7 of one doc's own
+    * array. The round-12 shape reached them through
+    * posexplode → Exchange(doc_id) → Sort → WindowExec(collect_list),
+    * i.e. it shuffled and sorted every TOKEN row (~8× the gram bytes as
+    * (id, bucket, pos, word) rows) to reassemble arrays each row
+    * already had. Round 13: explode the gram POSITIONS and slice the
+    * token array directly — zero exchange, zero sort, one
+    * WholeStageCodegen span from scan to checkpoint write. The
+    * repartition(64, doc_id) replaces the window exchange's only useful
+    * side effect (the fixture table is one parquet file → one scan
+    * task): it shuffles DOC rows (n_docs, pre-explosion) instead of
+    * token rows, deterministic on doc_id per the §2.5 retry rule.
+    * `pos` rides along (round 12, +4 B/row on the checkpoint): the
+    * exact-substring span extraction needs POSITIONAL grams; every
+    * other consumer projects it away before its distinct/agg. */
+  def docGrams8Plan(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf)
+      .repartition(64, col("doc_id"))
+      .withColumn("b", Util.md5Bucket(col("doc_id")))
+      .withColumn("tk", split(col("text"), " "))
+      .where(size(col("tk")) >= 8)
+      .select(col("doc_id"), col("b"), col("tk"),
+              explode(sequence(lit(0), size(col("tk")) - 8)).as("pos"))
+      .select(col("doc_id"), col("b"), col("pos"),
+              md5(concat_ws(" ",
+                slice(col("tk"), col("pos") + 1, lit(8)))).as("gram"))
   private[ops] def docGrams8(s: SparkSession, sf: String): DataFrame =
-    Util.purged(gram8Cache).computeIfAbsent((s, sf), _ => {
-      import org.apache.spark.sql.expressions.Window
-      val d = Tables.documents(s, sf)
-        .withColumn("b", Util.md5Bucket(col("doc_id")))
-        .withColumn("tk", split(col("text"), " "))
-        .where(size(col("tk")) >= 8)
-      val shingleFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(Window.currentRow, 7)
-      // `pos` rides along (round 12, +4 B/row on the checkpoint): the
-      // exact-substring span extraction needs POSITIONAL grams; every
-      // other consumer projects it away before its distinct/agg
-      d.select(col("doc_id"), col("b"), posexplode(col("tk")).as(Seq("pos", "w")))
-        .withColumn("g8", collect_list(col("w")).over(shingleFrame))
-        .where(size(col("g8")) === 8)
-        .select(col("doc_id"), col("b"), col("pos"),
-                md5(concat_ws(" ", col("g8"))).as("gram"))
-        .serCheckpoint()
-    })
+    Util.purged(gram8Cache).computeIfAbsent((s, sf), _ =>
+      docGrams8Plan(s, sf).serCheckpoint())
+
+  /** Session-scoped DISTINCT (doc_id, gram) postings over [[docGrams8]]
+    * — the fourth shared materialization (round 13): `q_text_dup_spans`
+    * (2 consumers) and `q_text_containment` (3 consumers) previously
+    * each rebuilt this exact frame privately through their own
+    * posexplode→window shingle pass + distinct + checkpoint. One corpus
+    * shingling, one distinct, one checkpoint; ~32 grams/doc gate proxy
+    * (the same estRows both ops declared). */
+  private val gramPostingsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private[ops] def docGramsDistinct(s: SparkSession, sf: String): DataFrame =
+    Util.purged(gramPostingsCache).computeIfAbsent((s, sf), _ =>
+      docGrams8(s, sf).select(col("doc_id"), col("gram")).distinct()
+        .serCheckpoint(32L * Tables.rowCount(s, sf, "documents")))
 
   /** Exact-substring duplicate spans (round 12 — Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better",
@@ -595,17 +623,34 @@ object TextDedup {
     val nBits = 32
     val nBands = 4
     val bitsPerBand = nBits / nBands
-    // repartition(32): parallelize the 32 per-bit vote aggregates (the
+    // repartition(32): parallelize the signature computation (the
     // fixture table is one parquet file → one task otherwise)
     val d0 = Tables.documents(s, sf).repartition(32).select(
       col("doc_id"), col("lang"), col("n_chars"), tokens.as("tk"))
-    // bit j of the signature: sign of the ±1 vote sum over tokens
+    // bit j of the signature: sign of the ±1 vote sum over tokens.
+    // Round 13 (§1.2 per-task work): the 32 aggregate() lambdas this
+    // replaces ran INTERPRETED per (token, bit) — xxhash64 re-evaluated
+    // 32× per token through the HOF evaluator (the same hazard the
+    // minhash scaladoc documents for transform()). Now: ONE codegen
+    // explode, each token hashed ONCE, and 32 plain partial+final SUM
+    // aggregates vote the bits. Sum over the exploded distinct-token
+    // set equals aggregate() over the array (multiplicity 1 per
+    // element), so signatures are bit-identical.
+    val tokRows = d0
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+              explode(col("tk")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val voteAggs: Seq[Column] = (0 until nBits).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"v$j")
+    }
     val sig: Column = (0 until nBits).map { j =>
-      val vote = aggregate(col("tk"), lit(0L),
-        (acc, t) => acc + (shiftright(xxhash64(t), j).bitwiseAND(1) * 2 - 1))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val d = d0.withColumn("sig", sig)
+    val d = tokRows
+      .groupBy(col("doc_id"), col("lang"), col("n_chars"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .withColumn("sig", sig)
+      .drop((0 until nBits).map(j => s"v$j"): _*)
     val chunks: Column = array((0 until nBands).map { k =>
       shiftright(col("sig"), k * bitsPerBand).bitwiseAND((1 << bitsPerBand) - 1)
     }: _*)
@@ -1551,19 +1596,10 @@ object TextDedup {
     * are DIRECTIONAL — (a contained-in b) and (b contained-in a) are
     * distinct rows with different denominators. */
   def qTextContainment(s: SparkSession, sf: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = Tables.documents(s, sf)
-      .withColumn("tk", split(col("text"), " "))
-      .where(size(col("tk")) >= 8)
-    val shingleFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, 7)
-    val grams = d
-      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "w")))
-      .withColumn("g8", collect_list(col("w")).over(shingleFrame))
-      .where(size(col("g8")) === 8)
-      .select(col("doc_id"), md5(concat_ws(" ", col("g8"))).as("gram"))
-      .distinct()
-      .serCheckpoint(32L * Tables.rowCount(s, sf, "documents")) // consumed 3× (sizes + both join sides); ~32 grams/doc gate proxy
+    // round 13: rides the shared [[docGramsDistinct]] postings (this op
+    // previously rebuilt the same shingle frame privately through the
+    // posexplode→window shape docGrams8 has since dropped)
+    val grams = docGramsDistinct(s, sf)
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     val a = grams.select(col("doc_id").as("a_id"), col("gram"))
     val b = grams.select(col("doc_id").as("b_id"), col("gram"))
@@ -1590,19 +1626,10 @@ object TextDedup {
     * sort-merge join on (gram, 8 B) rows) → per-doc agg. All-INTEGER
     * scoring: dup_pm = 1000·n_dup div n_spans. */
   def qTextDupSpans(s: SparkSession, sf: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = Tables.documents(s, sf)
-      .withColumn("tk", split(col("text"), " "))
-      .where(size(col("tk")) >= 8)
-    val shingleFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, 7)
-    val grams = d
-      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "w")))
-      .withColumn("g8", collect_list(col("w")).over(shingleFrame))
-      .where(size(col("g8")) === 8)
-      .select(col("doc_id"), md5(concat_ws(" ", col("g8"))).as("gram"))
-      .distinct()
-      .serCheckpoint(32L * Tables.rowCount(s, sf, "documents")) // consumed twice (df agg + postings side); ~32 grams/doc gate proxy
+    // round 13: rides the shared [[docGramsDistinct]] postings (this op
+    // previously rebuilt the same shingle frame privately through the
+    // posexplode→window shape docGrams8 has since dropped)
+    val grams = docGramsDistinct(s, sf)
     // postings are distinct per doc, so count(*) per gram IS its
     // doc-frequency
     val df_ = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
