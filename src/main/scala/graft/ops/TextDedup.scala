@@ -294,11 +294,15 @@ object TextDedup {
     val bloom = grams.where(col("b") <= "b")
       .select(xxhash64(col("gram")).as("k")).distinct()
       .agg(BloomFilter.bloomAgg(col("k"), 1 << 20, 5).as("bf"))
+    // round 13 (§2.3 shuffle fewer bytes): the probe key IS
+    // xxhash64(gram) — distinct over the 8-byte hash instead of the
+    // 32-char md5 hex, 4× narrower distinct shuffle; a within-doc
+    // 64-bit collision could only merge two test grams (screen counts
+    // stay an upper bound on the exact join, the declared direction)
     grams.where(col("b") > "d")
-      .select(col("doc_id"), col("gram")).distinct()
+      .select(col("doc_id"), xxhash64(col("gram")).as("k")).distinct()
       .crossJoin(broadcast(bloom))
-      .withColumn("hit",
-        BloomFilter.bloomContains(col("bf"), xxhash64(col("gram"))))
+      .withColumn("hit", BloomFilter.bloomContains(col("bf"), col("k")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_test_grams"),
            sum(when(col("hit"), 1L).otherwise(0L)).as("n_flagged"))
