@@ -214,13 +214,17 @@ object TextDedup {
     * repartition(64, doc_id) replaces the window exchange's only useful
     * side effect (the fixture table is one parquet file → one scan
     * task): it shuffles DOC rows (n_docs, pre-explosion) instead of
-    * token rows, deterministic on doc_id per the §2.5 retry rule.
+    * token rows, deterministic on doc_id per the §2.5 retry rule, and
+    * sized from spark.sql.shuffle.partitions — the SAME width the
+    * window exchange it replaces had, so the driver's low-core bench
+    * rerun sees the same scaling posture as before.
     * `pos` rides along (round 12, +4 B/row on the checkpoint): the
     * exact-substring span extraction needs POSITIONAL grams; every
     * other consumer projects it away before its distinct/agg. */
   def docGrams8Plan(s: SparkSession, sf: String): DataFrame =
     Tables.documents(s, sf)
-      .repartition(64, col("doc_id"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+                   col("doc_id"))
       .withColumn("b", Util.md5Bucket(col("doc_id")))
       .withColumn("tk", split(col("text"), " "))
       .where(size(col("tk")) >= 8)
