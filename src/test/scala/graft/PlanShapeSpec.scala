@@ -716,6 +716,34 @@ class PlanShapeSpec extends SparkSpec {
            "the surviving unpartitioned window must be the super-shard cumsum")
   }
 
+  test("docGrams8 build plan has no Window and no Sort (round-13 map-side shingles)") {
+    val p = plan(TextDedup.docGrams8Plan(spark, sf))
+    assert(!p.contains("Window") && !p.contains("Sort"),
+           s"shingle build regressed to the window shape:\n$p")
+  }
+
+  test("docGrams8 rows equal the window-shingle reference frame") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the round-12 formulation, inlined as the reference: posexplode →
+    // per-doc ordered window → collect_list(8) → md5
+    val d = Tables.documents(spark, sf)
+      .withColumn("b", Util.md5Bucket(col("doc_id")))
+      .withColumn("tk", split(col("text"), " "))
+      .where(size(col("tk")) >= 8)
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 7)
+    val ref = d
+      .select(col("doc_id"), col("b"), posexplode(col("tk")).as(Seq("pos", "w")))
+      .withColumn("g8", collect_list(col("w")).over(frame))
+      .where(size(col("g8")) === 8)
+      .select(col("doc_id"), col("b"), col("pos"),
+              md5(concat_ws(" ", col("g8"))).as("gram"))
+      .collect().toSet
+    val got = TextDedup.docGrams8Plan(spark, sf).collect().toSet
+    assert(got == ref, s"gram frames differ: got ${got.size} rows, ref ${ref.size}")
+  }
+
   test("q_pipeline_pack forced path: with both broadcast gates at 0 the offsets rejoin as shuffle joins, rows identical") {
     val base = TextAnalysis.qPipelinePack(spark, sf).collect().toSet
     val autoKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
