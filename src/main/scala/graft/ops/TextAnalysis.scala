@@ -420,10 +420,13 @@ object TextAnalysis {
     // a partial+final MIN aggregate — hash-exact because array_min over
     // md5 hex strings and the MIN agg use the same UTF8 binary ordering,
     // and a <3-token doc contributes exactly its md5(text) fallback row
-    // (pos = -1). repartition(64, doc_id): parallelize the explode off
-    // the one-file scan, deterministic key per the §2.5 retry rule.
+    // (pos = -1). repartition(shuffle.partitions, doc_id): parallelize
+    // the explode off the one-file scan, deterministic key per the §2.5
+    // retry rule, width from the session conf so the driver's low-core
+    // rerun scales down with the core count (the docGrams8 discipline).
     val d = Tables.documents(s, sf)
-      .repartition(64, col("doc_id"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+                   col("doc_id"))
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
     val fpRows = d
       .select(col("doc_id"), col("text"), col("tk"),
