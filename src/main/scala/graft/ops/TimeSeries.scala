@@ -1559,31 +1559,54 @@ object TimeSeries {
     * Scale shape (round-13): the three quintile scores were three
     * UNPARTITIONED ntile windows over the per-user frame — fine for
     * the telemetry genre's "tiny" user counts, a single-task sort ×3
-    * at the LLM-pipeline scale this engine also claims. Each score now
-    * rides [[Util.rankedByRange]] (sampled range shuffle, partition-
-    * local row_number, broadcast pid offsets) + the closed-form
-    * [[Util.ntileFromRank]] — bit-identical buckets, three bounded
-    * shuffles of the per-user frame, no global sort anywhere. */
+    * at the LLM-pipeline scale this engine also claims. Round 13
+    * replaced them with three sequential [[Util.rankedByRange]] passes;
+    * round 14 fuses those into ONE: the per-user frame explodes to
+    * (metric_id, key, user_id) rows — the three order keys cast to one
+    * DECIMAL(38,4) domain, an exact, order-preserving embedding for
+    * day counts, purchase counts, and the DECIMAL(28,4) revenue — and
+    * a single rankedByRange over (metric_id, key, user_id) range-
+    * partitions ONCE. Each metric's block is contiguous in that total
+    * order, so its per-metric rank is just global_rank − metric_id·n,
+    * and one exchange-free pivot (groupBy user_id over the 3n rows)
+    * recovers the per-user score triple. Cost: one sampled range
+    * shuffle + one checkpoint + one constant-size offsets collect,
+    * where round 13 paid three of each (the bench's one real
+    * regression, ×4.1 at fixture scale). Buckets stay bit-identical
+    * (closed-form [[Util.ntileFromRank]], ties broken on user_id). */
   def qTsRfm(s: SparkSession, sf: String): DataFrame = {
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 4)
     val users = Tables.events(s, sf)
       .where(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(expr("unix_micros(max(ts)) div 86400000000").as("last_day"),
            count(lit(1)).as("f"),
            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 4))).as("m"))
-    // estRows ≈ #purchasing users — gates checkpoint posture only
-    val est = Tables.rowCount(s, sf, "events") / 256
-    val ranked = Seq[(String, Seq[org.apache.spark.sql.Column])](
-        "__rr" -> Seq(col("last_day"), col("user_id")),
-        "__rf" -> Seq(col("f"), col("user_id")),
-        "__rm" -> Seq(col("m"), col("user_id")))
-      .foldLeft(users) { case (d, (rc, keys)) =>
-        Util.rankedByRange(d, keys, rc, est) }
-    val totals = ranked.agg(count(lit(1)).as("__n"))
+    // estRows ≈ 3 × #purchasing users — gates checkpoint posture only
+    val est = 3L * (Tables.rowCount(s, sf, "events") / 256)
+    val longF = users.select(col("user_id"),
+      explode(array(
+        struct(lit(0).as("mid"), col("last_day").cast(D38).as("k")),
+        struct(lit(1).as("mid"), col("f").cast(D38).as("k")),
+        struct(lit(2).as("mid"), col("m").cast(D38).as("k")))).as("e"))
+      .select(col("e.mid").as("mid"), col("e.k").as("k"), col("user_id"))
+    val ranked = Util.rankedByRange(longF,
+      Seq(col("mid"), col("k"), col("user_id")), "__r", est)
+    // n per metric = total/3 exactly (every user contributes one row
+    // per metric); the agg reads the checkpointed blocks
+    val totals = ranked.agg((count(lit(1)) / 3).cast("long").as("__n"))
     val scored = ranked.crossJoin(broadcast(totals))
-      .withColumn("r_score", Util.ntileFromRank(col("__rr"), col("__n"), 5))
-      .withColumn("f_score", Util.ntileFromRank(col("__rf"), col("__n"), 5))
-      .withColumn("m_score", Util.ntileFromRank(col("__rm"), col("__n"), 5))
+      .withColumn("score",
+        Util.ntileFromRank(col("__r") - col("mid").cast("long") * col("__n"),
+                           col("__n"), 5))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("mid") === 0, col("score"))).as("r_score"),
+           max(when(col("mid") === 1, col("score"))).as("f_score"),
+           max(when(col("mid") === 2, col("score"))).as("m_score"),
+           // back to the pre-explode DECIMAL(28,4) (exact — k IS m for
+           // mid=2) so the segment sum keeps its round-13 headroom
+           max(when(col("mid") === 2, col("k")))
+             .cast(org.apache.spark.sql.types.DecimalType(28, 4)).as("m"))
     scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_users"),
            sum(col("m")).cast("double").as("segment_value"))
