@@ -351,19 +351,50 @@ object Aggregates {
     * engine-accumulated. One (event_type) shuffle serves all three
     * window passes. */
   def qAggPercentileWeighted(s: SparkSession, sf: String): DataFrame = {
-    val byVal = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
-    val whole = Window.partitionBy(col("event_type"))
-    val c = Tables.events(s, sf)
+    // round 14 (§2.5): the per-type running weight was a window
+    // partitioned by event_type — ~5 partitions at ANY scale, so each
+    // held a data-sized frame in one task. One rankedByRange over
+    // (event_type, value, event_id) range-partitions the whole frame
+    // and carries the GLOBAL inclusive weight sum; per-type cumw =
+    // global cumw − the type's exclusive offset, where the per-type
+    // totals/offsets are a constant-size (≤ #event_types) driver fold
+    // over an aggregate of the checkpointed blocks — the same annotated
+    // constant collect rankedByRange itself performs. The crossing
+    // test and the first-crossing pick (min global rank per type — each
+    // type's block is contiguous in the total order) are unchanged.
+    val base = Tables.events(s, sf)
       .select(col("event_type"), col("event_id"), col("value"),
         (lit(1) + col("user_id") % 3).as("wt"))
-      .withColumn("cumw", sum(col("wt")).over(byVal))
-      .withColumn("totw", sum(col("wt")).over(whole))
+    val r = Util.rankedByRange(base,
+      Seq(col("event_type"), col("value"), col("event_id")), "__rk",
+      Tables.rowCount(s, sf, "events"), sums = Seq("wt" -> "__gcum"))
+    // per-type total weight + exclusive offset, in event_type order
+    val perType = r.groupBy(col("event_type"))
+      .agg(sum(col("wt")).as("totw")).collect()
+      .sortBy(_.getString(0))
+    var off = 0L
+    val offRows = perType.map { row =>
+      val out = org.apache.spark.sql.Row(row.getString(0), row.getLong(1), off)
+      off += row.getLong(1)
+      out
+    }
+    val offDf = s.createDataFrame(
+      java.util.Arrays.asList(offRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("totw",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__woff",
+          org.apache.spark.sql.types.LongType))))
+    r.join(broadcast(offDf), "event_type")
+      .withColumn("cumw", col("__gcum") - col("__woff"))
       .where(lit(2) * col("cumw") >= col("totw"))
-    c.withColumn("rn", row_number().over(byVal))
-      .where(col("rn") === 1)
+      .groupBy(col("event_type"))
+      .agg(min(struct(col("__rk"), col("value"))).as("__first"),
+           max(col("totw")).as("totw"))
       .select(col("event_type"), col("totw").cast("long").as("total_weight"),
-        col("value").as("wmedian"))
+        col("__first").getField("value").as("wmedian"))
       .orderBy("event_type")
   }
 
@@ -552,8 +583,17 @@ object Aggregates {
       .groupBy(col("vfp"))
       .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
            count(lit(1)).as("ct"))
-    val w = Window.orderBy(col("vfp")).rowsBetween(Window.unboundedPreceding, -1)
-    d.withColumn("cum", coalesce(sum(col("ct")).over(w), lit(0L)))
+    // round 14 (§2.5): the running count over the value grid was an
+    // UNPARTITIONED window — a single task holding the whole grid,
+    // defended only by a value-boundedness argument. rankedByRange's
+    // inclusive running sum (range shuffle + partition-local window +
+    // broadcast pid offsets) replaces it; the exclusive form the U
+    // statistic needs is inclusive − own count. estRows is a worst-case
+    // bound (every event value distinct) and gates checkpoint posture
+    // only.
+    Util.rankedByRange(d, Seq(col("vfp")), "__rk",
+        Tables.rowCount(s, sf, "events"), sums = Seq("ct" -> "__cum"))
+      .withColumn("cum", col("__cum") - col("ct"))
       .withColumn("r2a", col("ca") * (lit(2L) * col("cum") + col("ct") + lit(1L)))
       .agg(sum(col("ca")).as("n1"), sum(col("ct") - col("ca")).as("n2"),
            sum(col("r2a")).as("r2"),
@@ -586,13 +626,18 @@ object Aggregates {
       .groupBy(col("vfp"))
       .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
            sum(when(col("isa"), 0L).otherwise(1L)).as("cb"))
-    val w = Window.orderBy(col("vfp"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy()
-    d.withColumn("cum_a", sum(col("ca")).over(w))
-      .withColumn("cum_b", sum(col("cb")).over(w))
-      .withColumn("n1", sum(col("ca")).over(tot))
-      .withColumn("n2", sum(col("cb")).over(tot))
+    // round 14 (§2.5): both running CDFs rode one UNPARTITIONED window
+    // over the value grid (plus a whole-frame-total window for n1/n2) —
+    // single-task shapes defended only by value boundedness. ONE
+    // rankedByRange carries both inclusive running sums; the arm totals
+    // come from a constant-size aggregate over the same checkpointed
+    // blocks, broadcast back. estRows is the worst-case distinct bound
+    // and gates checkpoint posture only.
+    val r = Util.rankedByRange(d, Seq(col("vfp")),
+      "__rk", Tables.rowCount(s, sf, "events"),
+      sums = Seq("ca" -> "cum_a", "cb" -> "cum_b"))
+    val tot = r.agg(sum(col("ca")).as("n1"), sum(col("cb")).as("n2"))
+    r.crossJoin(broadcast(tot))
       .withColumn("dnum", abs(col("cum_a") * col("n2") - col("cum_b") * col("n1")))
       .groupBy(col("n1"), col("n2"))
       .agg(max(col("dnum")).as("d_num"))

@@ -166,14 +166,40 @@ object TextAnalysis {
     * low-cardinality so per-stratum sort distributes by range within
     * the window's partitioning. */
   def qSampleStratified(s: SparkSession, sf: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byLang = Window.partitionBy(col("lang"))
-    val rk = org.apache.spark.sql.functions.row_number()
-      .over(byLang.orderBy(col("h"), col("doc_id")))
-    Tables.documents(s, sf)
-      .withColumn("h", md5(col("doc_id").cast("string")))
-      .withColumn("rk", rk.cast("long"))
-      .withColumn("n_lang", count(lit(1)).over(byLang))
+    // round 14 (§2.5): the per-lang hash rank was a window partitioned
+    // by lang — ~5 partitions at ANY scale, each a data-sized frame in
+    // one task. One rankedByRange over (lang, h, doc_id) range-
+    // partitions the whole frame; per-lang rank = global rank − the
+    // lang's exclusive offset, with the per-lang counts/offsets a
+    // constant-size (≤ #langs) driver fold over the checkpointed
+    // blocks — the same annotated constant collect rankedByRange
+    // itself performs.
+    val base = Tables.documents(s, sf)
+      .select(col("doc_id"), col("lang"),
+              md5(col("doc_id").cast("string")).as("h"))
+    val r = graft.ops.Util.rankedByRange(base,
+      Seq(col("lang"), col("h"), col("doc_id")), "__gr",
+      Tables.rowCount(s, sf, "documents"))
+    val perLang = r.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang")).collect()
+      .sortBy(_.getString(0))
+    var off = 0L
+    val offRows = perLang.map { row =>
+      val out = org.apache.spark.sql.Row(row.getString(0), row.getLong(1), off)
+      off += row.getLong(1)
+      out
+    }
+    val offDf = s.createDataFrame(
+      java.util.Arrays.asList(offRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_lang",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__loff",
+          org.apache.spark.sql.types.LongType))))
+    r.join(broadcast(offDf), "lang")
+      .withColumn("rk", col("__gr") - col("__loff"))
       .where(col("rk") <= ceil(col("n_lang") / lit(10.0)))
       .select(col("doc_id"), col("lang"), col("rk"))
       .orderBy("lang", "rk")

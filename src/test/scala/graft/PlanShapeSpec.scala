@@ -695,6 +695,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-14 window retirements (ks/mannwhitney/stratified/percentile_weighted): no unpartitioned window") {
+    for ((name, df) <- Seq(
+        "q_ab_ks" -> Aggregates.qAbKs(spark, sf),
+        "q_ab_mannwhitney" -> Aggregates.qAbMannwhitney(spark, sf),
+        "q_agg_percentile_weighted" -> Aggregates.qAggPercentileWeighted(spark, sf),
+        "q_sample_stratified" -> TextAnalysis.qSampleStratified(spark, sf))) {
+      assert(unpartitioned(df) == 0,
+             s"$name: the value grid / stratum frame must never sort in one window task")
+      assert(windowNodes(df).nonEmpty,
+             s"$name: expected the pid-partitioned rank window to survive planning")
+    }
+  }
+
   test("q_text_vocab_growth: decile assignment is rank-based; only the 10-row decile frame windows unpartitioned") {
     val df = TextAnalysis.qTextVocabGrowth(spark, sf)
     val un = windowNodes(df).filter(_.partitionSpec.isEmpty)
