@@ -997,9 +997,16 @@ object TextDedup {
     val pairs = nearDupPairGraph(s, sf)
       .select(col("a_id"), col("b_id"))
     val nP = pairs.count() // cached-frame read — sizes the checkpoint gate
+    val parts = math.max(8L, math.min(4096L, 2L * nP / 250000L + 1L)).toInt
+    // pre-partition on u ONCE (round 14): the checkpoint pins the
+    // layout and the round's broadcast joins preserve the streamed
+    // side's partitioning, so the per-round degree groupBy(u) is
+    // exchange-free every round — the loop shuffles nothing at fixture
+    // scale and only the keep-frame past the broadcast gate
     var edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
+      .repartition(parts, col("u"))
       .serCheckpoint(2L * nP)
     var nEdges = edges.count()
     def bc(df: DataFrame): DataFrame = Util.gatedBroadcast(s, df, nEdges)
@@ -1264,61 +1271,106 @@ object TextDedup {
     * frame ever exists: each round maps the oriented edge set to at
     * most one output edge per input edge. */
   private def starLabels(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
     val nP = pairs.count() // cached/derived pair frame — sizes the checkpoint gate
-    // orient u > v (canonical pairs have a_id < b_id)
+    val parts = math.max(8L, math.min(4096L, nP / 250000L + 1L)).toInt
+    // orient u > v (canonical pairs have a_id < b_id); ONE initial
+    // checkpoint already loop-partitioned: repartition(parts, u) FIRST,
+    // then distinct — hashpartitioning(u) satisfies the (u,v) grouping,
+    // so the dedup costs no second exchange (round 14; the previous
+    // shape checkpointed twice and exchanged three times to get here)
     var edges = pairs.select(col("b_id").as("u"), col("a_id").as("v"))
+      .repartition(parts, col("u"))
       .distinct()
       .serCheckpoint(nP)
-    // one shuffle-free scan: edge count (sizes the loop partitions) +
-    // the set's xor-folded hash (the convergence screen; XOR is
-    // order-independent and can't overflow under ANSI, unlike sum)
+    // one shuffle-free scan: edge count + the set's xor-folded hash
+    // (the convergence screen; XOR is order-independent and can't
+    // overflow under ANSI, unlike sum)
     def sig(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var (nEdges, hEdges) = sig(edges)
-    val parts = math.max(8L, math.min(4096L, nEdges / 250000L + 1L)).toInt
-    val edges0 = edges
-    edges = edges.repartition(parts, col("u")).serCheckpoint(nP)
-    Util.dropCheckpoint(edges0) // pre-repartition frame dead once re-checkpointed
-    def largeStar(e: DataFrame): DataFrame = {
-      val nb = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      val m = nb.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      nb.join(m, "u").where(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionAll(m.select(col("u"), col("m").as("v")))
-        .where(col("u") =!= col("v")) // root self-loops carry no info
-        .distinct()
-        .repartition(parts, col("u"))
-        .serCheckpoint(nP)
-    }
-    def smallStar(e: DataFrame): DataFrame = {
-      // input orientation u > v holds by construction (see callers)
-      val m = e.groupBy("u").agg(min(col("v")).as("m"))
-      e.join(m, "u").where(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionAll(m.select(col("u"), col("m").as("v")))
-        .distinct()
-        .repartition(parts, col("u"))
-        .serCheckpoint(nP)
-    }
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 25) { // O(log² n) bound; fixture closes in 2-3
-      val ls = largeStar(edges)
-      val next = smallStar(ls)
-      val (nNext, hNext) = sig(next) // file read, no shuffle
-      Util.dropCheckpoint(ls) // the intermediate is dead once `next` is materialized
-      // signature match screens candidate fixpoints; the anti-join
-      // (runs ~once, on the true final round) keeps the check EXACT
-      converged = nNext == nEdges && hNext == hEdges &&
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
-      Util.dropCheckpoint(edges) // predecessor dead after the convergence read
-      edges = next
-      nEdges = nNext
-      hEdges = hNext
-      rounds += 1
+    // node-count estimate for the min-frame broadcast gate: distinct u
+    // misses only component minima, so 2× bounds |V| comfortably; the
+    // distinct rides the checkpoint's u-partitioning (no exchange)
+    val nNodesEst = 2L * edges.select(col("u")).distinct().count()
+    def bc(df: DataFrame): DataFrame = Util.gatedBroadcast(s, df, nNodesEst)
+    // Round 14 loop-conf pinning (the qDedupCluster discipline): AQE
+    // re-plans every checkpoint materialization of these tiny
+    // fixed-shape loop frames — pure overhead — and with AQE off the
+    // loop's implicit shuffles must not fall back to the core-count
+    // default (the round-8 sf100 OOM class), so both are pinned for the
+    // loop and restored in the finally.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = s.conf.getOption(aqeKey)
+    val spKey = "spark.sql.shuffle.partitions"
+    val spPrev = s.conf.getOption(spKey)
+    s.conf.set(aqeKey, "false")
+    s.conf.set(spKey, parts.toString)
+    try {
+      // Round 14 round shape: the per-node min frames are |V|-sized and
+      // ride the gated broadcast (the loop-frame rule) — at fixture
+      // scale the |E| stream never shuffles for the star joins; past
+      // the gate they fall back to the shuffle join. Each star's dedup
+      // rides its own output repartition (hashpartitioning(u) satisfies
+      // the (u,v) grouping — one exchange per star, not two). The
+      // intermediate large-star frame stays CHECKPOINTED: it is
+      // consumed twice by small-star, and an un-checkpointed loop frame
+      // referenced twice re-computes its whole subtree (the documented
+      // double-jump hazard — a fused single-checkpoint round was
+      // A/B-measured at 7.6 vs 5.0 s and rejected). Output orientation
+      // u > v holds for both stars by construction.
+      def largeStar(e: DataFrame): DataFrame = {
+        val nb = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        val m = nb.groupBy("u").agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m"))
+        nb.join(bc(m), "u").where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionAll(m.select(col("u"), col("m").as("v")))
+          .where(col("u") =!= col("v")) // root self-loops carry no info
+          .repartition(parts, col("u"))
+          .distinct() // rides the u-partitioning — no second exchange
+          .serCheckpoint(nP)
+      }
+      def smallStar(e: DataFrame): DataFrame = {
+        // input orientation u > v holds by construction (see callers);
+        // e arrives u-partitioned from its checkpoint, so the min agg
+        // is exchange-free
+        val m = e.groupBy("u").agg(min(col("v")).as("m"))
+        e.join(bc(m), "u").where(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionAll(m.select(col("u"), col("m").as("v")))
+          .repartition(parts, col("u"))
+          .distinct()
+          .serCheckpoint(nP)
+      }
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 25) { // O(log² n) bound; fixture closes in 2-3
+        val ls = largeStar(edges)
+        val next = smallStar(ls)
+        val (nNext, hNext) = sig(next) // file read, no shuffle
+        Util.dropCheckpoint(ls) // the intermediate is dead once `next` is materialized
+        // signature match screens candidate fixpoints; the anti-join
+        // (runs ~once, on the true final round) keeps the check EXACT
+        converged = nNext == nEdges && hNext == hEdges &&
+          next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+        Util.dropCheckpoint(edges) // predecessor dead after the convergence read
+        edges = next
+        nEdges = nNext
+        hEdges = hNext
+        rounds += 1
+      }
+    } finally {
+      aqePrev match {
+        case Some(v) => s.conf.set(aqeKey, v)
+        case None => s.conf.unset(aqeKey)
+      }
+      spPrev match {
+        case Some(v) => s.conf.set(spKey, v)
+        case None => s.conf.unset(spKey)
+      }
     }
     // fixpoint = stars: every non-root points straight at its root
     edges.select(col("u").as("id"), col("v").as("lab"))
@@ -1347,36 +1399,57 @@ object TextDedup {
     val pairs = nearDupPairGraph(s, sf)
       .select(col("a_id"), col("b_id"))
     val nP = pairs.count() // cached-frame read — sizes the checkpoint gate
+    val parts = math.max(8L, math.min(4096L, 2L * nP / 250000L + 1L)).toInt
+    // edges pre-partitioned on the JOIN key (v) once, before the loop:
+    // the checkpoint pins the layout, so the per-round offers join
+    // re-shuffles only the frontier side past the broadcast gate
+    // (round 14; previously the 2|E| frame re-exchanged every round on
+    // the non-broadcast path)
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("u"), col("b_id").as("v"))
+      .repartition(parts, col("v"))
       .serCheckpoint(2L * nP)
     val nNodes = edges.select("u").distinct().count()
     def bc(df: DataFrame): DataFrame = Util.gatedBroadcast(s, df, nNodes)
-    var dist = edges.select(col("u").as("id")).distinct()
+    // distC is always the round's checkpoint ROOT (the dropCheckpoint
+    // target); distView normalizes away the settled flag later rounds
+    // carry
+    var distC = edges.select(col("u").as("id")).distinct()
       .where(col("id") % 100 === 0)
       .select(col("id"), lit(0L).as("dist"))
       .serCheckpoint(2L * nP)
-    var sig = (dist.count(), 0L)
-    var converged = false
+    def distView = distC.select(col("id"), col("dist"))
+    // FRONTIER relaxation (round 14): in unweighted multi-source BFS a
+    // node's distance is FINAL the round it is first labeled, so only
+    // the nodes labeled last round can improve a neighbor — offers from
+    // the settled interior are always re-offers the min-groupBy would
+    // discard. Each round joins edges against the frontier alone,
+    // unions the standing distances, and keeps min(dist) plus a
+    // settled flag; the new frontier is the unsettled remainder, and
+    // an EMPTY frontier is the convergence check itself (one count of
+    // the round's checkpointed blocks — the previous shape needed a
+    // full extra no-change round to observe a stable signature).
+    var frontier = distView
+    var frontN = frontier.count()
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (frontN > 0 && rounds < 20) {
       val offers = edges
-        .join(bc(dist.select(col("id").as("v"), col("dist"))), "v")
+        .join(bc(frontier.select(col("id").as("v"), col("dist"))), "v")
         .select(col("u").as("id"), (col("dist") + 1L).as("dist"))
-      val next = dist.unionByName(offers)
-        .groupBy("id").agg(min(col("dist")).as("dist"))
+      val next = distView.withColumn("settled", lit(true))
+        .unionByName(offers.withColumn("settled", lit(false)))
+        .groupBy("id").agg(min(col("dist")).as("dist"),
+                           max(col("settled")).as("settled"))
         .serCheckpoint(2L * nP)
-      val r = next.agg(count(lit(1)), sum(col("dist"))).head()
-      val nextSig = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-      converged = nextSig == sig
-      Util.dropCheckpoint(dist) // predecessor files dead once `next` exists
-      dist = next
-      sig = nextSig
+      frontier = next.where(!col("settled")).select(col("id"), col("dist"))
+      frontN = frontier.count() // block read — the convergence check
+      Util.dropCheckpoint(distC) // predecessor files dead once `next` exists
+      distC = next
       rounds += 1
     }
-    Util.dropCheckpoint(edges) // the readout below reads only `dist`
-    dist.select(col("id").as("doc_id"), col("dist")).orderBy("doc_id")
+    Util.dropCheckpoint(edges) // the readout below reads only the labels
+    distView.select(col("id").as("doc_id"), col("dist")).orderBy("doc_id")
   }
 
   /** Corpus stats per (lang, source); integer sums stay exact. */
