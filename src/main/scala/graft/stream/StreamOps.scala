@@ -416,21 +416,48 @@ object StreamOps {
 
     override def handleInputRows(key: String, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[RsiOut] = {
-      var st = if (state.exists()) state.get() else RsiState(Vector.empty)
+      // Round 14 (§1.2 per-task work): the per-row Vector append +
+      // takeRight + sliding-iterator pipeline allocated ~20 objects per
+      // event and measured rsi_ring at 26.6k rows/s against the 38.4k
+      // rows/s scalar-state floor (cusum) on the same harness — the gap
+      // was processor CPU, not the state store. The ring is now a
+      // primitive long array shifted in place, gain/loss a plain loop
+      // over the 14 deltas; the Seq[Long] state shape (and therefore
+      // the checkpoint encoding) is unchanged, converted once per key
+      // per batch at the state boundary. Arithmetic and emit order are
+      // bit-identical.
+      val st = if (state.exists()) state.get() else RsiState(Vector.empty)
       val out = Seq.newBuilder[RsiOut]
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.eventId)).foreach { e =>
+      val arr = rows.toArray
+      java.util.Arrays.sort(arr, (a: Event, b: Event) => {
+        var c = java.lang.Long.compare(a.ts.getTime, b.ts.getTime)
+        if (c == 0) c = java.lang.Integer.compare(a.ts.getNanos, b.ts.getNanos)
+        if (c == 0) c = java.lang.Long.compare(a.eventId, b.eventId)
+        c
+      })
+      val buf = new Array[Long](15)
+      var n = 0
+      st.buf.foreach { v => buf(n) = v; n += 1 } // ≤ 15 by invariant
+      var i = 0
+      while (i < arr.length) {
+        val e = arr(i)
         val x = math.floor(e.value * 100 + 0.5).toLong
-        val buf = (st.buf :+ x).takeRight(15)
-        if (buf.size >= 15) {
-          val deltas = buf.sliding(2).map(p => p(1) - p(0)).toSeq
-          val gain = deltas.filter(_ > 0).sum
-          val loss = -deltas.filter(_ < 0).sum
+        if (n < 15) { buf(n) = x; n += 1 }
+        else { System.arraycopy(buf, 1, buf, 0, 14); buf(14) = x }
+        if (n >= 15) {
+          var gain = 0L; var loss = 0L
+          var j = 1
+          while (j < 15) {
+            val d = buf(j) - buf(j - 1)
+            if (d > 0) gain += d else loss -= d
+            j += 1
+          }
           val rsi = if (gain + loss > 0) (10000L * gain) / (gain + loss) else 5000L
           out += RsiOut(key, e.eventId, rsi)
         }
-        st = RsiState(buf)
+        i += 1
       }
-      state.update(st)
+      state.update(RsiState(buf.take(n).toVector))
       out.result().iterator
     }
   }
