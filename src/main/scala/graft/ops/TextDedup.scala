@@ -1062,24 +1062,42 @@ object TextDedup {
     // count agg — row-identical to the historical anti-join (each
     // wedge belongs to exactly one (u,w) group) but the clique-heavy
     // adjacent share of wedge mass never reaches the agg hash tables
-    // or the candidate exchange. Non-wide / pack-ineligible keeps the
-    // anti-join plan.
+    // or the candidate exchange. Round 14: the gate default drops to 0
+    // — same-box A/B showed the pack filter also wins at fixture scale
+    // once the wedge exchanges are width-pinned (1.91 vs 3.71 s), and
+    // the pack builder's own budget/id-range gates still route
+    // oversized graphs to the anti-join plan (PropertySpec pins both
+    // paths row-identical).
     val wide = nAdj / 2 > s.conf.getOption("graft.graph.wideEdges")
-      .map(_.toLong).getOrElse(4000000L)
+      .map(_.toLong).getOrElse(0L)
     val cand = (if (wide) canonicalPairPack(s, sf, nAdj / 2) else None) match {
       case Some(bcEnc) =>
         wedged.where(!graft.functions.VectorExpressions.pairContains(
             col("u"), col("w"), bcEnc))
           .groupBy(col("u"), col("w")).agg(count(lit(1)).as("cn"))
       case None =>
+        // the canonical pair list is 16 B/row and |E|-sized — gate-
+        // broadcast it so the anti-join never sorts the candidate
+        // frame (round 14: the SMJ anti-join sorted ~Σdeg²-derived
+        // candidates against a 5 MB build side)
         wedged
           .groupBy(col("u"), col("w")).agg(count(lit(1)).as("cn"))
-          .join(pairs.select(col("a_id").as("u"), col("b_id").as("w")),
+          .join(Util.gatedBroadcast(s,
+                  pairs.select(col("a_id").as("u"), col("b_id").as("w")),
+                  nAdj / 2, bytesPerRow = 24),
                 Seq("u", "w"), "left_anti")
     }
+    // deg is |V|-sized (one count job over the cached pair frame sizes
+    // the gate exactly): under the gate both decorations broadcast —
+    // round 14 measured the default plan SORT-MERGE-joining the ~1M-row
+    // candidate frame against the 4k-row degree frame TWICE (two full
+    // candidate sorts, 7.1 s of the 7.6 s key)
+    val nNodes = deg.count()
     cand
-      .join(deg.select(col("u"), col("d").as("du")), "u")
-      .join(deg.select(col("u").as("w"), col("d").as("dw")), "w")
+      .join(Util.gatedBroadcast(s, deg.select(col("u"), col("d").as("du")),
+              nNodes), "u")
+      .join(Util.gatedBroadcast(s, deg.select(col("u").as("w"), col("d").as("dw")),
+              nNodes), "w")
       .withColumn("jacc_fp", expr("(10000 * cn) div (du + dw - cn)"))
       .select(col("u"), col("w"), col("cn"), col("du"), col("dw"), col("jacc_fp"))
       .orderBy(col("jacc_fp").desc, col("u"), col("w"))
@@ -1115,9 +1133,11 @@ object TextDedup {
     // the canonical pack is probed on (least, greatest); dropping
     // adjacent rows before the distinct is set-identical to the
     // anti-join after it, and the clique-heavy adjacent wedge mass
-    // never reaches the distinct's exchange
+    // never reaches the distinct's exchange. Gate default 0 since
+    // round 14 (see q_graph_linkpred) — pack-ineligible graphs keep
+    // the anti-join plan.
     val wide = nAdj / 2 > s.conf.getOption("graft.graph.wideEdges")
-      .map(_.toLong).getOrElse(4000000L)
+      .map(_.toLong).getOrElse(0L)
     val nonAdj = (if (wide) canonicalPairPack(s, sf, nAdj / 2) else None) match {
       case Some(bcEnc) =>
         wedged.where(!graft.functions.VectorExpressions.pairContains(
@@ -1892,6 +1912,10 @@ object TextDedup {
     * test that zeroes the budget never poisons later calls. */
   private val pairPackCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), org.apache.spark.broadcast.Broadcast[Array[Long]]]
+  /** Probe hook for optimization-round phase timing (ScratchProbe). */
+  private[graft] def probePack(s: SparkSession, sf: String, nPairs: Long) =
+    canonicalPairPack(s, sf, nPairs)
+
   private def canonicalPairPack(s: SparkSession, sf: String, nPairs: Long)
       : Option[org.apache.spark.broadcast.Broadcast[Array[Long]]] = {
     val cached = Util.purged(pairPackCache).get((s, sf))

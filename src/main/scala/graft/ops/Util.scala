@@ -290,17 +290,28 @@ object Util {
     def withHub(df: DataFrame): DataFrame =
       df.join(gatedBroadcast(s, hubs, nAdj / math.max(cap, 1L) + 1L),
               Seq("m"), "left")
+    // Explicit REPARTITION_BY_NUM on both legs (round 14): AQE's
+    // input-size coalescing sees only the small adjacency exchanges and
+    // collapsed the wedge join to ~5 tasks at sf0.1 (event-log stage
+    // evidence: the 31M-row deg² blow-up ran on 5 of 32 cores, 4.9 s of
+    // q_graph_linkpred's 7.1 s) — it cannot know the join output is
+    // deg(m)² per mid-vertex. Same rationale as the banded-join
+    // exchanges in TextDedup; width follows the session conf.
+    val wedgeParts =
+      2 * s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
     val left = withHub(adj)
       .withColumn("_wsalt",
         when(col("_hub").isNotNull, pmod(hash(col("e")), lit(buckets)))
           .otherwise(lit(0)))
       .select(col("m"), col("e").as("u"), col("_wsalt"))
+      .repartition(wedgeParts, col("m"), col("_wsalt"))
     val right = withHub(adj)
       .withColumn("_salts",
         when(col("_hub").isNotNull,
              sequence(lit(0), lit(buckets - 1)))
           .otherwise(array(lit(0))))
       .select(col("m"), col("e").as("w"), explode(col("_salts")).as("_wsalt"))
+      .repartition(wedgeParts, col("m"), col("_wsalt"))
     left.join(right, Seq("m", "_wsalt"))
       .select(col("m"), col("u"), col("w"))
   }

@@ -1020,27 +1020,25 @@ class PropertySpec extends SparkSpec {
     } finally spark.conf.unset("graft.graph.wideEdges")
   }
 
-  test("linkpred/2hop wide path (forced): map-side pair-pack adjacency filter is row-identical to the anti-join") {
-    // the wide branch replaces the post-agg anti-join with a packed
-    // graft_pair_contains filter on the RAW wedge stream — force it
-    // onto the fixture graph and require identical result sets
-    val defaultLp = TextDedup.qGraphLinkpred(spark, sf)
-      .collect().map(_.toString).sorted.toSeq
-    val default2h = TextDedup.qGraph2hop(spark, sf)
-      .collect().map(_.toString).sorted.toSeq
-    spark.conf.set("graft.graph.wideEdges", "0")
-    try {
-      val lp = TextDedup.qGraphLinkpred(spark, sf)
-      assert(lp.queryExecution.optimizedPlan.toString.contains("graft_pair_contains"),
-             "forced wide linkpred did not use the packed adjacency filter")
-      assert(lp.collect().map(_.toString).sorted.toSeq == defaultLp,
-             "packed-filter linkpred changed the result set")
-      val th = TextDedup.qGraph2hop(spark, sf)
-      assert(th.queryExecution.optimizedPlan.toString.contains("graft_pair_contains"),
-             "forced wide 2hop did not use the packed adjacency filter")
-      assert(th.collect().map(_.toString).sorted.toSeq == default2h,
-             "packed-filter 2hop changed the result set")
+  test("linkpred/2hop wide path: map-side pair-pack adjacency filter is row-identical to the anti-join") {
+    // round 14: the pack filter IS the default (gate 0); the anti-join
+    // branch (the pack-ineligible fallback) is forced by raising the
+    // gate past the fixture edge count, and both paths must agree
+    spark.conf.set("graft.graph.wideEdges", Long.MaxValue.toString)
+    val (antiLp, anti2h) = try {
+      (TextDedup.qGraphLinkpred(spark, sf).collect().map(_.toString).sorted.toSeq,
+       TextDedup.qGraph2hop(spark, sf).collect().map(_.toString).sorted.toSeq)
     } finally spark.conf.unset("graft.graph.wideEdges")
+    val lp = TextDedup.qGraphLinkpred(spark, sf)
+    assert(lp.queryExecution.optimizedPlan.toString.contains("graft_pair_contains"),
+           "default-path linkpred did not use the packed adjacency filter")
+    assert(lp.collect().map(_.toString).sorted.toSeq == antiLp,
+           "packed-filter linkpred changed the result set")
+    val th = TextDedup.qGraph2hop(spark, sf)
+    assert(th.queryExecution.optimizedPlan.toString.contains("graft_pair_contains"),
+           "default-path 2hop did not use the packed adjacency filter")
+    assert(th.collect().map(_.toString).sorted.toSeq == anti2h,
+           "packed-filter 2hop changed the result set")
   }
 
   test("a_text_bpe: piece bounds, deterministic encode, merge-count monotonicity") {
