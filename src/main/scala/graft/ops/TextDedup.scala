@@ -2152,8 +2152,15 @@ object TextDedup {
   def qGraphPagerank(s: SparkSession, sf: String): DataFrame = {
     val pairs = qDedupJaccard(s, sf).select(col("a_id"), col("b_id"))
     val nP = pairs.count() // cached-frame read — sizes the checkpoint gate
+    // pre-partition on the message key ONCE (round 14, the 2core/bfs
+    // discipline): the checkpoint pins the layout and the broadcast
+    // joins preserve the streamed side's partitioning, so each round's
+    // groupBy(v) message aggregation — the loop's only shuffle — is
+    // exchange-free at fixture scale
+    val parts = math.max(8L, math.min(4096L, 2L * nP / 250000L + 1L)).toInt
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .repartition(parts, col("v"))
       .serCheckpoint(2L * nP)
     val degs = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
       .serCheckpoint(2L * nP)
