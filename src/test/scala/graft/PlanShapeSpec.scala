@@ -338,6 +338,10 @@ class PlanShapeSpec extends SparkSpec {
       // round-13: 1-row (n, total) frames feeding the closed-form
       // ntileFromRank — replaced the unpartitioned ntile windows
       "q_agg_ltv_deciles", "q_ts_rfm",
+      // round-14: 1-row (n1, n2) arm-totals frame riding a broadcast
+      // crossJoin onto the ranked value grid — replaced the KS op's
+      // whole-frame-total window when the global CDF windows retired
+      "q_ab_ks",
       // k-row / calendar-bounded broadcast strips (centroids, bounds,
       // lag offsets, last-2-weeks, ≤365-day theta self-join)
       "a_agg_hll_intersect", "q_embed_interdist", "q_embed_silhouette",
