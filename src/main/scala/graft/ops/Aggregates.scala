@@ -588,11 +588,14 @@ object Aggregates {
     // defended only by a value-boundedness argument. rankedByRange's
     // inclusive running sum (range shuffle + partition-local window +
     // broadcast pid offsets) replaces it; the exclusive form the U
-    // statistic needs is inclusive − own count. estRows is a worst-case
-    // bound (every event value distinct) and gates checkpoint posture
-    // only.
-    Util.rankedByRange(d, Seq(col("vfp")), "__rk",
-        Tables.rowCount(s, sf, "events"), sums = Seq("ct" -> "__cum"))
+    // statistic needs is inclusive − own count. The grid agg is pinned
+    // FIRST so the range sampling pass reads blocks instead of
+    // re-scanning events (sf10 A/B: the unpinned form scanned the fact
+    // table twice); the ≤100·max(value) grid keeps the checkpoint in
+    // the local tier.
+    val dc = Util.serCheckpoint(d, 1L << 20)
+    Util.rankedByRange(dc, Seq(col("vfp")), "__rk",
+        1L << 20, sums = Seq("ct" -> "__cum"))
       .withColumn("cum", col("__cum") - col("ct"))
       .withColumn("r2a", col("ca") * (lit(2L) * col("cum") + col("ct") + lit(1L)))
       .agg(sum(col("ca")).as("n1"), sum(col("ct") - col("ca")).as("n2"),
@@ -633,10 +636,13 @@ object Aggregates {
     // come from a constant-size aggregate over the same checkpointed
     // blocks, broadcast back. estRows is the worst-case distinct bound
     // and gates checkpoint posture only.
-    val r = Util.rankedByRange(d, Seq(col("vfp")),
-      "__rk", Tables.rowCount(s, sf, "events"),
+    // grid pinned first for the same reason as q_ab_mannwhitney: one
+    // events scan, not two (range sampling reads blocks)
+    val dc = Util.serCheckpoint(d, 1L << 20)
+    val r = Util.rankedByRange(dc, Seq(col("vfp")),
+      "__rk", 1L << 20,
       sums = Seq("ca" -> "cum_a", "cb" -> "cum_b"))
-    val tot = r.agg(sum(col("ca")).as("n1"), sum(col("cb")).as("n2"))
+    val tot = dc.agg(sum(col("ca")).as("n1"), sum(col("cb")).as("n2"))
     r.crossJoin(broadcast(tot))
       .withColumn("dnum", abs(col("cum_a") * col("n2") - col("cum_b") * col("n1")))
       .groupBy(col("n1"), col("n2"))
