@@ -1912,10 +1912,6 @@ object TextDedup {
     * test that zeroes the budget never poisons later calls. */
   private val pairPackCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), org.apache.spark.broadcast.Broadcast[Array[Long]]]
-  /** Probe hook for optimization-round phase timing (ScratchProbe). */
-  private[graft] def probePack(s: SparkSession, sf: String, nPairs: Long) =
-    canonicalPairPack(s, sf, nPairs)
-
   private def canonicalPairPack(s: SparkSession, sf: String, nPairs: Long)
       : Option[org.apache.spark.broadcast.Broadcast[Array[Long]]] = {
     val cached = Util.purged(pairPackCache).get((s, sf))
